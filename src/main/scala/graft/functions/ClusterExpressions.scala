@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.ClusterHash
+
+/**
+ * Catalyst scalar expressions for the cluster-hash functions — the Spark
+ * equivalent of the reference's vectorized `ScalarFunction`s
+ * (clusterhash_extension.cpp:93-123). Real `Expression`s rather than
+ * ScalaUDFs so that:
+ *   - whole-stage codegen fuses them into the surrounding pipeline
+ *     (`doGenCode` emits a static call — analogous to the reference's
+ *     tight `UnaryExecutor` loop over DataChunk vectors, cpp:96-100);
+ *   - `ConstantFolding` folds literal calls at plan time (the reference
+ *     relies on DuckDB's equivalent for `SELECT cluster_slot('user:1000')`);
+ *   - NULL in → NULL out without branching in the hot loop
+ *     (`nullIntolerant`, matching UnaryExecutor's null-mask handling);
+ *   - they are safe to use inside partitioning expressions
+ *     (`deterministic` by construction).
+ */
+abstract class ClusterHashExpression extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+}
+
+/** `cluster_slot(key)` → hash slot 0..16383 (cpp:116-118). */
+case class ClusterSlot(child: Expression) extends ClusterHashExpression {
+  override def prettyName: String = "cluster_slot"
+  protected override def nullSafeEval(input: Any): Any =
+    ClusterHash.getSlot(input.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.ClusterHash.getSlot($c.getBytes())")
+  override protected def withNewChildInternal(newChild: Expression): ClusterSlot =
+    copy(child = newChild)
+}
+
+/** `cluster_node(key)` → shard 1..6 via fixed slot ranges (cpp:119-121). */
+case class ClusterNode(child: Expression) extends ClusterHashExpression {
+  override def prettyName: String = "cluster_node"
+  protected override def nullSafeEval(input: Any): Any =
+    ClusterHash.getNode(input.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.ClusterHash.getNode($c.getBytes())")
+  override protected def withNewChildInternal(newChild: Expression): ClusterNode =
+    copy(child = newChild)
+}
+
+/**
+ * `cluster_node(key, n)` → node 1..n. Our generalization of the 2-arg form
+ * the reference README documents but does not ship (README.md:84,115 vs
+ * cpp:119-121 — see SURVEY.md §2.1). n == 6 reproduces the reference
+ * ranges exactly.
+ */
+case class ClusterNodeN(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def prettyName: String = "cluster_node"
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(key: Any, n: Any): Any =
+    ClusterHash.getNodeN(key.asInstanceOf[UTF8String].getBytes, n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (k, n) => s"graft.core.ClusterHash.getNodeN($k.getBytes(), $n)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ClusterNodeN =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Registration — the Spark analogue of the reference's extension load
+ * path (`clusterhash_init` → `ExtensionUtil::RegisterFunction`,
+ * cpp:114-124): injects both functions into the session's
+ * FunctionRegistry so `spark.sql("SELECT cluster_slot(k) ...")` resolves.
+ * DataFrame users get the typed `Column` helpers below without any
+ * registration.
+ */
+object ClusterHashFunctions {
+
+  /** Column-API form: `df.select(cluster_slot($"key"))`. */
+  def cluster_slot(key: Column): Column =
+    Bridge.column(ClusterSlot(Bridge.expression(key)))
+
+  /** Column-API form: `df.select(cluster_node($"key"))`. */
+  def cluster_node(key: Column): Column =
+    Bridge.column(ClusterNode(Bridge.expression(key)))
+
+  /** Column-API form of the generalized n-node mapping. */
+  def cluster_node(key: Column, n: Column): Column =
+    Bridge.column(
+      ClusterNodeN(Bridge.expression(key), Bridge.expression(n)))
+
+  private def slotBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(k) => ClusterSlot(k)
+    case _ => throw new IllegalArgumentException(
+      s"cluster_slot requires exactly 1 argument, got ${args.length}")
+  }
+
+  private def nodeBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(k) => ClusterNode(k)
+    case Seq(k, n) => ClusterNodeN(k, n)
+    case _ => throw new IllegalArgumentException(
+      s"cluster_node requires 1 or 2 arguments, got ${args.length}")
+  }
+
+  /** Register `cluster_slot` / `cluster_node` for SQL in this session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("cluster_slot", slotBuilder, "built-in")
+    registry.createOrReplaceTempFunction("cluster_node", nodeBuilder, "built-in")
+  }
+}
+
+/**
+ * `SparkSessionExtensions` hook so the functions can be wired globally via
+ * `spark.sql.extensions=graft.functions.GraftExtensions` — the closest
+ * Spark analogue of DuckDB's `LOAD clusterhash`.
+ */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cluster_slot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(classOf[ClusterSlot].getName, "cluster_slot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(k) => ClusterSlot(k)
+        case _ => throw new IllegalArgumentException("cluster_slot(key)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cluster_node"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(classOf[ClusterNode].getName, "cluster_node"),
+      (args: Seq[Expression]) => args match {
+        case Seq(k) => ClusterNode(k)
+        case Seq(k, n) => ClusterNodeN(k, n)
+        case _ => throw new IllegalArgumentException("cluster_node(key[, n])")
+      }))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.core.ClusterHash
+import graft.functions.ClusterHashFunctions.{cluster_node, cluster_slot}
+
+class ClusterExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val goldenKeys = Seq("user:1000", "product:5432", "{user:1000}:profile",
+    "foo", "bar", "", "{}", "a{b}c", "{{inner}}", "key{", "é{tag}û")
+
+  test("expressions agree with core on golden keys (codegen path)") {
+    val df = goldenKeys.toDF("key")
+      .select($"key", cluster_slot($"key").as("slot"), cluster_node($"key").as("node"))
+    df.collect().foreach { r =>
+      val k = r.getString(0)
+      assert(r.getInt(1) == ClusterHash.getSlot(k), s"slot($k)")
+      assert(r.getInt(2) == ClusterHash.getNode(k), s"node($k)")
+    }
+  }
+
+  test("interpreted eval path agrees with core") {
+    goldenKeys.foreach { k =>
+      assert(ClusterSlot(Literal(k)).eval() == ClusterHash.getSlot(k))
+      assert(ClusterNode(Literal(k)).eval() == ClusterHash.getNode(k))
+      assert(ClusterNodeN(Literal(k), Literal(6)).eval() == ClusterHash.getNode(k))
+      assert(ClusterNodeN(Literal(k), Literal(3)).eval() ==
+        ClusterHash.nodeOfSlotN(ClusterHash.getSlot(k), 3))
+    }
+  }
+
+  test("NULL in → NULL out") {
+    val df = Seq(Some("foo"), None).toDF("key")
+      .select(cluster_slot($"key").as("slot"), cluster_node($"key").as("node"))
+    val rows = df.collect()
+    assert(rows.exists(r => !r.isNullAt(0) && r.getInt(0) == 12182))
+    assert(rows.exists(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
+
+  test("SQL registration: spark.sql path works after register") {
+    ClusterHashFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT cluster_slot('user:1000') AS s, cluster_node('user:1000') AS n, cluster_node('user:1000', 3) AS n3"
+    ).head()
+    assert(row.getInt(0) == 1649 && row.getInt(1) == 1)
+    assert(row.getInt(2) == ClusterHash.nodeOfSlotN(1649, 3))
+  }
+
+  test("literal calls constant-fold in the optimized plan") {
+    ClusterHashFunctions.register(spark)
+    val qe = spark.sql("SELECT cluster_slot('user:1000') AS s").queryExecution
+    val folded = qe.optimizedPlan.expressions.flatMap(_.collect {
+      case Literal(v, _) => v
+    })
+    assert(folded.contains(1649), s"expected Literal(1649) in ${qe.optimizedPlan}")
+  }
+
+  test("fresh session without registration fails analysis (quack.test:6-9 pattern)") {
+    val fresh = spark.newSession()
+    val e = intercept[AnalysisException] {
+      fresh.sql("SELECT cluster_slot('foo')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("cluster_slot"))
+  }
+
+  test("expression survives whole-stage codegen over a real table") {
+    val df = spark.read.parquet(s"${SparkTestSession.sf0001}/customer.parquet")
+      .select(concat(lit("user:"), $"c_custkey").as("key"))
+      .select($"key", cluster_slot($"key").as("slot"))
+    // "*(n)" marks operators fused into a WholeStageCodegen stage; the
+    // projection carrying cluster_slot must be inside one.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [key"), s"plan not codegen'd:\n$plan")
+    df.collect().foreach { r =>
+      assert(r.getInt(1) == ClusterHash.getSlot(r.getString(0)))
+    }
+  }
+
+  test("distribution of user:1..1000 via DataFrame matches README golden") {
+    val counts = spark.range(1, 1001)
+      .select(concat(lit("user:"), $"id").as("key"))
+      .select(cluster_node($"key").as("node"))
+      .groupBy("node").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1 -> 167L, 2 -> 165L, 3 -> 167L, 4 -> 170L, 5 -> 168L, 6 -> 163L))
+  }
+}

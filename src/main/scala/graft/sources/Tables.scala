@@ -1,0 +1,22 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Parquet source layer over the test corpus (TESTDATA.md). The reference
+ * relies on its host engine for scans (SURVEY.md §2.3); here the host is
+ * Spark's parquet DataSource, which gives predicate pushdown, column
+ * pruning and partition pruning for free — at 100 TB these tables would
+ * be directories of many files and the same code holds.
+ */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` queries resolve. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/**
+ * Host-engine relational surface (SURVEY.md §2.3): the operator categories
+ * the reference delegates to DuckDB, re-expressed as Spark built-ins so
+ * Catalyst/Tungsten plan them — joins (broadcast/semi/anti), hash aggs
+ * (partial+final), windows, rollup/cube, set ops, sort/limit/top-k,
+ * string/date/math/JSON scalar functions, explode.
+ *
+ * Float determinism: double summation is order-dependent, so any SUM/AVG
+ * that must hash-match the DuckDB oracle is computed over DECIMAL (exact,
+ * associative) and only cast to DOUBLE at the end; averages divide the
+ * exact sum by the count in DOUBLE, the same IEEE op in both engines.
+ *
+ * Scale notes per query are inline. The common pattern: filters/projections
+ * reach the parquet scan (PushedFilters/ReadSchema), aggregations are
+ * partial+final, the small side of every join is broadcast, and output
+ * ordering happens after aggregation (tiny data).
+ */
+object AnalyticsQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** Exact decimal view of a money/qty double column. */
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan-heavy partial+final hash agg; the shipdate
+    // filter is pushed to parquet. At 100 TB this is the canonical
+    // map-side-combine query: shuffle carries |groups|×|partitions| rows.
+    "a10_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+          sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount"))).cast("double").as("sum_disc_price"),
+          (sum(dec($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // 3-way join: customer (small) is broadcast to orders⋈lineitem; the
+    // big-big join shuffles on orderkey once. Revenue per market segment.
+    "a11_segment_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val c = broadcast(t(s, dir, "customer").select($"c_custkey", $"c_mktsegment"))
+      val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val l = t(s, dir, "lineitem")
+        .select($"l_orderkey", dec($"l_extendedprice").as("price"), dec($"l_discount").as("disc"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy($"c_mktsegment")
+        .agg(
+          sum($"price" * (lit(1).cast("decimal(18,2)") - $"disc")).cast("double").as("revenue"),
+          countDistinct($"o_orderkey").as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+    // Left-semi join (EXISTS): customers that have orders, per nation.
+    "a12_semijoin" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_nationkey")
+    }),
+    // Left-anti join (NOT EXISTS): customers with no orders.
+    "a13_antijoin" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy("c_custkey")
+    }),
+    // Window function: top-3 orders per customer by price. At scale this
+    // is the classic "grouped top-k": Spark plans a single shuffle on the
+    // partition key; rank+filter avoids a global sort.
+    "a14_window_topk" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"rk")
+        .orderBy("o_custkey", "rk")
+    }),
+    // Set ops: nations with customers ∩ nations with suppliers.
+    "a15_intersect" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer").select($"c_nationkey".as("nationkey")).distinct()
+        .intersect(t(s, dir, "supplier").select($"s_nationkey".cast("int").as("nationkey")).distinct())
+        .orderBy("nationkey")
+    }),
+    // Set ops: nations with customers but no suppliers.
+    "a16_except" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer").select($"c_nationkey".as("nationkey")).distinct()
+        .except(t(s, dir, "supplier").select($"s_nationkey".cast("int").as("nationkey")).distinct())
+        .orderBy("nationkey")
+    }),
+    // ROLLUP: hierarchical totals (partial-agg friendly).
+    "a17_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum(dec($"l_quantity")).cast("double").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+    // Top-k: Spark plans TakeOrderedAndProject — no global sort at scale.
+    "a18_topk_orders" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+    }),
+    // Date/time: monthly order volume (date_trunc + count + exact sum).
+    "a19_monthly_orders" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec($"o_totalprice")).cast("double").as("total"))
+        .orderBy("month")
+    }),
+    // String functions over part.
+    "a20_string_fns" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .select($"p_partkey",
+          upper($"p_brand").as("brand_u"),
+          substring($"p_name", 1, 8).as("name8"),
+          regexp_replace($"p_type", lit(" "), lit("_")).as("type_u"),
+          length($"p_name").cast("long").as("name_len"),
+          concat_ws("|", $"p_brand", $"p_type").as("joined"))
+        .orderBy("p_partkey")
+    }),
+    // Math functions (all IEEE-deterministic: sqrt is correctly rounded).
+    "a21_math_fns" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_linenumber" === 1)
+        .select($"l_orderkey",
+          sqrt($"l_extendedprice").as("root"),
+          floor($"l_extendedprice").cast("long").as("fl"),
+          ceil($"l_extendedprice").cast("long").as("ce"),
+          abs($"l_discount" - 0.05).as("adj"),
+          pmod($"l_orderkey", lit(7L)).as("m7"))
+        .orderBy("l_orderkey")
+    }),
+    // JSON extraction from the events props column.
+    "a22_json" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("cnt"), sum($"k").as("sum_k"))
+        .orderBy("event_type")
+    }),
+    // UDTF surface: explode/split word count over documents.
+    "a23_wordcount" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("word"))
+        .filter(length($"word") > 0)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"word")
+        .limit(25)
+    }),
+    // Time-bucketed event aggregation (batch form of the streaming window).
+    "a24_events_hourly" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec($"value")).cast("double").as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+    // Exact distinct aggregation (expand + two-phase agg in Spark).
+    "a25_distinct_parts" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("d_parts"),
+          countDistinct($"l_suppkey").as("d_supps"))
+        .orderBy("l_returnflag")
+    }),
+    // CUBE over two dims.
+    "a26_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }),
+    // Multi-way join through the full snowflake: region→nation→customer
+    // →orders, small dims broadcast.
+    "a27_snowflake" -> ((s, dir) => {
+      import s.implicits._
+      val r = broadcast(t(s, dir, "region"))
+      val n = broadcast(t(s, dir, "nation"))
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec($"o_totalprice")).cast("double").as("total"))
+        .orderBy("r_name")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a10_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a11_segment_revenue" ->
+      """SELECT c_mktsegment,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "a12_semijoin" ->
+      """SELECT c_nationkey, COUNT(*) AS cnt FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "a13_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "a14_window_topk" ->
+      """SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "a15_intersect" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT DISTINCT CAST(s_nationkey AS INTEGER) FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "a16_except" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT DISTINCT CAST(s_nationkey AS INTEGER) FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "a17_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "a18_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "a19_monthly_orders" ->
+      """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "a20_string_fns" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 8) AS name8,
+        | replace(p_type, ' ', '_') AS type_u, CAST(length(p_name) AS BIGINT) AS name_len,
+        | concat_ws('|', p_brand, p_type) AS joined
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "a21_math_fns" ->
+      """SELECT l_orderkey, sqrt(l_extendedprice) AS root,
+        | CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        | CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+        | abs(l_discount - 0.05) AS adj,
+        | l_orderkey % 7 AS m7
+        |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin,
+    "a22_json" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a23_wordcount" ->
+      """SELECT word, COUNT(*) AS cnt FROM (
+        | SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+    "a24_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "a25_distinct_parts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS d_parts,
+        | COUNT(DISTINCT l_suppkey) AS d_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a26_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "a27_snowflake" ->
+      """SELECT r_name, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+  )
+}

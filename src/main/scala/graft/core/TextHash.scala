@@ -1,0 +1,79 @@
+package graft.core
+
+/**
+ * Byte-level hashing primitives for document fingerprinting and dedup.
+ * Static, allocation-free methods callable from generated code (same
+ * pattern as [[ClusterHash]]).
+ */
+object TextHash {
+
+  /** Karp-Rabin polynomial rolling-hash parameters (public constants). */
+  final val Base = 257L
+  final val Mod = 2147483647L // 2^31 - 1, Mersenne prime
+
+  /**
+   * Minimum Karp-Rabin hash over all `window`-byte substrings — a
+   * winnowing-style document fingerprint: stable under small edits
+   * anywhere outside the minimizing window. Shorter docs hash whole.
+   */
+  def rollingMin(bytes: Array[Byte], window: Int): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val w = if (window < n) window else n
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (h * Base + (bytes(i) & 0xff)) % Mod; i += 1 }
+    var min = h
+    // precompute Base^(w-1) mod Mod for the roll-off term
+    var pow = 1L
+    i = 1
+    while (i < w) { pow = (pow * Base) % Mod; i += 1 }
+    i = w
+    while (i < n) {
+      h = (h - ((bytes(i - w) & 0xff) * pow) % Mod + Mod) % Mod
+      h = (h * Base + (bytes(i) & 0xff)) % Mod
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  /**
+   * 64-bit SimHash over whitespace tokens: each token's 64-bit hash votes
+   * ±1 per bit position; the signature sets bits with positive vote sums.
+   * Near-duplicate docs differ in few bits (small Hamming distance).
+   */
+  def simHash64(tokens: Array[AnyRef]): Long = {
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < tokens.length) {
+      val h = fnv1a64(tokens(t).toString)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** FNV-1a 64-bit over UTF-8 bytes (public-domain hash). */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xff).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.TextHash
+
+/**
+ * Native expressions for document fingerprinting (codegen'd, no UDFs —
+ * these run in the scan's fused loop at 100 TB).
+ */
+
+/** `rolling_fingerprint(text)` → min Karp-Rabin hash of 8-byte windows. */
+case class RollingFingerprint(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "rolling_fingerprint"
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.rollingMin(input.asInstanceOf[UTF8String].getBytes, 8)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.rollingMin($c.getBytes(), 8)")
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}
+
+/** `simhash64(tokens)` → 64-bit SimHash of a string array. CodegenFallback:
+  * array unpacking dominates; the per-row cost is the 64-bit vote loop. */
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "simhash64"
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData].toObjectArray(StringType)
+    TextHash.simHash64(arr.asInstanceOf[Array[AnyRef]])
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+  def rolling_fingerprint(text: Column): Column =
+    Bridge.column(RollingFingerprint(Bridge.expression(text)))
+  def simhash64(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (`array<float>`).
+ *
+ * Scale design: the query set is small and broadcast; the corpus scan
+ * stays partitioned, so brute-force top-k is one pass over the corpus
+ * with a per-partition partial top-k (window rank after a broadcast
+ * join — Spark plans no corpus shuffle until the final tiny rank
+ * exchange). The LSH variant buckets the corpus by random-hyperplane
+ * signature so each query probes only matching buckets — the 100 TB
+ * path where even one full pass is too slow. IVF would replace the
+ * random planes with k-means centroids; same plumbing.
+ *
+ * All arithmetic is elementwise-fold in DOUBLE (deterministic, matches
+ * the DuckDB oracle bit-for-bit).
+ */
+object Similarity {
+
+  /** Fold-based dot product of two float-array columns, in DOUBLE. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm (DOUBLE). */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (DOUBLE), 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /**
+   * Brute-force cosine top-k: for each row of `queries` (small,
+   * broadcast), the `k` nearest corpus rows. Deterministic tie-break on
+   * corpus id.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"), cosine(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank").cast("int").as("rank"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `nPlanes` × `dim`, values
+    * from a seeded LCG mapped to [-1, 1). Fixed forever (stable buckets). */
+  private[operators] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    var s = seed
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Array.fill(nPlanes)(Array.fill(dim)(next()))
+  }
+
+  /** Sign-of-projection LSH signature (one bit per hyperplane), as int. */
+  def lshSignature(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(vec, plane) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).cast("long")
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: corpus rows are probed only when
+   * their signature is within `maxBitDiff` bits of the query's (multi-
+   * probe by Hamming ball). Recall < 1 by construction; the companion
+   * spec measures it against [[bruteForceTopK]].
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nPlanes: Int = 8, dim: Int = 64, maxBitDiff: Int = 1,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"),
+      lshSignature(col(vecCol), nPlanes, dim).as("csig"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      lshSignature(col(vecCol), nPlanes, dim).as("qsig"))
+    val cand = c.join(broadcast(q),
+      bit_count(col("csig").bitwiseXOR(col("qsig"))) <= maxBitDiff)
+      .where(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"), cosine(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank").cast("int").as("rank"), col("sim"))
+  }
+
+  /**
+   * Embedding near-duplicate pairs: cosine ≥ `threshold`. Exact at small
+   * scale (self-join); at scale the LSH signature equi-join prunes the
+   * pair space first (`useLsh`).
+   */
+  def nearDupPairs(df: DataFrame, threshold: Double, useLsh: Boolean = false,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("i"), col(vecCol).as("va"),
+      lshSignature(col(vecCol), 8, 64).as("siga"))
+    val b = df.select(col(idCol).as("j"), col(vecCol).as("vb"),
+      lshSignature(col(vecCol), 8, 64).as("sigb"))
+    val joined =
+      if (useLsh) a.join(b, col("siga") === col("sigb") && col("i") < col("j"))
+      else a.crossJoin(b).where(col("i") < col("j"))
+    joined
+      .select(col("i"), col("j"), cosine(col("va"), col("vb")).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+}

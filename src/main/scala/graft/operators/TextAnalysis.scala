@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: tokenization
+ * counts, quality scoring, stopword-based language ID, document
+ * fingerprints. All pure `functions._` column expressions (no UDFs) so
+ * they stay inside whole-stage codegen — at 100 TB these run as narrow
+ * map transforms over the scan with zero shuffles.
+ *
+ * Determinism: every ratio is an int/int division performed in DOUBLE,
+ * the same IEEE op in any engine — results hash-match the DuckDB oracle.
+ */
+object TextAnalysis {
+
+  /** Non-empty whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), w => length(w) > lit(0))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /**
+   * BPE-ish sub-word unit count: alpha runs, single digits, and single
+   * punctuation marks each count as one unit (a cheap proxy for tokenizer
+   * cost accounting).
+   */
+  def bpeishCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Ratio of non-alphanumeric-non-space chars to all chars. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Mean token length (chars per token). */
+  def avgWordLen(text: Column): Column = {
+    val t = tokens(text)
+    length(concat_ws("", t)).cast("double") / greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Stopword lists used for both quality scoring and language ID. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "dans", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "en", "por", "para"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "他", "这", "不"),
+  )
+
+  /** Fraction of tokens that are stopwords of `lang`. */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val stops = array(stopwords(lang).map(lit): _*)
+    val t = tokens(text)
+    size(filter(t, w => array_contains(stops, lower(w)))).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /**
+   * Heuristic quality score in [0,1]: rewards mid-length docs, some
+   * stopword mass, low punctuation noise. Weights are arbitrary but
+   * fixed; the point is a deterministic, cheap, scan-local signal.
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(4.0), lit(1.0))
+    lenScore * lit(0.4) + stopScore * lit(0.4) + (lit(1.0) - punctPenalty) * lit(0.2)
+  }
+
+  /** Per-language stopword hit counts, as score columns. */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val t = tokens(text)
+    stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val stops = array(words.map(lit): _*)
+      lang -> size(filter(t, w => array_contains(stops, lower(w))))
+    }
+  }
+
+  /**
+   * N-gram/stopword language ID: argmax of per-language stopword hits,
+   * ties broken by fixed alphabetical precedence, no hits → "und"
+   * (undetermined). A real pipeline would use char n-gram profiles; the
+   * shape (scan-local scoring + argmax CASE) is identical.
+   */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // argmax with deterministic precedence: a language wins iff its score
+    // is strictly greater than all earlier ones and >= all later ones
+    val best = scores.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
+      val wins = s > bs
+      (when(wins, lit(lang)).otherwise(bl), when(wins, s).otherwise(bs))
+    }
+    best._1
+  }
+
+  /** Full per-document text-statistics projection. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("n_tokens", tokenCount(c))
+      .withColumn("n_bpeish", bpeishCount(c))
+      .withColumn("avg_word_len", avgWordLen(c))
+      .withColumn("punct_ratio", punctRatio(c))
+      .withColumn("stopword_ratio", stopwordRatio(c))
+      .withColumn("quality", qualityScore(c))
+      .withColumn("lang_pred", langId(c))
+  }
+}

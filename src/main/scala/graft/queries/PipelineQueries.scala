@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/**
+ * Training-data-pipeline operators as driver-checkable queries
+ * (SURVEY.md §7 phase 5): dedup (exact / MinHash-LSH / SimHash / exact
+ * n-gram Jaccard), embedding similarity (brute-force + LSH), and text
+ * analysis. Oracles recompute everything independently in DuckDB SQL
+ * where expressible; approximate operators (LSH variants, SimHash) are
+ * instead pinned against their exact counterparts in the test suite.
+ */
+object PipelineQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** DuckDB: whitespace tokens / 3-word shingles mirroring TextAnalysis/Dedup. */
+  private val duckTokens =
+    "list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0)"
+  private def duckShingles(wordsExpr: String): String =
+    s"list_distinct(list_transform(range(1, greatest(len($wordsExpr)-3,0)+2), " +
+      s"i -> array_to_string($wordsExpr[i:i+2], ' ')))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup groups: one shuffle on content, keeper = min id.
+    "d30_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .select($"keeper", $"copies", length($"text").cast("long").as("n_chars"))
+        .orderBy("keeper")
+    }),
+    // MinHash+LSH near-dups, exact-Jaccard verified (ground truth: d33).
+    "d31_dedup_minhash" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .select($"i", $"j", round($"jaccard", 6).as("jaccard"))
+        .orderBy("i", "j")
+    }),
+    // SimHash signatures + Hamming-≤3 near-dup pairs.
+    "d32_dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("i", "j")
+    }),
+    // Exact n-gram Jaccard via inverted shingle index — full oracle.
+    "d33_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .select($"i", $"j", $"inter", $"uni")
+        .orderBy("i", "j")
+    }),
+    // Embedding cosine near-dup pairs (exact; LSH variant tested in spec).
+    "d34_embed_neardup" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.5)
+        .select($"i", $"j")
+        .orderBy("i", "j")
+    }),
+    // Brute-force cosine top-10 for the first 5 vectors as queries.
+    "s35_ann_brute" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where($"vec_id" < 5), k = 10)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
+    // LSH-bucketed ANN — approximate; recall pinned vs brute in spec.
+    "s36_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.where($"vec_id" < 5), k = 10, maxBitDiff = 2)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
+    // Text statistics + quality + language ID, full oracle.
+    "t40_text_stats" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.analyze(t(s, dir, "documents"))
+        .select($"doc_id", $"n_tokens", $"n_bpeish",
+          round($"avg_word_len", 6).as("avg_word_len"),
+          round($"punct_ratio", 6).as("punct_ratio"),
+          round($"stopword_ratio", 6).as("stopword_ratio"),
+          round($"quality", 6).as("quality"),
+          $"lang_pred")
+        .orderBy("doc_id")
+    }),
+    // Corpus-level quality/language rollup.
+    "t41_quality_by_lang" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.analyze(t(s, dir, "documents"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("docs"),
+          sum($"n_tokens").as("tokens"),
+          // exact decimal sum of rounded per-doc scores → order-independent
+          sum(round($"quality", 6).cast("decimal(18,6)")).cast("double").as("quality_sum"))
+        .orderBy("lang")
+    }),
+    // Rolling-hash document fingerprints (native codegen'd expression).
+    "t42_fingerprints" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          graft.functions.TextFunctions.rolling_fingerprint($"text").as("fp"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH w AS (SELECT doc_id, $duckTokens AS words FROM documents),
+       |sh AS (SELECT doc_id, ${duckShingles("words")} AS s FROM w),
+       |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+       |  len(list_intersect(a.s, b.s)) AS inter,
+       |  len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT i, j, CAST(inter AS INTEGER) AS inter, CAST(uni AS INTEGER) AS uni
+       |FROM p WHERE inter * 1.0 / uni >= $threshold ORDER BY i, j""".stripMargin
+
+  /** DuckDB fold-based double-precision cosine between two list columns. */
+  private def duckCosine(a: String, b: String): String = {
+    def dotE(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($x)+1), " +
+        s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (acc, v) -> acc + v)"
+    s"(${dotE(a, b)} / (sqrt(${dotE(a, a)}) * sqrt(${dotE(b, b)})))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d30_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper, count(*) AS copies,
+        | CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY text ORDER BY keeper""".stripMargin,
+    "d33_ngram_jaccard" -> jaccardOracle(0.5),
+    // d31 (minhash) must equal d33 modulo the jaccard column — same oracle
+    "d31_dedup_minhash" -> (
+      s"""SELECT i, j, round(inter * 1.0 / uni, 6) AS jaccard
+         |FROM (${jaccardOracle(0.5).replace("ORDER BY i, j", "")}) ORDER BY i, j""".stripMargin),
+    "d34_embed_neardup" ->
+      s"""SELECT a.vec_id AS i, b.vec_id AS j
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.5
+         |ORDER BY i, j""".stripMargin,
+    "s35_ann_brute" ->
+      s"""SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
+         | SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${duckCosine("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+         | FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         | WHERE q.vec_id < 5)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "t40_text_stats" ->
+      s"""WITH b AS (SELECT doc_id, text, $duckTokens AS toks FROM documents),
+         |c AS (SELECT doc_id, text, toks,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS punct_ratio,
+         |  CAST(length(array_to_string(toks, '')) AS DOUBLE) / greatest(len(toks), 1) AS awl,
+         |  ${TextAnalysis.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+              s"CAST(len(list_filter(toks, w -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], lower(w)))) AS DOUBLE) AS hits_$l"
+            }.mkString(", ")}
+         | FROM b),
+         |d AS (SELECT *,
+         |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+         |  least(hits_en / greatest(n_tokens, 1) * 5.0, 1.0) AS stop_score,
+         |  least(punct_ratio * 4.0, 1.0) AS punct_pen FROM c)
+         |SELECT doc_id, n_tokens,
+         | CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) + 0 AS BIGINT) AS n_bpeish,
+         | round(awl, 6) AS avg_word_len,
+         | round(punct_ratio, 6) AS punct_ratio,
+         | round(hits_en / greatest(n_tokens, 1), 6) AS stopword_ratio,
+         | round(len_score * 0.4 + stop_score * 0.4 + (1.0 - punct_pen) * 0.2, 6) AS quality,
+         | CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) = 0 THEN 'und'
+         |  WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'de'
+         |  WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'en'
+         |  WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'es'
+         |  WHEN hits_fr = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'fr'
+         |  ELSE 'zh' END AS lang_pred
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "t41_quality_by_lang" ->
+      s"""WITH b AS (SELECT doc_id, lang, text, $duckTokens AS toks FROM documents),
+         |c AS (SELECT lang,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS punct_ratio,
+         |  CAST(len(list_filter(toks, w -> list_contains([${TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(",")}], lower(w)))) AS DOUBLE) AS hits_en,
+         |  length(text) AS n_chars FROM b),
+         |d AS (SELECT lang, n_tokens,
+         |  least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+         |   + least(hits_en / greatest(n_tokens, 1) * 5.0, 1.0) * 0.4
+         |   + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2 AS quality FROM c)
+         |SELECT lang, count(*) AS docs, sum(n_tokens) AS tokens,
+         | CAST(sum(CAST(round(quality, 6) AS DECIMAL(18,6))) AS DOUBLE) AS quality_sum
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "t42_fingerprints" ->
+      """SELECT doc_id, CAST(list_min(list_transform(range(1, greatest(length(text)-7, 1)+1),
+        | i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(i, least(i+8, length(text)+1)),
+        |   j -> CAST(ord(substr(text, j, 1)) AS BIGINT))), (acc, b) -> (acc * 257 + b) % 2147483647))) AS BIGINT) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

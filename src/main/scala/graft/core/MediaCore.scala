@@ -1,0 +1,63 @@
+package graft.core
+
+/**
+ * Byte-level "feature extraction" kernels for the multimodal pipeline.
+ *
+ * STUB BOUNDARY: real image/audio decoding (JPEG/PNG/WAV/frame
+ * extraction) needs native codec libraries that are not in this
+ * environment. These kernels implement the *pipeline contract* — opaque
+ * binary in, fixed-width feature vector / per-frame values out,
+ * deterministic, allocation-bounded — over raw bytes instead of decoded
+ * pixels/samples. Swapping in a real decoder changes only the body of
+ * these functions; every Spark-side concern (schema, partitioning,
+ * codegen, batch shape) is exercised for real.
+ */
+object MediaCore {
+
+  /** Number of coarse byte-range buckets in the stub feature vector. */
+  final val FeatureBuckets = 4
+
+  /**
+   * Fraction of payload bytes in each of 4 ranges: [0x20,0x40), [0x40,
+   * 0x60), [0x60,0x80), everything else. (A real implementation would
+   * return e.g. a pooled embedding of decoded content.)
+   */
+  def byteHistogram(bytes: Array[Byte]): Array[Double] = {
+    val counts = new Array[Long](FeatureBuckets)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      val bucket =
+        if (b >= 0x20 && b < 0x40) 0
+        else if (b >= 0x40 && b < 0x60) 1
+        else if (b >= 0x60 && b < 0x80) 2
+        else 3
+      counts(bucket) += 1
+      i += 1
+    }
+    val n = if (bytes.length == 0) 1.0 else bytes.length.toDouble
+    Array(counts(0) / n, counts(1) / n, counts(2) / n, counts(3) / n)
+  }
+
+  /**
+   * Per-frame checksums: split the payload into `nFrames` contiguous
+   * chunks (boundaries `k*len/nFrames`, integer division) and Adler-style
+   * checksum each (sum of bytes mod 65521). Stands in for frame-sampled
+   * video features.
+   */
+  def frameChecksums(bytes: Array[Byte], nFrames: Int): Array[Long] = {
+    val out = new Array[Long](nFrames)
+    val n = bytes.length
+    var k = 0
+    while (k < nFrames) {
+      val start = k.toLong * n / nFrames
+      val end = (k + 1).toLong * n / nFrames
+      var h = 0L
+      var i = start.toInt
+      while (i < end) { h += (bytes(i) & 0xff); i += 1 }
+      out(k) = h % 65521
+      k += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+import graft.core.MediaCore
+
+/**
+ * Multimodal-column plumbing: image/audio/video as opaque `binary`
+ * payloads plus typed metadata, with decode/feature-extract implemented
+ * against the [[MediaCore]] stub kernels (see its scaladoc for the STUB
+ * boundary — codecs aren't available here; the Spark-side schema,
+ * expressions, partitioning and batch shape are real).
+ *
+ * Two execution paths, both provided on purpose:
+ *  - native Catalyst expressions ([[MediaFeatures]], [[FrameChecksums]])
+ *    — scan-fused, the 100 TB path;
+ *  - a `mapPartitions` batch path ([[decodeBatched]]) demonstrating the
+ *    vectorized-UDF shape (iterator of batches in, iterator out) that a
+ *    real codec (or an external model server) would plug into.
+ */
+object Multimodal {
+
+  /** media row: (doc_id, kind, payload, meta{width,height,sample_rate,n_frames}) */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType))))))
+
+  /**
+   * Deterministic synthetic media table derived from `documents`: payload
+   * = UTF-8 bytes of the text (a stand-in for real encoded media), kind
+   * cycles image/audio/video by doc_id.
+   */
+  def synthesizeMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit(64).as("width"), lit(64).as("height"),
+        lit(16000).as("sample_rate"), lit(4).as("n_frames")).as("meta"))
+
+  // ------------------------------------------------- expression path
+
+  def media_features(payload: Column): Column =
+    Bridge.column(MediaFeatures(Bridge.expression(payload)))
+
+  def frame_checksums(payload: Column, nFrames: Int): Column =
+    Bridge.column(FrameChecksums(Bridge.expression(payload), nFrames))
+
+  // ------------------------------------------------- batch (UDF-shape) path
+
+  /**
+   * mapPartitions decode: consumes (doc_id, payload) rows in fixed-size
+   * batches — the shape a real vectorized decode (or RPC to a model
+   * server) needs: amortized per-batch setup, bounded memory per batch.
+   */
+  def decodeBatched(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch setup would happen here (decoder init, model session)
+        batch.iterator.map { case (id, payload) =>
+          val f = MediaCore.byteHistogram(payload)
+          (id, payload.length.toLong, f(0), f(1), f(2), f(3))
+        }
+      }
+    }.toDF("doc_id", "n_bytes", "f0", "f1", "f2", "f3")
+  }
+}
+
+/** `media_features(payload)` → array<double> stub feature vector. */
+case class MediaFeatures(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "media_features"
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MediaCore.byteHistogram(input.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.MediaCore.byteHistogram($c))")
+  override protected def withNewChildInternal(newChild: Expression): MediaFeatures =
+    copy(child = newChild)
+}
+
+/** `frame_checksums(payload)` → array<long>, one per sampled frame. */
+case class FrameChecksums(child: Expression, nFrames: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "frame_checksums"
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MediaCore.frameChecksums(input.asInstanceOf[Array[Byte]], nFrames))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.MediaCore.frameChecksums($c, $nFrames))")
+  override protected def withNewChildInternal(newChild: Expression): FrameChecksums =
+    copy(child = newChild)
+}

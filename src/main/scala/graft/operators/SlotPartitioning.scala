@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ClusterHashFunctions.{cluster_node, cluster_slot}
+
+/**
+ * The Spark-native payoff of the cluster-hash functions (SURVEY.md §7
+ * phase 4): not just *computing* slot/node, but using them as physical
+ * layout. Because `ClusterSlot`/`ClusterNode` are deterministic Catalyst
+ * expressions, they are legal partitioning expressions — `repartition(n,
+ * cluster_node(key))` gives real shard-aligned layout, and two tables
+ * repartitioned the same way co-locate: Catalyst sees matching
+ * HashPartitioning on both sides and plans the join with NO extra
+ * exchange (verified by SlotPartitioningSpec on the physical plan).
+ *
+ * At 100 TB this is the difference between reshuffling every join and
+ * shuffling once at ingest: write the table bucketed by slot/node, then
+ * all slot-keyed joins/aggs are exchange-free.
+ */
+object SlotPartitioning {
+
+  /** Repartition rows into one Spark partition per shard (node). */
+  def repartitionByNode(df: DataFrame, key: Column, nodes: Int = 6): DataFrame =
+    df.repartition(nodes, cluster_node(key))
+
+  /** Repartition by hash slot across `numPartitions`. */
+  def repartitionBySlot(df: DataFrame, key: Column, numPartitions: Int): DataFrame =
+    df.repartition(numPartitions, cluster_slot(key))
+
+  /**
+   * Shard-aligned parquet layout: one directory per node id
+   * (`node=k/...`), so a per-shard reader prunes to its own files
+   * (partition pruning on the node column).
+   */
+  def writeShardAligned(df: DataFrame, key: Column, path: String, nodes: Int = 6): Unit =
+    df.withColumn("node", cluster_node(key))
+      .repartition(nodes, col("node"))
+      .write.partitionBy("node").mode("overwrite").parquet(path)
+
+  /**
+   * Co-located join: both sides pre-partitioned on the same slot
+   * expression over their join key. The join itself then reuses the
+   * children's partitioning (one exchange per side, zero for the join).
+   */
+  def colocatedJoin(left: DataFrame, leftKey: Column,
+                    right: DataFrame, rightKey: Column,
+                    numPartitions: Int = 32): (DataFrame, DataFrame) =
+    (repartitionBySlot(left, leftKey, numPartitions),
+      repartitionBySlot(right, rightKey, numPartitions))
+
+  /**
+   * Per-node balance/skew report: key count, distinct slots, share of
+   * total — the reference's headline analysis (README.md:109-120) plus
+   * skew metrics, as one partial-agg pass.
+   */
+  def nodeBalance(df: DataFrame, key: Column): DataFrame = {
+    val perNode = df.select(cluster_slot(key).as("slot"), cluster_node(key).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("keys"), countDistinct(col("slot")).as("distinct_slots"))
+    perNode.withColumn("share",
+      col("keys").cast("double") / sum("keys").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+  }
+}

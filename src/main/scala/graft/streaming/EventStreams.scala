@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming surface over the `events` table shape. The
+ * reference has no streaming (SURVEY.md §2.3); this is the engine's
+ * native extension of the same aggregations to unbounded input:
+ * watermarked tumbling-window aggregation and stateful sessionization
+ * via `flatMapGroupsWithState` — the two canonical patterns a pipeline
+ * at scale needs (late-data tolerance; per-key custom state).
+ *
+ * The batch equivalents (a24_events_hourly) are oracle-checked; the
+ * streaming specs drive these on the same parquet via a file source +
+ * memory sink and assert batch/stream agreement.
+ */
+object EventStreams {
+
+  /** events schema with ts already normalized to micros (Tables.load). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // raw int64 nanos as stored in parquet
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over an events parquet directory. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /**
+   * Watermarked tumbling-window aggregation: 1h windows, 10min allowed
+   * lateness. At scale: partial aggregation per micro-batch, state keyed
+   * by (window, event_type), watermark bounds state size.
+   */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("cnt"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, lastSeen: Long, nEvents: Long, total: Double)
+  case class Session(user_id: Long, start_ts: Long, end_ts: Long,
+                     n_events: Long, total_value: Double)
+
+  /**
+   * Stateful sessionization: per-user sessions closed after `gapMinutes`
+   * of inactivity (processing-time timeout for the demo; event-time gap
+   * logic inside). State is one small record per active user —
+   * watermark/timeout discipline keeps it bounded at scale.
+   */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastSeen > gapMs =>
+                closed += Session(userId, s.start, s.lastSeen, s.nEvents, s.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case Some(s) =>
+                cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                  nEvents = s.nEvents + 1, total = s.total + e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          if (state.hasTimedOut) {
+            cur.foreach(s => closed += Session(userId, s.start, s.lastSeen, s.nEvents, s.total))
+            state.remove()
+          } else {
+            cur.foreach { s => state.update(s); state.setTimeoutDuration(gapMs) }
+          }
+          closed.result().iterator
+        })
+  }
+
+  /** Run a streaming DF to completion against bounded input (memory sink). */
+  def runToMemory(df: DataFrame, name: String): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q
+  }
+}

@@ -21,7 +21,9 @@ import graft.functions.ClusterHashFunctions.{cluster_node, cluster_slot}
  */
 object SlotPartitioning {
 
-  /** Repartition rows into one Spark partition per shard (node). */
+  /** Repartition so each shard's rows land in a single Spark partition
+    * (hash partitioning: a node never splits; writeShardAligned gives the
+    * strict one-directory-per-node layout). */
   def repartitionByNode(df: DataFrame, key: Column, nodes: Int = 6): DataFrame =
     df.repartition(nodes, cluster_node(key))
 

@@ -56,17 +56,19 @@ object EventStreams {
                      n_events: Long, total_value: Double)
 
   /**
-   * Stateful sessionization: per-user sessions closed after `gapMinutes`
-   * of inactivity (processing-time timeout for the demo; event-time gap
-   * logic inside). State is one small record per active user —
-   * watermark/timeout discipline keeps it bounded at scale.
+   * Stateful sessionization: per-user sessions closed when a later event
+   * arrives more than `gapMinutes` after the previous one (event-time gap
+   * logic in state). State is one small record per active user. In a
+   * production deployment add `withWatermark` + EventTimeTimeout so idle
+   * users' final sessions flush and state stays bounded; the demo keeps
+   * NoTimeout so bounded test input drains deterministically.
    */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
           val sorted = batch.toSeq.sortBy(_.ts.getTime)
           var cur = state.getOption
@@ -84,12 +86,7 @@ object EventStreams {
                 cur = Some(SessionState(t, t, 1, e.value))
             }
           }
-          if (state.hasTimedOut) {
-            cur.foreach(s => closed += Session(userId, s.start, s.lastSeen, s.nEvents, s.total))
-            state.remove()
-          } else {
-            cur.foreach { s => state.update(s); state.setTimeoutDuration(gapMs) }
-          }
+          cur.foreach(state.update)
           closed.result().iterator
         })
   }

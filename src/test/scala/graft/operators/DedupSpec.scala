@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet(s"${SparkTestSession.sf001}/documents.parquet")
+
+  test("exact dedup finds planted duplicates") {
+    val withDups = docs.select($"doc_id", $"text")
+      .union(docs.select($"doc_id" + 10000, $"text").where($"doc_id" < 10))
+    val groups = Dedup.exactGroups(withDups, "doc_id", "text")
+    assert(groups.count() == 500)
+    assert(groups.where($"copies" === 2).count() == 10)
+    // keeper is always the min id → the original row
+    assert(groups.where($"copies" === 2).where($"keeper" >= 10000).count() == 0)
+    assert(Dedup.exactDedup(withDups, "doc_id", "text").count() == 500)
+  }
+
+  test("minhash-LSH near-dups equal exact n-gram jaccard ground truth") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
+  test("minhash signature similarity approximates jaccard") {
+    val a = Seq(("x y z a b c d e f g", 1L), ("x y z a b c d e f h", 2L),
+      ("completely different words here now ok", 3L)).toDF("text", "id")
+    val sigs = a.select($"id", Dedup.minhashSignature(Dedup.shingles($"text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def simEst(x: Seq[Long], y: Seq[Long]) =
+      x.zip(y).count { case (p, q) => p == q }.toDouble / x.size
+    assert(simEst(sigs(1L), sigs(2L)) > simEst(sigs(1L), sigs(3L)))
+  }
+
+  test("simhash near-dups have high token overlap, hamming bounded") {
+    // simhash similarity lives in token-multiset space (not 3-gram space),
+    // so validate pairs against token-set jaccard
+    val tokenSets = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty).toSet).toMap
+    val sim = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3).collect()
+    assert(sim.nonEmpty)
+    sim.foreach { r =>
+      assert(r.getInt(2) <= 3)
+      val (a, b) = (tokenSets(r.getLong(0)), tokenSets(r.getLong(1)))
+      val jac = (a & b).size.toDouble / (a | b).size
+      assert(jac >= 0.4, s"simhash pair ${(r.getLong(0), r.getLong(1))} token-jaccard $jac")
+    }
+  }
+
+  test("simhash of identical token streams is identical; near docs are close") {
+    val sigs = Seq("a b c d e f g h i j", "a b c d e f g h i j", "a b c d e f g h i k")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val out = Dedup.simhashSignatures(sigs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == out(1L))
+    assert(java.lang.Long.bitCount(out(0L) ^ out(2L)) < 16)
+  }
+
+  test("ngram jaccard pipeline has no cartesian product in the plan") {
+    val plan = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"plan contains a cross join:\n$plan")
+  }
+}

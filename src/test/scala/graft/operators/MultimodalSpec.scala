@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.core.MediaCore
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+
+  test("synthesized media has the contract schema") {
+    val m = Multimodal.synthesizeMedia(docs)
+    assert(m.schema("payload").dataType.typeName == "binary")
+    assert(m.schema("meta").dataType.typeName == "struct")
+    val kinds = m.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("image", "audio", "video"))
+  }
+
+  test("feature histogram sums to 1 and matches the core kernel") {
+    val m = Multimodal.synthesizeMedia(docs)
+    val rows = m.select($"payload", Multimodal.media_features($"payload").as("f")).limit(20).collect()
+    rows.foreach { r =>
+      val f = r.getSeq[Double](1)
+      assert(math.abs(f.sum - 1.0) < 1e-9)
+      assert(f == MediaCore.byteHistogram(r.getAs[Array[Byte]](0)).toSeq)
+    }
+  }
+
+  test("frame checksums cover the payload in order") {
+    val payload = "abcdefgh".getBytes("UTF-8")
+    val fps = MediaCore.frameChecksums(payload, 4)
+    assert(fps.length == 4)
+    assert(fps(0) == ('a' + 'b') % 65521)
+    assert(fps(3) == ('g' + 'h') % 65521)
+    // empty payload: all frames empty, checksum 0
+    assert(MediaCore.frameChecksums(Array.emptyByteArray, 4).forall(_ == 0L))
+  }
+
+  test("batched mapPartitions decode agrees with the expression path") {
+    val m = Multimodal.synthesizeMedia(docs)
+    val viaExpr = m.select($"doc_id", element_at(Multimodal.media_features($"payload"), 1).as("f0"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaBatch = Multimodal.decodeBatched(m, batchSize = 7)
+      .select($"doc_id", $"f0").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaBatch == viaExpr)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val emb = spark.read.parquet(s"${SparkTestSession.sf001}/embeddings.parquet")
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(3f, 4f), Array(3f, 4f), 1.0),
+      (Array(1f, 1f), Array(-1f, -1f), -1.0),
+    ).toDF("a", "b", "want")
+    df.select(Similarity.cosine($"a", $"b").as("got"), $"want").collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("brute-force top-k is k rows per query, ranked by similarity") {
+    val res = Similarity.bruteForceTopK(emb, emb.where($"vec_id" < 3), k = 5).collect()
+    assert(res.length == 15)
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "sims must be non-increasing")
+    }
+  }
+
+  test("LSH top-k achieves reasonable recall vs brute force") {
+    val queries = emb.where($"vec_id" < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb, queries, k = 10))
+    val lsh = pairs(Similarity.lshTopK(emb, queries, k = 10, maxBitDiff = 2))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // deterministic (seeded planes, fixed corpus): measured 0.27 on this
+    // weakly-clustered synthetic corpus with 8-bit sigs, hamming<=2 probe
+    assert(recall >= 0.25, s"recall $recall too low")
+  }
+
+  test("LSH probes fewer candidates than brute force") {
+    val queries = emb.where($"vec_id" < 5)
+    val nCand = emb.select($"vec_id".as("nbr_id"), $"embedding".as("cvec"),
+        Similarity.lshSignature($"embedding", 8, 64).as("csig"))
+      .join(broadcast(queries.select($"vec_id".as("query_id"),
+        Similarity.lshSignature($"embedding", 8, 64).as("qsig"))),
+        bit_count($"csig".bitwiseXOR($"qsig")) <= 2)
+      .count()
+    assert(nCand < 5L * 500, s"LSH candidate count $nCand should prune the 2500-pair space")
+  }
+
+  test("near-dup pairs with LSH bucketing is a subset of exact") {
+    val exact = Similarity.nearDupPairs(emb, 0.5).select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.nearDupPairs(emb, 0.5, useLsh = true).select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+}

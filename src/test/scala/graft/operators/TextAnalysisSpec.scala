@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.core.TextHash
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("token counts and ratios on known inputs") {
+    val df = Seq(
+      ("the cat sat on the mat", 6L, 0.0),
+      ("hello, world!!", 2L, 3.0 / 14.0),
+      ("", 0L, 0.0),
+      ("  spaced   out  ", 2L, 0.0),
+    ).toDF("text", "want_tokens", "want_punct")
+    df.select(TextAnalysis.tokenCount($"text").as("t"), $"want_tokens",
+        TextAnalysis.punctRatio($"text").as("p"), $"want_punct")
+      .collect().foreach { r =>
+        assert(r.getLong(0) == r.getLong(1))
+        assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-12)
+      }
+  }
+
+  test("bpe-ish counting: alpha runs, digits, punct marks") {
+    val got = Seq("abc 12 x!y").toDF("text")
+      .select(TextAnalysis.bpeishCount($"text")).head().getLong(0)
+    // abc, 1, 2, x, !, y
+    assert(got == 6L)
+  }
+
+  test("langId picks the language with most stopword hits, und when none") {
+    val df = Seq(
+      ("the cat is on a mat and the dog", "en"),
+      ("der hund ist ein tier und das haus", "de"),
+      ("le chat est dans la maison et les arbres", "fr"),
+      ("el perro y el gato es un animal en casa", "es"),
+      ("zzz qqq xxx", "und"),
+    ).toDF("text", "want")
+    df.select(TextAnalysis.langId($"text").as("got"), $"want").collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"for want=${r.getString(1)}")
+    }
+  }
+
+  test("quality score is in [0,1] and penalizes noise") {
+    val rows = Seq(
+      "the project is on track and the data is clean for training runs",
+      "!!!! ???? @@@@ #### $$$$ %%%%",
+    ).toDF("text").select(TextAnalysis.qualityScore($"text").as("q")).collect()
+    val Array(good, noisy) = rows.map(_.getDouble(0))
+    assert(good > noisy)
+    rows.foreach(r => assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0))
+  }
+
+  test("rolling fingerprint: equal texts agree, shifted text keeps min window") {
+    val base = "the quick brown fox jumps over the lazy dog"
+    val fp = TextHash.rollingMin(base.getBytes("UTF-8"), 8)
+    assert(fp == TextHash.rollingMin(base.getBytes("UTF-8"), 8))
+    // prefixing content preserves the minimizing window w.h.p.
+    val shifted = TextHash.rollingMin(("PREFIX " + base).getBytes("UTF-8"), 8)
+    assert(shifted <= fp)
+    // expression agrees with the core
+    val got = Seq(base).toDF("text")
+      .select(graft.functions.TextFunctions.rolling_fingerprint($"text")).head().getLong(0)
+    assert(got == fp)
+  }
+
+  test("analyze stays codegen'd (no UDF nodes in the plan)") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+    val plan = TextAnalysis.analyze(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
+  }
+}

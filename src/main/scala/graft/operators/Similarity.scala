@@ -21,19 +21,23 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Fold-based dot product of two float-array columns, in DOUBLE. */
+  /** Fused-loop dot product in DOUBLE (native VecDot expression —
+    * bit-identical to the zip_with/aggregate fold, without the
+    * intermediate array allocation per pair). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vec_dot(a, b)
 
   /** L2 norm (DOUBLE). */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity (DOUBLE), 0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
+  def cosine(a: Column, b: Column): Column =
+    cosinePrenormed(a, b, norm(a) * norm(b))
+
+  /** Cosine with the norm product supplied (precomputed per side before a
+    * pair join, so each row's norm is computed once, not once per pair). */
+  def cosinePrenormed(a: Column, b: Column, normProduct: Column): Column =
+    when(normProduct === 0.0, lit(0.0)).otherwise(dot(a, b) / normProduct)
 
   /**
    * Brute-force cosine top-k: for each row of `queries` (small,
@@ -42,11 +46,14 @@ object Similarity {
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qn"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("nbr_id") =!= col("query_id"))
-      .select(col("query_id"), col("nbr_id"), cosine(col("qvec"), col("cvec")).as("sim"))
+      .select(col("query_id"), col("nbr_id"),
+        cosinePrenormed(col("qvec"), col("cvec"), col("qn") * col("cn")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -105,14 +112,15 @@ object Similarity {
   def nearDupPairs(df: DataFrame, threshold: Double, useLsh: Boolean = false,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = df.select(col(idCol).as("i"), col(vecCol).as("va"),
-      lshSignature(col(vecCol), 8, 64).as("siga"))
+      norm(col(vecCol)).as("na"), lshSignature(col(vecCol), 8, 64).as("siga"))
     val b = df.select(col(idCol).as("j"), col(vecCol).as("vb"),
-      lshSignature(col(vecCol), 8, 64).as("sigb"))
+      norm(col(vecCol)).as("nb"), lshSignature(col(vecCol), 8, 64).as("sigb"))
     val joined =
       if (useLsh) a.join(b, col("siga") === col("sigb") && col("i") < col("j"))
       else a.crossJoin(b).where(col("i") < col("j"))
     joined
-      .select(col("i"), col("j"), cosine(col("va"), col("vb")).as("sim"))
+      .select(col("i"), col("j"),
+        cosinePrenormed(col("va"), col("vb"), col("na") * col("nb")).as("sim"))
       .where(col("sim") >= threshold)
   }
 }

@@ -96,15 +96,37 @@ object TextAnalysis {
     best._1
   }
 
-  /** Full per-document text-statistics projection. */
+  /**
+   * Full per-document text-statistics projection. Tokenization runs once:
+   * stats are computed against a materialized token-array column, not by
+   * re-splitting the text inside every stat expression.
+   */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)
-    df.withColumn("n_tokens", tokenCount(c))
+    val toks = col("__toks")
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val stopHits = (lang: String) => {
+      val stops = array(stopwords(lang).map(lit): _*)
+      size(filter(toks, w => array_contains(stops, lower(w))))
+    }
+    val langHits = stopwords.keys.toSeq.sorted.map(l => l -> stopHits(l))
+    val swRatio = stopHits("en").cast("double") / nToks
+    val pRatio = punctRatio(c)
+    val lenScore = least(length(c).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(swRatio * lit(5.0), lit(1.0))
+    val punctPenalty = least(pRatio * lit(4.0), lit(1.0))
+    val best = langHits.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
+      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    df.withColumn("__toks", tokens(c))
+      .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("n_bpeish", bpeishCount(c))
-      .withColumn("avg_word_len", avgWordLen(c))
-      .withColumn("punct_ratio", punctRatio(c))
-      .withColumn("stopword_ratio", stopwordRatio(c))
-      .withColumn("quality", qualityScore(c))
-      .withColumn("lang_pred", langId(c))
+      .withColumn("avg_word_len", length(concat_ws("", toks)).cast("double") / nToks)
+      .withColumn("punct_ratio", pRatio)
+      .withColumn("stopword_ratio", swRatio)
+      .withColumn("quality",
+        lenScore * lit(0.4) + stopScore * lit(0.4) + (lit(1.0) - punctPenalty) * lit(0.2))
+      .withColumn("lang_pred", best._1)
+      .drop("__toks")
   }
 }

@@ -80,53 +80,68 @@ object TextAnalysis {
   }
 
   /**
+   * Argmax over (score, precedence, label) structs: `array_max` compares
+   * fields lexicographically, so the winner is the highest score, ties
+   * broken by earliest language (largest -index), all-zero → "und"
+   * (index 0 outranks every language's negative index at score 0). Each
+   * score subtree appears exactly once — a when/otherwise fold would
+   * duplicate earlier scores exponentially in the optimized plan.
+   */
+  private def argmaxLang(scores: Seq[(String, Column)]): Column =
+    array_max(array(
+      struct(lit(0).as("s"), lit(0).as("p"), lit("und").as("l")) +:
+        scores.zipWithIndex.map { case ((lang, s), i) =>
+          struct(s.as("s"), lit(-(i + 1)).as("p"), lit(lang).as("l"))
+        }: _*)).getField("l")
+
+  /**
    * N-gram/stopword language ID: argmax of per-language stopword hits,
    * ties broken by fixed alphabetical precedence, no hits → "und"
    * (undetermined). A real pipeline would use char n-gram profiles; the
-   * shape (scan-local scoring + argmax CASE) is identical.
+   * shape (scan-local scoring + argmax) is identical.
    */
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
-    // argmax with deterministic precedence: a language wins iff its score
-    // is strictly greater than all earlier ones and >= all later ones
-    val best = scores.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
-      val wins = s > bs
-      (when(wins, lit(lang)).otherwise(bl), when(wins, s).otherwise(bs))
-    }
-    best._1
-  }
+  def langId(text: Column): Column = argmaxLang(langScores(text))
 
   /**
-   * Full per-document text-statistics projection. Tokenization runs once:
-   * stats are computed against a materialized token-array column, not by
-   * re-splitting the text inside every stat expression.
+   * Full per-document text-statistics projection, staged so each
+   * expensive intermediate is evaluated once per row:
+   *   stage 1 materializes the token array; stage 2 the per-language hit
+   *   counts; stage 3 derives ratios/score/language from plain columns.
+   * A nondeterministic barrier column between stages stops
+   * CollapseProject from inlining the intermediates back into every
+   * consumer (higher-order functions are excluded from Spark's
+   * subexpression elimination, so inlining would re-tokenize per stat).
    */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)
     val toks = col("__toks")
-    val nToks = greatest(size(toks), lit(1)).cast("double")
-    val stopHits = (lang: String) => {
+    val langs = stopwords.keys.toSeq.sorted
+    val stage1 = df
+      .withColumn("__toks", tokens(c))
+      .withColumn("__b1", monotonically_increasing_id())
+    val stage2 = langs.foldLeft(stage1) { case (d, lang) =>
       val stops = array(stopwords(lang).map(lit): _*)
-      size(filter(toks, w => array_contains(stops, lower(w))))
+      d.withColumn(s"__hits_$lang", size(filter(toks, w => array_contains(stops, lower(w)))))
     }
-    val langHits = stopwords.keys.toSeq.sorted.map(l => l -> stopHits(l))
-    val swRatio = stopHits("en").cast("double") / nToks
+      .withColumn("__n_tokens", size(toks))
+      .withColumn("__sumlen", length(concat_ws("", toks)))
+      .withColumn("__b2", monotonically_increasing_id())
+    val nToks = greatest(col("__n_tokens"), lit(1)).cast("double")
+    val swRatio = col("__hits_en").cast("double") / nToks
     val pRatio = punctRatio(c)
     val lenScore = least(length(c).cast("double") / lit(500.0), lit(1.0))
     val stopScore = least(swRatio * lit(5.0), lit(1.0))
     val punctPenalty = least(pRatio * lit(4.0), lit(1.0))
-    val best = langHits.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
-      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
-    }
-    df.withColumn("__toks", tokens(c))
-      .withColumn("n_tokens", size(toks).cast("long"))
+    stage2
+      .withColumn("n_tokens", col("__n_tokens").cast("long"))
       .withColumn("n_bpeish", bpeishCount(c))
-      .withColumn("avg_word_len", length(concat_ws("", toks)).cast("double") / nToks)
+      .withColumn("avg_word_len", col("__sumlen").cast("double") / nToks)
       .withColumn("punct_ratio", pRatio)
       .withColumn("stopword_ratio", swRatio)
       .withColumn("quality",
         lenScore * lit(0.4) + stopScore * lit(0.4) + (lit(1.0) - punctPenalty) * lit(0.2))
-      .withColumn("lang_pred", best._1)
-      .drop("__toks")
+      .withColumn("lang_pred", argmaxLang(langs.map(l => l -> col(s"__hits_$l"))))
+      .drop("__toks", "__b1", "__b2", "__n_tokens", "__sumlen")
+      .drop(langs.map(l => s"__hits_$l"): _*)
   }
 }

@@ -64,6 +64,71 @@ object TextHash {
     sig
   }
 
+  /**
+   * Distinct 64-bit FNV-1a hashes of all `n`-word shingles, computed in
+   * one pass over the UTF-8 bytes: token spans are located byte-wise
+   * (ASCII whitespace, same class as Java regex `\s`), each window is
+   * hashed as `w1␠w2␠…␠wn` without materializing token or shingle
+   * strings. Shingle semantics mirror [[graft.operators.Dedup.shingles]]
+   * including edges: no tokens → one hash of ""; fewer than n tokens →
+   * one hash of all tokens joined.
+   */
+  def wordShingleHashes(bytes: Array[Byte], n: Int): Array[Long] = {
+    val len = bytes.length
+    def isSpace(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+    // count tokens
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      if (!isSpace(bytes(i)) && (i == 0 || isSpace(bytes(i - 1)))) nTok += 1
+      i += 1
+    }
+    if (nTok == 0) return Array(fnv1a64Bytes(bytes, 0, 0))
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    i = 0
+    while (i < len) {
+      if (!isSpace(bytes(i))) {
+        if (i == 0 || isSpace(bytes(i - 1))) { starts(t) = i; t += 1 }
+        ends(t - 1) = i + 1
+      }
+      i += 1
+    }
+    val count = if (nTok <= n) 1 else nTok - n + 1
+    val out = new Array[Long](count)
+    var s = 0
+    while (s < count) {
+      var h = 0xcbf29ce484222325L
+      val last = math.min(s + n, nTok) - 1
+      var w = s
+      while (w <= last) {
+        var p = starts(w)
+        while (p < ends(w)) { h ^= (bytes(p) & 0xff).toLong; h *= 0x100000001b3L; p += 1 }
+        if (w != last) { h ^= 0x20L; h *= 0x100000001b3L }
+        w += 1
+      }
+      out(s) = h
+      s += 1
+    }
+    // distinct via sort + in-place dedup (order is irrelevant to set ops)
+    java.util.Arrays.sort(out)
+    var uniq = 0
+    var j = 0
+    while (j < count) {
+      if (j == 0 || out(j) != out(j - 1)) { out(uniq) = out(j); uniq += 1 }
+      j += 1
+    }
+    if (uniq == count) out else java.util.Arrays.copyOf(out, uniq)
+  }
+
+  private def fnv1a64Bytes(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h ^= (bytes(i) & 0xff).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes (public-domain hash). */
   def fnv1a64(s: String): Long = {
     var h = 0xcbf29ce484222325L

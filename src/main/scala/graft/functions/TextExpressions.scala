@@ -45,9 +45,29 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
     copy(child = newChild)
 }
 
+/** `shingle_hashes(text, n)` → array<long>: distinct FNV-1a hashes of all
+  * n-word shingles, one fused byte-level pass (no token/shingle strings). */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "shingle_hashes"
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextHash.wordShingleHashes(input.asInstanceOf[UTF8String].getBytes, n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.core.TextHash.wordShingleHashes($c.getBytes(), $n))")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def rolling_fingerprint(text: Column): Column =
     Bridge.column(RollingFingerprint(Bridge.expression(text)))
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+  def shingle_hashes(text: Column, n: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(text), n))
 }

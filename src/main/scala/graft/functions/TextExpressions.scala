@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.TextHash
@@ -63,7 +63,27 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression with
     copy(child = newChild)
 }
 
+/** `token_stats(text)` → array<int> [hits_de, hits_en, hits_es, hits_fr,
+  * hits_zh, n_tokens, sum_token_chars] in one fused byte pass. */
+case class TokenStats(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "token_stats"
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.TextStatsCore.stats(input.asInstanceOf[UTF8String].getBytes))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.core.TextStatsCore.stats($c.getBytes()))")
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+}
+
 object TextFunctions {
+  def token_stats(text: Column): Column =
+    Bridge.column(TokenStats(Bridge.expression(text)))
   def rolling_fingerprint(text: Column): Column =
     Bridge.column(RollingFingerprint(Bridge.expression(text)))
   def simhash64(tokens: Column): Column =

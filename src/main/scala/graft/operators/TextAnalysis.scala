@@ -42,13 +42,7 @@ object TextAnalysis {
   }
 
   /** Stopword lists used for both quality scoring and language ID. */
-  val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "dans", "pour"),
-    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "en", "por", "para"),
-    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "他", "这", "不"),
-  )
+  val stopwords: Map[String, Seq[String]] = graft.core.TextStatsCore.stopwords
 
   /** Fraction of tokens that are stopwords of `lang`. */
   def stopwordRatio(text: Column, lang: String = "en"): Column = {
@@ -103,45 +97,37 @@ object TextAnalysis {
   def langId(text: Column): Column = argmaxLang(langScores(text))
 
   /**
-   * Full per-document text-statistics projection, staged so each
-   * expensive intermediate is evaluated once per row:
-   *   stage 1 materializes the token array; stage 2 the per-language hit
-   *   counts; stage 3 derives ratios/score/language from plain columns.
-   * A nondeterministic barrier column between stages stops
-   * CollapseProject from inlining the intermediates back into every
-   * consumer (higher-order functions are excluded from Spark's
-   * subexpression elimination, so inlining would re-tokenize per stat).
+   * Full per-document text-statistics projection. All token-level stats
+   * come from ONE fused native pass ([[graft.functions.TokenStats]]):
+   * hit counts per language, token count, and token char mass. A
+   * nondeterministic barrier column keeps CollapseProject from inlining
+   * that pass into each of its ~10 consumers (Spark's subexpression
+   * elimination skips nothing here since element_at refs are cheap, but
+   * the barrier guarantees a single evaluation regardless of optimizer
+   * heuristics).
    */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)
-    val toks = col("__toks")
-    val langs = stopwords.keys.toSeq.sorted
-    val stage1 = df
-      .withColumn("__toks", tokens(c))
-      .withColumn("__b1", monotonically_increasing_id())
-    val stage2 = langs.foldLeft(stage1) { case (d, lang) =>
-      val stops = array(stopwords(lang).map(lit): _*)
-      d.withColumn(s"__hits_$lang", size(filter(toks, w => array_contains(stops, lower(w)))))
-    }
-      .withColumn("__n_tokens", size(toks))
-      .withColumn("__sumlen", length(concat_ws("", toks)))
-      .withColumn("__b2", monotonically_increasing_id())
-    val nToks = greatest(col("__n_tokens"), lit(1)).cast("double")
-    val swRatio = col("__hits_en").cast("double") / nToks
+    val st = col("__st")
+    val langs = graft.core.TextStatsCore.langs
+    val hit = (l: String) => element_at(st, langs.indexOf(l) + 1)
+    val nTokRaw = element_at(st, 6)
+    val nToks = greatest(nTokRaw, lit(1)).cast("double")
+    val swRatio = hit("en").cast("double") / nToks
     val pRatio = punctRatio(c)
     val lenScore = least(length(c).cast("double") / lit(500.0), lit(1.0))
     val stopScore = least(swRatio * lit(5.0), lit(1.0))
     val punctPenalty = least(pRatio * lit(4.0), lit(1.0))
-    stage2
-      .withColumn("n_tokens", col("__n_tokens").cast("long"))
+    df.withColumn("__st", graft.functions.TextFunctions.token_stats(c))
+      .withColumn("__b1", monotonically_increasing_id())
+      .withColumn("n_tokens", nTokRaw.cast("long"))
       .withColumn("n_bpeish", bpeishCount(c))
-      .withColumn("avg_word_len", col("__sumlen").cast("double") / nToks)
+      .withColumn("avg_word_len", element_at(st, 7).cast("double") / nToks)
       .withColumn("punct_ratio", pRatio)
       .withColumn("stopword_ratio", swRatio)
       .withColumn("quality",
         lenScore * lit(0.4) + stopScore * lit(0.4) + (lit(1.0) - punctPenalty) * lit(0.2))
-      .withColumn("lang_pred", argmaxLang(langs.map(l => l -> col(s"__hits_$l"))))
-      .drop("__toks", "__b1", "__b2", "__n_tokens", "__sumlen")
-      .drop(langs.map(l => s"__hits_$l"): _*)
+      .withColumn("lang_pred", argmaxLang(langs.map(l => l -> hit(l))))
+      .drop("__st", "__b1")
   }
 }

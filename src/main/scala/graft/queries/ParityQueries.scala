@@ -96,6 +96,16 @@ object ParityQueries {
         .select($"p_partkey", $"p_name")
         .orderBy("p_partkey")
     }),
+    // E2 lifecycle path (SURVEY.md §3): SQL text → parse → resolve against
+    // the registered functions → same plans as the DataFrame path
+    "p09_sql_path" -> ((s, dir) => {
+      graft.functions.ClusterHashFunctions.register(s)
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT cluster_node('user:' || c_custkey) AS node,
+              |       count(*) AS cnt,
+              |       count(DISTINCT cluster_slot('user:' || c_custkey)) AS slots
+              |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,5 +146,12 @@ object ParityQueries {
     },
     "p07_ilike" ->
       "SELECT p_partkey, p_name FROM part WHERE p_name ILIKE '%RED%' ORDER BY p_partkey",
+    "p09_sql_path" -> {
+      val inner = DuckSql.withSlotNode(
+        "SELECT 'user:' || c_custkey AS key FROM customer",
+        Seq(), Some("slot"), Some("node"))
+      s"""SELECT node, count(*) AS cnt, count(DISTINCT slot) AS slots
+         |FROM ($inner) GROUP BY node ORDER BY node""".stripMargin
+    },
   )
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan quality gates — the "would this survive 100×" checks.
+ * These pin the plan shapes that matter at scale: filters and projections
+ * pushed into the parquet scan, small join sides broadcast, top-k planned
+ * without a global sort, no accidental cartesian products anywhere.
+ */
+class PlanChecksSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf0001
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("a10: shipdate filter is pushed to the parquet scan") {
+    val p = plan("a10_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("a10: scan reads only the needed columns") {
+    val p = plan("a10_pricing_summary")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey"),
+      s"column pruning failed: $read")
+    assert(read.contains("l_quantity") && read.contains("l_extendedprice"), read)
+  }
+
+  test("a11: dimension side is broadcast, not shuffled") {
+    assert(plan("a11_segment_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("a27: snowflake joins broadcast the small dims") {
+    val p = plan("a27_snowflake")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+
+  test("a18: top-k plans TakeOrderedAndProject (no global sort)") {
+    assert(plan("a18_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregations are partial (map-side combine) before the exchange") {
+    val p = plan("a10_pricing_summary")
+    assert(p.contains("HashAggregate"))
+    // partial agg appears below the exchange, final above it
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(exchangeIdx > 0 && p.indexOf("HashAggregate", exchangeIdx) >= 0)
+  }
+
+  test("no query plans a cartesian product (except intentional ANN cross joins)") {
+    val allowCross = Set("s35_ann_brute", "d34_embed_neardup")
+    SparkEntry.queries.keys.filterNot(allowCross).foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+
+  test("cluster expressions fold into scan-stage codegen") {
+    // run first: under AQE the codegen-starred final plan exists only
+    // after execution
+    val df = SparkEntry.queries("p02_customer_slots")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("cluster_slot"), p)
+    assert(p.linesIterator.exists(l => l.contains("cluster_slot") && l.contains("*(")), p)
+  }
+}

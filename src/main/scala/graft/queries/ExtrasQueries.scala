@@ -36,6 +36,19 @@ object ExtrasQueries {
         .select($"doc_id", $"pos".cast("int").as("frame_idx"), $"col".as("fp"))
         .orderBy("doc_id", "frame_idx")
     }),
+    // Typed UDAF: exact distinct-slot occupancy per node via a 16384-bit
+    // bitmap aggregator (merge = bitwise OR, no dedup shuffle).
+    "p10_slot_occupancy" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.ClusterHashFunctions.{cluster_node, cluster_slot}
+      t(s, dir, "orders")
+        .select(concat(lit("order:"), $"o_orderkey").as("key"))
+        .select(cluster_node($"key").as("node"), cluster_slot($"key").as("slot"))
+        .groupBy("node")
+        .agg(graft.functions.SlotBitmapAgg.distinct_slots($"slot").as("occupied_slots"),
+          count(lit(1)).as("keys"))
+        .orderBy("node")
+    }),
     // Slot-aware layout analysis: per-node balance + share of keys.
     "p08_node_balance" -> ((s, dir) => {
       import s.implicits._
@@ -70,6 +83,13 @@ object ExtrasQueries {
         |     j -> CAST(ord(substr(text, j, 1)) AS BIGINT))),
         |   (a, b) -> a + b) % 65521 AS BIGINT) AS fp
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "p10_slot_occupancy" -> {
+      val inner = graft.oracle.DuckSql.withSlotNode(
+        "SELECT 'order:' || o_orderkey AS key FROM orders",
+        Seq(), Some("slot"), Some("node"))
+      s"""SELECT node, count(DISTINCT slot) AS occupied_slots, count(*) AS keys
+         |FROM ($inner) GROUP BY node ORDER BY node""".stripMargin
+    },
     "p08_node_balance" -> {
       val inner = graft.oracle.DuckSql.withSlotNode(
         "SELECT 'user:' || c_custkey AS key FROM customer",

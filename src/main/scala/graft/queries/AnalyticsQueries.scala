@@ -219,6 +219,107 @@ object AnalyticsQueries {
     }),
   )
 
+  /** Further operator-category coverage: window frames + lag/lead,
+    * GROUPING SETS, UNION ALL, approx distinct, correlated scalar
+    * subquery, composed as-of join. */
+  val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Window frames: lag/lead + running sum per customer order history.
+    "a28_window_frames" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+        .withColumn("next_price", lead($"o_totalprice", 1).over(w))
+        .withColumn("running",
+          sum(dec($"o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double"))
+        .select($"o_orderkey", $"prev_price", $"next_price", $"running")
+        .orderBy("o_orderkey")
+    }),
+    // GROUPING SETS (finer than rollup/cube).
+    "a29_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, cnt""".stripMargin)
+    }),
+    // UNION ALL with a source tag.
+    "a30_union_all" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer").select(lit("c").as("src"), $"c_nationkey".as("nationkey"))
+        .unionByName(
+          t(s, dir, "supplier").select(lit("s").as("src"), $"s_nationkey".cast("int").as("nationkey")))
+        .groupBy("src").agg(count(lit(1)).as("cnt"), countDistinct($"nationkey").as("nations"))
+        .orderBy("src")
+    }),
+    // HLL approximate distinct — engine-specific, pinned vs exact in spec
+    // (no DuckDB oracle: sketches differ across engines by design).
+    "a31_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"))
+        .orderBy("l_returnflag")
+    }),
+    // Correlated scalar subquery (decorrelated by Catalyst into a join).
+    "a32_scalar_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c_custkey,
+              | (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+              |FROM customer ORDER BY c_custkey""".stripMargin)
+    }),
+    // As-of join (composed union+window operator) — each event joined to
+    // the customer's most recent order at event time.
+    "a33_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val events = t(s, dir, "events").select($"event_id", $"user_id", $"ts")
+      val orders = t(s, dir, "orders")
+        .groupBy($"o_custkey".as("user_id"), $"o_orderdate")
+        .agg(max($"o_orderkey").as("o_orderkey"))
+      graft.operators.AsOfJoin.asof(events, orders, "user_id", "ts", "o_orderdate",
+          Seq("o_orderkey", "o_orderdate"))
+        .select($"event_id", $"user_id", $"o_orderkey", $"o_orderdate")
+        .orderBy("event_id")
+    }),
+  )
+
+  val oracles2: Map[String, String] = Map(
+    "a28_window_frames" ->
+      """SELECT o_orderkey,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "a29_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, cnt""".stripMargin,
+    "a30_union_all" ->
+      """SELECT src, count(*) AS cnt, count(DISTINCT nationkey) AS nations FROM (
+        | SELECT 'c' AS src, c_nationkey AS nationkey FROM customer
+        | UNION ALL
+        | SELECT 's', CAST(s_nationkey AS INTEGER) FROM supplier)
+        |GROUP BY src ORDER BY src""".stripMargin,
+    "a32_scalar_subquery" ->
+      """SELECT c_custkey,
+        | (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "a33_asof_join" ->
+      """WITH r AS (SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_orderdate
+        |FROM events e ASOF JOIN r
+        |  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+  )
+
   val oracles: Map[String, String] = Map(
     "a10_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -53,6 +53,25 @@ object SlotPartitioning {
       repartitionBySlot(right, rightKey, numPartitions))
 
   /**
+   * Salted join for skewed keys: the big (skewed) side gets a
+   * deterministic salt derived from a unique column, the small side is
+   * replicated `salts` times, and the join runs on (key, salt) — so a
+   * hot key's rows spread over `salts` reducers instead of one. Result
+   * is row-identical to the plain join (verified by spec + oracle); only
+   * the physical distribution changes. At 100 TB this is the manual
+   * fallback when AQE's skew-join splitting isn't available (e.g.,
+   * non-shuffle-join strategies or pre-AQE clusters).
+   */
+  def saltedJoin(bigSkewed: DataFrame, small: DataFrame, key: String,
+                 uniqueCol: String, salts: Int = 8): DataFrame = {
+    val salted = bigSkewed.withColumn("__salt",
+      pmod(xxhash64(col(uniqueCol)), lit(salts.toLong)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /**
    * Per-node balance/skew report: key count, distinct slots, share of
    * total — the reference's headline analysis (README.md:109-120) plus
    * skew metrics, as one partial-agg pass.

@@ -31,6 +31,34 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("watermark drops late data in append-mode windowed aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Double)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"w.start".as("hour"), $"cnt")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_test").start()
+    // batch 1: events in the 10:00 window
+    input.addData((ts("2024-01-01 10:05:00"), 1.0), (ts("2024-01-01 10:20:00"), 1.0))
+    q.processAllAvailable()
+    // batch 2: event far ahead — watermark passes 10:00+1h+10m, closing it
+    input.addData((ts("2024-01-01 12:30:00"), 1.0))
+    q.processAllAvailable()
+    // batch 3: a late event for the already-closed 10:00 window
+    input.addData((ts("2024-01-01 10:45:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_test")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    // the 10:00 window emitted exactly once, with the on-time count only
+    assert(rows(ts("2024-01-01 10:00:00")) == 2L)
+  }
+
   test("sessionization groups events by user with gap semantics") {
     import EventStreams.{Event, Session}
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

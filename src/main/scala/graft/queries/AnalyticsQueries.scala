@@ -285,6 +285,83 @@ object AnalyticsQueries {
     }),
   )
 
+  /** Pivot, exact percentiles, collection functions, sliding windows. */
+  val queries3: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pivot: order counts per priority × status.
+    "a34_pivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot($"o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")
+    }),
+    // Exact interpolated percentiles of order totals per status.
+    "a35_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+        .orderBy("o_orderstatus")
+    }),
+    // Array/struct collection functions over the token array.
+    "a36_collections" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("words"))
+        .select($"doc_id",
+          size($"words").cast("long").as("n_words"),
+          element_at(array_sort($"words"), 1).as("first_sorted"),
+          element_at(reverse(array_sort($"words")), 1).as("last_sorted"),
+          size(array_distinct($"words")).cast("long").as("n_distinct"),
+          array_contains($"words", "spark").as("has_spark"))
+        .orderBy("doc_id")
+    }),
+    // Sliding event-time windows (1h window, 30m slide) in batch form.
+    "a37_sliding_window" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .select($"w.start".as("window_start"), $"event_type", $"cnt")
+        .orderBy("window_start", "event_type")
+    }),
+  )
+
+  val oracles3: Map[String, String] = Map(
+    "a34_pivot" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (o_orderstatus = 'F') AS F,
+        | count(*) FILTER (o_orderstatus = 'O') AS O,
+        | count(*) FILTER (o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "a35_percentiles" ->
+      """SELECT o_orderstatus,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a36_collections" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        | list_sort(string_split(text, ' '))[1] AS first_sorted,
+        | list_reverse_sort(string_split(text, ' '))[1] AS last_sorted,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        | list_contains(string_split(text, ' '), 'spark') AS has_spark
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "a37_sliding_window" ->
+      """WITH e AS (SELECT event_type, ts,
+        |  CAST(to_timestamp(floor(epoch(ts)/1800)*1800) AS TIMESTAMP) AS s_max FROM events),
+        |x AS (SELECT event_type,
+        |  unnest([s_max, s_max - INTERVAL 30 MINUTE]) AS window_start FROM e)
+        |SELECT window_start, event_type, count(*) AS cnt
+        |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+  )
+
   val oracles2: Map[String, String] = Map(
     "a28_window_frames" ->
       """SELECT o_orderkey,

@@ -321,6 +321,19 @@ object AnalyticsQueries {
           array_contains($"words", "spark").as("has_spark"))
         .orderBy("doc_id")
     }),
+    // Range-predicate join: lineitems shipped within 60 days of their
+    // order date (equi key + range band — Spark plans SMJ + band filter).
+    "a38_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val l = t(s, dir, "lineitem").select($"l_orderkey", $"l_shipdate")
+      val o = t(s, dir, "orders").select($"o_orderkey", $"o_orderdate")
+      l.join(o, $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" >= $"o_orderdate" &&
+          $"l_shipdate" <= $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+        .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+        .agg(count(lit(1)).as("fast_shipments"))
+        .orderBy("month")
+    }),
     // Sliding event-time windows (1h window, 30m slide) in batch form.
     "a37_sliding_window" -> ((s, dir) => {
       import s.implicits._
@@ -353,6 +366,12 @@ object AnalyticsQueries {
         | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
         | list_contains(string_split(text, ' '), 'spark') AS has_spark
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "a38_range_join" ->
+      """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS fast_shipments
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY month""".stripMargin,
     "a37_sliding_window" ->
       """WITH e AS (SELECT event_type, ts,
         |  CAST(to_timestamp(floor(epoch(ts)/1800)*1800) AS TIMESTAMP) AS s_max FROM events),

@@ -96,6 +96,20 @@ object ParityQueries {
         .select($"p_partkey", $"p_name")
         .orderBy("p_partkey")
     }),
+    // Raw hashing throughput: slot+node for every lineitem composite key
+    // (600k keys at sf0.1) in one codegen'd scan pass — the reference's
+    // core workload at bulk scale. Oracle deliberately omitted: the
+    // SQL-fold CRC oracle costs ~21s/100k keys in DuckDB; per-key
+    // correctness is already pinned by p01-p09's full oracles.
+    "p12_slot_throughput" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select(concat(lit("order:"), $"l_orderkey", lit(":"), $"l_linenumber").as("key"))
+        .select(cluster_slot($"key").as("slot"), cluster_node($"key").as("node"))
+        .groupBy("node")
+        .agg(count(lit(1)).as("keys"), countDistinct($"slot").as("slots"))
+        .orderBy("node")
+    }),
     // E2 lifecycle path (SURVEY.md §3): SQL text → parse → resolve against
     // the registered functions → same plans as the DataFrame path
     "p09_sql_path" -> ((s, dir) => {

@@ -107,6 +107,21 @@ object PipelineQueries {
           sum(round($"quality", 6).cast("decimal(18,6)")).cast("double").as("quality_sum"))
         .orderBy("lang")
     }),
+    // Flagship end-to-end corpus-cleaning pipeline: quality gate →
+    // exact dedup → near-dup removal (drop the higher id of each
+    // Jaccard-≥0.5 pair) → per-doc stats of the surviving corpus.
+    "d39_corpus_clean" -> ((s, dir) => {
+      import s.implicits._
+      val stats = TextAnalysis.analyze(t(s, dir, "documents"))
+        .select($"doc_id", $"text", $"n_tokens", round($"quality", 6).as("quality"))
+        .where($"quality" >= 0.5)
+      val exact = Dedup.exactDedup(stats, "doc_id", "text")
+      val losers = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
+        .select($"j".as("doc_id")).distinct()
+      exact.join(losers, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"n_tokens", $"quality")
+        .orderBy("doc_id")
+    }),
     // Rolling-hash document fingerprints (native codegen'd expression).
     "t42_fingerprints" -> ((s, dir) => {
       import s.implicits._
@@ -201,6 +216,25 @@ object PipelineQueries {
          |SELECT lang, count(*) AS docs, sum(n_tokens) AS tokens,
          | CAST(sum(CAST(round(quality, 6) AS DECIMAL(18,6))) AS DOUBLE) AS quality_sum
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "d39_corpus_clean" ->
+      s"""WITH b AS (SELECT doc_id, text, $duckTokens AS toks FROM documents),
+         |c AS (SELECT doc_id, text,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS punct_ratio,
+         |  CAST(len(list_filter(toks, w -> list_contains([${TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(",")}], lower(w)))) AS DOUBLE) AS hits_en
+         | FROM b),
+         |q AS (SELECT doc_id, text, n_tokens,
+         |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         |   + least(hits_en / greatest(n_tokens, 1) * 5.0, 1.0) * 0.4
+         |   + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2, 6) AS quality FROM c),
+         |filtered AS (SELECT * FROM q WHERE quality >= 0.5),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY text),
+         |losers AS (SELECT DISTINCT j FROM (${jaccardOracle(0.5).replace("ORDER BY i, j", "")}))
+         |SELECT f.doc_id, f.n_tokens, f.quality
+         |FROM filtered f JOIN keepers k ON f.doc_id = k.doc_id
+         |WHERE f.doc_id NOT IN (SELECT j FROM losers)
+         |ORDER BY f.doc_id""".stripMargin,
     "t42_fingerprints" ->
       """SELECT doc_id, CAST(list_min(list_transform(range(1, greatest(length(text)-7, 1)+1),
         | i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(i, least(i+8, length(text)+1)),

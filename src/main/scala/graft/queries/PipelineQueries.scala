@@ -122,6 +122,15 @@ object PipelineQueries {
         .select($"doc_id", $"n_tokens", $"quality")
         .orderBy("doc_id")
     }),
+    // Deterministic hash-based 10% sample — stable across runs, engines
+    // and partitionings (the oracle recomputes the same CRC selection).
+    "d41_hash_sample" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sampling.hashSample(
+          t(s, dir, "documents"), concat(lit("doc:"), $"doc_id"), 0.10)
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy("doc_id")
+    }),
     // Rolling-hash document fingerprints (native codegen'd expression).
     "t42_fingerprints" -> ((s, dir) => {
       import s.implicits._
@@ -216,6 +225,13 @@ object PipelineQueries {
          |SELECT lang, count(*) AS docs, sum(n_tokens) AS tokens,
          | CAST(sum(CAST(round(quality, 6) AS DECIMAL(18,6))) AS DOUBLE) AS quality_sum
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "d41_hash_sample" -> {
+      val inner = graft.oracle.DuckSql.withSlotNode(
+        "SELECT doc_id, lang, n_chars, 'doc:' || doc_id AS key FROM documents",
+        Seq("doc_id", "lang", "n_chars"), Some("slot"), None)
+      s"""SELECT doc_id, lang, n_chars FROM ($inner)
+         |WHERE slot < ${(0.10 * 16384).toInt} ORDER BY doc_id""".stripMargin
+    },
     "d39_corpus_clean" ->
       s"""WITH b AS (SELECT doc_id, text, $duckTokens AS toks FROM documents),
          |c AS (SELECT doc_id, text,

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.core.ClusterHash
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet(s"${SparkTestSession.sf001}/documents.parquet")
+
+  test("hash sample is deterministic, near-rate, and matches the core hash") {
+    val key = concat(lit("doc:"), $"doc_id")
+    val a = Sampling.hashSample(docs, key, 0.10).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs, key, 0.10).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "same rows across runs")
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.10) < 0.05, s"rate ${a.size / n} not ~0.10")
+    a.foreach(id => assert(ClusterHash.getSlot(s"doc:$id") < 1638))
+  }
+
+  test("sample is append-stable: sampling a superset keeps the original picks") {
+    val key = concat(lit("doc:"), $"doc_id")
+    val half = docs.where($"doc_id" < 250)
+    val fromHalf = Sampling.hashSample(half, key, 0.10).select("doc_id").collect().map(_.getLong(0)).toSet
+    val fromFull = Sampling.hashSample(docs, key, 0.10).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fromHalf.subsetOf(fromFull))
+    assert(fromFull.filter(_ < 250) == fromHalf)
+  }
+
+  test("stratified rates apply per stratum") {
+    val key = concat(lit("doc:"), $"doc_id")
+    val sampled = Sampling.stratifiedHashSample(docs, key, $"lang",
+      Map("en" -> 0.5, "de" -> 0.05))
+    val counts = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en").toDouble / totals("en") > 0.3)
+    assert(counts.getOrElse("de", 0L).toDouble / totals("de") < 0.2)
+    assert(!counts.contains("fr"), "default rate 0 excludes unlisted strata")
+  }
+}

@@ -59,6 +59,26 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows(ts("2024-01-01 10:00:00")) == 2L)
   }
 
+  test("streaming dropDuplicates dedups replayed events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val deduped = input.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream_test").start()
+    input.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    // replay of event 1 (at-least-once delivery) plus a new event
+    input.addData((1L, ts("2024-01-01 10:00:00")), (3L, ts("2024-01-01 10:02:00")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream_test").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("sessionization groups events by user with gap semantics") {
     import EventStreams.{Event, Session}
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

@@ -46,20 +46,27 @@ object AnalyticsQueries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
-    // 3-way join: customer (small) is broadcast to orders⋈lineitem; the
-    // big-big join shuffles on orderkey once. Revenue per market segment.
+    // 3-way join: lineitem revenue is PRE-AGGREGATED by orderkey before
+    // the join (partial agg on the scan side), so the orderkey shuffle
+    // carries one row per order instead of every lineitem — at 100 TB
+    // this is the difference between shuffling the fact table and
+    // shuffling its distinct-key projection. Customer (small) broadcasts.
+    // Post-aggregation n_orders needs no distinct: the pre-agg key is
+    // unique per order.
     "a11_segment_revenue" -> ((s, dir) => {
       import s.implicits._
       val c = broadcast(t(s, dir, "customer").select($"c_custkey", $"c_mktsegment"))
       val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-      val l = t(s, dir, "lineitem")
-        .select($"l_orderkey", dec($"l_extendedprice").as("price"), dec($"l_discount").as("disc"))
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
+      val lrev = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+          .as("order_rev"))
+      lrev.join(o, lrev("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy($"c_mktsegment")
         .agg(
-          sum($"price" * (lit(1).cast("decimal(18,2)") - $"disc")).cast("double").as("revenue"),
-          countDistinct($"o_orderkey").as("n_orders"))
+          sum($"order_rev").cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
         .orderBy("c_mktsegment")
     }),
     // Left-semi join (EXISTS): customers that have orders, per nation.

@@ -32,28 +32,29 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String, rightCols: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
-    // align schemas: left rows carry null right-cols, right rows vice versa
-    val lTagged = left
+    // carried right columns travel as ONE struct so a single
+    // last(ignoreNulls) keeps them row-atomic — per-column fills could
+    // mix values from different right rows when carried cols are NULL,
+    // and a NULL in the first carried col would drop the left row
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(right.schema.fieldIndex(c))))
+    val lAligned = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(0))
-    val lAligned = rightCols.foldLeft(lTagged)((d, c) =>
-      d.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType)))
-    val rTagged = rightCols.foldLeft(
+      .withColumn("__r", lit(null).cast(rStructType))
+    val rAligned = lCols.foldLeft(
       right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(1))
-    )((d, c) => d.withColumn(s"__r_$c", col(c)))
-    val rAligned = lCols.foldLeft(rTagged)((d, c) =>
-      if (c == key) d else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-      .select((lCols ++ Seq("__ts", "__side") ++ rightCols.map(c => s"__r_$c")).map(col): _*)
-    val unioned = lAligned
-      .select((lCols ++ Seq("__ts", "__side") ++ rightCols.map(c => s"__r_$c")).map(col): _*)
-      .unionByName(rAligned)
+        .withColumn("__r", struct(rightCols.map(col): _*))
+    )((d, c) => if (c == key) d else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val outCols = lCols ++ Seq("__ts", "__side", "__r")
+    val unioned = lAligned.select(outCols.map(col): _*)
+      .unionByName(rAligned.select(outCols.map(col): _*))
     // right rows (side=1) sort before left rows at equal ts, so `<=` holds
     val w = Window.partitionBy(col(key)).orderBy(col("__ts").asc, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(unioned)((d, c) =>
-      d.withColumn(s"__f_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)))
-    filled
-      .where(col("__side") === 0 && col(s"__f_${rightCols.head}").isNotNull)
-      .select((lCols.map(col) ++ rightCols.map(c => col(s"__f_$c").as(c))): _*)
+    unioned
+      .withColumn("__f", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0 && col("__f").isNotNull)
+      .select((lCols.map(col) ++ rightCols.map(c => col(s"__f.$c").as(c))): _*)
   }
 }

@@ -80,7 +80,12 @@ object SlotPartitioning {
     val perNode = df.select(cluster_slot(key).as("slot"), cluster_node(key).as("node"))
       .groupBy("node")
       .agg(count(lit(1)).as("keys"), countDistinct(col("slot")).as("distinct_slots"))
-    perNode.withColumn("share",
-      col("keys").cast("double") / sum("keys").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    // total via broadcast cross join of a 1-row aggregate — an
+    // unpartitioned window here would funnel the frame through a single
+    // WindowExec partition (and warn on every run)
+    val total = perNode.agg(sum("keys").as("__total"))
+    perNode.crossJoin(broadcast(total))
+      .withColumn("share", col("keys").cast("double") / col("__total"))
+      .drop("__total")
   }
 }

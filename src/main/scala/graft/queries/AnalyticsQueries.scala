@@ -487,7 +487,7 @@ object AnalyticsQueries {
         |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin,
     "a22_json" ->
       """SELECT event_type, COUNT(*) AS cnt,
-        | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a23_wordcount" ->
       """SELECT word, COUNT(*) AS cnt FROM (

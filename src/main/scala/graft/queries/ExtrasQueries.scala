@@ -59,6 +59,11 @@ object ExtrasQueries {
     }),
   )
 
+  // ASCII-corpus assumption (same caveat as DuckSql's CRC16 oracle): the
+  // m50/m51 oracles fold ord() CODE POINTS while the Scala kernels
+  // (byteHistogram, frameChecksums) fold UTF-8 BYTES — equal only while
+  // `documents.text` is pure ASCII (the driver corpus is). Non-ASCII
+  // parity is covered by byte-level unit tests in MultimodalSpec.
   private val duckCodes =
     "list_transform(range(1, length(text)+1), i -> ord(substr(text, i, 1)))"
 

@@ -222,7 +222,7 @@ object PipelineQueries {
          |  least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
          |   + least(hits_en / greatest(n_tokens, 1) * 5.0, 1.0) * 0.4
          |   + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2 AS quality FROM c)
-         |SELECT lang, count(*) AS docs, sum(n_tokens) AS tokens,
+         |SELECT lang, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
          | CAST(sum(CAST(round(quality, 6) AS DECIMAL(18,6))) AS DOUBLE) AS quality_sum
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "d41_hash_sample" -> {
@@ -251,6 +251,11 @@ object PipelineQueries {
          |FROM filtered f JOIN keepers k ON f.doc_id = k.doc_id
          |WHERE f.doc_id NOT IN (SELECT j FROM losers)
          |ORDER BY f.doc_id""".stripMargin,
+    // ASCII-corpus assumption (same caveat as DuckSql's CRC16 oracle):
+    // this fold hashes ord() CODE POINTS while the Scala kernel hashes
+    // UTF-8 BYTES — they agree only while `documents.text` is pure
+    // ASCII (the driver corpus is). Non-ASCII parity is covered by the
+    // byte-level golden-vector tests in TextHashSpec instead.
     "t42_fingerprints" ->
       """SELECT doc_id, CAST(list_min(list_transform(range(1, greatest(length(text)-7, 1)+1),
         | i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(i, least(i+8, length(text)+1)),

@@ -185,22 +185,56 @@ object Similarity {
   }
 
   /**
-   * Embedding near-duplicate pairs: cosine ≥ `threshold`. Exact at small
-   * scale (self-join); at scale the LSH signature equi-join prunes the
-   * pair space first (`useLsh`).
+   * Embedding near-duplicate pairs: cosine ≥ `threshold`, EXACT (recall 1
+   * by construction — near the 0.5 threshold the pair angle is ~60°, so
+   * no hyperplane-LSH banding can promise recall 1; the threshold-exact
+   * semantics the oracle checks demand exhaustive comparison).
+   *
+   * The pair space is covered by a **block-pair equi-join**, not a cross
+   * join: rows are hashed into `blocks` blocks; each row is replicated
+   * once per block-pair it participates in and the self-join runs on the
+   * (blockLo, blockHi) key. Same O(n²) comparisons — inherent to exact
+   * all-pairs — but as a hash join whose ~B²/2 buckets each hold ~2n/B
+   * rows, so work spreads evenly over reducers, per-task memory is
+   * bounded (raise `blocks` ∝ n to keep 2n/B fixed), AQE can split
+   * stragglers, and nothing is broadcast or nested-loop scanned — unlike
+   * BroadcastNestedLoopJoin, which ships the whole table to every task
+   * and dies at scale. For sub-quadratic approximate pruning use
+   * `useLsh=true` (signature equi-join; recall < 1, measured in spec).
    */
   def nearDupPairs(df: DataFrame, threshold: Double, useLsh: Boolean = false,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = df.select(col(idCol).as("i"), col(vecCol).as("va"),
-      norm(col(vecCol)).as("na"), lshSignature(col(vecCol), 8, 64).as("siga"))
-    val b = df.select(col(idCol).as("j"), col(vecCol).as("vb"),
-      norm(col(vecCol)).as("nb"), lshSignature(col(vecCol), 8, 64).as("sigb"))
-    val joined =
-      if (useLsh) a.join(b, col("siga") === col("sigb") && col("i") < col("j"))
-      else a.crossJoin(b).where(col("i") < col("j"))
-    joined
-      .select(col("i"), col("j"),
-        cosinePrenormed(col("va"), col("vb"), col("na") * col("nb")).as("sim"))
-      .where(col("sim") >= threshold)
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   blocks: Int = 16): DataFrame = {
+    if (useLsh) {
+      val a = df.select(col(idCol).as("i"), col(vecCol).as("va"),
+        norm(col(vecCol)).as("na"), lshSignature(col(vecCol), 8, 64).as("siga"))
+      val b = df.select(col(idCol).as("j"), col(vecCol).as("vb"),
+        norm(col(vecCol)).as("nb"), lshSignature(col(vecCol), 8, 64).as("sigb"))
+      a.join(b, col("siga") === col("sigb") && col("i") < col("j"))
+        .select(col("i"), col("j"),
+          cosinePrenormed(col("va"), col("vb"), col("na") * col("nb")).as("sim"))
+        .where(col("sim") >= threshold)
+    } else {
+      val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"),
+        pmod(xxhash64(col(idCol)), lit(blocks.toLong)).cast("int").as("blk"))
+      // every (block g, peer block h) → canonical key (min,max); a row in
+      // g emits each of its `blocks` keys once
+      def banded(side: String) = base
+        .withColumn("__bp", explode(transform(sequence(lit(0), lit(blocks - 1)),
+          h => struct(least(col("blk"), h).as("x"), greatest(col("blk"), h).as("y")))))
+        .select(col("__bp.x").as("bx"), col("__bp.y").as("by"),
+          col("id").as(side), col("v").as(s"v_$side"),
+          col("nrm").as(s"n_$side"), col("blk").as(s"g_$side"))
+      // same-block pairs would match on all `blocks` shared keys — keep
+      // each pair only on its canonical (min(gi,gj), max(gi,gj)) key
+      banded("i").join(banded("j"), Seq("bx", "by"))
+        .where(col("i") < col("j") &&
+          col("bx") === least(col("g_i"), col("g_j")) &&
+          col("by") === greatest(col("g_i"), col("g_j")))
+        .select(col("i"), col("j"),
+          cosinePrenormed(col("v_i"), col("v_j"), col("n_i") * col("n_j")).as("sim"))
+        .where(col("sim") >= threshold)
+    }
   }
 }

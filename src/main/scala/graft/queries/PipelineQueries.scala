@@ -107,17 +107,28 @@ object PipelineQueries {
           sum(round($"quality", 6).cast("decimal(18,6)")).cast("double").as("quality_sum"))
         .orderBy("lang")
     }),
+    // Duplicate-cluster resolution: connected components over the exact
+    // n-gram Jaccard pair set (chain a~b, b~c → one cluster labeled by
+    // its min id), via DataFrame min-label propagation + pointer jumping.
+    "d35_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
+      Dedup.connectedComponents(pairs)
+        .select($"id".as("doc_id"), $"comp".as("component"))
+        .orderBy("doc_id")
+    }),
     // Flagship end-to-end corpus-cleaning pipeline: quality gate →
-    // exact dedup → near-dup removal (drop the higher id of each
-    // Jaccard-≥0.5 pair) → per-doc stats of the surviving corpus.
+    // exact dedup → near-dup CLUSTER resolution (connected components
+    // over Jaccard-≥0.5 pairs of the surviving corpus; keep exactly the
+    // min-id doc per cluster) → per-doc stats of the surviving corpus.
     "d39_corpus_clean" -> ((s, dir) => {
       import s.implicits._
       val stats = TextAnalysis.analyze(t(s, dir, "documents"))
         .select($"doc_id", $"text", $"n_tokens", round($"quality", 6).as("quality"))
         .where($"quality" >= 0.5)
       val exact = Dedup.exactDedup(stats, "doc_id", "text")
-      val losers = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
-        .select($"j".as("doc_id")).distinct()
+      val pairs = Dedup.ngramJaccardPairs(exact, "doc_id", "text", 0.5)
+      val losers = Dedup.clusterLosers(pairs).select($"id".as("doc_id"))
       exact.join(losers, Seq("doc_id"), "left_anti")
         .select($"doc_id", $"n_tokens", $"quality")
         .orderBy("doc_id")
@@ -141,8 +152,11 @@ object PipelineQueries {
     }),
   )
 
-  private def jaccardOracle(threshold: Double): String =
-    s"""WITH w AS (SELECT doc_id, $duckTokens AS words FROM documents),
+  /** Exact pairwise n-gram Jaccard ≥ threshold over `src` (any relation
+    * exposing doc_id + text). Standalone SELECT — nest as a derived
+    * table where needed. */
+  private def jaccardOracle(threshold: Double, src: String = "documents"): String =
+    s"""WITH w AS (SELECT doc_id, $duckTokens AS words FROM $src),
        |sh AS (SELECT doc_id, ${duckShingles("words")} AS s FROM w),
        |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
        |  len(list_intersect(a.s, b.s)) AS inter,
@@ -150,6 +164,17 @@ object PipelineQueries {
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
        |SELECT i, j, CAST(inter AS INTEGER) AS inter, CAST(uni AS INTEGER) AS uni
        |FROM p WHERE inter * 1.0 / uni >= $threshold ORDER BY i, j""".stripMargin
+
+  /** Connected components over a pair CTE named `pr` (columns i, j):
+    * CTE chain ending in `comp(doc_id, component)` where component =
+    * min reachable id. Must be spliced under a WITH RECURSIVE. */
+  private val componentsCtes: String =
+    """e AS (SELECT i AS a, j AS b FROM pr UNION SELECT j, i FROM pr),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT a, a FROM e
+      |  UNION
+      |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
+      |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
 
   /** DuckDB fold-based double-precision cosine between two list columns. */
   private def duckCosine(a: String, b: String): String = {
@@ -232,8 +257,12 @@ object PipelineQueries {
       s"""SELECT doc_id, lang, n_chars FROM ($inner)
          |WHERE slot < ${(0.10 * 16384).toInt} ORDER BY doc_id""".stripMargin
     },
+    "d35_dedup_clusters" ->
+      s"""WITH RECURSIVE pr AS (SELECT i, j FROM (${jaccardOracle(0.5).replace("ORDER BY i, j", "")})),
+         |$componentsCtes
+         |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
     "d39_corpus_clean" ->
-      s"""WITH b AS (SELECT doc_id, text, $duckTokens AS toks FROM documents),
+      s"""WITH RECURSIVE b AS (SELECT doc_id, text, $duckTokens AS toks FROM documents),
          |c AS (SELECT doc_id, text,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,
          |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
@@ -246,11 +275,13 @@ object PipelineQueries {
          |   + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2, 6) AS quality FROM c),
          |filtered AS (SELECT * FROM q WHERE quality >= 0.5),
          |keepers AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY text),
-         |losers AS (SELECT DISTINCT j FROM (${jaccardOracle(0.5).replace("ORDER BY i, j", "")}))
-         |SELECT f.doc_id, f.n_tokens, f.quality
-         |FROM filtered f JOIN keepers k ON f.doc_id = k.doc_id
-         |WHERE f.doc_id NOT IN (SELECT j FROM losers)
-         |ORDER BY f.doc_id""".stripMargin,
+         |surviving AS (SELECT f.doc_id, f.text, f.n_tokens, f.quality
+         |  FROM filtered f JOIN keepers k ON f.doc_id = k.doc_id),
+         |pr AS (SELECT i, j FROM (${jaccardOracle(0.5, "surviving").replace("ORDER BY i, j", "")})),
+         |$componentsCtes
+         |SELECT s.doc_id, s.n_tokens, s.quality FROM surviving s
+         |WHERE s.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+         |ORDER BY s.doc_id""".stripMargin,
     // ASCII-corpus assumption (same caveat as DuckSql's CRC16 oracle):
     // this fold hashes ord() CODE POINTS while the Scala kernel hashes
     // UTF-8 BYTES — they agree only while `documents.text` is pure

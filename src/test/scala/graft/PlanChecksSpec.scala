@@ -49,12 +49,30 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(exchangeIdx > 0 && p.indexOf("HashAggregate", exchangeIdx) >= 0)
   }
 
-  test("no query plans a cartesian product (except intentional ANN cross joins)") {
-    val allowCross = Set("s35_ann_brute", "d34_embed_neardup")
+  test("no query plans a cartesian product (except the intentional ANN ground-truth cross join)") {
+    val allowCross = Set("s35_ann_brute")
     SparkEntry.queries.keys.filterNot(allowCross).foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
     }
+  }
+
+  test("d34: embedding near-dup is a block equi-join, never broadcast-nested-loop") {
+    val p = plan("d34_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("d33/d39: dedup pipelines plan no cartesian and push column pruning to the scan") {
+    Seq("d33_ngram_jaccard", "d39_corpus_clean").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: ${p.take(2000)}")
+    }
+    val read = plan("d33_ngram_jaccard").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("lang") && !read.contains("n_chars"),
+      s"d33 should read only (doc_id, text): $read")
   }
 
   test("cluster expressions fold into scan-stage codegen") {

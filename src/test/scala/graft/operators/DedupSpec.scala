@@ -31,6 +31,28 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
+  test("connected components label chains, stars and pairs by min id") {
+    // chain 1-2-3-4, star 10-{11,12,13}, pair 20-21; node order scrambled
+    val pairs = Seq((2L, 1L), (3L, 2L), (3L, 4L), (10L, 11L), (12L, 10L),
+      (13L, 10L), (21L, 20L)).toDF("i", "j")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got == want)
+    // cluster resolution keeps exactly one doc (the min) per component
+    val losers = Dedup.clusterLosers(pairs).collect().map(_.getLong(0)).toSet
+    assert(losers == Set(2L, 3L, 4L, 11L, 12L, 13L, 21L))
+  }
+
+  test("connected components converge on a long chain (pointer jumping)") {
+    // a 64-node chain: naive per-hop propagation would need 63 rounds;
+    // pointer jumping converges well inside the 25-iteration cap
+    val chain = (0L until 63L).map(k => (k, k + 1)).toDF("i", "j")
+    val got = Dedup.connectedComponents(chain).collect()
+    assert(got.length == 64 && got.forall(_.getLong(1) == 0L))
+  }
+
   test("minhash signature similarity approximates jaccard") {
     val a = Seq(("x y z a b c d e f g", 1L), ("x y z a b c d e f h", 2L),
       ("completely different words here now ok", 3L)).toDF("text", "id")

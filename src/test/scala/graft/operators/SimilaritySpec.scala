@@ -73,6 +73,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cs.forall(c => c.length == 64 && c.forall(v => !v.isNaN && !v.isInfinite)))
   }
 
+  test("block equi-join near-dup equals the reference cross-join pair set") {
+    // ground truth computed here the naive way (spec-side only)
+    def gt(threshold: Double) = {
+      val a = emb.select($"vec_id".as("i"), $"embedding".as("va"))
+      val b = emb.select($"vec_id".as("j"), $"embedding".as("vb"))
+      a.crossJoin(b).where($"i" < $"j")
+        .where(Similarity.cosine($"va", $"vb") >= threshold)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // low threshold → many pairs, exercises same-block dedup + cross-block canon
+    for (t <- Seq(0.5, 0.35)) {
+      val got = Similarity.nearDupPairs(emb, t).select("i", "j")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == gt(t), s"threshold $t: got ${got.size} pairs, want ${gt(t).size}")
+    }
+    // and with a block count that doesn't divide the corpus evenly
+    val got5 = Similarity.nearDupPairs(emb, 0.35, blocks = 5).select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got5 == gt(0.35))
+  }
+
   test("near-dup pairs with LSH bucketing is a subset of exact") {
     val exact = Similarity.nearDupPairs(emb, 0.5).select("i", "j")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

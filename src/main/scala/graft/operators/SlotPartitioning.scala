@@ -42,6 +42,23 @@ object SlotPartitioning {
       .write.partitionBy("node").mode("overwrite").parquet(path)
 
   /**
+   * Persistent slot-bucketed layout: write `df` as a catalog table
+   * bucketed (and sorted) by its materialized `cluster_slot(key)` column.
+   * This is the "shuffle once at ingest" half of the 100 TB story: every
+   * later join/agg whose keys include `slot` reads the bucketed scan's
+   * HashPartitioning straight off disk and plans ZERO exchange (see
+   * p11_bucketed_coloc + its plan check). External table (explicit path
+   * under the session warehouse dir) so overwrite re-runs cleanly.
+   */
+  def writeSlotBucketed(df: DataFrame, key: Column, table: String,
+                        buckets: Int = 16): Unit =
+    df.withColumn("slot", cluster_slot(key))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"spark-warehouse/graft_bucketed/$table")
+      .bucketBy(buckets, "slot").sortBy("slot")
+      .saveAsTable(table)
+
+  /**
    * Co-located join: both sides pre-partitioned on the same slot
    * expression over their join key. The join itself then reuses the
    * children's partitioning (one exchange per side, zero for the join).

@@ -75,6 +75,17 @@ class PlanChecksSpec extends AnyFunSuite {
       s"d33 should read only (doc_id, text): $read")
   }
 
+  test("p11: slot-bucketed tables join with zero exchange (only the final agg shuffles)") {
+    val p = plan("p11_bucketed_coloc")
+    assert(p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("BroadcastHashJoin"), p.take(3000))
+    // exactly ONE hash exchange: the 5-group aggregate above the join —
+    // the join itself rides the bucketed scans' HashPartitioning(slot)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"want 1 exchange (final agg only), got $n:\n${p.take(3000)}")
+    assert(p.contains("Bucketed: true"), "scan should be bucketed: " + p.take(3000))
+  }
+
   test("cluster expressions fold into scan-stage codegen") {
     // run first: under AQE the codegen-starred final plan exists only
     // after execution

@@ -58,10 +58,11 @@ object EventStreams {
   /**
    * Stateful sessionization: per-user sessions closed when a later event
    * arrives more than `gapMinutes` after the previous one (event-time gap
-   * logic in state). State is one small record per active user. In a
-   * production deployment add `withWatermark` + EventTimeTimeout so idle
-   * users' final sessions flush and state stays bounded; the demo keeps
-   * NoTimeout so bounded test input drains deterministically.
+   * logic in state). State is one small record per active user. This
+   * variant keeps NoTimeout so bounded test input drains
+   * deterministically; [[sessionizeBounded]] is the production form —
+   * watermark + EventTimeTimeout flush idle users' final sessions and
+   * bound state size.
    */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -88,6 +89,58 @@ object EventStreams {
           }
           cur.foreach(state.update)
           closed.result().iterator
+        })
+  }
+
+  /**
+   * Production sessionization with BOUNDED state: same gap semantics as
+   * [[sessionize]], plus a watermark and `EventTimeTimeout`. When the
+   * event-time watermark passes a user's `lastSeen + gap`, the open
+   * session is emitted and its state removed — so an idle user's final
+   * session flushes without needing a closing event, and state size
+   * stays proportional to *active* users, not all users ever seen.
+   */
+  def sessionizeBounded(events: Dataset[Event], gapMinutes: Int = 30,
+                        lateness: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            // watermark passed lastSeen + gap with no further events:
+            // flush the idle session and drop the state
+            val out = state.getOption
+              .map(s => Session(userId, s.start, s.lastSeen, s.nEvents, s.total))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen > gapMs =>
+                  closed += Session(userId, s.start, s.lastSeen, s.nEvents, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                    nEvents = s.nEvents + 1, total = s.total + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // must be strictly ahead of the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.lastSeen + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
         })
   }
 

@@ -79,6 +79,34 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("bounded sessionization flushes an idle user's session via event-time timeout") {
+    import EventStreams.{Event, Session}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = EventStreams.sessionizeBounded(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_bounded_test").start()
+    // user 1 goes idle after two events; user 2 keeps the stream moving
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:05:00"), 1, "click", 2.0))
+    q.processAllAvailable()
+    // advance the watermark far past 10:05 + 30min gap (+10min lateness)
+    input.addData(Event(3, ts("2024-01-01 12:00:00"), 2, "view", 5.0))
+    q.processAllAvailable()
+    // one more batch so the post-watermark trigger processes the timeout
+    input.addData(Event(4, ts("2024-01-01 12:01:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessions_bounded_test").as[Session].collect()
+    // user 1 never sent a closing event — the timeout flushed the session
+    assert(sessions.exists(s => s.user_id == 1 && s.n_events == 2 && s.total_value == 3.0
+      && s.start_ts == ts("2024-01-01 10:00:00").getTime
+      && s.end_ts == ts("2024-01-01 10:05:00").getTime),
+      sessions.mkString("; "))
+  }
+
   test("sessionization groups events by user with gap semantics") {
     import EventStreams.{Event, Session}
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

@@ -62,7 +62,7 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes: `nPlanes` × `dim`, values
     * from a seeded LCG mapped to [-1, 1). Fixed forever (stable buckets). */
-  private[operators] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     var s = seed
     def next(): Double = {
       s = s * 6364136223846793005L + 1442695040888963407L

@@ -189,6 +189,33 @@ object PipelineQueries {
       """SELECT min(doc_id) AS keeper, count(*) AS copies,
         | CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents GROUP BY text ORDER BY keeper""".stripMargin,
+    // Full independent SimHash recompute: per-token FNV-1a64 (HUGEINT
+    // fold with wraparound multiply mod 2^64 — DuckDB BIGINT arithmetic
+    // traps on overflow), per-bit majority vote, pairwise Hamming ≤ 3.
+    // ASCII-corpus caveat as above (ord = code point, kernel uses UTF-8
+    // bytes). Exhaustive pair scan is fine oracle-side at sf0.01; the
+    // Spark side uses 16-bit pigeonhole banding instead.
+    "d32_dedup_simhash" -> {
+      val fnv = "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+        "list_transform(range(1, length(tok)+1), i -> ord(substr(tok, i, 1)))), " +
+        "(acc, b) -> (xor(acc, CAST(b AS HUGEINT)) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT))"
+      s"""WITH toks AS (SELECT doc_id, $duckTokens AS ts FROM documents),
+         |th AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+         |hh AS (SELECT doc_id, $fnv AS h FROM th),
+         |bits AS (SELECT doc_id, r.b,
+         |   sum(CASE WHEN (h // (CAST(1 AS HUGEINT) << r.b)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+         | FROM hh, range(0, 64) r(b) GROUP BY doc_id, r.b),
+         |sig0 AS (SELECT doc_id,
+         |   sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS sig
+         | FROM bits GROUP BY doc_id),
+         |sig AS (SELECT d.doc_id, COALESCE(s.sig, CAST(0 AS HUGEINT)) AS sig
+         | FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id)
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         | CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY i, j""".stripMargin
+    },
     "d33_ngram_jaccard" -> jaccardOracle(0.5),
     // d31 (minhash) must equal d33 modulo the jaccard column — same oracle
     "d31_dedup_minhash" -> (
@@ -199,6 +226,29 @@ object PipelineQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.5
          |ORDER BY i, j""".stripMargin,
+    // Full independent LSH recompute: the hyperplanes are deterministic
+    // (seeded LCG, exact dyadic doubles that round-trip through
+    // toString), so the oracle re-derives every 8-bit signature, applies
+    // the same Hamming-≤2 probe, and re-ranks by fold-exact cosine.
+    "s36_ann_lsh" -> {
+      val planes = Similarity.hyperplanes(8, 64)
+      def dotPlane(vec: String, p: Array[Double]): String = {
+        val lits = p.map(_.toString).mkString("[", ",", "]")
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+          s"i -> CAST($vec[i] AS DOUBLE) * ($lits)[i])), (acc, v) -> acc + v)"
+      }
+      val sigExpr = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${dotPlane("embedding", p)} >= 0.0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH s AS (SELECT vec_id, embedding, $sigExpr AS sig FROM embeddings)
+         |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
+         | SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${duckCosine("c.embedding", "q.embedding")} DESC, c.vec_id) AS rank
+         | FROM s c JOIN s q ON bit_count(xor(c.sig, q.sig)) <= 2 AND c.vec_id <> q.vec_id
+         | WHERE q.vec_id < 5)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
     "s35_ann_brute" ->
       s"""SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
          | SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,

@@ -341,6 +341,22 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("fast_shipments"))
         .orderBy("month")
     }),
+    // Salted skew join as a declared query: lineitem (big, potentially
+    // skewed on partkey) joined to part through SlotPartitioning's
+    // deterministic salt — row-identical to the plain join (the oracle
+    // IS the plain join), but a hot partkey's rows spread over 8
+    // reducers instead of one.
+    "a39_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val big = t(s, dir, "lineitem")
+        .select($"l_partkey".as("partkey"), $"l_orderkey", $"l_extendedprice")
+      val small = t(s, dir, "part").select($"p_partkey".as("partkey"), $"p_brand")
+      graft.operators.SlotPartitioning.saltedJoin(big, small, "partkey", "l_orderkey")
+        .groupBy($"p_brand".as("brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("brand")
+    }),
     // Sliding event-time windows (1h window, 30m slide) in batch form.
     "a37_sliding_window" -> ((s, dir) => {
       import s.implicits._
@@ -379,6 +395,13 @@ object AnalyticsQueries {
         | AND l_shipdate >= o_orderdate
         | AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
         |GROUP BY 1 ORDER BY month""".stripMargin,
+    // the salt changes only physical distribution, so the oracle is the
+    // plain join
+    "a39_salted_join" ->
+      """SELECT p_brand AS brand, count(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a37_sliding_window" ->
       """WITH e AS (SELECT event_type, ts,
         |  CAST(to_timestamp(floor(epoch(ts)/1800)*1800) AS TIMESTAMP) AS s_max FROM events),

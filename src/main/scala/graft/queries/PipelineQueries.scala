@@ -142,6 +142,16 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"n_chars")
         .orderBy("doc_id")
     }),
+    // Stratified deterministic sampling: per-language rates, same
+    // engine-portable slot-hash selection as d41 (oracle recomputes it).
+    "d42_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sampling.stratifiedHashSample(
+          t(s, dir, "documents"), concat(lit("doc:"), $"doc_id"), $"lang",
+          rates = Map("en" -> 0.20, "zh" -> 0.10), default = 0.05)
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy("doc_id")
+    }),
     // Rolling-hash document fingerprints (native codegen'd expression).
     "t42_fingerprints" -> ((s, dir) => {
       import s.implicits._
@@ -306,6 +316,16 @@ object PipelineQueries {
         Seq("doc_id", "lang", "n_chars"), Some("slot"), None)
       s"""SELECT doc_id, lang, n_chars FROM ($inner)
          |WHERE slot < ${(0.10 * 16384).toInt} ORDER BY doc_id""".stripMargin
+    },
+    "d42_stratified_sample" -> {
+      val inner = graft.oracle.DuckSql.withSlotNode(
+        "SELECT doc_id, lang, n_chars, 'doc:' || doc_id AS key FROM documents",
+        Seq("doc_id", "lang", "n_chars"), Some("slot"), None)
+      s"""SELECT doc_id, lang, n_chars FROM ($inner)
+         |WHERE slot < (CASE WHEN lang = 'zh' THEN ${(0.10 * 16384).toInt}
+         |  WHEN lang = 'en' THEN ${(0.20 * 16384).toInt}
+         |  ELSE ${(0.05 * 16384).toInt} END)
+         |ORDER BY doc_id""".stripMargin
     },
     "d35_dedup_clusters" ->
       s"""WITH RECURSIVE pr AS (SELECT i, j FROM (${jaccardOracle(0.5).replace("ORDER BY i, j", "")})),

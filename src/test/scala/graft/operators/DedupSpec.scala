@@ -45,6 +45,29 @@ class DedupSpec extends AnyFunSuite {
     assert(losers == Set(2L, 3L, 4L, 11L, 12L, 13L, 21L))
   }
 
+  test("connected components match union-find on random graphs") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 10
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("i", "j"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: ${got.toSeq.sorted} vs ${want.toSeq.sorted}")
+    }
+  }
+
   test("connected components converge on a long chain (pointer jumping)") {
     // a 64-node chain: naive per-hop propagation would need 63 rounds;
     // pointer jumping converges well inside the 25-iteration cap

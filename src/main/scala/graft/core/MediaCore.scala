@@ -40,6 +40,32 @@ object MediaCore {
   }
 
   /**
+   * Nearest-neighbor "resize": treat the payload as a row-major
+   * `srcW`×`srcH` single-channel image (positions past the payload end
+   * read as 0 — synthetic payloads aren't exactly w*h bytes) and sample
+   * it down/up to `dstW`×`dstH`. Stands in for a real image resize: a
+   * decoder would replace the byte indexing, the grid arithmetic is the
+   * real thing.
+   */
+  def resizeNearest(bytes: Array[Byte], srcW: Int, srcH: Int,
+                    dstW: Int, dstH: Int): Array[Byte] = {
+    val out = new Array[Byte](dstW * dstH)
+    var y = 0
+    while (y < dstH) {
+      val sy = y.toLong * srcH / dstH
+      var x = 0
+      while (x < dstW) {
+        val sx = x.toLong * srcW / dstW
+        val idx = sy * srcW + sx
+        out(y * dstW + x) = if (idx < bytes.length) bytes(idx.toInt) else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /**
    * Per-frame checksums: split the payload into `nFrames` contiguous
    * chunks (boundaries `k*len/nFrames`, integer division) and Adler-style
    * checksum each (sum of bytes mod 65521). Stands in for frame-sampled

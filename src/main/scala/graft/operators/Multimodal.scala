@@ -60,6 +60,9 @@ object Multimodal {
   def frame_checksums(payload: Column, nFrames: Int): Column =
     Bridge.column(FrameChecksums(Bridge.expression(payload), nFrames))
 
+  def media_resize(payload: Column, srcW: Int, srcH: Int, dstW: Int, dstH: Int): Column =
+    Bridge.column(MediaResize(Bridge.expression(payload), srcW, srcH, dstW, dstH))
+
   // ------------------------------------------------- batch (UDF-shape) path
 
   /**
@@ -96,6 +99,23 @@ case class MediaFeatures(child: Expression) extends UnaryExpression with Expects
     defineCodeGen(ctx, ev, c =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.MediaCore.byteHistogram($c))")
   override protected def withNewChildInternal(newChild: Expression): MediaFeatures =
+    copy(child = newChild)
+}
+
+/** `media_resize(payload, sw, sh, dw, dh)` → binary: nearest-neighbor
+  * grid resample of the payload viewed as a sw×sh byte image. */
+case class MediaResize(child: Expression, srcW: Int, srcH: Int, dstW: Int, dstH: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "media_resize"
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    MediaCore.resizeNearest(input.asInstanceOf[Array[Byte]], srcW, srcH, dstW, dstH)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.core.MediaCore.resizeNearest($c, $srcW, $srcH, $dstW, $dstH)")
+  override protected def withNewChildInternal(newChild: Expression): MediaResize =
     copy(child = newChild)
 }
 

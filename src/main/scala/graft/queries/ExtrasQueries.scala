@@ -36,6 +36,19 @@ object ExtrasQueries {
         .select($"doc_id", $"pos".cast("int").as("frame_idx"), $"col".as("fp"))
         .orderBy("doc_id", "frame_idx")
     }),
+    // Resize over "image" payloads: 64x64 source grid -> 8x8 nearest-
+    // neighbor sample (native codegen'd expression), summarized by
+    // deterministic scalars so the oracle can recompute byte-for-byte.
+    "m52_resize" -> ((s, dir) => {
+      import s.implicits._
+      val resized = Multimodal.synthesizeMedia(t(s, dir, "documents"))
+        .where($"kind" === "image")
+        .select($"doc_id", Multimodal.media_resize($"payload", 64, 64, 8, 8).as("r"))
+      resized.select($"doc_id",
+          length($"r").cast("int").as("n_bytes"),
+          element_at(Multimodal.frame_checksums($"r", 1), 1).as("r_sum"))
+        .orderBy("doc_id")
+    }),
     // Typed UDAF: exact distinct-slot occupancy per node via a 16384-bit
     // bitmap aggregator (merge = bitwise OR, no dedup shuffle).
     "p10_slot_occupancy" -> ((s, dir) => {
@@ -116,6 +129,18 @@ object ExtrasQueries {
         |     j -> CAST(ord(substr(text, j, 1)) AS BIGINT))),
         |   (a, b) -> a + b) % 65521 AS BIGINT) AS fp
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // nearest-neighbor grid recomputed positionally: target t in 0..63
+    // reads source byte at (t//8*8)*64 + (t%8)*8 (0 past end of payload)
+    "m52_resize" ->
+      """WITH img AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, CAST(64 AS INTEGER) AS n_bytes,
+        | CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(range(0, 64), t ->
+        |     CASE WHEN (t // 8) * 8 * 64 + (t % 8) * 8 + 1 <= length(text)
+        |          THEN CAST(ord(substr(text, (t // 8) * 8 * 64 + (t % 8) * 8 + 1, 1)) AS BIGINT)
+        |          ELSE 0 END)),
+        |   (a, b) -> a + b) % 65521 AS BIGINT) AS r_sum
+        |FROM img ORDER BY doc_id""".stripMargin,
     "p10_slot_occupancy" -> {
       val inner = graft.oracle.DuckSql.withSlotNode(
         "SELECT 'order:' || o_orderkey AS key FROM orders",

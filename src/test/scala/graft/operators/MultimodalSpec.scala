@@ -40,6 +40,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCore.frameChecksums(Array.emptyByteArray, 4).forall(_ == 0L))
   }
 
+  test("nearest-neighbor resize samples the expected grid positions") {
+    // 4x4 source 0..15, downsample to 2x2: picks (0,0) (0,2) (2,0) (2,2)
+    val src = Array.tabulate(16)(_.toByte)
+    assert(MediaCore.resizeNearest(src, 4, 4, 2, 2).toSeq == Seq[Byte](0, 2, 8, 10))
+    // upsample 2x2 -> 4x4 repeats each pixel in 2x2 blocks
+    val up = MediaCore.resizeNearest(Array[Byte](1, 2, 3, 4), 2, 2, 4, 4)
+    assert(up.toSeq == Seq[Byte](1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4))
+    // positions past the payload end read as 0 (short synthetic payloads)
+    val short = MediaCore.resizeNearest(Array[Byte](9), 4, 4, 2, 2)
+    assert(short.toSeq == Seq[Byte](9, 0, 0, 0))
+    // expression path agrees with the kernel
+    val viaExpr = Multimodal.synthesizeMedia(docs)
+      .select($"doc_id", Multimodal.media_resize($"payload", 64, 64, 8, 8).as("r"),
+        $"payload")
+      .collect()
+    viaExpr.foreach { r =>
+      val want = MediaCore.resizeNearest(r.getAs[Array[Byte]]("payload"), 64, 64, 8, 8)
+      assert(r.getAs[Array[Byte]]("r").toSeq == want.toSeq)
+    }
+  }
+
   test("batched mapPartitions decode agrees with the expression path") {
     val m = Multimodal.synthesizeMedia(docs)
     val viaExpr = m.select($"doc_id", element_at(Multimodal.media_features($"payload"), 1).as("f0"))

@@ -30,6 +30,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Map("t1" -> 100.0, "t2" -> 110.0, "t4" -> 200.0))
   }
 
+  test("asof keeps carried columns row-atomic when some are NULL") {
+    // right row at 15 carries (tag=NULL, v=200): a left row after it must
+    // receive BOTH from that row — not tag from the older row at 5 —
+    // and a NULL in the first carried column must not drop the match
+    val left = Seq((1L, 10L), (1L, 20L)).toDF("key", "lts")
+    val right = Seq(
+      (1L, 5L, Option("x"), 100),
+      (1L, 15L, Option.empty[String], 200),
+    ).toDF("key", "rts", "tag", "v")
+    val got = AsOfJoin.asof(left, right, "key", "lts", "rts", Seq("tag", "v"))
+      .orderBy("lts").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[String]("tag") == "x" && got(0).getAs[Int]("v") == 100)
+    assert(got(1).getAs[String]("tag") == null && got(1).getAs[Int]("v") == 200,
+      s"mixed-row fill: ${got(1)}")
+  }
+
   test("asof plans one exchange on the key (window shuffle only)") {
     val l = spark.range(100).select($"id".as("key"), $"id".cast("timestamp").as("lts"))
     val r = spark.range(50).select($"id".as("key"), $"id".cast("timestamp").as("rts"),

@@ -51,12 +51,18 @@ object SlotPartitioning {
    * under the session warehouse dir) so overwrite re-runs cleanly.
    */
   def writeSlotBucketed(df: DataFrame, key: Column, table: String,
-                        buckets: Int = 16): Unit =
+                        buckets: Int = 16): Unit = {
+    // external table with an explicit location derived from the session
+    // warehouse (NOT cwd-relative) so overwrite re-runs cleanly and the
+    // data lands where the session says tables live
+    val warehouse = df.sparkSession.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/")
     df.withColumn("slot", cluster_slot(key))
       .write.mode("overwrite").format("parquet")
-      .option("path", s"spark-warehouse/graft_bucketed/$table")
+      .option("path", s"$warehouse/graft_bucketed/$table")
       .bucketBy(buckets, "slot").sortBy("slot")
       .saveAsTable(table)
+  }
 
   /**
    * Co-located join: both sides pre-partitioned on the same slot

@@ -117,7 +117,11 @@ object EventStreams {
             state.remove()
             out.iterator
           } else {
-            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            // events older than the watermark are inadmissible — their
+            // session may already have been flushed by a timeout, so
+            // processing them would spawn spurious one-event sessions
+            val wm = state.getCurrentWatermarkMs()
+            val sorted = batch.toSeq.filter(_.ts.getTime >= wm).sortBy(_.ts.getTime)
             var cur = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
@@ -127,7 +131,10 @@ object EventStreams {
                   closed += Session(userId, s.start, s.lastSeen, s.nEvents, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case Some(s) =>
-                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                  // admissible late event may predate the open session's
+                  // start — extend backwards, don't just bump lastSeen
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    lastSeen = math.max(s.lastSeen, t),
                     nEvents = s.nEvents + 1, total = s.total + e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -136,8 +143,7 @@ object EventStreams {
             cur.foreach { s =>
               state.update(s)
               // must be strictly ahead of the current watermark
-              state.setTimeoutTimestamp(
-                math.max(s.lastSeen + gapMs, state.getCurrentWatermarkMs() + 1))
+              state.setTimeoutTimestamp(math.max(s.lastSeen + gapMs, wm + 1))
             }
             closed.result().iterator
           }

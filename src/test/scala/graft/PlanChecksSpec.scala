@@ -64,6 +64,11 @@ class PlanChecksSpec extends AnyFunSuite {
   }
 
   test("d33/d39: dedup pipelines plan no cartesian and push column pruning to the scan") {
+    // scope note: d39's component loop runs eagerly and collapses into
+    // checkpointed-RDD scans, so these assertions cover the VISIBLE
+    // stages (pair pipeline, final joins). The loop's own join shape is
+    // pinned where it is visible: DedupSpec's ngram plan check + the
+    // union-find equivalence properties.
     Seq("d33_ngram_jaccard", "d39_corpus_clean").foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -107,6 +107,33 @@ class EventStreamsSpec extends AnyFunSuite {
       sessions.mkString("; "))
   }
 
+  test("bounded sessionization extends start for admissible late events, drops inadmissible ones") {
+    import EventStreams.{Event, Session}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = EventStreams.sessionizeBounded(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_late_test").start()
+    input.addData(Event(1, ts("2024-01-01 10:30:00"), 1, "click", 1.0))
+    q.processAllAvailable() // watermark → 10:20
+    // late but admissible (>= watermark): must extend the session START
+    input.addData(Event(2, ts("2024-01-01 10:25:00"), 1, "click", 2.0))
+    q.processAllAvailable()
+    input.addData(Event(3, ts("2024-01-01 12:00:00"), 2, "view", 5.0))
+    q.processAllAvailable() // watermark → 11:50, past user 1's 10:30+30m
+    // inadmissible late event (10:00 << watermark): must be DROPPED, not
+    // become a spurious one-event session after user 1's state flushed
+    input.addData(Event(4, ts("2024-01-01 10:00:00"), 1, "click", 9.0),
+      Event(5, ts("2024-01-01 12:01:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sessions_late_test").as[Session].collect().filter(_.user_id == 1)
+    assert(u1.length == 1, u1.mkString("; "))
+    assert(u1.head.start_ts == ts("2024-01-01 10:25:00").getTime, u1.head)
+    assert(u1.head.end_ts == ts("2024-01-01 10:30:00").getTime && u1.head.n_events == 2, u1.head)
+  }
+
   test("sessionization groups events by user with gap semantics") {
     import EventStreams.{Event, Session}
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

@@ -105,6 +105,43 @@ object Similarity {
   }
 
   /**
+   * Banded (OR-construction) hyperplane LSH near-dup pairs: `tables`
+   * independent hash tables of `bitsPerTable` sign-bits each; two docs
+   * become candidates when they agree on ALL bits of ANY table, then an
+   * exact cosine verify applies `threshold`. Recall = 1-(1-p^b)^L with
+   * p = 1-θ/π — tune (L, b) to the threshold. This is the production
+   * near-dup path at 100 TB: candidates come from L equi-joins on
+   * (table, signature) — no O(n²) pair scan anywhere — and the vectors
+   * are joined back only for surviving candidate pairs. The single-table
+   * variant ([[nearDupPairs]] `useLsh`) is the degenerate L=1 case.
+   */
+  def bandedNearDupPairs(df: DataFrame, threshold: Double,
+                         tables: Int = 8, bitsPerTable: Int = 4, dim: Int = 64,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(tables * bitsPerTable, dim)
+    def tableSig(vec: Column, t: Int): Column =
+      (0 until bitsPerTable).map { k =>
+        when(dot(vec, array(planes(t * bitsPerTable + k).map(lit): _*)) >= 0.0,
+          lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    // signatures only — the 8-byte (tbl, sig) rows shuffle; vectors don't
+    val banded = df.select(col(idCol).as("id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"), tableSig(col(vecCol), t).as("sig"))): _*)).as("ts"))
+      .select(col("id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+    val cands = banded.toDF("i", "tbl", "sig")
+      .join(banded.toDF("j", "tbl", "sig"), Seq("tbl", "sig"))
+      .where(col("i") < col("j"))
+      .select("i", "j").distinct()
+    val va = df.select(col(idCol).as("i"), col(vecCol).as("v_i"), norm(col(vecCol)).as("n_i"))
+    val vb = df.select(col(idCol).as("j"), col(vecCol).as("v_j"), norm(col(vecCol)).as("n_j"))
+    cands.join(va, "i").join(vb, "j")
+      .select(col("i"), col("j"),
+        cosinePrenormed(col("v_i"), col("v_j"), col("n_i") * col("n_j")).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  /**
    * Deterministic spherical k-means coarse quantizer for IVF: seeds are
    * the first `nlist` corpus vectors by id, then `iters` Lloyd rounds
    * (assign by max cosine, re-average, renormalize implicitly via
@@ -161,8 +198,17 @@ object Similarity {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = kmeansCentroids(corpus, nlist, iters, idCol, vecCol)
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKWith(kmeansCentroids(corpus, nlist, iters, idCol, vecCol),
+      corpus, queries, k, nprobe, idCol, vecCol)
+
+  /** IVF probe/rank stage over PRECOMPUTED centroids — split out so a
+    * caller can hold the (deterministic) quantizer and recompute the
+    * same probe logic independently (the s37 oracle splices exactly
+    * these centroids into DuckDB SQL as literals). */
+  def ivfTopKWith(centroids: Array[Array[Double]],
+                  corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 4,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = assignToCentroids(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"),
         norm(col(vecCol)).as("cn"), col("__cid"))

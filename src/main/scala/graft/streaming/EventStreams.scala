@@ -150,6 +150,38 @@ object EventStreams {
         })
   }
 
+  /**
+   * Batch gaps-and-islands form of [[sessionize]]: identical gap
+   * semantics (a session breaks when consecutive per-user events are
+   * more than `gapMinutes` apart) expressed as window functions, so the
+   * whole computation is one shuffle on user_id + two window passes —
+   * fully declarative, Catalyst-optimized, and DuckDB-oracle-checkable.
+   * Timestamps are epoch millis (the unit the streaming state logic
+   * uses); `total_value` folds per-event values through DECIMAL(18,6)
+   * so the sum is order-independent (double summation order differs
+   * across partitionings/engines).
+   */
+  def batchSessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = gapMinutes * 60000L
+    val w = Window.partitionBy("user_id").orderBy("t")
+    val marked = events
+      .select(col("user_id"), expr("unix_micros(ts) div 1000").as("t"), col("value"))
+      .withColumn("brk",
+        when(lag("t", 1).over(w).isNull ||
+          col("t") - lag("t", 1).over(w) > gapMs, 1).otherwise(0))
+    // running count of session breaks = session ordinal; ROWS frame (ties
+    // in t share a session either way — gap 0 never breaks)
+    marked
+      .withColumn("sid", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min("t").as("start_ts"), max("t").as("end_ts"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast("decimal(18,6)")).cast("double").as("total_value"))
+      .drop("sid")
+  }
+
   /** Run a streaming DF to completion against bounded input (memory sink). */
   def runToMemory(df: DataFrame, name: String): StreamingQuery = {
     val q = df.writeStream

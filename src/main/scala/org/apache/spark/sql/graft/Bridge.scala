@@ -13,4 +13,20 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /**
+   * Drop the block-manager blocks behind a `localCheckpoint(true)`-ed
+   * Dataset. `Dataset.unpersist` only talks to the CacheManager and
+   * never sees checkpoint RDDs, so without this every checkpointed
+   * loop iteration leaks its blocks for the rest of the session (the
+   * round-2 bench regression). The Dataset is UNUSABLE afterwards —
+   * a checkpoint has no lineage to recompute from — so only call once
+   * nothing references it.
+   */
+  def unpersistCheckpoint(df: org.apache.spark.sql.Dataset[_], blocking: Boolean = false): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking)
+        case _ => ()
+      }
 }

@@ -116,4 +116,20 @@ class DedupSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian"), s"plan contains a cross join:\n$plan")
   }
+
+  test("connectedComponents releases its loop checkpoints (only final labels persist)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("i", "j")
+    val labels = Dedup.connectedComponents(pairs)
+    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // edges + every superseded round must be unpersisted; the final
+    // labels checkpoint is the one surviving block set (the caller —
+    // here — still has to consume it, so it cannot self-release)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked persistent RDDs: $leaked")
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(labels)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
 }

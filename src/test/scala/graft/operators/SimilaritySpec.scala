@@ -101,4 +101,19 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact))
   }
+
+  test("banded LSH near-dups: exact subset with good recall, no pair scan in the plan") {
+    val emb0 = spark.read.parquet(s"${graft.SparkTestSession.sf0001}/embeddings.parquet")
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keyset(Similarity.nearDupPairs(emb0, threshold = 0.4))
+    val banded = Similarity.bandedNearDupPairs(emb0, threshold = 0.4)
+    val got = keyset(banded)
+    assert(exact.nonEmpty)
+    assert(got.subsetOf(exact), "every banded pair passes the exact cosine check")
+    assert(got.size.toDouble / exact.size >= 0.7, s"recall ${got.size}/${exact.size}")
+    val p = banded.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
 }

@@ -134,6 +134,33 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(u1.head.end_ts == ts("2024-01-01 10:30:00").getTime && u1.head.n_events == 2, u1.head)
   }
 
+  test("batch gaps-and-islands sessions agree with streaming sessionize on real events") {
+    import EventStreams.{Event, Session}
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.load(spark, SparkTestSession.sf0001, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    input.addData(ev: _*)
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_batch_cmp").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions_batch_cmp").as[Session].collect()
+      .map(s => (s.user_id, s.start_ts, s.end_ts, s.n_events)).toSet
+    val batch = EventStreams.batchSessions(
+        Tables.load(spark, SparkTestSession.sf0001, "events"), gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // streaming emits only CLOSED sessions — each user's final session is
+    // still open when the bounded input drains, so batch = streamed +
+    // exactly one trailing session per user
+    val lastPerUser = batch.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
+    assert(streamed.nonEmpty)
+    assert(batch.toSet -- lastPerUser == streamed,
+      s"batch=${batch.length}, streamed=${streamed.size}, users=${lastPerUser.size}")
+  }
+
   test("sessionization groups events by user with gap semantics") {
     import EventStreams.{Event, Session}
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

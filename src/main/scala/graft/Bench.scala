@@ -30,8 +30,10 @@ object Bench {
     catch { case _: Throwable => () }
     try graft.queries.ExtrasQueries.ensureSlotBucketedTables(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] bucketed ingest failed: ${e.getMessage}") }
-    try graft.queries.RelationalQueries.ensureCsvExport(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] csv export failed: ${e.getMessage}") }
+    try {
+      graft.queries.RelationalQueries.ensureCsvExport(spark, sfDir)
+      graft.queries.RelationalQueries.ensureJsonExport(spark, sfDir)
+    } catch { case e: Throwable => System.err.println(s"[bench] csv/json export failed: ${e.getMessage}") }
     // cache isolation between queries: clear tracked caches AND leftover
     // localCheckpoint blocks (which the CacheManager never sees), so one
     // query's persisted state can't poison every query after it — the

@@ -104,7 +104,11 @@ object TextAnalysis {
    * that pass into each of its ~10 consumers (Spark's subexpression
    * elimination skips nothing here since element_at refs are cheap, but
    * the barrier guarantees a single evaluation regardless of optimizer
-   * heuristics).
+   * heuristics). Measured both ways at sf0.1 local[32] (min of 3 warm
+   * runs): t40 0.82s with / 0.80s without, t41 0.50/0.45, d39 3.37/3.80
+   * — codegen CSE indeed dedupes the collapsed form for single-consumer
+   * queries, but the barrier wins on the multi-consumer d39 pipeline, so
+   * it stays.
    */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

@@ -9,21 +9,23 @@ import org.apache.spark.sql.types._
 import graft.sources.Tables
 
 /**
- * CSV leg of SURVEY.md §2.2's "parquet/CSV/JSON scan + sink" row
- * (reference Dockerfile:23 carries the CSV extension flag; parquet is
- * exercised by every other query, JSON round-trips are spec-covered in
- * RelationalSurfaceSpec). The customer table is exported ONCE per scale
- * factor as headered CSV (the sink half); the declared query reads the
- * files back with an explicit schema and aggregates (the scan half).
- * The oracle re-reads the same files with DuckDB's own `read_csv`
- * parser — fully independent of Spark's.
+ * CSV and JSON legs of SURVEY.md §2.2's "parquet/CSV/JSON scan + sink"
+ * row (reference Dockerfile:23 carries the CSV extension flag; parquet
+ * is exercised by every other query). Each format's table is exported
+ * ONCE per scale factor (the sink half); the declared queries read the
+ * files back with explicit schemas and aggregate (the scan half). The
+ * oracles re-read the same files with DuckDB's own `read_csv` /
+ * `read_json` parsers — fully independent of Spark's.
  */
 object RelationalQueries {
 
   /** CSV export root, suffixed per scale factor so the sf0.01 path the
-    * oracle reads is stable no matter which sf ran last in the session. */
+    * oracle reads is stable no matter which sf ran last in the session.
+    * Outside target/ (an `sbt clean` between Verify and the oracle run
+    * must not delete the files the oracle SQL reads); data/ is
+    * gitignored. */
   def csvDir(sfDir: String): String =
-    "/root/repo/target/graft-csv/" +
+    "/root/repo/data/graft-csv/" +
       sfDir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_") + "/customer"
 
   private val csvSchema = StructType(Seq(
@@ -45,6 +47,29 @@ object RelationalQueries {
     dir
   }
 
+  /** JSON-lines export root (same per-sf layout rationale as [[csvDir]]). */
+  def jsonDir(sfDir: String): String =
+    "/root/repo/data/graft-json/" +
+      sfDir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_") + "/supplier"
+
+  private val jsonSchema = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", LongType)))
+
+  /** Ingest-once JSON-lines sink (integer/string columns only — float
+    * text round-trips are format-fragile and parquet covers them). */
+  def ensureJsonExport(s: SparkSession, sfDir: String): String = {
+    val dir = jsonDir(sfDir)
+    if (!Files.exists(Paths.get(dir, "_SUCCESS"))) {
+      Tables.load(s, sfDir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .coalesce(1)
+        .write.mode("overwrite").json(dir)
+    }
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c60_csv_scan" -> ((s, dir) => {
       import s.implicits._
@@ -55,6 +80,14 @@ object RelationalQueries {
           countDistinct($"c_nationkey").as("nations"),
           min($"c_name").as("first_name"))
         .orderBy("c_mktsegment")
+    }),
+    "j61_json_scan" -> ((s, dir) => {
+      import s.implicits._
+      val path = ensureJsonExport(s, dir)
+      s.read.schema(jsonSchema).json(path)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("suppliers"), min($"s_name").as("first_name"))
+        .orderBy("s_nationkey")
     }),
   )
 
@@ -67,5 +100,10 @@ object RelationalQueries {
          | min(c_name) AS first_name
          |FROM read_csv('${csvDir("/root/testdata/sf0.01")}/*.csv', header=true)
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "j61_json_scan" ->
+      s"""SELECT s_nationkey, count(*) AS suppliers, min(s_name) AS first_name
+         |FROM read_json('${jsonDir("/root/testdata/sf0.01")}/*.json',
+         |  format='newline_delimited')
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
   )
 }

@@ -34,14 +34,6 @@ object Bench {
       graft.queries.RelationalQueries.ensureCsvExport(spark, sfDir)
       graft.queries.RelationalQueries.ensureJsonExport(spark, sfDir)
     } catch { case e: Throwable => System.err.println(s"[bench] csv/json export failed: ${e.getMessage}") }
-    // cache isolation between queries: clear tracked caches AND leftover
-    // localCheckpoint blocks (which the CacheManager never sees), so one
-    // query's persisted state can't poison every query after it — the
-    // exact failure mode of the round-2 bench
-    def sweep(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    }
     // a failed query is recorded as -1 (never mistakable for a fast
     // success) and listed in "errors" — the total covers successes only
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -52,7 +44,7 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      sweep()
+      SessionHygiene.sweep(spark)
       (name, if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

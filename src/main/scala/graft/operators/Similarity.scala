@@ -124,11 +124,18 @@ object Similarity {
         when(dot(vec, array(planes(t * bitsPerTable + k).map(lit): _*)) >= 0.0,
           lit(1L << k)).otherwise(lit(0L))
       }.reduce(_ + _)
-    // signatures only — the 8-byte (tbl, sig) rows shuffle; vectors don't
+    // signatures only — the 8-byte (tbl, sig) rows shuffle; vectors don't.
+    // Persisted because both self-join sides consume it: without the
+    // cache each side re-evaluates all L*b plane dot products per row
+    // and re-scans the source. (Tiny: L rows of 3 longs per doc. The
+    // vector re-join below deliberately re-SCANS instead of caching —
+    // pinning the full corpus of vectors in memory is not the 100 TB
+    // trade.) Bench/Verify sweep the cache between queries.
     val banded = df.select(col(idCol).as("id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"), tableSig(col(vecCol), t).as("sig"))): _*)).as("ts"))
       .select(col("id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+      .persist()
     val cands = banded.toDF("i", "tbl", "sig")
       .join(banded.toDF("j", "tbl", "sig"), Seq("tbl", "sig"))
       .where(col("i") < col("j"))

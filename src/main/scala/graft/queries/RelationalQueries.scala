@@ -34,11 +34,21 @@ object RelationalQueries {
     StructField("c_nationkey", LongType),
     StructField("c_mktsegment", StringType)))
 
+  /** Export is stale when missing OR older than its source parquet — a
+    * regenerated corpus must not leave the declared queries (and their
+    * oracles) silently reading last round's files. */
+  private def stale(dir: String, sfDir: String, table: String): Boolean = {
+    val marker = Paths.get(dir, "_SUCCESS")
+    val src = Paths.get(sfDir.replaceAll("/+$", ""), s"$table.parquet")
+    !Files.exists(marker) ||
+      Files.getLastModifiedTime(marker).compareTo(Files.getLastModifiedTime(src)) < 0
+  }
+
   /** Ingest-once CSV sink — Bench warm-up calls this so the timed query
     * measures the scan, not the one-time export. */
   def ensureCsvExport(s: SparkSession, sfDir: String): String = {
     val dir = csvDir(sfDir)
-    if (!Files.exists(Paths.get(dir, "_SUCCESS"))) {
+    if (stale(dir, sfDir, "customer")) {
       Tables.load(s, sfDir, "customer")
         .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
         .coalesce(1)
@@ -61,7 +71,7 @@ object RelationalQueries {
     * text round-trips are format-fragile and parquet covers them). */
   def ensureJsonExport(s: SparkSession, sfDir: String): String = {
     val dir = jsonDir(sfDir)
-    if (!Files.exists(Paths.get(dir, "_SUCCESS"))) {
+    if (stale(dir, sfDir, "supplier")) {
       Tables.load(s, sfDir, "supplier")
         .select("s_suppkey", "s_name", "s_nationkey")
         .coalesce(1)

@@ -28,9 +28,9 @@ object PipelineQueries {
   /** DuckDB: whitespace tokens / 3-word shingles mirroring TextAnalysis/Dedup. */
   private val duckTokens =
     "list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0)"
-  private def duckShingles(wordsExpr: String): String =
-    s"list_distinct(list_transform(range(1, greatest(len($wordsExpr)-3,0)+2), " +
-      s"i -> array_to_string($wordsExpr[i:i+2], ' ')))"
+  private def duckShingles(wordsExpr: String, n: Int = 3): String =
+    s"list_distinct(list_transform(range(1, greatest(len($wordsExpr)-$n,0)+2), " +
+      s"i -> array_to_string($wordsExpr[i:i+${n - 1}], ' ')))"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup groups: one shuffle on content, keeper = min id.
@@ -189,6 +189,29 @@ object PipelineQueries {
           t(s, dir, "documents"), concat(lit("doc:"), $"doc_id"), $"lang",
           rates = Map("en" -> 0.20, "zh" -> 0.10), default = 0.05)
         .select($"doc_id", $"lang", $"n_chars")
+        .orderBy("doc_id")
+    }),
+    // Gopher/C4-style repetition quality signals (type-token ratio,
+    // top-word and top-bigram fractions) — scan-local, zero shuffles.
+    "t43_repetition" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.repetitionStats(t(s, dir, "documents"))
+        .select($"doc_id", $"n_tokens",
+          round($"uniq_ratio", 6).as("uniq_ratio"),
+          round($"top_word_frac", 6).as("top_word_frac"),
+          round($"top_bigram_frac", 6).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+    // Eval-set decontamination: docs sharing a 4-word shingle with the
+    // "benchmark" (docs 0-4), benchmark shingles broadcast. n=4 because
+    // this corpus's vocabulary makes longer shingles globally unique;
+    // real decontamination uses n of 8-13 with the same plan shape.
+    "d43_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Dedup.contaminatedDocs(
+          docs.where($"doc_id" >= 5), docs.where($"doc_id" < 5),
+          "doc_id", "text", shingleN = 4)
         .orderBy("doc_id")
     }),
     // Rolling-hash document fingerprints (native codegen'd expression).
@@ -459,6 +482,37 @@ object PipelineQueries {
          |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.5
          |ORDER BY i, j""".stripMargin
     },
+    // Repetition signals recomputed with unnest+GROUP BY mode counts
+    // (a structurally different computation from the Spark side's
+    // per-row array fold — a stronger oracle than a literal transcription).
+    "t43_repetition" ->
+      s"""WITH b AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+         |big AS (SELECT doc_id,
+         |  list_transform(range(1, greatest(len(toks)-2,0)+2),
+         |    i -> array_to_string(toks[i:i+1], ' ')) AS bg FROM b),
+         |tw AS (SELECT doc_id, max(c) AS mw FROM (
+         |  SELECT doc_id, w, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS w FROM b) GROUP BY doc_id, w)
+         | GROUP BY doc_id),
+         |tb AS (SELECT doc_id, max(c) AS mb FROM (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(bg) AS g FROM big) GROUP BY doc_id, g)
+         | GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         | round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6) AS uniq_ratio,
+         | round(CAST(COALESCE(mw, 0) AS DOUBLE) / greatest(len(toks), 1), 6) AS top_word_frac,
+         | round(CAST(COALESCE(mb, 0) AS DOUBLE) / greatest(len(bg), 1), 6) AS top_bigram_frac
+         |FROM b JOIN big USING (doc_id)
+         | LEFT JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "d43_contamination" ->
+      s"""WITH w AS (SELECT doc_id, $duckTokens AS words FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("words", 4)} AS s FROM w),
+         |bs AS (SELECT list(DISTINCT x) AS bl FROM
+         |  (SELECT unnest(s) AS x FROM sh WHERE doc_id < 5))
+         |SELECT doc_id, CAST(len(list_intersect(s, bl)) AS BIGINT) AS n_shared
+         |FROM sh, bs WHERE doc_id >= 5 AND len(list_intersect(s, bl)) > 0
+         |ORDER BY doc_id""".stripMargin,
     // Gaps-and-islands sessionization: same 30-minute gap + DECIMAL
     // value fold as EventStreams.batchSessions. Epoch millis floor the
     // same way on both sides (nanos→micros→millis, all positive).

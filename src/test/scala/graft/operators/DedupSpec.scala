@@ -117,6 +117,18 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("Cartesian"), s"plan contains a cross join:\n$plan")
   }
 
+  test("contamination flags exactly the docs sharing a shingle with the benchmark") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "xx quick brown fox jumps yy"),            // shares "quick brown fox jumps"
+      (2L, "totally different words entirely here"),  // clean
+      (3L, "over the lazy dog and more and more"),    // shares "over the lazy dog"
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminatedDocs(corpus, bench, "doc_id", "text", shingleN = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 3L -> 1L))
+  }
+
   test("connectedComponents releases its loop checkpoints (only final labels persist)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet

@@ -73,4 +73,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     val plan = TextAnalysis.analyze(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
   }
+
+  test("repetition stats match hand-computed values") {
+    val df = Seq(
+      (1L, "a a a a"),     // 1 type / 4 tokens; "a"×4; bigrams "a a"×3
+      (2L, "a b c d"),     // all distinct; 3 distinct bigrams
+      (3L, "x y x y x"),   // 2/5 types; "x"×3; bigrams: "x y"×2 of 4
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(df)
+      .select("doc_id", "n_tokens", "uniq_ratio", "top_word_frac", "top_bigram_frac")
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4))))
+      .toMap
+    assert(r(1L) == ((4L, 0.25, 1.0, 1.0)))
+    assert(r(2L) == ((4L, 1.0, 0.25, 1.0 / 3)))
+    assert(r(3L) == ((5L, 0.4, 0.6, 0.5)))
+  }
 }

@@ -110,12 +110,78 @@ object ClusterHashFunctions {
       s"cluster_node requires 1 or 2 arguments, got ${args.length}")
   }
 
-  /** Register `cluster_slot` / `cluster_node` for SQL in this session. */
+  /** Register the full native-function surface for SQL in this session:
+    * the cluster functions plus every pipeline kernel, so a SQL-first
+    * user of the reference gets the whole library without touching the
+    * Column API. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("cluster_slot", slotBuilder, "built-in")
     registry.createOrReplaceTempFunction("cluster_node", nodeBuilder, "built-in")
+    GraftFunctionBuilders.all.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
+}
+
+/**
+ * SQL builders for the pipeline kernels (shared by the per-session
+ * [[ClusterHashFunctions.register]] path and the global
+ * [[GraftExtensions]] path). Int-valued shape parameters (shingle n,
+ * frame count, resize dims) must be foldable literals — they size
+ * per-row output buffers at codegen time.
+ */
+private[functions] object GraftFunctionBuilders {
+
+  private def litInt(e: Expression, fn: String): Int =
+    if (e.foldable) e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected a literal integer argument, got $other")
+    } else throw new IllegalArgumentException(
+      s"$fn: shape arguments must be literal integers")
+
+  private def bad(fn: String, usage: String): Nothing =
+    throw new IllegalArgumentException(s"$fn: expected $usage")
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "rolling_fingerprint" -> {
+      case Seq(t) => RollingFingerprint(t)
+      case _ => bad("rolling_fingerprint", "(text)")
+    },
+    "simhash64" -> {
+      case Seq(toks) => SimHash64(toks)
+      case _ => bad("simhash64", "(token_array)")
+    },
+    "shingle_hashes" -> {
+      case Seq(t) => ShingleHashes(t, 3)
+      case Seq(t, n) => ShingleHashes(t, litInt(n, "shingle_hashes"))
+      case _ => bad("shingle_hashes", "(text[, n])")
+    },
+    "token_stats" -> {
+      case Seq(t) => TokenStats(t)
+      case _ => bad("token_stats", "(text)")
+    },
+    "vec_dot" -> {
+      case Seq(a, b) => VecDot(a, b)
+      case _ => bad("vec_dot", "(vec, vec)")
+    },
+    "media_features" -> {
+      case Seq(p) => graft.operators.MediaFeatures(p)
+      case _ => bad("media_features", "(payload)")
+    },
+    "frame_checksums" -> {
+      case Seq(p, n) => graft.operators.FrameChecksums(p, litInt(n, "frame_checksums"))
+      case _ => bad("frame_checksums", "(payload, n_frames)")
+    },
+    "media_resize" -> {
+      case Seq(p, sw, sh, dw, dh) => graft.operators.MediaResize(p,
+        litInt(sw, "media_resize"), litInt(sh, "media_resize"),
+        litInt(dw, "media_resize"), litInt(dh, "media_resize"))
+      case _ => bad("media_resize", "(payload, srcW, srcH, dstW, dstH)")
+    },
+  )
 }
 
 /**
@@ -140,5 +206,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         case Seq(k, n) => ClusterNodeN(k, n)
         case _ => throw new IllegalArgumentException("cluster_node(key[, n])")
       }))
+    GraftFunctionBuilders.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+        builder))
+    }
   }
 }

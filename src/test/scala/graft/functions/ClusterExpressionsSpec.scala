@@ -53,6 +53,33 @@ class ClusterExpressionsSpec extends AnyFunSuite {
     assert(row.getInt(2) == ClusterHash.nodeOfSlotN(1649, 3))
   }
 
+  test("SQL registration covers the full pipeline-kernel surface") {
+    ClusterHashFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT rolling_fingerprint('the quick brown fox jumps') AS fp,
+        |  simhash64(array('a','b','c')) AS sh,
+        |  size(shingle_hashes('a b c d', 3)) AS nsh,
+        |  element_at(token_stats('the cat sat'), 6) AS ntok,
+        |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+        |  size(media_features(cast('abcd' AS BINARY))) AS nf,
+        |  size(frame_checksums(cast('abcdefgh' AS BINARY), 4)) AS nfr,
+        |  length(media_resize(cast('abcd' AS BINARY), 2, 2, 1, 1)) AS nrz
+        |""".stripMargin).head()
+    import graft.core.{TextHash, TextStatsCore}
+    assert(r.getLong(0) ==
+      TextHash.rollingMin("the quick brown fox jumps".getBytes("UTF-8"), 8))
+    assert(r.getLong(1) != 0L)
+    assert(r.getInt(2) == 2)           // "a b c" and "b c d"
+    assert(r.getInt(3) == 3)           // 3 tokens
+    assert(r.getDouble(4) == 11.0)
+    assert(r.getInt(5) == 4 && r.getInt(6) == 4 && r.getInt(7) == 1)
+    // shape params must be literals — a column there is a clear error
+    val err = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes('a b c', cast(rand()*3 AS INT))").head()
+    }
+    assert(err.getMessage.contains("literal"), err.getMessage)
+  }
+
   test("literal calls constant-fold in the optimized plan") {
     ClusterHashFunctions.register(spark)
     val qe = spark.sql("SELECT cluster_slot('user:1000') AS s").queryExecution

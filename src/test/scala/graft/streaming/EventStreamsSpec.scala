@@ -161,6 +161,19 @@ class EventStreamsSpec extends AnyFunSuite {
       s"batch=${batch.length}, streamed=${streamed.size}, users=${lastPerUser.size}")
   }
 
+  test("batch sessions: an event exactly at the gap boundary stays in the session") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:30:00"), 2.0), // gap == 30m → same session (strict >)
+      (1L, ts("2024-01-01 11:00:01"), 4.0), // 30m01s → new session
+    ).toDF("user_id", "ts", "value")
+    val out = EventStreams.batchSessions(df, gapMinutes = 30).orderBy("start_ts").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(3) == 2 && out(0).getDouble(4) == 3.0)
+    assert(out(1).getLong(3) == 1 && out(1).getDouble(4) == 4.0)
+  }
+
   test("sessionization groups events by user with gap semantics") {
     import EventStreams.{Event, Session}
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

@@ -163,6 +163,10 @@ private[functions] object GraftFunctionBuilders {
       case Seq(t) => TokenStats(t)
       case _ => bad("token_stats", "(text)")
     },
+    "repetition_stats" -> {
+      case Seq(t) => RepetitionStats(t)
+      case _ => bad("repetition_stats", "(text)")
+    },
     "vec_dot" -> {
       case Seq(a, b) => VecDot(a, b)
       case _ => bad("vec_dot", "(vec, vec)")

@@ -81,9 +81,29 @@ case class TokenStats(child: Expression) extends UnaryExpression with ExpectsInp
     copy(child = newChild)
 }
 
+/** `repetition_stats(text)` → array<int> [n_tokens, n_distinct,
+  * top_word_count, n_bigrams, top_bigram_count] in one fused byte pass. */
+case class RepetitionStats(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "repetition_stats"
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.TextStatsCore.repetition(input.asInstanceOf[UTF8String].getBytes))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.core.TextStatsCore.repetition($c.getBytes()))")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def token_stats(text: Column): Column =
     Bridge.column(TokenStats(Bridge.expression(text)))
+  def repetition_stats(text: Column): Column =
+    Bridge.column(RepetitionStats(Bridge.expression(text)))
   def rolling_fingerprint(text: Column): Column =
     Bridge.column(RollingFingerprint(Bridge.expression(text)))
   def simhash64(tokens: Column): Column =

@@ -99,30 +99,25 @@ object TextAnalysis {
   /**
    * Gopher/C4-style repetition signals — the standard "too repetitive to
    * train on" filters: type-token ratio, top-word fraction, top-bigram
-   * fraction. All scan-local column expressions (zero shuffles); mode
-   * counts run in O(len·distinct) per row, which is bounded by document
-   * length and therefore constant per row at any corpus scale — cheaper
-   * than the explode→groupBy→self-join alternative's two shuffles.
+   * fraction. One fused native byte pass per row
+   * ([[graft.functions.RepetitionStats]]) — zero shuffles, O(len) per
+   * document. (A first cut used nested higher-order-function mode
+   * counts; interpreted lambdas made it O(distinct × len) per row and
+   * ~30 s at sf0.1 — the kernel runs it in well under a second.)
    */
   def repetitionStats(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col("__toks")
-    val total = size(t)
-    val totalD = greatest(total, lit(1)).cast("double")
-    def modeCount(arr: Column): Column =
-      coalesce(array_max(transform(array_distinct(arr),
-        w => size(filter(arr, x => x === w)))), lit(0))
-    // non-distinct bigrams (repetition needs multiplicity); same short-doc
-    // truncation semantics as Dedup.shingles and the DuckDB oracle
-    val bigrams = transform(sequence(lit(0), greatest(total - 2, lit(0))),
-      i => concat_ws(" ", slice(t, i + 1, lit(2))))
-    df.withColumn("__toks", tokens(col(textCol)))
-      .withColumn("n_tokens", total.cast("long"))
-      .withColumn("uniq_ratio", size(array_distinct(t)).cast("double") / totalD)
-      .withColumn("top_word_frac", modeCount(t).cast("double") / totalD)
+    val r = col("__rep")
+    val nTok = element_at(r, 1)
+    val nTokD = greatest(nTok, lit(1)).cast("double")
+    df.withColumn("__rep",
+        graft.functions.TextFunctions.repetition_stats(col(textCol)))
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("uniq_ratio", element_at(r, 2).cast("double") / nTokD)
+      .withColumn("top_word_frac", element_at(r, 3).cast("double") / nTokD)
       .withColumn("top_bigram_frac",
-        modeCount(bigrams).cast("double") /
-          greatest(size(bigrams), lit(1)).cast("double"))
-      .drop("__toks")
+        element_at(r, 5).cast("double") /
+          greatest(element_at(r, 4), lit(1)).cast("double"))
+      .drop("__rep")
   }
 
   /**

@@ -136,9 +136,9 @@ private[functions] object GraftFunctionBuilders {
   private def litInt(e: Expression, fn: String): Int =
     if (e.foldable) e.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
       case other => throw new IllegalArgumentException(
-        s"$fn: expected a literal integer argument, got $other")
+        s"$fn: expected a literal 32-bit integer argument, got $other")
     } else throw new IllegalArgumentException(
       s"$fn: shape arguments must be literal integers")
 

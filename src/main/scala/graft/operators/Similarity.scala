@@ -130,7 +130,9 @@ object Similarity {
     // and re-scans the source. (Tiny: L rows of 3 longs per doc. The
     // vector re-join below deliberately re-SCANS instead of caching —
     // pinning the full corpus of vectors in memory is not the 100 TB
-    // trade.) Bench/Verify sweep the cache between queries.
+    // trade.) The cache entry lives until released: call
+    // `spark.catalog.clearCache()` (or graft.SessionHygiene.sweep,
+    // which Bench/Verify run per query) once results are consumed.
     val banded = df.select(col(idCol).as("id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"), tableSig(col(vecCol), t).as("sig"))): _*)).as("ts"))

@@ -111,13 +111,17 @@ object TextAnalysis {
     val nTokD = greatest(nTok, lit(1)).cast("double")
     df.withColumn("__rep",
         graft.functions.TextFunctions.repetition_stats(col(textCol)))
+      // same CollapseProject barrier rationale as analyze(): guarantee
+      // ONE kernel evaluation when a downstream pipeline composes this
+      // under further projections/filters
+      .withColumn("__b2", monotonically_increasing_id())
       .withColumn("n_tokens", nTok.cast("long"))
       .withColumn("uniq_ratio", element_at(r, 2).cast("double") / nTokD)
       .withColumn("top_word_frac", element_at(r, 3).cast("double") / nTokD)
       .withColumn("top_bigram_frac",
         element_at(r, 5).cast("double") /
           greatest(element_at(r, 4), lit(1)).cast("double"))
-      .drop("__rep")
+      .drop("__rep", "__b2")
   }
 
   /**

@@ -505,9 +505,13 @@ object PipelineQueries {
          |FROM b JOIN big USING (doc_id)
          | LEFT JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // the len(words) >= 4 guard mirrors contaminatedDocs' eligibility
+    // filter: sub-n-token docs have no true n-grams, only the truncating
+    // shingle construction's degenerate whole-text shingle
     "d43_contamination" ->
       s"""WITH w AS (SELECT doc_id, $duckTokens AS words FROM documents),
-         |sh AS (SELECT doc_id, ${duckShingles("words", 4)} AS s FROM w),
+         |sh AS (SELECT doc_id, ${duckShingles("words", 4)} AS s FROM w
+         |  WHERE len(words) >= 4),
          |bs AS (SELECT list(DISTINCT x) AS bl FROM
          |  (SELECT unnest(s) AS x FROM sh WHERE doc_id < 5))
          |SELECT doc_id, CAST(len(list_intersect(s, bl)) AS BIGINT) AS n_shared

@@ -61,6 +61,7 @@ class ClusterExpressionsSpec extends AnyFunSuite {
         |  size(shingle_hashes('a b c d', 3)) AS nsh,
         |  element_at(token_stats('the cat sat'), 6) AS ntok,
         |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+        |  element_at(repetition_stats('a a b'), 3) AS topw,
         |  size(media_features(cast('abcd' AS BINARY))) AS nf,
         |  size(frame_checksums(cast('abcdefgh' AS BINARY), 4)) AS nfr,
         |  length(media_resize(cast('abcd' AS BINARY), 2, 2, 1, 1)) AS nrz
@@ -72,7 +73,8 @@ class ClusterExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 2)           // "a b c" and "b c d"
     assert(r.getInt(3) == 3)           // 3 tokens
     assert(r.getDouble(4) == 11.0)
-    assert(r.getInt(5) == 4 && r.getInt(6) == 4 && r.getInt(7) == 1)
+    assert(r.getInt(5) == 2)           // top word "a" occurs twice
+    assert(r.getInt(6) == 4 && r.getInt(7) == 4 && r.getInt(8) == 1)
     // shape params must be literals — a column there is a clear error
     val err = intercept[Exception] {
       spark.sql("SELECT shingle_hashes('a b c', cast(rand()*3 AS INT))").head()

@@ -127,6 +127,14 @@ class DedupSpec extends AnyFunSuite {
     val out = Dedup.contaminatedDocs(corpus, bench, "doc_id", "text", shingleN = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L, 3L -> 1L))
+    // sub-n-token and blank docs have no true n-grams: a blank benchmark
+    // entry must NOT flag blank corpus docs via the degenerate
+    // whole-text shingle
+    val bench2 = bench.union(Seq((101L, ""), (102L, "tiny doc")).toDF("doc_id", "text"))
+    val corpus2 = corpus.union(Seq((4L, ""), (5L, "tiny doc")).toDF("doc_id", "text"))
+    val out2 = Dedup.contaminatedDocs(corpus2, bench2, "doc_id", "text", shingleN = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == Map(1L -> 1L, 3L -> 1L))
   }
 
   test("connectedComponents releases its loop checkpoints (only final labels persist)") {

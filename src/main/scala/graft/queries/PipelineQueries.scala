@@ -214,6 +214,19 @@ object PipelineQueries {
           "doc_id", "text", shingleN = 4)
         .orderBy("doc_id")
     }),
+    // Corpus vocabulary: term + document frequencies, deterministic
+    // top-100. Explode → partial-agg (map-side combine on the word key)
+    // → TakeOrderedAndProject; the shuffle carries one row per distinct
+    // word per partition, not per token.
+    "t44_vocab" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("w"))
+        .groupBy($"w")
+        .agg(count(lit(1)).as("occurrences"), countDistinct($"doc_id").as("doc_freq"))
+        .orderBy($"occurrences".desc, $"w")
+        .limit(100)
+    }),
     // Rolling-hash document fingerprints (native codegen'd expression).
     "t42_fingerprints" -> ((s, dir) => {
       import s.implicits._
@@ -517,6 +530,10 @@ object PipelineQueries {
          |SELECT doc_id, CAST(len(list_intersect(s, bl)) AS BIGINT) AS n_shared
          |FROM sh, bs WHERE doc_id >= 5 AND len(list_intersect(s, bl)) > 0
          |ORDER BY doc_id""".stripMargin,
+    "t44_vocab" ->
+      s"""SELECT w, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+         |FROM (SELECT doc_id, unnest($duckTokens) AS w FROM documents)
+         |GROUP BY w ORDER BY occurrences DESC, w LIMIT 100""".stripMargin,
     // Gaps-and-islands sessionization: same 30-minute gap + DECIMAL
     // value fold as EventStreams.batchSessions. Epoch millis floor the
     // same way on both sides (nanos→micros→millis, all positive).

@@ -129,6 +129,21 @@ object TextHash {
     h
   }
 
+  /**
+   * FNV-1a64 + murmur3's fmix64 finalizer. FNV alone is too non-uniform
+   * in its high bits on short keys for order-statistics sketches (KMV's
+   * k-th-minimum estimator was off 6× on sequential keys); the
+   * xor-shift/multiply finalizer restores uniformity while every step
+   * stays SQL-recomputable (xor, shifts, and a 32-bit-limb multiply
+   * mod 2^64).
+   */
+  def fnv1a64Mixed(s: String): Long = {
+    var h = fnv1a64(s)
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes (public-domain hash). */
   def fnv1a64(s: String): Long = {
     var h = 0xcbf29ce484222325L

@@ -167,6 +167,14 @@ private[functions] object GraftFunctionBuilders {
       case Seq(t) => RepetitionStats(t)
       case _ => bad("repetition_stats", "(text)")
     },
+    "fnv1a64" -> {
+      case Seq(t) => Fnv1a64(t)
+      case _ => bad("fnv1a64", "(text)")
+    },
+    "fnv1a64_mix" -> {
+      case Seq(t) => Fnv1a64Mix(t)
+      case _ => bad("fnv1a64_mix", "(text)")
+    },
     "vec_dot" -> {
       case Seq(a, b) => VecDot(a, b)
       case _ => bad("vec_dot", "(vec, vec)")

@@ -81,6 +81,37 @@ case class TokenStats(child: Expression) extends UnaryExpression with ExpectsInp
     copy(child = newChild)
 }
 
+/** `fnv1a64(text)` → 64-bit FNV-1a hash of the UTF-8 bytes. Unlike
+  * xxhash64 this is trivially recomputable in oracle SQL (a byte fold),
+  * which is what makes KMV sketches over it hash-checkable end to end. */
+case class Fnv1a64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "fnv1a64"
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.fnv1a64(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.fnv1a64($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
+    copy(child = newChild)
+}
+
+/** `fnv1a64_mix(text)` → fmix64-finalized FNV-1a64 — the uniform variant
+  * for order-statistics sketches (see [[TextHash.fnv1a64Mixed]]). */
+case class Fnv1a64Mix(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "fnv1a64_mix"
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.fnv1a64Mixed(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.fnv1a64Mixed($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64Mix =
+    copy(child = newChild)
+}
+
 /** `repetition_stats(text)` → array<int> [n_tokens, n_distinct,
   * top_word_count, n_bigrams, top_bigram_count] in one fused byte pass. */
 case class RepetitionStats(child: Expression) extends UnaryExpression with ExpectsInputTypes {
@@ -110,4 +141,8 @@ object TextFunctions {
     Bridge.column(SimHash64(Bridge.expression(tokens)))
   def shingle_hashes(text: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text), n))
+  def fnv1a64(text: Column): Column =
+    Bridge.column(Fnv1a64(Bridge.expression(text)))
+  def fnv1a64_mix(text: Column): Column =
+    Bridge.column(Fnv1a64Mix(Bridge.expression(text)))
 }

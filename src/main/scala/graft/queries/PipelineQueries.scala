@@ -214,6 +214,19 @@ object PipelineQueries {
           "doc_id", "text", shingleN = 4)
         .orderBy("doc_id")
     }),
+    // KMV distinct-count sketch — the oracle-checkable approximate
+    // distinct (the HLL pair a31 can never hash-match an oracle; KMV
+    // over a SQL-recomputable FNV hash can). Exact countDistinct rides
+    // along so the row also shows the estimator's error.
+    "a40_kmv_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(graft.functions.TextFunctions
+          .fnv1a64_mix(concat(lit("cust:"), $"o_custkey")).as("h"), $"o_custkey")
+        .agg(countDistinct($"o_custkey").as("exact_distinct"),
+          round(graft.functions.KmvSketchAgg.kmv_distinct($"h", 256), 4)
+            .as("est_distinct"))
+    }),
     // Corpus vocabulary: term + document frequencies, deterministic
     // top-100. Explode → partial-agg (map-side combine on the word key)
     // → TakeOrderedAndProject; the shuffle carries one row per distinct
@@ -530,6 +543,40 @@ object PipelineQueries {
          |SELECT doc_id, CAST(len(list_intersect(s, bl)) AS BIGINT) AS n_shared
          |FROM sh, bs WHERE doc_id >= 5 AND len(list_intersect(s, bl)) > 0
          |ORDER BY doc_id""".stripMargin,
+    // Full KMV recompute: FNV-1a64 as a HUGEINT byte fold (same pattern
+    // as the d32 SimHash oracle; ASCII keys so ord == byte), then the
+    // fmix64 finalizer — xor-shifts plus multiplies mod 2^64 done in
+    // 32-bit limbs because a full 64×64 product overflows signed
+    // int128 HUGEINT — then the k-th smallest distinct hash (HUGEINT
+    // order == unsigned order), same estimator and exact-below-k
+    // fallback. 2^64 and (k-1)·2^64 are exactly representable doubles,
+    // so the arithmetic matches bit-for-bit.
+    "a40_kmv_distinct" -> {
+      val fnv = "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+        "list_transform(range(1, length(key)+1), i -> ord(substr(key, i, 1)))), " +
+        "(acc, b) -> (xor(acc, CAST(b AS HUGEINT)) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT))"
+      // (x * c) mod 2^64 via 32-bit limbs: x·c = x1c1·2^64 + (x1c0+x0c1)·2^32
+      // + x0c0 → drop the 2^64 term, wrap the middle term at 2^32
+      def mulmod64(x: String, c: Long): String = {
+        val c1 = (c >>> 32) & 0xffffffffL
+        val c0 = c & 0xffffffffL
+        s"((($x % 4294967296) * $c0 + (((($x // 4294967296) * $c0 + ($x % 4294967296) * $c1)" +
+          s" % 4294967296) * 4294967296)) % CAST(18446744073709551616 AS HUGEINT))"
+      }
+      s"""WITH keys AS (SELECT DISTINCT 'cust:' || o_custkey AS key FROM orders),
+         |f0 AS (SELECT $fnv AS h FROM keys),
+         |f1 AS (SELECT xor(h, h // 8589934592) AS h FROM f0),
+         |f2 AS (SELECT ${mulmod64("h", 0xff51afd7ed558ccdL)} AS h FROM f1),
+         |f3 AS (SELECT xor(h, h // 8589934592) AS h FROM f2),
+         |f4 AS (SELECT ${mulmod64("h", 0xc4ceb9fe1a85ec53L)} AS h FROM f3),
+         |f5 AS (SELECT DISTINCT xor(h, h // 8589934592) AS h FROM f4),
+         |kth AS (SELECT h FROM f5 ORDER BY h LIMIT 1 OFFSET 255)
+         |SELECT (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_distinct,
+         | CASE WHEN (SELECT count(*) FROM f5) < 256
+         |  THEN round(CAST((SELECT count(*) FROM f5) AS DOUBLE), 4)
+         |  ELSE round(255.0 * 18446744073709551616.0 /
+         |    CAST((SELECT h FROM kth) AS DOUBLE), 4) END AS est_distinct""".stripMargin
+    },
     "t44_vocab" ->
       s"""SELECT w, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
          |FROM (SELECT doc_id, unnest($duckTokens) AS w FROM documents)

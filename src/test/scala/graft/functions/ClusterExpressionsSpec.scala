@@ -62,6 +62,8 @@ class ClusterExpressionsSpec extends AnyFunSuite {
         |  element_at(token_stats('the cat sat'), 6) AS ntok,
         |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
         |  element_at(repetition_stats('a a b'), 3) AS topw,
+        |  fnv1a64('abc') AS fnv,
+        |  fnv1a64_mix('abc') AS fnvm,
         |  size(media_features(cast('abcd' AS BINARY))) AS nf,
         |  size(frame_checksums(cast('abcdefgh' AS BINARY), 4)) AS nfr,
         |  length(media_resize(cast('abcd' AS BINARY), 2, 2, 1, 1)) AS nrz
@@ -74,7 +76,9 @@ class ClusterExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(3) == 3)           // 3 tokens
     assert(r.getDouble(4) == 11.0)
     assert(r.getInt(5) == 2)           // top word "a" occurs twice
-    assert(r.getInt(6) == 4 && r.getInt(7) == 4 && r.getInt(8) == 1)
+    assert(r.getLong(6) == graft.core.TextHash.fnv1a64("abc"))
+    assert(r.getLong(7) == graft.core.TextHash.fnv1a64Mixed("abc"))
+    assert(r.getInt(8) == 4 && r.getInt(9) == 4 && r.getInt(10) == 1)
     // shape params must be literals — a column there is a clear error
     val err = intercept[Exception] {
       spark.sql("SELECT shingle_hashes('a b c', cast(rand()*3 AS INT))").head()

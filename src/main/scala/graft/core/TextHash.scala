@@ -137,23 +137,23 @@ object TextHash {
    * stays SQL-recomputable (xor, shifts, and a 32-bit-limb multiply
    * mod 2^64).
    */
-  def fnv1a64Mixed(s: String): Long = {
-    var h = fnv1a64(s)
+  def fnv1a64Mixed(s: String): Long =
+    fnv1a64Mixed(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Byte-based form — the hot path for expressions, which already hold
+    * UTF-8 bytes and must not round-trip through a java String. */
+  def fnv1a64Mixed(bytes: Array[Byte]): Long = {
+    var h = fnv1a64(bytes)
     h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
     h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
     h ^ (h >>> 33)
   }
 
   /** FNV-1a 64-bit over UTF-8 bytes (public-domain hash). */
-  def fnv1a64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xff).toLong
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
-  }
+  def fnv1a64(s: String): Long =
+    fnv1a64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Byte-based form (see [[fnv1a64Mixed(bytes*]]). */
+  def fnv1a64(bytes: Array[Byte]): Long =
+    fnv1a64Bytes(bytes, 0, bytes.length)
 }

@@ -121,6 +121,13 @@ object ClusterHashFunctions {
     GraftFunctionBuilders.all.foreach { case (name, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    // the typed aggregators too — SQL-first users get the whole surface
+    // (the extensions path covers scalars only: injectFunction wants
+    // Expression builders, which typed Aggregators don't have)
+    spark.udf.register("distinct_slots",
+      org.apache.spark.sql.functions.udaf(SlotBitmapAgg))
+    spark.udf.register("kmv_distinct",
+      org.apache.spark.sql.functions.udaf(new KmvSketchAgg(256)))
   }
 }
 

@@ -6,10 +6,12 @@ import org.apache.spark.sql.expressions.Aggregator
 /**
  * KMV (k-minimum-values) distinct-count sketch over 64-bit hashes — the
  * oracle-checkable counterpart to HLL: because the input hash
- * ([[TextFunctions.fnv1a64]]) and the estimator (k-th smallest distinct
- * hash, unsigned) are both deterministic and SQL-expressible, the whole
- * approximate answer hash-matches a DuckDB recompute, which no HLL
- * implementation pair ever will.
+ * ([[TextFunctions.fnv1a64_mix]] — the MIXED variant; raw FNV's
+ * non-uniform high bits bias the estimator 6× on sequential keys) and
+ * the estimator (k-th smallest distinct hash, unsigned) are both
+ * deterministic and SQL-expressible, the whole approximate answer
+ * hash-matches a DuckDB recompute, which no HLL implementation pair
+ * ever will. NULL hashes are ignored, matching builtin aggregates.
  *
  * Buffer: the ≤ k smallest DISTINCT hashes in unsigned order (≤ 2 KiB
  * for k=256). `reduce` touches the array only when the hash beats the
@@ -19,12 +21,14 @@ import org.apache.spark.sql.expressions.Aggregator
  * exact size while |buffer| < k, else (k-1) · 2⁶⁴ / kth_min (standard
  * KMV; relative error ≈ 1/√k ≈ 6% at k=256).
  */
-class KmvSketchAgg(k: Int) extends Aggregator[Long, Array[Long], Double] {
+class KmvSketchAgg(k: Int) extends Aggregator[java.lang.Long, Array[Long], Double] {
   require(k >= 2, s"k must be >= 2, got $k")
 
   override def zero: Array[Long] = Array.emptyLongArray
 
-  override def reduce(b: Array[Long], h: Long): Array[Long] = {
+  override def reduce(b: Array[Long], boxed: java.lang.Long): Array[Long] = {
+    if (boxed == null) return b
+    val h = boxed.longValue()
     val n = b.length
     if (n == k && java.lang.Long.compareUnsigned(h, b(n - 1)) >= 0) return b
     var lo = 0
@@ -78,8 +82,9 @@ class KmvSketchAgg(k: Int) extends Aggregator[Long, Array[Long], Double] {
 
 object KmvSketchAgg {
   /** Column form: `kmv_distinct(hashCol, k)` — estimated distinct count
-    * of the hash values (pair with [[TextFunctions.fnv1a64]] for an
-    * oracle-recomputable pipeline). */
+    * of the hash values (pair with [[TextFunctions.fnv1a64_mix]] for an
+    * oracle-recomputable pipeline; see the class doc for why the raw
+    * FNV hash must not be used here). */
   def kmv_distinct(hash: Column, k: Int = 256): Column =
     org.apache.spark.sql.functions.udaf(new KmvSketchAgg(k)).apply(hash)
 }

@@ -90,9 +90,9 @@ case class Fnv1a64(child: Expression) extends UnaryExpression with ExpectsInputT
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   protected override def nullSafeEval(input: Any): Any =
-    TextHash.fnv1a64(input.asInstanceOf[UTF8String].toString)
+    TextHash.fnv1a64(input.asInstanceOf[UTF8String].getBytes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.fnv1a64($c.toString())")
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.fnv1a64($c.getBytes())")
   override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
     copy(child = newChild)
 }
@@ -105,9 +105,9 @@ case class Fnv1a64Mix(child: Expression) extends UnaryExpression with ExpectsInp
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   protected override def nullSafeEval(input: Any): Any =
-    TextHash.fnv1a64Mixed(input.asInstanceOf[UTF8String].toString)
+    TextHash.fnv1a64Mixed(input.asInstanceOf[UTF8String].getBytes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.fnv1a64Mixed($c.toString())")
+    defineCodeGen(ctx, ev, c => s"graft.core.TextHash.fnv1a64Mixed($c.getBytes())")
   override protected def withNewChildInternal(newChild: Expression): Fnv1a64Mix =
     copy(child = newChild)
 }

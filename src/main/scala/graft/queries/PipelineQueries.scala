@@ -223,14 +223,20 @@ object PipelineQueries {
       t(s, dir, "orders")
         .select(graft.functions.TextFunctions
           .fnv1a64_mix(concat(lit("cust:"), $"o_custkey")).as("h"), $"o_custkey")
+        // no rounding: both engines compute (k-1)·2^64/kth with the
+        // same IEEE ops on the same ints, so the RAW double matches
+        // bit-for-bit — decimal rounding is the only step whose
+        // half-way behavior could ever diverge
         .agg(countDistinct($"o_custkey").as("exact_distinct"),
-          round(graft.functions.KmvSketchAgg.kmv_distinct($"h", 256), 4)
+          graft.functions.KmvSketchAgg.kmv_distinct($"h", 256)
             .as("est_distinct"))
     }),
     // Corpus vocabulary: term + document frequencies, deterministic
-    // top-100. Explode → partial-agg (map-side combine on the word key)
-    // → TakeOrderedAndProject; the shuffle carries one row per distinct
-    // word per partition, not per token.
+    // top-100. countDistinct forces Spark's distinct-aggregate rewrite:
+    // partial agg keyed (word, doc_id) → exchange → re-agg → exchange
+    // on word → final + TakeOrderedAndProject. Two exchanges, but the
+    // first carries one row per distinct (word, doc_id) pair — already
+    // combined map-side — not one per token.
     "t44_vocab" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
@@ -573,9 +579,9 @@ object PipelineQueries {
          |kth AS (SELECT h FROM f5 ORDER BY h LIMIT 1 OFFSET 255)
          |SELECT (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_distinct,
          | CASE WHEN (SELECT count(*) FROM f5) < 256
-         |  THEN round(CAST((SELECT count(*) FROM f5) AS DOUBLE), 4)
-         |  ELSE round(255.0 * 18446744073709551616.0 /
-         |    CAST((SELECT h FROM kth) AS DOUBLE), 4) END AS est_distinct""".stripMargin
+         |  THEN CAST((SELECT count(*) FROM f5) AS DOUBLE)
+         |  ELSE 255.0 * 18446744073709551616.0 /
+         |    CAST((SELECT h FROM kth) AS DOUBLE) END AS est_distinct""".stripMargin
     },
     "t44_vocab" ->
       s"""SELECT w, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq

@@ -84,6 +84,15 @@ class ClusterExpressionsSpec extends AnyFunSuite {
       spark.sql("SELECT shingle_hashes('a b c', cast(rand()*3 AS INT))").head()
     }
     assert(err.getMessage.contains("literal"), err.getMessage)
+    // the typed aggregators are SQL-reachable too; NULL hashes ignored
+    val kmv = spark.sql(
+      "SELECT kmv_distinct(fnv1a64_mix(key)) FROM VALUES ('a'),('b'),('a'),(NULL) AS t(key)"
+    ).head().getDouble(0)
+    assert(kmv == 2.0)
+    val slots = spark.sql(
+      "SELECT distinct_slots(cluster_slot(key)) FROM VALUES ('a'),('b'),('a') AS t(key)"
+    ).head().getLong(0)
+    assert(slots == 2L)
   }
 
   test("literal calls constant-fold in the optimized plan") {

@@ -117,6 +117,19 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("Cartesian"), s"plan contains a cross join:\n$plan")
   }
 
+  test("ngram jaccard values stay exact when the df cap is active") {
+    def run(cap: Int) = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5, maxShingleDf = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val uncapped = run(1000000)
+    val capped = run(3) // aggressively capped → candidate recall drops…
+    assert(capped.nonEmpty && capped.keySet.subsetOf(uncapped.keySet))
+    // …but every surviving pair's (inter, uni) must be EXACT, not
+    // computed from the thinned postings
+    capped.foreach { case (pair, v) =>
+      assert(uncapped(pair) == v, s"pair $pair values differ under cap")
+    }
+  }
+
   test("contamination flags exactly the docs sharing a shingle with the benchmark") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val corpus = Seq(

@@ -231,6 +231,19 @@ object PipelineQueries {
           graft.functions.KmvSketchAgg.kmv_distinct($"h", 256)
             .as("est_distinct"))
     }),
+    // Greedy sequence packing: documents → fixed-token-budget training
+    // batches, sequential per language shard, parallel across shards
+    // (secondary-sort mapPartitions; see Packing scaladoc for why no
+    // window function can express the reset-on-overflow state).
+    "p13_token_packing" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"lang",
+        element_at(graft.functions.TextFunctions.token_stats($"text"), 6)
+          .cast("long").as("n_tokens"))
+      graft.operators.Packing
+        .greedyPack(docs, "lang", "doc_id", "n_tokens", budget = 2000L)
+        .orderBy("doc_id")
+    }),
     // Corpus vocabulary: term + document frequencies, deterministic
     // top-100. countDistinct forces Spark's distinct-aggregate rewrite:
     // partial agg keyed (word, doc_id) → exchange → re-agg → exchange
@@ -549,6 +562,26 @@ object PipelineQueries {
          |SELECT doc_id, CAST(len(list_intersect(s, bl)) AS BIGINT) AS n_shared
          |FROM sh, bs WHERE doc_id >= 5 AND len(list_intersect(s, bl)) > 0
          |ORDER BY doc_id""".stripMargin,
+    // Greedy packing recomputed as a recursive CTE: row_number per lang,
+    // then the accumulate-or-reset recurrence row by row — sequential in
+    // SQL exactly because the semantics are sequential.
+    "p13_token_packing" ->
+      s"""WITH RECURSIVE b AS (SELECT doc_id, lang,
+         |  CAST(len($duckTokens) AS BIGINT) AS n_tokens,
+         |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         | FROM documents),
+         |rec(lang, rn, doc_id, n_tokens, acc, pack) AS (
+         |  SELECT lang, rn, doc_id, n_tokens, n_tokens, CAST(0 AS BIGINT)
+         |  FROM b WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.lang, b.rn, b.doc_id, b.n_tokens,
+         |   CASE WHEN rec.acc + b.n_tokens > 2000 THEN b.n_tokens
+         |        ELSE rec.acc + b.n_tokens END,
+         |   CASE WHEN rec.acc + b.n_tokens > 2000 THEN rec.pack + 1
+         |        ELSE rec.pack END
+         |  FROM b JOIN rec ON b.lang = rec.lang AND b.rn = rec.rn + 1)
+         |SELECT doc_id, lang, n_tokens, pack AS pack_id
+         |FROM rec ORDER BY doc_id""".stripMargin,
     // Full KMV recompute: FNV-1a64 as a HUGEINT byte fold (same pattern
     // as the d32 SimHash oracle; ASCII keys so ord == byte), then the
     // fmix64 finalizer — xor-shifts plus multiplies mod 2^64 done in

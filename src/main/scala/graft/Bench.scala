@@ -33,7 +33,8 @@ object Bench {
     try {
       graft.queries.RelationalQueries.ensureCsvExport(spark, sfDir)
       graft.queries.RelationalQueries.ensureJsonExport(spark, sfDir)
-    } catch { case e: Throwable => System.err.println(s"[bench] csv/json export failed: ${e.getMessage}") }
+      graft.queries.RelationalQueries.ensurePartitionedExport(spark, sfDir)
+    } catch { case e: Throwable => System.err.println(s"[bench] format export failed: ${e.getMessage}") }
     // a failed query is recorded as -1 (never mistakable for a fast
     // success) and listed in "errors" — the total covers successes only
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

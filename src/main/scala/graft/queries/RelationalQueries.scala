@@ -80,6 +80,28 @@ object RelationalQueries {
     dir
   }
 
+  /** Hive-style partitioned parquet export root (per-sf, as above). */
+  def partitionedDir(sfDir: String): String =
+    "/root/repo/data/graft-part/" +
+      sfDir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_") + "/orders"
+
+  /** Ingest-once partitioned layout: orders laid out by o_orderstatus so
+    * status-filtered scans prune whole directories (the on-disk analogue
+    * of partition pruning at 100 TB; pinned in PlanChecksSpec). */
+  def ensurePartitionedExport(s: SparkSession, sfDir: String): String = {
+    val dir = partitionedDir(sfDir)
+    if (stale(dir, sfDir, "orders")) {
+      Tables.load(s, sfDir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+      // partitionBy writes no root _SUCCESS reliably across committers —
+      // touch the staleness marker explicitly
+      Files.createDirectories(Paths.get(dir))
+      Files.write(Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+    }
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c60_csv_scan" -> ((s, dir) => {
       import s.implicits._
@@ -90,6 +112,18 @@ object RelationalQueries {
           countDistinct($"c_nationkey").as("nations"),
           min($"c_name").as("first_name"))
         .orderBy("c_mktsegment")
+    }),
+    // Partition-pruned scan: only the o_orderstatus=F directory is read
+    // (PartitionFilters pinned in PlanChecksSpec).
+    "p14_partitioned_scan" -> ((s, dir) => {
+      import s.implicits._
+      val path = ensurePartitionedExport(s, dir)
+      s.read.parquet(path)
+        .where($"o_orderstatus" === "F")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("orders"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
     }),
     "j61_json_scan" -> ((s, dir) => {
       import s.implicits._
@@ -115,5 +149,12 @@ object RelationalQueries {
          |FROM read_json('${jsonDir("/root/testdata/sf0.01")}/*.json',
          |  format='newline_delimited')
          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // independent of the export: recomputed straight from the source
+    // table — the layout must not change the answer
+    "p14_partitioned_scan" ->
+      """SELECT o_orderstatus, count(*) AS orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

@@ -80,6 +80,15 @@ class PlanChecksSpec extends AnyFunSuite {
       s"d33 should read only (doc_id, text): $read")
   }
 
+  test("p14: status filter prunes partitions at the scan") {
+    val p = plan("p14_partitioned_scan")
+    assert(p.contains("PartitionFilters") &&
+      p.replaceAll("\\s", "").contains("o_orderstatus"), p.take(2000))
+    // the filter must be a partition filter, not a post-scan row filter
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("o_orderstatus"), scanLine)
+  }
+
   test("p11: slot-bucketed tables join with zero exchange (only the final agg shuffles)") {
     val p = plan("p11_bucketed_coloc")
     assert(p.contains("SortMergeJoin"), p.take(3000))

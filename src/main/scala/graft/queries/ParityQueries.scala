@@ -98,9 +98,9 @@ object ParityQueries {
     }),
     // Raw hashing throughput: slot+node for every lineitem composite key
     // (600k keys at sf0.1) in one codegen'd scan pass — the reference's
-    // core workload at bulk scale. Oracle deliberately omitted: the
-    // SQL-fold CRC oracle costs ~21s/100k keys in DuckDB; per-key
-    // correctness is already pinned by p01-p09's full oracles.
+    // core workload at bulk scale. Full oracle since round 3: the
+    // unrolled vectorized CRC fold (DuckSql.withSlotNode) runs 60k keys
+    // in ~0.1 s where the old list_reduce lambda took ~15 s.
     "p12_slot_throughput" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem")
@@ -123,6 +123,13 @@ object ParityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p12_slot_throughput" -> {
+      val inner = DuckSql.withSlotNode(
+        "SELECT 'order:' || l_orderkey || ':' || l_linenumber AS key FROM lineitem",
+        Seq(), Some("slot"), Some("node"))
+      s"""SELECT node, count(*) AS keys, count(DISTINCT slot) AS slots
+         |FROM ($inner) GROUP BY node ORDER BY node""".stripMargin
+    },
     "p01_slot_literals" ->
       (DuckSql.withSlotNode(
         s"SELECT unnest([${goldenKeys.map(sq).mkString(",")}]) AS key",

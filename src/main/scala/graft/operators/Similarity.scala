@@ -240,6 +240,54 @@ object Similarity {
   }
 
   /**
+   * Symmetric int8 scalar quantization: q[i] = floor(v[i]·127/max|v| + ½)
+   * (integer-valued, |q[i]| ≤ 127; the all-zero vector quantizes to
+   * zeros). The values are carried as `array<double>` so the existing
+   * fused [[dot]] kernel applies unchanged — every element is an exact
+   * small integer, so all downstream arithmetic (integer products ≤
+   * 127², sums ≤ dim·127²) is exact in DOUBLE and reproducible
+   * bit-for-bit by the oracle's list fold.
+   *
+   * This is the memory-bound 100 TB similarity path: a quantized corpus
+   * is 4× smaller than float32 (per-vector scale adds 8 bytes), so 4×
+   * more of it fits per executor and scan/shuffle bytes drop 4×; the
+   * quantized dot is also integer arithmetic a SIMD engine chews
+   * through. Ranking error vs exact cosine is bounded by the
+   * quantization step (measured in spec); exact re-rank of the top
+   * candidates restores full precision when needed.
+   */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = when(mx === 0.0, lit(0.0)).otherwise(lit(127.0) / mx)
+    // Spark's floor yields LONG; carry DOUBLE so the fused dot kernel
+    // applies (the values are exact small integers either way)
+    transform(vec, x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
+  }
+
+  /**
+   * Top-k by quantized cosine: both sides quantized once (corpus-side
+   * at ingest in production), ranking on the integer dot over quantized
+   * vectors normalized by quantized norms. Same broadcast-query /
+   * partitioned-corpus shape as [[bruteForceTopK]] — one corpus pass,
+   * no corpus shuffle before the tiny rank exchange.
+   */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), quantizeInt8(col(vecCol)).as("cq"))
+      .select(col("nbr_id"), col("cq"), norm(col("cq")).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), quantizeInt8(col(vecCol)).as("qq"))
+      .select(col("query_id"), col("qq"), norm(col("qq")).as("qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosinePrenormed(col("qq"), col("cq"), col("qn") * col("cn")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank").cast("int").as("rank"), col("sim"))
+  }
+
+  /**
    * Embedding near-duplicate pairs: cosine ≥ `threshold`, EXACT (recall 1
    * by construction — near the 0.5 threshold the pair angle is ~60°, so
    * no hyperplane-LSH banding can promise recall 1; the threshold-exact

@@ -120,6 +120,24 @@ object ExtrasQueries {
         .select($"node", $"keys", $"distinct_slots", round($"share", 6).as("share"))
         .orderBy("node")
     }),
+    // Z-order (Morton) layout keys over events: interleave (user bucket,
+    // hour bucket) and aggregate per coarse z-cell. Each cell's min/max
+    // on BOTH dimensions stays inside one small tile — the property that
+    // makes z-ordered file footers prunable by predicates on either
+    // dimension (ZOrder scaladoc; locality is also spec-pinned). The
+    // oracle recomputes the bit-interleave with plain SQL shift/mask.
+    "p15_zorder_cells" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select(
+        ($"user_id" % 256).as("ub"),
+        expr("(unix_micros(ts) div 1000 div 3600000) % 256").as("hb"))
+      ev.select($"ub", $"hb", graft.operators.ZOrder.zkey($"ub", $"hb").as("z"))
+        .groupBy(shiftright($"z", 6).as("cell"))
+        .agg(count(lit(1)).as("n"),
+          min($"ub").as("min_ub"), max($"ub").as("max_ub"),
+          min($"hb").as("min_hb"), max($"hb").as("max_hb"))
+        .orderBy("cell")
+    }),
   )
 
   // ASCII-corpus assumption (same caveat as DuckSql's CRC16 oracle): the
@@ -191,6 +209,25 @@ object ExtrasQueries {
       s"""SELECT node, count(*) AS keys, count(DISTINCT slot) AS distinct_slots,
          | round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS share
          |FROM ($inner) GROUP BY node ORDER BY node""".stripMargin
+    },
+    // Morton interleave recomputed with the same shift/mask rounds in
+    // SQL (integer ops only — exact on both engines).
+    "p15_zorder_cells" -> {
+      def spread(v: String): String = {
+        val a = s"($v & 65535)"
+        val b = s"((($a | ($a << 8)) & 16711935))"
+        val c = s"((($b | ($b << 4)) & 252645135))"
+        val d = s"((($c | ($c << 2)) & 858993459))"
+        s"((($d | ($d << 1)) & 1431655765))"
+      }
+      s"""WITH e AS (SELECT user_id % 256 AS ub,
+         |  (epoch_ms(ts) // 3600000) % 256 AS hb FROM events),
+         |z AS (SELECT ub, hb,
+         |  (${spread("ub")} | (${spread("hb")} << 1)) AS zk FROM e)
+         |SELECT zk // 64 AS cell, count(*) AS n,
+         | min(ub) AS min_ub, max(ub) AS max_ub,
+         | min(hb) AS min_hb, max(hb) AS max_hb
+         |FROM z GROUP BY cell ORDER BY cell""".stripMargin
     },
   )
 }

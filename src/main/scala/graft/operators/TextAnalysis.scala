@@ -23,6 +23,34 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /**
+   * Sliding-window document chunking: token windows of `window` tokens
+   * every `stride` tokens (overlap = window − stride), the standard
+   * long-document → training-sequence prep. A doc of n tokens yields
+   * 1 chunk when n ≤ window, else ⌈(n−window)/stride⌉ + 1 (the last
+   * chunk may be short). Scan-local — explode factor ∝ doc length,
+   * zero shuffles — so at 100 TB it's a narrow map stage; pure integer
+   * index arithmetic, fully oracle-checkable.
+   */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            window: Int = 100, stride: Int = 80): DataFrame = {
+    require(stride > 0 && window >= stride,
+      "need 0 < stride <= window (stride > window would drop tokens)")
+    val base = df
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .withColumn("__nch", expr(
+        s"CASE WHEN size(__tk) <= $window THEN 1" +
+          s" ELSE (size(__tk) - $window + ${stride - 1}) div $stride + 1 END"))
+    base
+      .select(col(idCol), col("__tk"),
+        explode(sequence(lit(0), col("__nch") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("__tk"), col("chunk_idx") * stride + 1, lit(window)).as("__ck"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__ck")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__ck")).as("chunk_text"))
+  }
+
+  /**
    * BPE-ish sub-word unit count: alpha runs, single digits, and single
    * punctuation marks each count as one unit (a cheap proxy for tokenizer
    * cost accounting).

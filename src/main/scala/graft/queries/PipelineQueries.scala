@@ -299,6 +299,28 @@ object PipelineQueries {
           $"rank".cast("int").as("rank"))
         .orderBy("doc_id", "rank")
     }),
+    // Sliding-window chunking: 100-token windows every 80 tokens —
+    // long-doc → training-sequence prep, scan-local (zero shuffles).
+    "t46_chunking" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
+          window = 100, stride = 80)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+    // Incremental (append-time) dedup: new docs (id ≥ 250) survive only
+    // if neither exact copies nor Jaccard-≥0.5 near-dups of the
+    // existing corpus (id < 250). One content semi-join + one
+    // output-sensitive cross-postings join; the existing corpus is
+    // never self-joined — the production ingest shape.
+    "d44_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalDedup(
+          docs.where($"doc_id" >= 250), docs.where($"doc_id" < 250),
+          "doc_id", "text", threshold = 0.5)
+        .select($"doc_id", $"n_chars")
+        .orderBy("doc_id")
+    }),
     // Rolling-hash document fingerprints (native codegen'd expression).
     "t42_fingerprints" -> ((s, dir) => {
       import s.implicits._
@@ -663,6 +685,34 @@ object PipelineQueries {
       s"""SELECT w, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
          |FROM (SELECT doc_id, unnest($duckTokens) AS w FROM documents)
          |GROUP BY w ORDER BY occurrences DESC, w LIMIT 100""".stripMargin,
+    // Same windows via 1-based inclusive list slicing: tk[a : a+99]
+    // clamps at the end exactly like Spark's slice(tk, a, 100).
+    "t46_chunking" ->
+      s"""WITH b AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+         |c AS (SELECT doc_id, tk,
+         |  CASE WHEN len(tk) <= 100 THEN 1
+         |       ELSE (len(tk) - 100 + 79) // 80 + 1 END AS nch FROM b),
+         |e AS (SELECT doc_id, tk, unnest(range(0, nch)) AS ci FROM c)
+         |SELECT doc_id, ci AS chunk_idx,
+         | CAST(len(tk[ci*80+1 : ci*80+100]) AS BIGINT) AS n_tokens,
+         | array_to_string(tk[ci*80+1 : ci*80+100], ' ') AS chunk_text
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Exhaustive cross-side recompute (oracle-side only): exact matches
+    // plus Jaccard-≥0.5 near-dups against the existing corpus kill a
+    // new doc; survivors keep their row.
+    "d44_incremental_dedup" ->
+      s"""WITH w AS (SELECT doc_id, n_chars, text, $duckTokens AS words FROM documents),
+         |sh AS (SELECT doc_id, n_chars, text, ${duckShingles("words")} AS s FROM w),
+         |nw AS (SELECT * FROM sh WHERE doc_id >= 250),
+         |old AS (SELECT * FROM sh WHERE doc_id < 250),
+         |exact_kill AS (SELECT DISTINCT n.doc_id FROM nw n JOIN old o ON n.text = o.text),
+         |near_kill AS (SELECT DISTINCT n.doc_id FROM nw n JOIN old o
+         |  ON len(list_intersect(n.s, o.s)) * 1.0 /
+         |     (len(n.s) + len(o.s) - len(list_intersect(n.s, o.s))) >= 0.5)
+         |SELECT doc_id, n_chars FROM nw
+         |WHERE doc_id NOT IN (SELECT doc_id FROM exact_kill)
+         |  AND doc_id NOT IN (SELECT doc_id FROM near_kill)
+         |ORDER BY doc_id""".stripMargin,
     // Same rational idf (N+1)/(df+1) as the Spark side: exact integer
     // arithmetic in DOUBLE, identical parenthesization → identical
     // scores → identical ranks.

@@ -165,4 +165,31 @@ class DedupSpec extends AnyFunSuite {
     org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(labels)
     assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
   }
+
+  test("incremental dedup drops exact and near copies of the existing corpus only") {
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // exact copy → drop
+      (11L, "the quick brown fox jumps over the lazy cat"), // near-dup → drop
+      (12L, "completely unrelated sentence about gardening tools"), // keep
+      (13L, "completely unrelated sentence about gardening tools"), // within-batch dup → KEEP (not this op's job)
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(fresh, old, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 13L))
+  }
+
+  test("cross-corpus jaccard pairs: only cross-side pairs, values exact") {
+    val a = Seq((1L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val b = Seq((2L, "w1 w2 w3 w4 w5 w6"), (3L, "x y z q r s")).toDF("doc_id", "text")
+    val rows = Dedup.crossNgramJaccardPairs(a, b, "doc_id", "text", threshold = 0.1)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // 3-shingles: a has 3, b(2) has 4, shared 3 → jaccard 3/4
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getDouble(2) == 0.75)
+  }
 }

@@ -89,4 +89,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(2L) == ((4L, 1.0, 0.25, 1.0 / 3)))
     assert(r(3L) == ((5L, 0.4, 0.6, 0.5)))
   }
+
+  test("chunking: window/stride counts, overlap, short-doc and empty-doc edges") {
+    val df = Seq(
+      (1L, (1 to 12).map(i => s"t$i").mkString(" ")), // 12 tokens, w=5 s=4 → ceil(7/4)+1 = 3 chunks
+      (2L, "a b c"),                                  // short → 1 chunk of 3
+      (3L, ""),                                       // empty → 1 chunk of 0
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunk(df, "doc_id", "text", window = 5, stride = 4)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(rows.count(_._1 == 1L) == 3)
+    assert(rows.filter(_._1 == 1L).map(_._4) == Seq(
+      "t1 t2 t3 t4 t5", "t5 t6 t7 t8 t9", "t9 t10 t11 t12"))
+    assert(rows.filter(_._1 == 1L).map(_._3) == Seq(5L, 5L, 4L))
+    assert(rows.filter(_._1 == 2L) == Seq((2L, 0L, 3L, "a b c")))
+    assert(rows.filter(_._1 == 3L) == Seq((3L, 0L, 0L, "")))
+  }
 }

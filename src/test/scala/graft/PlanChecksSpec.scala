@@ -100,6 +100,23 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(p.contains("Bucketed: true"), "scan should be bucketed: " + p.take(3000))
   }
 
+  test("s39: quantized ANN broadcasts the query side, corpus is never sort-merge joined") {
+    val p = plan("s39_ann_quantized")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("d44: incremental dedup plans only equi-joins (no pair scan against the corpus)") {
+    val p = plan("d44_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("t46: chunking is scan-local — the only exchange is the output ordering") {
+    val p = plan("t46_chunking")
+    assert("Exchange".r.findAllIn(p).length <= 1, p.take(2000))
+  }
+
   test("cluster expressions fold into scan-stage codegen") {
     // run first: under AQE the codegen-starred final plan exists only
     // after execution

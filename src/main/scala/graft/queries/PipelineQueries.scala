@@ -307,6 +307,14 @@ object PipelineQueries {
           window = 100, stride = 80)
         .orderBy("doc_id", "chunk_idx")
     }),
+    // Duplicate-n-gram fraction (boilerplate signal): share of each
+    // doc's distinct 3-shingles occurring in ≥2 documents corpus-wide.
+    "t47_dup_ngrams" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.duplicateShingleStats(t(s, dir, "documents"), "doc_id", "text")
+        .select($"id".as("doc_id"), $"total_shingles", $"dup_shingles", $"dup_ratio")
+        .orderBy("doc_id")
+    }),
     // Incremental (append-time) dedup: new docs (id ≥ 250) survive only
     // if neither exact copies nor Jaccard-≥0.5 near-dups of the
     // existing corpus (id < 250). One content semi-join + one
@@ -697,6 +705,22 @@ object PipelineQueries {
          | CAST(len(tk[ci*80+1 : ci*80+100]) AS BIGINT) AS n_tokens,
          | array_to_string(tk[ci*80+1 : ci*80+100], ' ') AS chunk_text
          |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Shingle df recomputed from scratch over string shingles (the
+    // Spark side counts 64-bit hashes; collision-free at this scale,
+    // same equivalence d33's oracle relies on). IEEE double division
+    // both sides so the rounded ratio is bit-identical.
+    "t47_dup_ngrams" ->
+      s"""WITH w AS (SELECT doc_id, $duckTokens AS words FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("words")} AS s FROM w),
+         |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |dfx AS (SELECT g, count(*) AS dfs FROM e GROUP BY g),
+         |per AS (SELECT e.doc_id, count(*) AS total,
+         |   count(*) FILTER (dfx.dfs >= 2) AS dup
+         | FROM e JOIN dfx USING (g) GROUP BY e.doc_id)
+         |SELECT doc_id, CAST(total AS BIGINT) AS total_shingles,
+         | CAST(dup AS BIGINT) AS dup_shingles,
+         | round(CAST(dup AS DOUBLE) / CAST(total AS DOUBLE), 6) AS dup_ratio
+         |FROM per ORDER BY doc_id""".stripMargin,
     // Exhaustive cross-side recompute (oracle-side only): exact matches
     // plus Jaccard-≥0.5 near-dups against the existing corpus kill a
     // new doc; survivors keep their row.

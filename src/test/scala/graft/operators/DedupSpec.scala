@@ -192,4 +192,22 @@ class DedupSpec extends AnyFunSuite {
     // 3-shingles: a has 3, b(2) has 4, shared 3 → jaccard 3/4
     assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getDouble(2) == 0.75)
   }
+
+  test("duplicate-shingle fraction counts cross-doc shingles, not within-doc repeats") {
+    // doc 1 and 2 share "a b c"/"b c d" (their only shingles overlap);
+    // doc 3 is all-unique; doc 4 repeats its own shingle (distinct set,
+    // so within-doc repetition must NOT count as duplication)
+    val docs = Seq(
+      (1L, "a b c d"),        // shingles: "a b c","b c d"
+      (2L, "a b c d e"),      // "a b c","b c d","c d e"
+      (3L, "p q r s"),        // unique
+      (4L, "x y z x y z x y z") // 7 shingles, distinct→{xyz,yzx,zxy}, df=1 each
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateShingleStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((3L, 2L, 0.666667)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+    assert(got(4L) == ((3L, 0L, 0.0)))
+  }
 }

@@ -80,6 +80,26 @@ object StreamingQueries {
       runToTable(s, ded, OutputMode.Append(), "s41_sink")
         .orderBy("user_bucket", "event_type")
     }),
+    // Session windows on the engine's merging session state store
+    // (gap 30m, watermark 10m, append mode). Bounded replay makes the
+    // final watermark deterministic (max event time − 10m), so exactly
+    // the sessions whose window end precedes it are emitted — the
+    // oracle reproduces both the gaps-and-islands sessions AND that
+    // cutoff. `w.end` is last event + gap (session_window semantics);
+    // the batch twin s38 reports last-event end_ts instead. DECIMAL
+    // value fold as s38/a24 for order-independent sums.
+    "s42_stream_sessions" -> ((s, dir) => {
+      val sess = eventStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value, 6) AS DECIMAL(18,6))")).cast("double").as("total_value"))
+        .select(col("user_id"), unix_millis(col("w.start")).as("start_ts"),
+          unix_millis(col("w.end")).as("window_end_ts"),
+          col("n_events"), col("total_value"))
+      runToTable(s, sess, OutputMode.Append(), "s42_sink")
+        .orderBy("user_id", "start_ts")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -90,5 +110,30 @@ object StreamingQueries {
     "s41_stream_dedup" ->
       """SELECT DISTINCT user_id % 100 AS user_bucket, event_type
         |FROM events ORDER BY user_bucket, event_type""".stripMargin,
+    // Sessions via gaps-and-islands (same break rule as s38), then the
+    // engine's append-mode emission cutoff: watermark is tracked in
+    // whole milliseconds (floor of the max event time) minus the 10m
+    // delay, compared against the session end in MICROseconds — the
+    // exact arithmetic the state store eviction uses. Held sessions
+    // (end + gap past the watermark) never reach the sink.
+    "s42_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+        |m AS (SELECT user_id, t, value,
+        |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |        OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT user_id, t, value,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m),
+        |sess AS (SELECT user_id, min(t) AS start_us, max(t) AS end_us,
+        |   count(*) AS n_events,
+        |   CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        | FROM g GROUP BY user_id, sid),
+        |wm AS (SELECT ((max(t) // 1000) - 600000) * 1000 AS wm_us FROM e)
+        |SELECT user_id, start_us // 1000 AS start_ts,
+        | (end_us + 1800000000) // 1000 AS window_end_ts,
+        | n_events, total_value
+        |FROM sess, wm WHERE end_us + 1800000000 <= wm_us
+        |ORDER BY user_id, start_ts""".stripMargin,
   )
 }

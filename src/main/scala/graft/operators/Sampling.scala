@@ -34,4 +34,30 @@ object Sampling {
     }
     df.where(cluster_slot(key) < threshold)
   }
+
+  /**
+   * Temperature-flattened language rebalancing (the multilingual-LLM
+   * mixture: sample languages ∝ p^α, α = 0.5), realized downsample-only:
+   * per-language keep rate ∝ p^(α−1) = 1/√n, normalized so the rarest
+   * language keeps everything — r_l = √(n_min / n_l). Selection is the
+   * same deterministic slot-hash rule as [[hashSample]], so the
+   * rebalanced corpus is append-stable and engine-portable; the rate
+   * arithmetic is sqrt + one IEEE double division (no libm pow), so the
+   * oracle reproduces thresholds bit-for-bit.
+   *
+   * Shape: one language-sized count aggregate, thresholds broadcast
+   * back onto the scan, then a scan-local slot filter — the corpus
+   * itself is never shuffled.
+   */
+  def temperatureSample(df: DataFrame, key: Column, langCol: String): DataFrame = {
+    val counts = df.groupBy(col(langCol)).agg(count(lit(1)).as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val thresh = counts.crossJoin(broadcast(nmin))
+      .select(col(langCol),
+        floor(sqrt(col("__nmin").cast("double") / col("__n").cast("double"))
+          * graft.core.ClusterHash.TotalSlots).cast("int").as("__thr"))
+    df.join(broadcast(thresh), Seq(langCol))
+      .where(cluster_slot(key) < col("__thr"))
+      .drop("__thr")
+  }
 }

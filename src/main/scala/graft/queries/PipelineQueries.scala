@@ -203,6 +203,15 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"n_chars")
         .orderBy("doc_id")
     }),
+    // Temperature-flattened language rebalancing (α = 0.5): keep rate
+    // √(n_min/n_l) per language, deterministic slot-hash selection.
+    "d45_temperature_sample" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sampling.temperatureSample(
+          t(s, dir, "documents"), concat(lit("doc:"), $"doc_id"), "lang")
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy("doc_id")
+    }),
     // Gopher/C4-style repetition quality signals (type-token ratio,
     // top-word and top-bigram fractions) — scan-local, zero shuffles.
     "t43_repetition" -> ((s, dir) => {
@@ -541,6 +550,20 @@ object PipelineQueries {
          |  WHEN lang = 'en' THEN ${(0.20 * 16384).toInt}
          |  ELSE ${(0.05 * 16384).toInt} END)
          |ORDER BY doc_id""".stripMargin
+    },
+    // Same slot-hash selection as d41; thresholds recomputed from the
+    // language counts with the identical IEEE arithmetic (sqrt + one
+    // double division + power-of-two scale — no libm pow anywhere).
+    "d45_temperature_sample" -> {
+      val inner = graft.oracle.DuckSql.withSlotNode(
+        "SELECT doc_id, lang, n_chars, 'doc:' || doc_id AS key FROM documents",
+        Seq("doc_id", "lang", "n_chars"), Some("slot"), None)
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |th AS (SELECT lang, CAST(floor(sqrt(
+         |    CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE)) * 16384)
+         |  AS INTEGER) AS thr FROM c)
+         |SELECT doc_id, lang, n_chars FROM ($inner) s JOIN th USING (lang)
+         |WHERE slot < thr ORDER BY doc_id""".stripMargin
     },
     "d35_dedup_clusters" ->
       s"""WITH RECURSIVE pr AS (SELECT i, j FROM (${jaccardOracle(0.5).replace("ORDER BY i, j", "")})),

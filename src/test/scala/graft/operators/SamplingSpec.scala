@@ -43,4 +43,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(counts.getOrElse("de", 0L).toDouble / totals("de") < 0.2)
     assert(!counts.contains("fr"), "default rate 0 excludes unlisted strata")
   }
+
+  test("temperature sampling keeps the rarest language whole and flattens the head") {
+    val key = concat(lit("doc:"), $"doc_id")
+    val sampled = Sampling.temperatureSample(docs, key, "lang")
+    val counts = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rarest = totals.minBy(_._2)._1
+    assert(counts(rarest) == totals(rarest), "rarest language keeps every row")
+    // head language downsampled toward sqrt(n_min/n): realized rate
+    // within hash noise of the target
+    val head = totals.maxBy(_._2)._1
+    val target = math.sqrt(totals(rarest).toDouble / totals(head).toDouble)
+    val realized = counts(head).toDouble / totals(head)
+    assert(math.abs(realized - target) < 0.15, s"head rate $realized vs target $target")
+    // post-sample distribution is flatter: head/rarest ratio shrinks
+    assert(counts(head).toDouble / counts(rarest) < totals(head).toDouble / totals(rarest))
+    // selection is the slot-hash rule → append-stable determinism
+    val again = Sampling.temperatureSample(docs, key, "lang")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == sampled.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }

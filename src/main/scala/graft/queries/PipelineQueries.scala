@@ -203,6 +203,24 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"n_chars")
         .orderBy("doc_id")
     }),
+    // SemDeDup-style semantic dedup: connected components over exact
+    // embedding cosine-≥0.5 near-dup pairs, keep each cluster's min-id
+    // representative (cluster_size = component members; 1 = no dup).
+    // At 100 TB the pair source flips to the banded-LSH path (d36) —
+    // identical downstream component/keeper machinery.
+    "d46_semantic_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val labels = Dedup.connectedComponents(
+        Similarity.nearDupPairs(emb, threshold = 0.5).select($"i", $"j"))
+      val losers = labels.where($"id" =!= $"comp").select($"id".as("vec_id"))
+      val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+      emb.select($"vec_id")
+        .join(losers, Seq("vec_id"), "left_anti")
+        .join(sizes.select($"comp".as("vec_id"), $"cluster_size"), Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"cluster_size", lit(1L)).as("cluster_size"))
+        .orderBy("vec_id")
+    }),
     // Temperature-flattened language rebalancing (α = 0.5): keep rate
     // √(n_min/n_l) per language, deterministic slot-hash selection.
     "d45_temperature_sample" -> ((s, dir) => {
@@ -551,6 +569,21 @@ object PipelineQueries {
          |  ELSE ${(0.05 * 16384).toInt} END)
          |ORDER BY doc_id""".stripMargin
     },
+    // Transitive closure over fold-exact cosine pairs; survivors are
+    // non-members plus component representatives, sized by component.
+    "d46_semantic_dedup" ->
+      s"""WITH RECURSIVE pr AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS j
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.5),
+         |$componentsCtes,
+         |sz AS (SELECT component, count(*) AS n FROM comp GROUP BY component)
+         |SELECT e.vec_id, CAST(COALESCE(sz.n, 1) AS BIGINT) AS cluster_size
+         |FROM embeddings e
+         |LEFT JOIN comp c ON e.vec_id = c.doc_id
+         |LEFT JOIN sz ON c.component = sz.component
+         |WHERE c.doc_id IS NULL OR c.doc_id = c.component
+         |ORDER BY e.vec_id""".stripMargin,
     // Same slot-hash selection as d41; thresholds recomputed from the
     // language counts with the identical IEEE arithmetic (sqrt + one
     // double division + power-of-two scale — no libm pow anywhere).

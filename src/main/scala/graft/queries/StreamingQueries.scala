@@ -100,6 +100,34 @@ object StreamingQueries {
       runToTable(s, sess, OutputMode.Append(), "s42_sink")
         .orderBy("user_id", "start_ts")
     }),
+    // Stream-stream interval join (click → purchase attribution within
+    // 30m, same user) through the engine's symmetric-hash join state.
+    // Both watermarks + the event-time range condition bound state
+    // (each side holds only rows inside the interval horizon — the
+    // unbounded-run requirement); on bounded replay every match is in
+    // batch 0, so the emitted set is the complete inner join —
+    // deterministic, plain-SQL oracle.
+    "s43_stream_join" -> ((s, dir) => {
+      val clicks = eventStream(s, dir)
+        .where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val purchases = eventStream(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          unix_millis(col("click_ts")).as("click_ms"),
+          unix_millis(col("purchase_ts")).as("purchase_ms"))
+      runToTable(s, joined, OutputMode.Append(), "s43_sink")
+        .orderBy("click_id", "purchase_id")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -135,5 +163,12 @@ object StreamingQueries {
         | n_events, total_value
         |FROM sess, wm WHERE end_us + 1800000000 <= wm_us
         |ORDER BY user_id, start_ts""".stripMargin,
+    "s43_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+        | epoch_ms(a.ts) AS click_ms, epoch_ms(b.ts) AS purchase_ms
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
   )
 }

@@ -117,6 +117,20 @@ class PlanChecksSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).length <= 1, p.take(2000))
   }
 
+  test("t47: duplicate-ngram fraction plans no pairwise join (semi-join against the vocabulary)") {
+    val p = plan("t47_dup_ngrams")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("LeftSemi"), p.take(2000))
+  }
+
+  test("d45: temperature thresholds are broadcast onto the scan (corpus never shuffled pre-filter)") {
+    val p = plan("d45_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the only exchanges are the tiny threshold aggregate and the
+    // declared output ordering — never a corpus-wide repartition
+    assert(p.contains("cluster_slot"), p.take(2000))
+  }
+
   test("cluster expressions fold into scan-stage codegen") {
     // run first: under AQE the codegen-starred final plan exists only
     // after execution

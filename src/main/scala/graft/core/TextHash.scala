@@ -39,6 +39,47 @@ object TextHash {
   }
 
   /**
+   * Mod-sampled rolling-fingerprint set (the winnowing/MOSS copy-
+   * detection family): Karp-Rabin hashes of every `window`-byte
+   * substring, keeping those ≡ 0 (mod `modP`) — a deterministic,
+   * position-independent 1/modP downsample, so two documents sharing
+   * any long-enough substring share its sampled fingerprints
+   * regardless of where it occurs. Distinct, sorted (set semantics).
+   * Same Base/Mod chain as [[rollingMin]]; docs shorter than `window`
+   * contribute their single whole-text hash (subject to the filter).
+   */
+  def fingerprintSet(bytes: Array[Byte], window: Int, modP: Int): Array[Long] = {
+    val n = bytes.length
+    if (n == 0) return Array.emptyLongArray
+    val w = if (window < n) window else n
+    val out = new Array[Long](n - w + 1)
+    var m = 0
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (h * Base + (bytes(i) & 0xff)) % Mod; i += 1 }
+    if (h % modP == 0) { out(m) = h; m += 1 }
+    var pow = 1L
+    i = 1
+    while (i < w) { pow = (pow * Base) % Mod; i += 1 }
+    i = w
+    while (i < n) {
+      h = (h - ((bytes(i - w) & 0xff) * pow) % Mod + Mod) % Mod
+      h = (h * Base + (bytes(i) & 0xff)) % Mod
+      if (h % modP == 0) { out(m) = h; m += 1 }
+      i += 1
+    }
+    val trimmed = java.util.Arrays.copyOf(out, m)
+    java.util.Arrays.sort(trimmed)
+    var uniq = 0
+    var j = 0
+    while (j < m) {
+      if (j == 0 || trimmed(j) != trimmed(j - 1)) { trimmed(uniq) = trimmed(j); uniq += 1 }
+      j += 1
+    }
+    if (uniq == m) trimmed else java.util.Arrays.copyOf(trimmed, uniq)
+  }
+
+  /**
    * 64-bit SimHash over whitespace tokens: each token's 64-bit hash votes
    * ±1 per bit position; the signature sets bits with positive vote sums.
    * Near-duplicate docs differ in few bits (small Hamming distance).

@@ -157,6 +157,12 @@ private[functions] object GraftFunctionBuilders {
       case Seq(t) => RollingFingerprint(t)
       case _ => bad("rolling_fingerprint", "(text)")
     },
+    "fingerprint_set" -> {
+      case Seq(t) => FingerprintSet(t, 16, 8)
+      case Seq(t, w, p) => FingerprintSet(t,
+        litInt(w, "fingerprint_set"), litInt(p, "fingerprint_set"))
+      case _ => bad("fingerprint_set", "(text[, window, mod_p])")
+    },
     "simhash64" -> {
       case Seq(toks) => SimHash64(toks)
       case _ => bad("simhash64", "(token_array)")

@@ -29,6 +29,25 @@ case class RollingFingerprint(child: Expression) extends UnaryExpression with Ex
     copy(child = newChild)
 }
 
+/** `fingerprint_set(text, window, p)` → array<long>: mod-sampled rolling
+  * Karp-Rabin fingerprints (winnowing/MOSS family), distinct + sorted. */
+case class FingerprintSet(child: Expression, window: Int, modP: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "fingerprint_set"
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextHash.fingerprintSet(input.asInstanceOf[UTF8String].getBytes, window, modP))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.core.TextHash.fingerprintSet($c.getBytes(), $window, $modP))")
+  override protected def withNewChildInternal(newChild: Expression): FingerprintSet =
+    copy(child = newChild)
+}
+
 /** `simhash64(tokens)` → 64-bit SimHash of a string array. CodegenFallback:
   * array unpacking dominates; the per-row cost is the 64-bit vote loop. */
 case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes
@@ -137,6 +156,8 @@ object TextFunctions {
     Bridge.column(RepetitionStats(Bridge.expression(text)))
   def rolling_fingerprint(text: Column): Column =
     Bridge.column(RollingFingerprint(Bridge.expression(text)))
+  def fingerprint_set(text: Column, window: Int = 16, modP: Int = 8): Column =
+    Bridge.column(FingerprintSet(Bridge.expression(text), window, modP))
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
   def shingle_hashes(text: Column, n: Int): Column =

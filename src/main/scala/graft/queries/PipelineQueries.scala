@@ -203,6 +203,13 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"n_chars")
         .orderBy("doc_id")
     }),
+    // Winnowed copy detection: doc pairs sharing ≥4 mod-sampled 16-byte
+    // rolling fingerprints (character-level substring duplication).
+    "d47_winnow_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.fingerprintOverlapPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("i", "j")
+    }),
     // SemDeDup-style semantic dedup: connected components over exact
     // embedding cosine-≥0.5 near-dup pairs, keep each cluster's min-id
     // representative (cluster_size = component members; 1 = no dup).
@@ -569,6 +576,23 @@ object PipelineQueries {
          |  ELSE ${(0.05 * 16384).toInt} END)
          |ORDER BY doc_id""".stripMargin
     },
+    // Full per-window Karp-Rabin recompute (same Base/Mod chain as the
+    // t42 oracle — BIGINT-safe: acc < 2^31 so acc*257+255 < 2^40),
+    // mod-8 sampling, exhaustive pair intersect. ASCII-corpus caveat
+    // (ord = code point; the kernel hashes UTF-8 bytes).
+    "d47_winnow_pairs" ->
+      """WITH f AS (SELECT doc_id, list_distinct(list_filter(
+        |   list_transform(range(1, greatest(length(text)-15,1)+1),
+        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(range(i, least(i+16, length(text)+1)),
+        |          j -> CAST(ord(substr(text, j, 1)) AS BIGINT))),
+        |         (acc, b) -> (acc*257+b) % 2147483647)),
+        |   h -> h % 8 = 0)) AS fps FROM documents),
+        |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+        |   len(list_intersect(a.fps, b.fps)) AS shared
+        | FROM f a JOIN f b ON a.doc_id < b.doc_id)
+        |SELECT i, j, CAST(shared AS BIGINT) AS shared
+        |FROM p WHERE shared >= 4 ORDER BY i, j""".stripMargin,
     // Transitive closure over fold-exact cosine pairs; survivors are
     // non-members plus component representatives, sized by component.
     "d46_semantic_dedup" ->

@@ -66,7 +66,8 @@ class ClusterExpressionsSpec extends AnyFunSuite {
         |  fnv1a64_mix('abc') AS fnvm,
         |  size(media_features(cast('abcd' AS BINARY))) AS nf,
         |  size(frame_checksums(cast('abcdefgh' AS BINARY), 4)) AS nfr,
-        |  length(media_resize(cast('abcd' AS BINARY), 2, 2, 1, 1)) AS nrz
+        |  length(media_resize(cast('abcd' AS BINARY), 2, 2, 1, 1)) AS nrz,
+        |  size(fingerprint_set('the quick brown fox jumps', 16, 1)) AS nfps
         |""".stripMargin).head()
     import graft.core.{TextHash, TextStatsCore}
     assert(r.getLong(0) ==
@@ -79,6 +80,9 @@ class ClusterExpressionsSpec extends AnyFunSuite {
     assert(r.getLong(6) == graft.core.TextHash.fnv1a64("abc"))
     assert(r.getLong(7) == graft.core.TextHash.fnv1a64Mixed("abc"))
     assert(r.getInt(8) == 4 && r.getInt(9) == 4 && r.getInt(10) == 1)
+    assert(r.getInt(11) ==
+      graft.core.TextHash.fingerprintSet(
+        "the quick brown fox jumps".getBytes("UTF-8"), 16, 1).length)
     // shape params must be literals — a column there is a clear error
     val err = intercept[Exception] {
       spark.sql("SELECT shingle_hashes('a b c', cast(rand()*3 AS INT))").head()

@@ -193,6 +193,40 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getDouble(2) == 0.75)
   }
 
+  test("fingerprint set equals the direct per-window hash chain, sampled and distinct") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val len = rnd.nextInt(60)
+      val s = (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val bytes = s.getBytes("UTF-8")
+      val w = math.min(16, math.max(bytes.length, 1))
+      val direct = (0 to bytes.length - w).map { i =>
+        bytes.slice(i, i + w).foldLeft(0L)((acc, b) => (acc * 257 + (b & 0xff)) % 2147483647L)
+      }.filter(_ % 8 == 0).distinct.sorted
+      val got = graft.core.TextHash.fingerprintSet(bytes, 16, 8).toSeq
+      assert(got == direct, s"mismatch for '$s'")
+    }
+    assert(graft.core.TextHash.fingerprintSet(Array.emptyByteArray, 16, 8).isEmpty)
+  }
+
+  test("winnowed copy detection finds planted substring copies, exact shared counts") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps by the warm fire"
+    val docs = Seq(
+      (1L, base),
+      (2L, "PREFIX " + base + " SUFFIX"),      // shares every interior window
+      (3L, "totally unrelated words qqq zzz xyxyxyx kkk mmmm pppp wwww")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.fingerprintOverlapPairs(docs, "doc_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (i, j, _) => i == 1L && j == 2L }, s"missed copy pair: ${pairs.toSeq}")
+    assert(!pairs.exists { case (i, j, _) => j == 3L || i == 3L }, s"false pair: ${pairs.toSeq}")
+    // shared count == exact intersection of the two full fingerprint sets
+    val f1 = graft.core.TextHash.fingerprintSet(base.getBytes("UTF-8"), 16, 8).toSet
+    val f2 = graft.core.TextHash.fingerprintSet(("PREFIX " + base + " SUFFIX").getBytes("UTF-8"), 16, 8).toSet
+    val want = (f1 & f2).size.toLong
+    assert(pairs.collect { case (1L, 2L, n) => n }.head == want)
+  }
+
   test("duplicate-shingle fraction counts cross-doc shingles, not within-doc repeats") {
     // doc 1 and 2 share "a b c"/"b c d" (their only shingles overlap);
     // doc 3 is all-unique; doc 4 repeats its own shingle (distinct set,

@@ -203,6 +203,35 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"n_chars")
         .orderBy("doc_id")
     }),
+    // End-to-end training-corpus preparation — the capstone composition:
+    // quality filter → exact dedup → near-dup component removal →
+    // benchmark decontamination → temperature rebalancing → sliding
+    // chunking. Every stage is an operator declared (and oracle-checked)
+    // individually (t40, d30, d35, d43, d45, t46); this query proves
+    // they compose into the one pipeline a 100 TB corpus actually runs.
+    // The surviving corpus is checkpointed once at the dedup boundary
+    // (the "write the cleaned corpus" step at scale).
+    "d48_training_corpus" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val bench = docs.where($"doc_id" < 5)
+      val stats = TextAnalysis.analyze(docs.where($"doc_id" >= 5))
+        .select($"doc_id", $"lang", $"text", $"n_tokens",
+          round($"quality", 6).as("quality"))
+        .where($"quality" >= 0.5)
+      val exact = Dedup.exactDedup(stats, "doc_id", "text").localCheckpoint(true)
+      val losers = Dedup.clusterLosers(
+          Dedup.ngramJaccardPairs(exact, "doc_id", "text", 0.5))
+        .select($"id".as("doc_id"))
+      val clean = exact.join(losers, Seq("doc_id"), "left_anti")
+      val contaminated = Dedup.contaminatedDocs(clean, bench, "doc_id", "text",
+        shingleN = 4).select($"doc_id")
+      val decon = clean.join(contaminated, Seq("doc_id"), "left_anti")
+      val kept = graft.operators.Sampling.temperatureSample(
+        decon, concat(lit("doc:"), $"doc_id"), "lang")
+      TextAnalysis.chunk(kept, "doc_id", "text", window = 100, stride = 80)
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // Winnowed copy detection: doc pairs sharing ≥4 mod-sampled 16-byte
     // rolling fingerprints (character-level substring duplication).
     "d47_winnow_pairs" -> ((s, dir) => {
@@ -575,6 +604,58 @@ object PipelineQueries {
          |  WHEN lang = 'en' THEN ${(0.20 * 16384).toInt}
          |  ELSE ${(0.05 * 16384).toInt} END)
          |ORDER BY doc_id""".stripMargin
+    },
+    // The whole pipeline re-derived stage by stage from the proven
+    // oracle templates: d39's quality/dedup/closure CTEs, d43's
+    // benchmark shingle intersect, d45's sqrt thresholds over the
+    // DECONTAMINATED counts, the d41 slot fold, t46's chunk expansion.
+    "d48_training_corpus" -> {
+      val slotInner = graft.oracle.DuckSql.withSlotNode(
+        "SELECT doc_id, lang, toks, 'doc:' || doc_id AS key FROM decon",
+        Seq("doc_id", "lang", "toks"), Some("slot"), None)
+      val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(",")
+      s"""WITH RECURSIVE b AS (SELECT doc_id, lang, text, $duckTokens AS toks
+         |  FROM documents WHERE doc_id >= 5),
+         |c AS (SELECT doc_id, lang, text, toks,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS punct_ratio,
+         |  CAST(len(list_filter(toks, w -> list_contains([$stops], lower(w)))) AS DOUBLE) AS hits_en
+         | FROM b),
+         |q AS (SELECT doc_id, lang, text, toks, n_tokens,
+         |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         |   + least(hits_en / greatest(n_tokens, 1) * 5.0, 1.0) * 0.4
+         |   + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2, 6) AS quality FROM c),
+         |filtered AS (SELECT * FROM q WHERE quality >= 0.5),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY text),
+         |surviving AS (SELECT f.* FROM filtered f JOIN keepers k ON f.doc_id = k.doc_id),
+         |pr AS (SELECT i, j FROM (${jaccardOracle(0.5, "surviving").replace("ORDER BY i, j", "")})),
+         |$componentsCtes,
+         |clean AS (SELECT * FROM surviving
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)),
+         |bsh AS (SELECT doc_id, ${duckShingles("words", 4)} AS s FROM
+         |   (SELECT doc_id, $duckTokens AS words FROM documents WHERE doc_id < 5)
+         |  WHERE len(words) >= 4),
+         |bl AS (SELECT list(DISTINCT x) AS bl FROM (SELECT unnest(s) AS x FROM bsh)),
+         |csh AS (SELECT doc_id, ${duckShingles("toks", 4)} AS s FROM clean
+         |  WHERE len(toks) >= 4),
+         |cont AS (SELECT csh.doc_id FROM csh, bl WHERE len(list_intersect(csh.s, bl.bl)) > 0),
+         |decon AS (SELECT doc_id, lang, toks FROM clean
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |cnt AS (SELECT lang, count(*) AS n FROM decon GROUP BY lang),
+         |th AS (SELECT lang, CAST(floor(sqrt(
+         |    CAST((SELECT min(n) FROM cnt) AS DOUBLE) / CAST(n AS DOUBLE)) * 16384)
+         |  AS INTEGER) AS thr FROM cnt),
+         |kept AS (SELECT s.doc_id, s.toks FROM ($slotInner) s
+         |  JOIN th USING (lang) WHERE s.slot < th.thr),
+         |ch AS (SELECT doc_id, toks AS tk,
+         |  CASE WHEN len(toks) <= 100 THEN 1
+         |       ELSE (len(toks) - 100 + 79) // 80 + 1 END AS nch FROM kept),
+         |chx AS (SELECT doc_id, tk, unnest(range(0, nch)) AS ci FROM ch)
+         |SELECT doc_id, ci AS chunk_idx,
+         | CAST(len(tk[ci*80+1 : ci*80+100]) AS BIGINT) AS n_tokens,
+         | array_to_string(tk[ci*80+1 : ci*80+100], ' ') AS chunk_text
+         |FROM chx ORDER BY doc_id, chunk_idx""".stripMargin
     },
     // Full per-window Karp-Rabin recompute (same Base/Mod chain as the
     // t42 oracle — BIGINT-safe: acc < 2^31 so acc*257+255 < 2^40),

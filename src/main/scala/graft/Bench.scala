@@ -28,6 +28,23 @@ object Bench {
     // timed bodies measure the query, not setup cost paid once per corpus
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // representative query shapes (agg, joins, windows, explode, text and
+    // vector kernels) at the smallest SF: the alphabetically-first timed
+    // queries otherwise absorb the whole JIT bill (measured: a10 first
+    // call 4.9 s vs 1.3 s steady-state). Warm-up runs sf0.001 — never
+    // the timed corpus — and is skipped when that dir doesn't exist.
+    val warmDir = new java.io.File(sfDir).getParent + "/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      Seq("a10_pricing_summary", "a11_segment_revenue", "a14_window_topk",
+        "a20_string_fns", "a23_wordcount", "d30_dedup_exact",
+        "d31_dedup_minhash", "t40_text_stats", "s35_ann_brute",
+        "p02_customer_slots").foreach { n =>
+        try SparkEntry.queries(n)(spark, warmDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+      SessionHygiene.sweep(spark)
+    }
     try graft.queries.ExtrasQueries.ensureSlotBucketedTables(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] bucketed ingest failed: ${e.getMessage}") }
     try {

@@ -340,4 +340,107 @@ object Similarity {
         .where(col("sim") >= threshold)
     }
   }
+
+  // ---------------------------------------------- product quantization
+
+  /** Left-associated Σ (vec[off+i] − c(i))² against a literal centroid —
+    * the exact fold order the oracle reproduces (its 0.0-seeded fold is
+    * value-identical: 0.0 + x == x for the non-negative squares). */
+  private def sqdistLit(vec: Column, off: Int, c: Array[Double]): Column =
+    c.zipWithIndex.map { case (cv, i) =>
+      val d = element_at(vec, off + i + 1).cast("double") - lit(cv)
+      d * d
+    }.reduce(_ + _)
+
+  /**
+   * Deterministic per-subspace L2 k-means codebooks for product
+   * quantization: the 64-dim space splits into `m` subspaces of dim/m;
+   * each gets `k` centroids (seeds = first k corpus subvectors by id,
+   * then `iters` Lloyd rounds — assign by min squared L2, ties → lowest
+   * code; means recomputed distributed). Only the m × k × dim/m
+   * codebook doubles reach the driver (metadata-sized, the s37
+   * contract); the corpus is never collected.
+   */
+  def pqCodebooks(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2,
+                  dim: Int = 64, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val sub = dim / m
+    (0 until m).map { s =>
+      val proj = corpus.select(col(idCol).as("id"),
+        array((0 until sub).map(i =>
+          element_at(col(vecCol), s * sub + i + 1).cast("double")): _*).as("v"))
+      var cents: Array[Array[Double]] = proj.orderBy(col("id")).limit(k)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      var it = 0
+      while (it < iters) {
+        val scored = cents.zipWithIndex.map { case (c, i) =>
+          val dist = c.zipWithIndex.map { case (cv, d) =>
+            val df0 = element_at(col("v"), d + 1) - lit(cv)
+            df0 * df0
+          }.reduce(_ + _)
+          struct((dist * lit(-1.0)).as("s"), lit(-i).as("p"), lit(i).as("c"))
+        }
+        val assigned = proj.withColumn("__cid", array_max(array(scored: _*)).getField("c"))
+        val sums = assigned.select(col("__cid"), posexplode(col("v")))
+          .groupBy(col("__cid"), col("pos"))
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("n")).collect()
+        val next = Array.tabulate(cents.length)(i => cents(i).clone())
+        sums.groupBy(_.getInt(0)).foreach { case (cid, rows) =>
+          val c = new Array[Double](sub)
+          rows.foreach(r => c(r.getInt(1)) =
+            if (r.getLong(3) == 0L) 0.0 else r.getDouble(2) / r.getLong(3))
+          next(cid) = c
+        }
+        cents = next
+        it += 1
+      }
+      cents
+    }.toArray
+  }
+
+  /**
+   * PQ encode/rank over PRECOMPUTED codebooks (stash-and-splice like
+   * [[ivfTopKWith]] — the s44 oracle re-derives codes, ADC scores and
+   * ranks from the same codebook literals). Corpus rows carry only
+   * their m small codes (m + id ≈ 16 bytes vs 256 bytes float32 — the
+   * memory-bound extreme of the quantization family; s39's int8 path
+   * is the 4× midpoint). Queries stay exact: each candidate scores by
+   * asymmetric distance (ADC) — the query's true subvector against the
+   * centroid its code names — ranked ascending, ties → low nbr_id.
+   */
+  def pqTopKWith(books: Array[Array[Array[Double]]],
+                 corpus: DataFrame, queries: DataFrame, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = books.length
+    val sub = books(0)(0).length
+    def codeFor(s: Int): Column = {
+      val scored = books(s).zipWithIndex.map { case (c, i) =>
+        struct((sqdistLit(col(vecCol), s * sub, c) * lit(-1.0)).as("s"),
+          lit(-i).as("p"), lit(i).as("c"))
+      }
+      array_max(array(scored: _*)).getField("c")
+    }
+    val codes = corpus.select(col(idCol).as("nbr_id"),
+      array((0 until m).map(codeFor): _*).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val adc = (0 until m).map { s =>
+      element_at(
+        array(books(s).map(c => sqdistLit(col("qv"), s * sub, c)): _*),
+        element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val cand = codes.crossJoin(broadcast(q))
+      .where(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"), adc.as("dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("nbr_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank").cast("int").as("rank"))
+  }
+
+  /** One-call PQ ANN (codebooks computed here; see [[pqTopKWith]]). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, kCent: Int = 16, iters: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqTopKWith(pqCodebooks(corpus, m, kCent, iters, 64, idCol, vecCol),
+      corpus, queries, k, idCol, vecCol)
 }

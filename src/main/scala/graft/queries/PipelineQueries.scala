@@ -25,6 +25,9 @@ object PipelineQueries {
     * the s37 oracle is omitted and the driver records rows-only. */
   @volatile private var ivfCentroids: Option[Array[Array[Double]]] = None
 
+  /** s44's codebooks, stashed at query time exactly like [[ivfCentroids]]. */
+  @volatile private var pqBooks: Option[Array[Array[Array[Double]]]] = None
+
   /** DuckDB: whitespace tokens / 3-word shingles mirroring TextAnalysis/Dedup. */
   private val duckTokens =
     "list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0)"
@@ -108,6 +111,19 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       Similarity.quantizedTopK(emb, emb.where($"vec_id" < 5), k = 10)
         .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
+    // Product-quantized ANN (m=8 subspaces × 16 centroids, ADC): the
+    // memory-bound extreme of the quantization family — the corpus
+    // shrinks to m codes per vector. Codebooks are deterministic
+    // (seeded per-subspace L2 Lloyd) and stashed for the oracle, which
+    // re-derives every code, ADC score and rank from the same literals.
+    "s44_ann_pq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val books = Similarity.pqCodebooks(emb)
+      pqBooks = Some(books)
+      Similarity.pqTopKWith(books, emb, emb.where($"vec_id" < 5), k = 10)
         .orderBy("query_id", "rank")
     }),
     // Banded (8 tables × 4 bits) hyperplane-LSH embedding near-dups —
@@ -437,7 +453,46 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ pqOracle
+
+  /** s44's oracle, built from the stashed codebooks: per-subspace codes
+    * via a 0.0-seeded squared-L2 fold over the centroid-list literals
+    * (value-identical to the Spark left-associated sum — 0.0 + x == x
+    * for non-negative squares; ties → first minimum = lowest code, the
+    * same rule as the Spark struct argmax), then ADC scoring and
+    * ascending-distance ranks recomputed entirely in DuckDB. */
+  private def pqOracle: Map[String, String] = pqBooks match {
+    case None => Map.empty
+    case Some(books) =>
+      val m = books.length
+      val sub = books(0)(0).length
+      def bookLit(s: Int): String =
+        books(s).map(_.map(_.toString).mkString("[", ",", "]"))
+          .mkString("[", ",", "]")
+      def distList(s: Int, vec: String): String =
+        s"list_transform(${bookLit(s)}, cb -> list_reduce(list_prepend(0.0, " +
+          s"list_transform(range(1, ${sub + 1}), i -> " +
+          s"(CAST($vec[${s * sub} + i] AS DOUBLE) - cb[i]) * " +
+          s"(CAST($vec[${s * sub} + i] AS DOUBLE) - cb[i]))), (acc, v) -> acc + v))"
+      val codeCols = (0 until m).map { s =>
+        s"CAST(list_position(l$s, list_min(l$s)) - 1 AS INTEGER) AS c$s"
+      }.mkString(", ")
+      val distLists = (0 until m).map(s => s"${distList(s, "embedding")} AS l$s")
+        .mkString(", ")
+      val adc = (0 until m).map { s =>
+        s"(${distList(s, "q.embedding")})[e.c$s + 1]"
+      }.mkString(" + ")
+      Map("s44_ann_pq" ->
+        s"""WITH enc0 AS (SELECT vec_id, embedding, $distLists FROM embeddings),
+           |enc AS (SELECT vec_id, $codeCols FROM enc0),
+           |sc AS (SELECT q.vec_id AS query_id, e.vec_id AS nbr_id, $adc AS dist
+           | FROM enc e JOIN embeddings q ON e.vec_id <> q.vec_id
+           | WHERE q.vec_id < 5)
+           |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
+           | SELECT query_id, nbr_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, nbr_id) AS rank FROM sc)
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+  }
 
   /** s37's oracle exists only after the query has run (see ivfCentroids):
     * the deterministic centroids become VALUES literals and DuckDB

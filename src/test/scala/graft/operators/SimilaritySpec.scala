@@ -139,4 +139,27 @@ class SimilaritySpec extends AnyFunSuite {
     // the top-10 sets agree almost everywhere (measured 0.985 here)
     assert(overlap >= 0.9, s"overlap $overlap too low for int8 quantization")
   }
+
+  test("PQ top-k achieves reasonable recall vs exact L2; codebooks deterministic") {
+    val queries = emb.where($"vec_id" < 20)
+    // exact L2 ground truth (PQ ranks by squared L2, not cosine)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2").asc, col("nbr_id"))
+    val exact = emb.select($"vec_id".as("nbr_id"), $"embedding".as("cv"))
+      .crossJoin(broadcast(queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))))
+      .where($"nbr_id" =!= $"query_id")
+      .select($"query_id", $"nbr_id", expr(
+        "aggregate(zip_with(cv, qv, (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), 0.0D, (acc, x) -> acc + x)").as("d2"))
+      .withColumn("rank", row_number().over(w)).where($"rank" <= 10)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val books = Similarity.pqCodebooks(emb)
+    val books2 = Similarity.pqCodebooks(emb)
+    assert(books.flatten.flatten.toSeq == books2.flatten.flatten.toSeq,
+      "codebooks must be deterministic run-to-run")
+    val pq = Similarity.pqTopKWith(books, emb, queries, k = 10)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    // 8×16 codebooks compress 256 bytes → 8 codes; measured ~0.5 here
+    assert(recall >= 0.3, s"PQ recall $recall too low")
+  }
 }

@@ -408,29 +408,75 @@ object Similarity {
    * asymmetric distance (ADC) — the query's true subvector against the
    * centroid its code names — ranked ascending, ties → low nbr_id.
    */
-  def pqTopKWith(books: Array[Array[Array[Double]]],
-                 corpus: DataFrame, queries: DataFrame, k: Int,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val m = books.length
+  /** m PQ codes of a vector column: per subspace, argmin squared L2 to
+    * the codebook (ties → lowest code, the struct-argmax rule). */
+  private def pqCodes(books: Array[Array[Array[Double]]], vec: Column): Column = {
     val sub = books(0)(0).length
-    def codeFor(s: Int): Column = {
+    array(books.indices.map { s =>
       val scored = books(s).zipWithIndex.map { case (c, i) =>
-        struct((sqdistLit(col(vecCol), s * sub, c) * lit(-1.0)).as("s"),
+        struct((sqdistLit(vec, s * sub, c) * lit(-1.0)).as("s"),
           lit(-i).as("p"), lit(i).as("c"))
       }
       array_max(array(scored: _*)).getField("c")
-    }
-    val codes = corpus.select(col(idCol).as("nbr_id"),
-      array((0 until m).map(codeFor): _*).as("codes"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val adc = (0 until m).map { s =>
+    }: _*)
+  }
+
+  /** ADC squared distance: Σ over subspaces of ‖query subvector −
+    * centroid named by the candidate's code‖². */
+  private def pqAdc(books: Array[Array[Array[Double]]],
+                    qv: Column, codes: Column): Column = {
+    val sub = books(0)(0).length
+    books.indices.map { s =>
       element_at(
-        array(books(s).map(c => sqdistLit(col("qv"), s * sub, c)): _*),
-        element_at(col("codes"), s + 1) + 1)
+        array(books(s).map(c => sqdistLit(qv, s * sub, c)): _*),
+        element_at(codes, s + 1) + 1)
     }.reduce(_ + _)
+  }
+
+  def pqTopKWith(books: Array[Array[Array[Double]]],
+                 corpus: DataFrame, queries: DataFrame, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codes = corpus.select(col(idCol).as("nbr_id"),
+      pqCodes(books, col(vecCol)).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val cand = codes.crossJoin(broadcast(q))
       .where(col("nbr_id") =!= col("query_id"))
-      .select(col("query_id"), col("nbr_id"), adc.as("dist"))
+      .select(col("query_id"), col("nbr_id"),
+        pqAdc(books, col("qv"), col("codes")).as("dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("nbr_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank").cast("int").as("rank"))
+  }
+
+  /**
+   * IVF-PQ: the production 100 TB ANN index shape — a coarse quantizer
+   * buckets the corpus into `nlist` inverted lists (spherical k-means,
+   * as s37) and each vector is stored as its m PQ codes; a query probes
+   * its `nprobe` nearest lists and ADC-ranks only those candidates.
+   * Scan cost per query: ~nprobe/nlist of a corpus that is itself
+   * ~30× smaller than float32. Codes here encode the raw vectors (not
+   * residuals): one codebook serves every list, which keeps the oracle
+   * a pure composition of the s37 probe and s44 encode templates.
+   */
+  def ivfPqTopKWith(cents: Array[Array[Double]],
+                    books: Array[Array[Array[Double]]],
+                    corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codes = assignToCentroids(corpus, cents, idCol, vecCol)
+      .select(col(idCol).as("nbr_id"), col("__cid"),
+        pqCodes(books, col(vecCol)).as("codes"))
+    val probes = cents.zipWithIndex.map { case (cv, i) =>
+      struct(cosine(col(vecCol), array(cv.map(lit): _*)).as("s"), lit(i).as("c"))
+    }
+    val q = queries
+      .withColumn("__probe", explode(slice(reverse(array_sort(array(probes: _*))), 1, nprobe)))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col("__probe.c").as("__cid"))
+    val cand = codes.join(broadcast(q), Seq("__cid"))
+      .where(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        pqAdc(books, col("qv"), col("codes")).as("dist"))
     val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("nbr_id"))
     cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -28,6 +28,10 @@ object PipelineQueries {
   /** s44's codebooks, stashed at query time exactly like [[ivfCentroids]]. */
   @volatile private var pqBooks: Option[Array[Array[Array[Double]]]] = None
 
+  /** s45's coarse centroids + codebooks (own stash — each query must be
+    * independently runnable, never borrowing another query's state). */
+  @volatile private var ivfPqState: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
+
   /** DuckDB: whitespace tokens / 3-word shingles mirroring TextAnalysis/Dedup. */
   private val duckTokens =
     "list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0)"
@@ -124,6 +128,17 @@ object PipelineQueries {
       val books = Similarity.pqCodebooks(emb)
       pqBooks = Some(books)
       Similarity.pqTopKWith(books, emb, emb.where($"vec_id" < 5), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    // IVF-PQ — the production 100 TB index: coarse probe (s37's
+    // quantizer) over a PQ-coded corpus (s44's codebooks), ADC ranks.
+    "s45_ann_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, nlist = 16, iters = 2)
+      val books = Similarity.pqCodebooks(emb)
+      ivfPqState = Some((cents, books))
+      Similarity.ivfPqTopKWith(cents, books, emb, emb.where($"vec_id" < 5), k = 10)
         .orderBy("query_id", "rank")
     }),
     // Banded (8 tables × 4 bits) hyperplane-LSH embedding near-dups —
@@ -453,41 +468,85 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ pqOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ pqOracle ++ ivfPqOracle
 
-  /** s44's oracle, built from the stashed codebooks: per-subspace codes
-    * via a 0.0-seeded squared-L2 fold over the centroid-list literals
-    * (value-identical to the Spark left-associated sum — 0.0 + x == x
-    * for non-negative squares; ties → first minimum = lowest code, the
-    * same rule as the Spark struct argmax), then ADC scoring and
-    * ascending-distance ranks recomputed entirely in DuckDB. */
+  /** Squared-L2 distance list of `vec` against subspace `s` of the
+    * codebooks, as a 0.0-seeded fold over centroid-list literals —
+    * value-identical to the Spark left-associated sum (0.0 + x == x for
+    * non-negative squares). */
+  private def pqDistListSql(books: Array[Array[Array[Double]]], s: Int, vec: String): String = {
+    val sub = books(0)(0).length
+    val bookLit = books(s).map(_.map(_.toString).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"list_transform($bookLit, cb -> list_reduce(list_prepend(0.0, " +
+      s"list_transform(range(1, ${sub + 1}), i -> " +
+      s"(CAST($vec[${s * sub} + i] AS DOUBLE) - cb[i]) * " +
+      s"(CAST($vec[${s * sub} + i] AS DOUBLE) - cb[i]))), (acc, v) -> acc + v))"
+  }
+
+  /** `l0..l{m-1}` distance-list projections, `c0..c{m-1}` code picks
+    * (first minimum = lowest code, the Spark struct-argmax rule), and
+    * the ADC sum over `q`'s exact subvectors — the s44/s45 oracle
+    * building blocks. */
+  private def pqCodeCols(books: Array[Array[Array[Double]]]): (String, String, String) = {
+    val m = books.length
+    val distLists = (0 until m).map(s => s"${pqDistListSql(books, s, "embedding")} AS l$s")
+      .mkString(", ")
+    val codeCols = (0 until m).map { s =>
+      s"CAST(list_position(l$s, list_min(l$s)) - 1 AS INTEGER) AS c$s"
+    }.mkString(", ")
+    val adc = (0 until m).map { s =>
+      s"(${pqDistListSql(books, s, "q.qv")})[e.c$s + 1]"
+    }.mkString(" + ")
+    (distLists, codeCols, adc)
+  }
+
+  /** s44's oracle, built from the stashed codebooks: codes, ADC scores
+    * and ascending-distance ranks recomputed entirely in DuckDB. */
   private def pqOracle: Map[String, String] = pqBooks match {
     case None => Map.empty
     case Some(books) =>
-      val m = books.length
-      val sub = books(0)(0).length
-      def bookLit(s: Int): String =
-        books(s).map(_.map(_.toString).mkString("[", ",", "]"))
-          .mkString("[", ",", "]")
-      def distList(s: Int, vec: String): String =
-        s"list_transform(${bookLit(s)}, cb -> list_reduce(list_prepend(0.0, " +
-          s"list_transform(range(1, ${sub + 1}), i -> " +
-          s"(CAST($vec[${s * sub} + i] AS DOUBLE) - cb[i]) * " +
-          s"(CAST($vec[${s * sub} + i] AS DOUBLE) - cb[i]))), (acc, v) -> acc + v))"
-      val codeCols = (0 until m).map { s =>
-        s"CAST(list_position(l$s, list_min(l$s)) - 1 AS INTEGER) AS c$s"
-      }.mkString(", ")
-      val distLists = (0 until m).map(s => s"${distList(s, "embedding")} AS l$s")
-        .mkString(", ")
-      val adc = (0 until m).map { s =>
-        s"(${distList(s, "q.embedding")})[e.c$s + 1]"
-      }.mkString(" + ")
+      val (distLists, codeCols, adc) = pqCodeCols(books)
       Map("s44_ann_pq" ->
         s"""WITH enc0 AS (SELECT vec_id, embedding, $distLists FROM embeddings),
            |enc AS (SELECT vec_id, $codeCols FROM enc0),
-           |sc AS (SELECT q.vec_id AS query_id, e.vec_id AS nbr_id, $adc AS dist
-           | FROM enc e JOIN embeddings q ON e.vec_id <> q.vec_id
-           | WHERE q.vec_id < 5)
+           |sc AS (SELECT q.query_id, e.vec_id AS nbr_id, $adc AS dist
+           | FROM enc e JOIN (SELECT vec_id AS query_id, embedding AS qv
+           |   FROM embeddings WHERE vec_id < 5) q ON e.vec_id <> q.query_id)
+           |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
+           | SELECT query_id, nbr_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, nbr_id) AS rank FROM sc)
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+  }
+
+  /** s45's oracle: the s37 coarse assign/probe CTEs composed with the
+    * s44 encode/ADC CTEs — probe lists from max cosine (assign ties →
+    * low cid; probe ties → high cid, matching the reverse-sorted array
+    * slice), candidates ranked by ADC within the probed lists only. */
+  private def ivfPqOracle: Map[String, String] = ivfPqState match {
+    case None => Map.empty
+    case Some((cents, books)) =>
+      val centValues = cents.zipWithIndex.map { case (c, i) =>
+        s"($i, ${c.map(_.toString).mkString("[", ",", "]")})"
+      }.mkString(", ")
+      val (distLists, codeCols, adc) = pqCodeCols(books)
+      Map("s45_ann_ivfpq" ->
+        s"""WITH cents AS (SELECT * FROM (VALUES $centValues) v(cid, cv)),
+           |scored AS (SELECT e.vec_id, e.embedding, c.cid,
+           |   ${duckCosine("e.embedding", "c.cv")} AS s
+           | FROM embeddings e CROSS JOIN cents c),
+           |assign AS (SELECT vec_id, embedding, cid FROM (
+           |  SELECT vec_id, embedding, cid,
+           |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM scored)
+           | WHERE rn = 1),
+           |enc0 AS (SELECT vec_id, cid, embedding, $distLists FROM assign),
+           |enc AS (SELECT vec_id, cid, $codeCols FROM enc0),
+           |qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+           |  SELECT vec_id, embedding, cid,
+           |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+           |  FROM scored WHERE vec_id < 5) WHERE rn <= 4),
+           |sc AS (SELECT q.query_id, e.vec_id AS nbr_id, $adc AS dist
+           | FROM enc e JOIN qprobe q ON e.cid = q.cid AND e.vec_id <> q.query_id)
            |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
            | SELECT query_id, nbr_id,
            |  row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, nbr_id) AS rank FROM sc)

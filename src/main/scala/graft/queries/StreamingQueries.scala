@@ -142,6 +142,21 @@ object StreamingQueries {
       runToTable(s, joined, OutputMode.Append(), "s43_sink")
         .orderBy("click_id", "purchase_id")
     }),
+    // Stream-static enrichment: the event stream joins a STATIC
+    // dimension table (broadcast — no state, re-resolvable per batch,
+    // the standard dimension-enrichment topology), then a watermarked
+    // aggregate per market segment. DECIMAL fold as s40/a24.
+    "s46_stream_enrich" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = eventStream(s, dir)
+        .join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value, 6) AS DECIMAL(18,6))")).cast("double").as("total_value"))
+      runToTable(s, enriched, OutputMode.Complete(), "s46_sink")
+        .orderBy("c_mktsegment")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -184,5 +199,10 @@ object StreamingQueries {
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "s46_stream_enrich" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(round(e.value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
   )
 }

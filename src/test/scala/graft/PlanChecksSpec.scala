@@ -131,6 +131,18 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(p.contains("cluster_slot"), p.take(2000))
   }
 
+  test("d47: winnowed copy detection candidates come from the inverted index (no pair scan)") {
+    val p = plan("d47_winnow_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("LeftSemi"), p.take(2000))
+  }
+
+  test("s45: IVF-PQ candidates come from the probe equi-join, never a corpus cross join") {
+    val p = plan("s45_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("cluster expressions fold into scan-stage codegen") {
     // run first: under AQE the codegen-starred final plan exists only
     // after execution

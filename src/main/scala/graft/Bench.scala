@@ -50,6 +50,7 @@ object Bench {
     try {
       graft.queries.RelationalQueries.ensureCsvExport(spark, sfDir)
       graft.queries.RelationalQueries.ensureJsonExport(spark, sfDir)
+      graft.queries.RelationalQueries.ensureOrcExport(spark, sfDir)
       graft.queries.RelationalQueries.ensurePartitionedExport(spark, sfDir)
     } catch { case e: Throwable => System.err.println(s"[bench] format export failed: ${e.getMessage}") }
     // a failed query is recorded as -1 (never mistakable for a fast

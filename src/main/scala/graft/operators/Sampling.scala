@@ -36,6 +36,31 @@ object Sampling {
   }
 
   /**
+   * Deterministic per-group cap: keep at most `cap` rows per value of
+   * `groupCol` — web-corpus curation's "at most K documents per
+   * domain/source" rule. Rows are ranked by slot hash (ties by `idCol`),
+   * not by arrival order, so the kept set is stable across runs,
+   * engines and partitionings, and appending new rows can only displace
+   * hash-later rows — never reshuffle the whole selection.
+   *
+   * Shape: one shuffle on the group key, then a streaming row_number —
+   * per-group window state is O(1) (a running count), so a skewed giant
+   * group sorts within its partition but never materializes in memory.
+   * At 100 TB the group key (domain) has enough cardinality that AQE
+   * spreads partitions evenly; a single pathological domain is bounded
+   * by the sort's spill, not by the cap logic.
+   */
+  def capPerGroup(df: DataFrame, key: Column, groupCol: String, idCol: String,
+                  cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(cluster_slot(key), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
+  /**
    * Temperature-flattened language rebalancing (the multilingual-LLM
    * mixture: sample languages ∝ p^α, α = 0.5), realized downsample-only:
    * per-language keep rate ∝ p^(α−1) = 1/√n, normalized so the rarest

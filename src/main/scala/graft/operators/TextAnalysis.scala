@@ -153,6 +153,47 @@ object TextAnalysis {
   }
 
   /**
+   * PII categories scrubbed by [[scrubPii]]: (name, pattern, replacement).
+   * Patterns stay inside the regex subset Java and RE2 (the DuckDB
+   * oracle's engine) evaluate identically — character classes, bounded
+   * repetition, `\b` — no backreferences or lookaround, so the same
+   * pattern string drives both sides.
+   */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("emails", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("ips", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"),
+    ("phones", """\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}""", "<PHONE>"))
+
+  /**
+   * Synthetic rows carrying actual PII shapes (the test corpus is plain
+   * word soup, so these exercise the scrub paths); negative ids keep
+   * them disjoint from real doc_ids. Shared by the t48 query, its
+   * oracle, and the spec — one definition, three consumers.
+   */
+  val piiFixtures: Seq[(Long, String)] = Seq(
+    -3L -> "escalate to ops: primary 10.0.0.3 fallback 192.168.1.77 pager +1-555-123-4567",
+    -2L -> "contact john.doe@example.com or jane+spam@mail.example.org about the invoice",
+    -1L -> "no sensitive content in this row, plain words only")
+
+  /**
+   * PII redaction: count and replace emails, IPv4 addresses and phone
+   * numbers. Counts are taken on the ORIGINAL text per category;
+   * replacement is sequential (emails → IPs → phones) on the running
+   * result. Pure regexp column expressions — scan-local, zero shuffles,
+   * codegen-resident; at 100 TB this is a free rider on whatever scan
+   * already reads the text.
+   */
+  def scrubPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val counted = piiPatterns.foldLeft(df) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)).cast("long"))
+    }
+    val clean = piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    counted.withColumn("text_clean", clean)
+  }
+
+  /**
    * Full per-document text-statistics projection. All token-level stats
    * come from ONE fused native pass ([[graft.functions.TokenStats]]):
    * hit counts per language, token count, and token char mass. A

@@ -357,6 +357,26 @@ object AnalyticsQueries {
           sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue"))
         .orderBy("brand")
     }),
+    // Column profiling (the data-quality pass every ingest runs): null
+    // count, exact distinct count, min/max per numeric column, ONE scan.
+    // Multiple countDistinct on different columns plans a single Expand
+    // (N+1 projections of the same pass) + partial/final agg — not N
+    // separate scans; the stack() unpivot happens on the 1-row result.
+    "a41_column_profile" -> ((s, dir) => {
+      import s.implicits._
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
+        count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"dist_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c")) }
+      t(s, dir, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.length}, " + cols.map(c =>
+            s"'$c', n_rows - cnt_$c, dist_$c, min_$c, max_$c").mkString(", ") +
+          ") as (column_name, n_nulls, n_distinct, min_v, max_v)"))
+        .orderBy("column_name")
+    }),
     // Sliding event-time windows (1h window, 30m slide) in batch form.
     "a37_sliding_window" -> ((s, dir) => {
       import s.implicits._
@@ -369,6 +389,16 @@ object AnalyticsQueries {
   )
 
   val oracles3: Map[String, String] = Map(
+    "a41_column_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name,
+           | count(*) - count($c) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS DOUBLE) AS min_v,
+           | CAST(max($c) AS DOUBLE) AS max_v FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
     "a34_pivot" ->
       """SELECT o_orderpriority,
         | count(*) FILTER (o_orderstatus = 'F') AS F,

@@ -423,6 +423,28 @@ object PipelineQueries {
         .select($"doc_id", $"n_chars")
         .orderBy("doc_id")
     }),
+    // Per-source document cap (≤12 docs per source, hash-ranked): the
+    // "at most K pages per domain" web-curation rule, deterministic and
+    // append-stable. Oracle recomputes the slot ranks in SQL.
+    "d49_source_cap" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sampling.capPerGroup(
+          t(s, dir, "documents"), concat(lit("doc:"), $"doc_id"),
+          "source", "doc_id", cap = 12)
+        .select($"doc_id", $"source", $"n_chars")
+        .orderBy("doc_id")
+    }),
+    // PII scrub: email/IPv4/phone counts + redacted text. The corpus is
+    // synthetic word soup, so three fixture rows carrying real PII
+    // shapes ride along (same literals in query, oracle and spec).
+    "t48_pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val fixtures = TextAnalysis.piiFixtures.toDF("doc_id", "text")
+      TextAnalysis.scrubPii(docs.unionAll(fixtures))
+        .select($"doc_id", $"n_emails", $"n_ips", $"n_phones", $"text_clean")
+        .orderBy("doc_id")
+    }),
     // Rolling-hash document fingerprints (native codegen'd expression).
     "t42_fingerprints" -> ((s, dir) => {
       import s.implicits._
@@ -816,6 +838,35 @@ object PipelineQueries {
          |  AS INTEGER) AS thr FROM c)
          |SELECT doc_id, lang, n_chars FROM ($inner) s JOIN th USING (lang)
          |WHERE slot < thr ORDER BY doc_id""".stripMargin
+    },
+    // Same slot ranks recomputed in SQL; row_number tie order (slot,
+    // doc_id) is total, so the kept set is unique.
+    "d49_source_cap" -> {
+      val inner = graft.oracle.DuckSql.withSlotNode(
+        "SELECT doc_id, source, n_chars, 'doc:' || doc_id AS key FROM documents",
+        Seq("doc_id", "source", "n_chars"), Some("slot"), None)
+      s"""SELECT doc_id, source, n_chars FROM (
+         |  SELECT doc_id, source, n_chars,
+         |   row_number() OVER (PARTITION BY source ORDER BY slot, doc_id) AS rk
+         |  FROM ($inner))
+         |WHERE rk <= 12 ORDER BY doc_id""".stripMargin
+    },
+    // Identical pattern strings (Java and RE2 agree on this regex
+    // subset), counts on the original text, sequential replacement.
+    "t48_pii_scrub" -> {
+      val fixtureValues = TextAnalysis.piiFixtures
+        .map { case (id, s) => s"($id, '${s.replace("'", "''")}')" }.mkString(", ")
+      val counts = TextAnalysis.piiPatterns.map { case (name, pat, _) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+      }.mkString(", ")
+      val clean = TextAnalysis.piiPatterns.foldLeft("text") {
+        case (c, (_, pat, repl)) => s"regexp_replace($c, '$pat', '$repl', 'g')"
+      }
+      s"""WITH pii AS (SELECT * FROM (VALUES $fixtureValues) v(doc_id, text)),
+         |u AS (SELECT doc_id, text FROM documents
+         |      UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM pii)
+         |SELECT doc_id, $counts, $clean AS text_clean
+         |FROM u ORDER BY doc_id""".stripMargin
     },
     "d35_dedup_clusters" ->
       s"""WITH RECURSIVE pr AS (SELECT i, j FROM (${jaccardOracle(0.5).replace("ORDER BY i, j", "")})),

@@ -80,6 +80,25 @@ object RelationalQueries {
     dir
   }
 
+  /** ORC export root (same per-sf layout rationale as [[csvDir]]). */
+  def orcDir(sfDir: String): String =
+    "/root/repo/data/graft-orc/" +
+      sfDir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_") + "/part"
+
+  /** Ingest-once ORC sink — Spark's other first-class columnar format
+    * (predicate pushdown + column pruning hold exactly as for parquet).
+    * DuckDB can't read ORC, so the o62 oracle recomputes from the source
+    * parquet table instead: the layout must not change the answer. */
+  def ensureOrcExport(s: SparkSession, sfDir: String): String = {
+    val dir = orcDir(sfDir)
+    if (stale(dir, sfDir, "part")) {
+      Tables.load(s, sfDir, "part")
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .write.mode("overwrite").orc(dir)
+    }
+    dir
+  }
+
   /** Hive-style partitioned parquet export root (per-sf, as above). */
   def partitionedDir(sfDir: String): String =
     "/root/repo/data/graft-part/" +
@@ -125,6 +144,16 @@ object RelationalQueries {
           sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy("o_orderstatus")
     }),
+    "o62_orc_scan" -> ((s, dir) => {
+      import s.implicits._
+      val path = ensureOrcExport(s, dir)
+      s.read.orc(path)
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("parts"),
+          min($"p_name").as("first_name"),
+          sum($"p_retailprice".cast("decimal(18,2)")).cast("double").as("retail_total"))
+        .orderBy("p_brand")
+    }),
     "j61_json_scan" -> ((s, dir) => {
       import s.implicits._
       val path = ensureJsonExport(s, dir)
@@ -149,6 +178,13 @@ object RelationalQueries {
          |FROM read_json('${jsonDir("/root/testdata/sf0.01")}/*.json',
          |  format='newline_delimited')
          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // independent of the export: recomputed straight from the source
+    // table — DuckDB has no ORC reader, and the layout must not change
+    // the answer anyway
+    "o62_orc_scan" ->
+      """SELECT p_brand, count(*) AS parts, min(p_name) AS first_name,
+        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS retail_total
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // independent of the export: recomputed straight from the source
     // table — the layout must not change the answer
     "p14_partitioned_scan" ->

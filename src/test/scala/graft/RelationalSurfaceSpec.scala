@@ -63,6 +63,18 @@ class RelationalSurfaceSpec extends AnyFunSuite {
       src.select("r_name").collect().map(_.getString(0)).sorted.toSeq)
   }
 
+  test("orc source/sink round-trip preserves data and schema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = spark.read.parquet(s"${SparkTestSession.sf0001}/nation.parquet")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == src.schema, "ORC preserves types exactly")
+    assert(back.count() == src.count())
+    assert(back.select(sum($"n_nationkey")).head().getLong(0) ==
+      src.select(sum($"n_nationkey")).head().getLong(0))
+  }
+
   test("slot bitmap aggregator equals countDistinct on slots") {
     import spark.implicits._
     import graft.functions.ClusterHashFunctions.cluster_slot

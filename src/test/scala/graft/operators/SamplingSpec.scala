@@ -44,6 +44,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(!counts.contains("fr"), "default rate 0 excludes unlisted strata")
   }
 
+  test("per-group cap keeps exactly the lowest-slot rows of each group") {
+    val key = concat(lit("doc:"), $"doc_id")
+    val capped = Sampling.capPerGroup(docs, key, "source", "doc_id", cap = 12)
+    val got = capped.select("source", "doc_id").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val all = docs.select("source", "doc_id").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1))).toMap
+    all.foreach { case (src, ids) =>
+      val want = ids.sortBy(id => (ClusterHash.getSlot(s"doc:$id"), id)).take(12).toSet
+      assert(got(src) == want, s"cap selection for $src")
+      assert(got(src).size <= 12)
+    }
+    // physical layout must not change the selection
+    val reshuffled = Sampling.capPerGroup(docs.repartition(13), key, "source", "doc_id", 12)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reshuffled == got.values.flatten.toSet)
+  }
+
   test("temperature sampling keeps the rarest language whole and flattens the head") {
     val key = concat(lit("doc:"), $"doc_id")
     val sampled = Sampling.temperatureSample(docs, key, "lang")

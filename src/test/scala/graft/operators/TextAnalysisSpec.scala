@@ -55,6 +55,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0))
   }
 
+  test("pii scrub counts and redacts emails, ips and phones") {
+    val got = TextAnalysis.scrubPii(TextAnalysis.piiFixtures.toDF("doc_id", "text"))
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "text_clean")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(-3L) == ((0L, 2L, 1L,
+      "escalate to ops: primary <IP> fallback <IP> pager <PHONE>")))
+    assert(got(-2L) == ((2L, 0L, 0L,
+      "contact <EMAIL> or <EMAIL> about the invoice")))
+    assert(got(-1L) == ((0L, 0L, 0L,
+      "no sensitive content in this row, plain words only")))
+  }
+
   test("rolling fingerprint: equal texts agree, shifted text keeps min window") {
     val base = "the quick brown fox jumps over the lazy dog"
     val fp = TextHash.rollingMin(base.getBytes("UTF-8"), 8)

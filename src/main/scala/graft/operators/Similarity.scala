@@ -365,37 +365,45 @@ object Similarity {
                   dim: Int = 64, idCol: String = "vec_id",
                   vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
     val sub = dim / m
-    (0 until m).map { s =>
-      val proj = corpus.select(col(idCol).as("id"),
-        array((0 until sub).map(i =>
-          element_at(col(vecCol), s * sub + i + 1).cast("double")): _*).as("v"))
-      var cents: Array[Array[Double]] = proj.orderBy(col("id")).limit(k)
-        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-      var it = 0
-      while (it < iters) {
-        val scored = cents.zipWithIndex.map { case (c, i) =>
-          val dist = c.zipWithIndex.map { case (cv, d) =>
-            val df0 = element_at(col("v"), d + 1) - lit(cv)
-            df0 * df0
-          }.reduce(_ + _)
-          struct((dist * lit(-1.0)).as("s"), lit(-i).as("p"), lit(i).as("c"))
-        }
-        val assigned = proj.withColumn("__cid", array_max(array(scored: _*)).getField("c"))
-        val sums = assigned.select(col("__cid"), posexplode(col("v")))
-          .groupBy(col("__cid"), col("pos"))
-          .agg(sum(col("col")).as("s"), count(lit(1)).as("n")).collect()
-        val next = Array.tabulate(cents.length)(i => cents(i).clone())
-        sums.groupBy(_.getInt(0)).foreach { case (cid, rows) =>
-          val c = new Array[Double](sub)
-          rows.foreach(r => c(r.getInt(1)) =
-            if (r.getLong(3) == 0L) 0.0 else r.getDouble(2) / r.getLong(3))
-          next(cid) = c
-        }
-        cents = next
-        it += 1
+    // seeds: first k corpus vectors by id, sliced per subspace — the
+    // same seeds a per-subspace limit-collect would pick, in ONE job
+    val seeds = corpus.orderBy(col(idCol)).limit(k)
+      .select(array((0 until dim).map(i =>
+        element_at(col(vecCol), i + 1).cast("double")): _*).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+      Array.tabulate(k)(i => seeds(i).slice(s * sub, (s + 1) * sub)))
+    var it = 0
+    while (it < iters) {
+      // ONE distributed pass re-fits every subspace: assign all m codes
+      // per row (the exact argmin expression the encoder uses), explode
+      // the dims, aggregate sum/count per (subspace, code, dim). Total
+      // driver jobs for the whole training: 1 + iters — the earlier
+      // per-subspace loop paid m·(1 + iters) jobs and m·iters codegen
+      // compilations of near-identical expressions, which dominated
+      // wall-clock (the data per job is tiny; the fixed costs weren't).
+      val v = array((0 until dim).map(i =>
+        element_at(col(vecCol), i + 1).cast("double")): _*)
+      val sCol = (col("pos") / sub).cast("int")
+      val sums = corpus
+        .select(pqCodes(books, col(vecCol)).as("codes"),
+          posexplode(v).as(Seq("pos", "x")))
+        .groupBy(sCol.as("s"), element_at(col("codes"), sCol + 1).as("cid"),
+          pmod(col("pos"), lit(sub)).as("d"))
+        .agg(sum(col("x")).as("sum"), count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(m)(s =>
+        Array.tabulate(k)(i => books(s)(i).clone()))
+      sums.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case ((s, cid), rows) =>
+        val c = new Array[Double](sub)
+        rows.foreach(r => c(r.getInt(2)) =
+          if (r.getLong(4) == 0L) 0.0 else r.getDouble(3) / r.getLong(4))
+        next(s)(cid) = c
       }
-      cents
-    }.toArray
+      books = next
+      it += 1
+    }
+    books
   }
 
   /**

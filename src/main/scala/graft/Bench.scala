@@ -53,6 +53,9 @@ object Bench {
       graft.queries.RelationalQueries.ensureOrcExport(spark, sfDir)
       graft.queries.RelationalQueries.ensurePartitionedExport(spark, sfDir)
     } catch { case e: Throwable => System.err.println(s"[bench] format export failed: ${e.getMessage}") }
+    // shed the setup phase's heap debt (bucketed ingest + 4 sf-dir
+    // exports churn GBs) so the first timed queries don't pay its GC
+    System.gc()
     // a failed query is recorded as -1 (never mistakable for a fast
     // success) and listed in "errors" — the total covers successes only
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

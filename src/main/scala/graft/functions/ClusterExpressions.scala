@@ -192,6 +192,14 @@ private[functions] object GraftFunctionBuilders {
       case Seq(a, b) => VecDot(a, b)
       case _ => bad("vec_dot", "(vec, vec)")
     },
+    "pq_encode" -> {
+      case Seq(v, b) => PqEncode(v, b)
+      case _ => bad("pq_encode", "(vec, codebook_literal)")
+    },
+    "pq_adc" -> {
+      case Seq(q, c, b) => PqAdc(q, c, b)
+      case _ => bad("pq_adc", "(query_vec, codes, codebook_literal)")
+    },
     "media_features" -> {
       case Seq(p) => graft.operators.MediaFeatures(p)
       case _ => bad("media_features", "(payload)")

@@ -342,15 +342,15 @@ object Similarity {
   }
 
   // ---------------------------------------------- product quantization
-
-  /** Left-associated Σ (vec[off+i] − c(i))² against a literal centroid —
-    * the exact fold order the oracle reproduces (its 0.0-seeded fold is
-    * value-identical: 0.0 + x == x for the non-negative squares). */
-  private def sqdistLit(vec: Column, off: Int, c: Array[Double]): Column =
-    c.zipWithIndex.map { case (cv, i) =>
-      val d = element_at(vec, off + i + 1).cast("double") - lit(cv)
-      d * d
-    }.reduce(_ + _)
+  //
+  // Encode and ADC run through the native PqEncode/PqAdc kernels
+  // (graft.functions.PqOps): one expression node holding the codebook as
+  // a single literal, a fused loop per row. The per-cell-literal Column
+  // formulation computed the same doubles but as ~5000-node trees whose
+  // optimizer/codegen cost dominated s44/s45 wall-clock. Arithmetic is
+  // bit-identical (left-associated folds, argmin ties → lowest code), so
+  // the oracles that re-derive codes/ADC from codebook literals in SQL
+  // still hash-match — see PqOps scaladoc.
 
   /**
    * Deterministic per-subspace L2 k-means codebooks for product
@@ -417,29 +417,15 @@ object Similarity {
    * centroid its code names — ranked ascending, ties → low nbr_id.
    */
   /** m PQ codes of a vector column: per subspace, argmin squared L2 to
-    * the codebook (ties → lowest code, the struct-argmax rule). */
-  private def pqCodes(books: Array[Array[Array[Double]]], vec: Column): Column = {
-    val sub = books(0)(0).length
-    array(books.indices.map { s =>
-      val scored = books(s).zipWithIndex.map { case (c, i) =>
-        struct((sqdistLit(vec, s * sub, c) * lit(-1.0)).as("s"),
-          lit(-i).as("p"), lit(i).as("c"))
-      }
-      array_max(array(scored: _*)).getField("c")
-    }: _*)
-  }
+    * the codebook (ties → lowest code). */
+  private def pqCodes(books: Array[Array[Array[Double]]], vec: Column): Column =
+    graft.functions.VectorFunctions.pq_encode(vec, books)
 
   /** ADC squared distance: Σ over subspaces of ‖query subvector −
     * centroid named by the candidate's code‖². */
   private def pqAdc(books: Array[Array[Array[Double]]],
-                    qv: Column, codes: Column): Column = {
-    val sub = books(0)(0).length
-    books.indices.map { s =>
-      element_at(
-        array(books(s).map(c => sqdistLit(qv, s * sub, c)): _*),
-        element_at(codes, s + 1) + 1)
-    }.reduce(_ + _)
-  }
+                    qv: Column, codes: Column): Column =
+    graft.functions.VectorFunctions.pq_adc(qv, codes, books)
 
   def pqTopKWith(books: Array[Array[Array[Double]]],
                  corpus: DataFrame, queries: DataFrame, k: Int,

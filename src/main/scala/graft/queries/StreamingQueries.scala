@@ -142,6 +142,62 @@ object StreamingQueries {
       runToTable(s, joined, OutputMode.Append(), "s43_sink")
         .orderBy("click_id", "purchase_id")
     }),
+    // Stream-stream LEFT OUTER interval join. Same topology as s43 plus
+    // the outer path: a click with no purchase inside its 30m horizon is
+    // emitted null-extended only once the engine can PROVE no future
+    // match exists — when the global watermark (min across both sides of
+    // ms-floored max event time − 10m) passes click_ts + 30m (strict <;
+    // verified empirically at sf0.001 and sf0.01). Clicks still inside
+    // the horizon at end-of-replay are held in state and never reach the
+    // sink; the oracle reproduces that cutoff exactly, the same
+    // technique as s42's session-emission cutoff. This is the state
+    // eviction that bounds outer-join state on an unbounded run.
+    "s47_stream_left_join" -> ((s, dir) => {
+      val clicks = eventStream(s, dir)
+        .where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val purchases = eventStream(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          unix_millis(col("click_ts")).as("click_ms"),
+          unix_millis(col("purchase_ts")).as("purchase_ms"))
+      runToTable(s, joined, OutputMode.Append(), "s47_sink")
+        .orderBy("click_id", "purchase_id")
+    }),
+    // Bounded-state sessionization through flatMapGroupsWithState — the
+    // custom-state API (EventTimeTimeout), as opposed to s42's built-in
+    // session_window state store. On bounded replay every event lands in
+    // batch 0 (watermark still 0, so everything is admissible): sessions
+    // closed by an in-batch gap emit immediately; each user's final open
+    // session is held with timeout lastSeen+gap and flushed by the
+    // post-data batch only if the final watermark advanced BEYOND it
+    // (the GroupState timeout contract: fires iff timeout < watermark,
+    // verified empirically) — the oracle reproduces that cutoff.
+    // `total_value` is intentionally NOT
+    // projected: the kernel accumulates it in event-time order and
+    // same-millisecond ties make that order nondeterministic; the
+    // EventStreamsSpec covers totals instead.
+    "s48_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = eventStream(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      val sess = EventStreams.sessionizeBounded(ev).toDF()
+      runToTable(s, sess, OutputMode.Append(), "s48_sink")
+        .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"))
+        .orderBy("user_id", "start_ts")
+    }),
     // Stream-static enrichment: the event stream joins a STATIC
     // dimension table (broadcast — no state, re-resolvable per batch,
     // the standard dimension-enrichment topology), then a watermarked
@@ -198,6 +254,60 @@ object StreamingQueries {
         |FROM events a JOIN events b ON a.user_id = b.user_id
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    // Gaps-and-islands in milliseconds (the unit the custom kernel's
+    // state logic uses), then the timeout-flush cutoff: every session
+    // closed by an in-batch gap is emitted; a user's FINAL session only
+    // if its timeout (end + gap) is strictly before the final watermark
+    // (ms-floored max event time − 10m). Same technique as s42, but the
+    // eviction arithmetic here is the EventTimeTimeout contract.
+    "s48_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts)//1000 AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |        OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT user_id, t,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m),
+        |sess AS (SELECT user_id, sid, min(t) AS start_ts, max(t) AS end_ts,
+        |   CAST(count(*) AS BIGINT) AS n_events
+        | FROM g GROUP BY user_id, sid),
+        |wm AS (SELECT (max(t) - 600000) AS wm_ms FROM e)
+        |SELECT user_id, start_ts, end_ts, n_events
+        |FROM sess, wm
+        |WHERE sid < (SELECT max(s2.sid) FROM sess s2 WHERE s2.user_id = sess.user_id)
+        |   OR end_ts + 1800000 < wm_ms
+        |ORDER BY user_id, start_ts""".stripMargin,
+    // Inner matches (complete on bounded replay, as s43) plus the
+    // null-extended clicks the engine's state eviction released: the
+    // global watermark is the MIN across both input watermarks, each
+    // ms-floored max event time minus the 10m delay; a click is
+    // released iff its whole match horizon (click_ts + 30m) is strictly
+    // before it. NULL purchase rows never share a click_id with real
+    // matches, so ORDER BY click_id, purchase_id is unambiguous despite
+    // engine-dependent NULL placement.
+    "s47_stream_left_join" ->
+      """WITH wm AS (
+        |  SELECT (LEAST(
+        |    (SELECT epoch_us(max(ts))//1000 FROM events WHERE event_type='click'),
+        |    (SELECT epoch_us(max(ts))//1000 FROM events WHERE event_type='purchase')
+        |  ) - 600000) * 1000 AS wm_us),
+        |inner_j AS (
+        |  SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+        |         epoch_ms(a.ts) AS click_ms, epoch_ms(b.ts) AS purchase_ms
+        |  FROM events a JOIN events b ON a.user_id = b.user_id
+        |   AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE),
+        |outer_j AS (
+        |  SELECT a.event_id AS click_id, NULL::BIGINT AS purchase_id, a.user_id,
+        |         epoch_ms(a.ts) AS click_ms, NULL::BIGINT AS purchase_ms
+        |  FROM events a, wm WHERE a.event_type = 'click'
+        |   AND NOT EXISTS (SELECT 1 FROM events b WHERE b.user_id = a.user_id
+        |                   AND b.event_type = 'purchase'
+        |                   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE)
+        |   AND epoch_us(a.ts) + 1800000000 < wm_us)
+        |SELECT * FROM inner_j UNION ALL SELECT * FROM outer_j
         |ORDER BY click_id, purchase_id""".stripMargin,
     "s46_stream_enrich" ->
       """SELECT c.c_mktsegment, COUNT(*) AS n_events,

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+
+/**
+ * Deterministic Bloom filter over 64-bit hashes — the memory-bounded
+ * membership structure a 100 TB ingest uses to pre-filter new documents
+ * against the existing corpus WITHOUT a join: the filter is KB-to-MB
+ * sized regardless of corpus row count, builds in one scan (partial
+ * aggregation: per-partition bitmaps OR together), broadcasts to the
+ * new batch, and each new row tests k bits locally. A hit means "maybe
+ * present" (the false-positive rate is the classic (1-e^(-kn/m))^k);
+ * a miss is a guarantee of absence, so the expensive exact join only
+ * runs on the (tiny) maybe set.
+ *
+ * Everything is deterministic and SQL-recomputable, so the whole
+ * approximate answer — including which rows are false positives —
+ * hash-matches a DuckDB oracle (same property as [[KmvSketchAgg]];
+ * feed it [[TextFunctions.fnv1a64_mix]] hashes). Bit positions use
+ * double hashing (Kirsch–Mitzenmacher): from the 62 low bits of the
+ * hash, u1 = low 31 bits, u2 = next 31 bits forced odd, bit_i =
+ * (u1 + i·u2) mod m — pure non-negative integer arithmetic that any
+ * engine reproduces exactly.
+ *
+ * Buffer: a fixed mBits/64-word bitmap (e.g. 1 KiB at m=8192); `merge`
+ * is a word-wise OR, so the shuffle carries one bitmap per partition,
+ * never per row. NULL hashes are ignored, matching builtin aggregates.
+ */
+class BloomFilterAgg(mBits: Int, k: Int)
+    extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
+  require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
+  require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+
+  override def zero: Array[Long] = new Array[Long](mBits / 64)
+
+  override def reduce(b: Array[Long], boxed: java.lang.Long): Array[Long] = {
+    if (boxed == null) return b
+    var i = 0
+    while (i < k) {
+      val pos = BloomFilterAgg.position(boxed.longValue(), i, mBits)
+      b((pos >>> 6).toInt) |= (1L << (pos & 63).toInt)
+      i += 1
+    }
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def finish(b: Array[Long]): Array[Long] = b
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+object BloomFilterAgg {
+  /** The i-th bit position for hash `h`: double hashing over the 62
+    * low bits (non-negative in both two's-complement and unsigned
+    * views, so every engine agrees). */
+  def position(h: Long, i: Int, mBits: Int): Long = {
+    val hm = h & 0x3FFFFFFFFFFFFFFFL
+    val u1 = hm & 0x7FFFFFFFL
+    val u2 = (hm >>> 31) | 1L
+    (u1 + i.toLong * u2) % mBits.toLong
+  }
+
+  /** Column form: `bloom_agg(hashCol, mBits, k)` → array<long> bitmap. */
+  def bloom_agg(hash: Column, mBits: Int, k: Int): Column =
+    org.apache.spark.sql.functions.udaf(new BloomFilterAgg(mBits, k)).apply(hash)
+
+  /** Membership test against a [[bloom_agg]] bitmap, by COLUMN NAME
+    * (the variable-distance bit probe only exists in the SQL surface —
+    * `bit_get` — not the Scala column builder): true = maybe present,
+    * false = definitely absent. Pure fused expression over the k
+    * double-hashed positions — runs inside whole-stage codegen on the
+    * new batch; the bitmap column is a broadcast-joined scalar. */
+  def mightContainExpr(bfCol: String, hCol: String, mBits: Int, k: Int): Column = {
+    import org.apache.spark.sql.functions.expr
+    val hm = s"($hCol & 4611686018427387903)" // low 62 bits, non-negative
+    val u1 = s"($hm & 2147483647)"
+    val u2 = s"(shiftright($hm, 31) | 1)"
+    val pos = s"(($u1 + i * $u2) % $mBits)"
+    expr(
+      s"aggregate(sequence(0, ${k - 1}), true, (acc, i) -> acc AND " +
+        s"bit_get(element_at($bfCol, CAST($pos DIV 64 AS INT) + 1), " +
+        s"CAST($pos % 64 AS INT)) = 1)")
+  }
+}

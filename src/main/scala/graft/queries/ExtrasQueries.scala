@@ -120,6 +120,21 @@ object ExtrasQueries {
         .select($"node", $"keys", $"distinct_slots", round($"share", 6).as("share"))
         .orderBy("node")
     }),
+    // Fixed-point PageRank (damping 0.85, 5 rounds) over the bipartite
+    // customer↔supplier purchase graph (cust node = 2k, supp = 2k+1;
+    // both directions, so the walk is over the undirected graph) — the
+    // authority-scoring pattern web-corpus curation runs over the link
+    // graph. Integer arithmetic end to end (ranks are multiples of
+    // 10^-12), so the oracle recomputes all 5 rounds bit-for-bit.
+    "a42_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val l = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val fwd = o.join(l, $"o_orderkey" === $"l_orderkey")
+        .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      val edges = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
+      graft.operators.Graph.pageRank(edges, iters = 5).orderBy("node")
+    }),
     // Z-order (Morton) layout keys over events: interleave (user bucket,
     // hour bucket) and aggregate per coarse z-cell. Each cell's min/max
     // on BOTH dimensions stays inside one small tile — the property that
@@ -209,6 +224,31 @@ object ExtrasQueries {
       s"""SELECT node, count(*) AS keys, count(DISTINCT slot) AS distinct_slots,
          | round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS share
          |FROM ($inner) GROUP BY node ORDER BY node""".stripMargin
+    },
+    // All 5 fixed-point rounds unrolled as CTEs (the iteration count is
+    // a constant, so no recursive CTE is needed): same integer
+    // contribution formula, same floor divisions — bit-identical.
+    "a42_pagerank" -> {
+      def round(cur: String, prev: String): String =
+        s"""$cur AS (SELECT nd.node,
+           |  (SELECT 150000000000 // n FROM p) + COALESCE(f.inflow, 0) AS r
+           | FROM nodes nd LEFT JOIN (
+           |  SELECT e.dst AS node, SUM((17 * $prev.r) // (20 * deg.deg)) AS inflow
+           |  FROM e JOIN $prev ON e.src = $prev.node JOIN deg ON e.src = deg.src
+           |  GROUP BY e.dst) f ON nd.node = f.node)""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |p AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, p),
+         |${round("r1", "r0")},
+         |${round("r2", "r1")},
+         |${round("r3", "r2")},
+         |${round("r4", "r3")},
+         |${round("r5", "r4")}
+         |SELECT node, CAST(r AS BIGINT) AS rank FROM r5 ORDER BY node""".stripMargin
     },
     // Morton interleave recomputed with the same shift/mask rounds in
     // SQL (integer ops only — exact on both engines).

@@ -445,6 +445,20 @@ object PipelineQueries {
         .select($"doc_id", $"n_emails", $"n_ips", $"n_phones", $"text_clean")
         .orderBy("doc_id")
     }),
+    // Bloom-filter ingest prefilter: new docs (id ≥ 250) flagged
+    // maybe_dup against a 1024-bit filter built over the existing
+    // corpus (id < 250) — the join-free membership pre-pass of
+    // production incremental dedup (d44 is the exact join it gates).
+    // Deliberately undersized m so false positives actually occur at
+    // this SF; the oracle reproduces every bit, FPs included.
+    "d50_bloom_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Dedup.bloomPrefilter(docs.where($"doc_id" >= 250),
+          docs.where($"doc_id" < 250), "text", mBits = 1024, k = 3)
+        .select($"doc_id", $"maybe_dup".cast("int").as("maybe_dup"), $"n_chars")
+        .orderBy("doc_id")
+    }),
     // Rolling-hash document fingerprints (native codegen'd expression).
     "t42_fingerprints" -> ((s, dir) => {
       import s.implicits._
@@ -491,6 +505,41 @@ object PipelineQueries {
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
   def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ pqOracle ++ ivfPqOracle
+
+  /** FNV-1a64 of a text expression as a HUGEINT fold mod 2^64 (same
+    * chain as the a40/d32 oracles; ASCII ord == byte caveat applies). */
+  private def duckFnv(textExpr: String): String =
+    s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+      s"list_transform(range(1, length($textExpr)+1), i -> ord(substr($textExpr, i, 1)))), " +
+      "(acc, b) -> (xor(acc, CAST(b AS HUGEINT)) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT))"
+
+  /** (x * c) mod 2^64 via 32-bit limbs (a full 64×64 product overflows
+    * signed int128 HUGEINT): x·c = x1c1·2^64 + (x1c0+x0c1)·2^32 + x0c0
+    * → drop the 2^64 term, wrap the middle term at 2^32. */
+  private def duckMulmod64(x: String, c: Long): String = {
+    val c1 = (c >>> 32) & 0xffffffffL
+    val c0 = c & 0xffffffffL
+    s"((($x % 4294967296) * $c0 + (((($x // 4294967296) * $c0 + ($x % 4294967296) * $c1)" +
+      s" % 4294967296) * 4294967296)) % CAST(18446744073709551616 AS HUGEINT))"
+  }
+
+  /** CTE chain `<name>0..<name>` computing fnv1a64_mix(text) → the
+    * Kirsch–Mitzenmacher double-hash params (u1, u2) used by the Bloom
+    * bit positions, carrying `carry` columns through. Mirrors
+    * [[graft.functions.BloomFilterAgg.position]] exactly: hm = low 62
+    * bits, u1 = low 31, u2 = next 31 forced odd. */
+  private def bloomHashCtes(name: String, where: String, carry: Seq[String]): String = {
+    val c = if (carry.isEmpty) "" else carry.mkString("", ", ", ", ")
+    val hm = "(h % 4611686018427387904)"
+    s"${name}0 AS (SELECT $c${duckFnv("text")} AS h FROM documents WHERE $where),\n" +
+      s"${name}1 AS (SELECT ${c}xor(h, h // 8589934592) AS h FROM ${name}0),\n" +
+      s"${name}2 AS (SELECT $c${duckMulmod64("h", 0xff51afd7ed558ccdL)} AS h FROM ${name}1),\n" +
+      s"${name}3 AS (SELECT ${c}xor(h, h // 8589934592) AS h FROM ${name}2),\n" +
+      s"${name}4 AS (SELECT $c${duckMulmod64("h", 0xc4ceb9fe1a85ec53L)} AS h FROM ${name}3),\n" +
+      s"${name}5 AS (SELECT ${c}xor(h, h // 8589934592) AS h FROM ${name}4),\n" +
+      s"$name AS (SELECT $c$hm % 2147483648 AS u1, " +
+      s"($hm // 2147483648) - (($hm // 2147483648) % 2) + 1 AS u2 FROM ${name}5)"
+  }
 
   /** Squared-L2 distance list of `vec` against subspace `s` of the
     * codebooks, as a 0.0-seeded fold over centroid-list literals —
@@ -609,6 +658,24 @@ object PipelineQueries {
   }
 
   private val staticOracles: Map[String, String] = Map(
+    // Every bit of the Bloom filter recomputed independently: the
+    // existing corpus's k=3 double-hashed positions (fmix64 chain in
+    // HUGEINT limbs) become the set-bit set; a new doc is maybe_dup
+    // iff ALL its positions are set — false positives and all.
+    "d50_bloom_dedup" ->
+      s"""WITH ${bloomHashCtes("ex", "doc_id < 250", Seq())},
+         |epos AS (SELECT DISTINCT CAST((u1 + i.i * u2) % 1024 AS BIGINT) AS pos
+         |  FROM ex, range(0, 3) i(i)),
+         |${bloomHashCtes("nw", "doc_id >= 250", Seq("doc_id", "n_chars"))},
+         |npos AS (SELECT DISTINCT doc_id, n_chars,
+         |   CAST((u1 + i.i * u2) % 1024 AS BIGINT) AS pos
+         |  FROM nw, range(0, 3) i(i)),
+         |fl AS (SELECT n.doc_id, n.n_chars,
+         |   min(CASE WHEN e.pos IS NULL THEN 0 ELSE 1 END) AS maybe_dup
+         | FROM npos n LEFT JOIN epos e ON n.pos = e.pos
+         | GROUP BY n.doc_id, n.n_chars)
+         |SELECT doc_id, CAST(maybe_dup AS INTEGER) AS maybe_dup, n_chars
+         |FROM fl ORDER BY doc_id""".stripMargin,
     "d30_dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS copies,
         | CAST(length(text) AS BIGINT) AS n_chars

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.core.TextHash
+
+class BloomFilterAggSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet(s"${SparkTestSession.sf001}/documents.parquet")
+
+  test("no false negatives: every member hash tests positive") {
+    val hashes = docs.select(TextFunctions.fnv1a64_mix($"text").as("h"))
+    val bloom = hashes.agg(BloomFilterAgg.bloom_agg($"h", 8192, 3).as("bf"))
+    val tested = hashes.crossJoin(broadcast(bloom))
+      .withColumn("hit", BloomFilterAgg.mightContainExpr("bf", "h", 8192, 3))
+    assert(tested.where(!$"hit").count() == 0)
+  }
+
+  test("misses are real absences and the FP rate is in the expected range") {
+    val member = docs.where($"doc_id" < 250)
+    val bloom = member.select(TextFunctions.fnv1a64_mix($"text").as("h"))
+      .agg(BloomFilterAgg.bloom_agg($"h", 1024, 3).as("bf"))
+    val memberTexts = member.select("text").distinct()
+      .collect().map(_.getString(0)).toSet
+    val flagged = docs.where($"doc_id" >= 250)
+      .withColumn("h", TextFunctions.fnv1a64_mix($"text"))
+      .crossJoin(broadcast(bloom))
+      .withColumn("hit", BloomFilterAgg.mightContainExpr("bf", "h", 1024, 3))
+      .select("text", "hit").collect()
+    // a miss must NEVER be a true member (the Bloom guarantee)
+    flagged.filter(r => !r.getBoolean(1))
+      .foreach(r => assert(!memberTexts.contains(r.getString(0))))
+    // true members that reappear in the new batch must always hit
+    flagged.filter(r => memberTexts.contains(r.getString(0)))
+      .foreach(r => assert(r.getBoolean(1), "member content must test positive"))
+    // with n=250, m=1024, k=3 the theoretical FP rate is ~14%; allow wide slack
+    val nonMembers = flagged.filter(r => !memberTexts.contains(r.getString(0)))
+    val fpRate = nonMembers.count(_.getBoolean(1)).toDouble / math.max(nonMembers.length, 1)
+    assert(fpRate < 0.5, s"FP rate $fpRate implausibly high")
+  }
+
+  test("positions match the documented double-hashing formula") {
+    val h = TextHash.fnv1a64Mixed("hello world".getBytes("UTF-8"))
+    val hm = h & 0x3FFFFFFFFFFFFFFFL
+    val u1 = hm & 0x7FFFFFFFL
+    val u2 = (hm >>> 31) | 1L
+    (0 until 3).foreach { i =>
+      assert(BloomFilterAgg.position(h, i, 1024) == (u1 + i * u2) % 1024)
+    }
+    assert(u2 % 2 == 1, "u2 must be odd")
+  }
+
+  test("merge is a bitwise OR: split build equals whole build") {
+    val hashes = docs.select(TextFunctions.fnv1a64_mix($"text").as("h"))
+    val whole = hashes.agg(BloomFilterAgg.bloom_agg($"h", 1024, 3)).collect()(0).getSeq[Long](0)
+    val parts = hashes.repartition(7)
+      .agg(BloomFilterAgg.bloom_agg($"h", 1024, 3)).collect()(0).getSeq[Long](0)
+    assert(whole == parts, "bitmap must be partitioning-independent")
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int = 5): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("symmetric 2-cycle: both nodes keep the uniform rank") {
+    val r = ranks(Seq((1L, 2L), (2L, 1L)))
+    assert(r(1L) == r(2L))
+    // base + full inflow of the other node's rank: stays near Scale/2 each
+    assert(math.abs(r(1L) - Graph.Scale / 2) < Graph.Scale / 100)
+  }
+
+  test("star graph: the hub outranks the spokes") {
+    // undirected star around node 0 with 4 spokes
+    val fwd = (1L to 4L).flatMap(i => Seq((0L, i), (i, 0L)))
+    val r = ranks(fwd)
+    assert((1L to 4L).forall(i => r(0L) > r(i)), s"hub must dominate: $r")
+    // spokes are symmetric → identical fixed-point ranks, exactly
+    assert((2L to 4L).forall(i => r(i) == r(1L)))
+  }
+
+  test("rank mass is conserved up to floor-division loss") {
+    val fwd = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val r = ranks(fwd)
+    val total = r.values.sum
+    // every floor division drops < 1 unit per edge per round
+    assert(total <= Graph.Scale)
+    assert(total > Graph.Scale * 9 / 10, s"too much mass lost: $total")
+  }
+
+  test("deterministic across partitionings") {
+    val e = (1L to 200L).map(i => (i, (i * 7) % 200 + 1))
+    val a = Graph.pageRank(e.toDF("src", "dst")).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = Graph.pageRank(e.toDF("src", "dst").repartition(13)).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.sameElements(b))
+  }
+}

@@ -66,6 +66,29 @@ object MediaCore {
   }
 
   /**
+   * Average-hash (aHash) perceptual signature: resize the payload-as-
+   * image to an 8×8 grid ([[resizeNearest]] — the stub decode), then
+   * one bit per cell, set iff the cell is strictly above the grid mean.
+   * The mean compare is `v·64 > sum` in integer arithmetic — no
+   * division, so an independent SQL recompute matches bit-for-bit.
+   * A real pipeline computes the same 64-bit signature from decoded
+   * luma; only the resize body changes at the stub boundary.
+   */
+  def aHash64(bytes: Array[Byte], srcW: Int, srcH: Int): Long = {
+    val g = resizeNearest(bytes, srcW, srcH, 8, 8)
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += (g(i) & 0xff); i += 1 }
+    var sig = 0L
+    i = 0
+    while (i < 64) {
+      if ((g(i) & 0xff).toLong * 64L > sum) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /**
    * Per-frame checksums: split the payload into `nFrames` contiguous
    * chunks (boundaries `k*len/nFrames`, integer division) and Adler-style
    * checksum each (sum of bytes mod 65521). Stands in for frame-sampled

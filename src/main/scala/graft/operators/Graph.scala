@@ -41,32 +41,60 @@ object Graph {
    *              directions before calling.
    * @return (node, rank) — rank in units of 10^-12
    */
+  /**
+   * @param symmetric set true when the edge list is symmetric (u→v ⇒
+   *                  v→u, the undirected-walk encoding): then every
+   *                  node has in-edges, so the per-round dangling-node
+   *                  left join AND the separate node-set build are
+   *                  skipped — the rank state domain is exactly the
+   *                  out-degree table. Directed graphs must keep the
+   *                  default (a node with out-edges but no in-edges
+   *                  would otherwise vanish from the state).
+   */
   def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-               iters: Int = 5): DataFrame = {
+               iters: Int = 5, symmetric: Boolean = false): DataFrame = {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct().persist()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct().persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val nodes =
+      if (symmetric) outdeg.select(col("src").as("node"))
+      else e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct().persist()
     // graph cardinality only — a scalar, never row data
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge set")
     val base = (Scale * 3L / 20L) / n
     var ranks = nodes.select(col("node"), lit(Scale / n).as("r"))
     for (_ <- 1 to iters) {
-      val inflow = e
-        .join(ranks.select(col("node").as("src"), col("r")), Seq("src"))
-        .join(outdeg, Seq("src"))
+      // per-NODE contributions first (node-sized), then spread onto the
+      // static edge list with a broadcast join: the cached edges are
+      // never shuffled — the only per-round exchange carries map-side-
+      // combined partial sums keyed on dst. (At node counts past
+      // broadcast size, drop the hint and pre-partition both edge list
+      // and rank state on src once — same plan, co-partitioned.)
+      val contrib = ranks
+        .join(outdeg.withColumnRenamed("src", "node"), Seq("node"))
         // `div` (integral divide), not `/`: the double round-trip can
         // round a near-integer quotient the wrong way
-        .select(col("dst").as("node"), expr("(r * 17) div (deg * 20)").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("inflow"))
-      ranks = nodes
-        .join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + coalesce(col("inflow"), lit(0L))).as("r"))
+        .select(col("node").as("src"), expr("(r * 17) div (20 * deg)").as("c"))
+      val inflow = e.join(broadcast(contrib), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("inflow"))
+      // LAZY local checkpoint per round: the returned frame plans as a
+      // flat LogicalRDD leaf, so round t+1 doesn't replan rounds 1..t
+      // (the unchecked 5-round tree reaches ~200 nodes and AQE
+      // recompilation dominates). Lazy, so the rounds still execute
+      // inside the caller's single job; blocks are node-sized and
+      // released by the per-query sweep.
+      val next =
+        if (symmetric)
+          inflow.select(col("node"), (lit(base) + col("inflow")).as("r"))
+        else nodes
+          .join(inflow, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + coalesce(col("inflow"), lit(0L))).as("r"))
+      ranks = next.localCheckpoint(false)
     }
     ranks.select(col("node"), col("r").as("rank"))
   }

@@ -63,6 +63,22 @@ object Multimodal {
   def media_resize(payload: Column, srcW: Int, srcH: Int, dstW: Int, dstH: Int): Column =
     Bridge.column(MediaResize(Bridge.expression(payload), srcW, srcH, dstW, dstH))
 
+  def ahash64(payload: Column, srcW: Int, srcH: Int): Column =
+    Bridge.column(AHash64(Bridge.expression(payload), srcW, srcH))
+
+  /**
+   * Perceptual-hash image near-dups: aHash signatures banded and
+   * verified exactly like SimHash text near-dups
+   * ([[Dedup.hammingPairs]] — 4×16-bit pigeonhole bands, so recall is
+   * guaranteed for Hamming ≤ 3). At 100 TB this is one scan computing
+   * 8 bytes/image + bucket joins on 16-bit chunks — never a pair scan.
+   */
+  def perceptualNearDups(media: DataFrame, maxHamming: Int = 3,
+                         srcW: Int = 64, srcH: Int = 64): DataFrame =
+    Dedup.hammingPairs(
+      media.select(col("doc_id").as("id"), ahash64(col("payload"), srcW, srcH).as("sig")),
+      maxHamming)
+
   // ------------------------------------------------- batch (UDF-shape) path
 
   /**
@@ -116,6 +132,21 @@ case class MediaResize(child: Expression, srcW: Int, srcH: Int, dstW: Int, dstH:
     defineCodeGen(ctx, ev, c =>
       s"graft.core.MediaCore.resizeNearest($c, $srcW, $srcH, $dstW, $dstH)")
   override protected def withNewChildInternal(newChild: Expression): MediaResize =
+    copy(child = newChild)
+}
+
+/** `ahash64(payload, sw, sh)` → 64-bit perceptual average-hash. */
+case class AHash64(child: Expression, srcW: Int, srcH: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "ahash64"
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    MediaCore.aHash64(input.asInstanceOf[Array[Byte]], srcW, srcH)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.MediaCore.aHash64($c, $srcW, $srcH)")
+  override protected def withNewChildInternal(newChild: Expression): AHash64 =
     copy(child = newChild)
 }
 

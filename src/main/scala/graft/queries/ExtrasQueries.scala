@@ -76,6 +76,18 @@ object ExtrasQueries {
           element_at(Multimodal.frame_checksums($"r", 1), 1).as("r_sum"))
         .orderBy("doc_id")
     }),
+    // Perceptual-hash image dedup: aHash over the stub-decoded 8×8 grid
+    // (STUB boundary: a codec would replace the byte indexing, the
+    // signature/banding machinery is the real thing), then the same
+    // 4×16-bit pigeonhole banding as SimHash text dedup — 8 bytes per
+    // image + chunk bucket joins, never a pair scan.
+    "m53_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.perceptualNearDups(
+          Multimodal.synthesizeMedia(t(s, dir, "documents")).where($"kind" === "image"),
+          maxHamming = 3)
+        .orderBy("i", "j")
+    }),
     // Typed UDAF: exact distinct-slot occupancy per node via a 16384-bit
     // bitmap aggregator (merge = bitwise OR, no dedup shuffle).
     "p10_slot_occupancy" -> ((s, dir) => {
@@ -133,7 +145,7 @@ object ExtrasQueries {
       val fwd = o.join(l, $"o_orderkey" === $"l_orderkey")
         .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
       val edges = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
-      graft.operators.Graph.pageRank(edges, iters = 5).orderBy("node")
+      graft.operators.Graph.pageRank(edges, iters = 5, symmetric = true).orderBy("node")
     }),
     // Z-order (Morton) layout keys over events: interleave (user bucket,
     // hour bucket) and aggregate per coarse z-cell. Each cell's min/max
@@ -224,6 +236,30 @@ object ExtrasQueries {
       s"""SELECT node, count(*) AS keys, count(DISTINCT slot) AS distinct_slots,
          | round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS share
          |FROM ($inner) GROUP BY node ORDER BY node""".stripMargin
+    },
+    // aHash recomputed positionally (the m52 resize mapping), mean
+    // compare as integer v·64 > sum (no division), signature as a
+    // HUGEINT bit fold, exhaustive pair scan oracle-side only.
+    "m53_image_neardup" -> {
+      val p = "(t // 8) * 8 * 64 + (t % 8) * 8 + 1"
+      s"""WITH img AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         |v AS (SELECT doc_id, list_transform(range(0, 64), t ->
+         |   CASE WHEN $p <= length(text)
+         |        THEN CAST(ord(substr(text, $p, 1)) AS BIGINT) ELSE 0 END) AS g
+         | FROM img),
+         |sm AS (SELECT doc_id, g,
+         |   list_reduce(list_prepend(CAST(0 AS BIGINT), g), (a, b) -> a + b) AS s
+         | FROM v),
+         |sig AS (SELECT doc_id,
+         |   list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(range(0, 64), t ->
+         |     CASE WHEN g[t + 1] * 64 > s THEN CAST(1 AS HUGEINT) << t
+         |          ELSE CAST(0 AS HUGEINT) END)), (a, b) -> a + b) AS sig
+         | FROM sm)
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         | CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY i, j""".stripMargin
     },
     // All 5 fixed-point rounds unrolled as CTEs (the iteration count is
     // a constant, so no recursive CTE is needed): same integer

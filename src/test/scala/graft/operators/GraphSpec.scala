@@ -37,6 +37,16 @@ class GraphSpec extends AnyFunSuite {
     assert(total > Graph.Scale * 9 / 10, s"too much mass lost: $total")
   }
 
+  test("symmetric fast path equals the general path on symmetric input") {
+    val fwd = (1L to 50L).map(i => (i, i % 50 + 1))
+    val sym = fwd ++ fwd.map { case (a, b) => (b, a) }
+    val gen = Graph.pageRank(sym.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val fast = Graph.pageRank(sym.toDF("src", "dst"), symmetric = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(gen.sameElements(fast))
+  }
+
   test("deterministic across partitionings") {
     val e = (1L to 200L).map(i => (i, (i * 7) % 200 + 1))
     val a = Graph.pageRank(e.toDF("src", "dst")).collect().map(r => (r.getLong(0), r.getLong(1))).sorted

@@ -61,6 +61,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("aHash: bit rule matches the kernel; identical payloads collide") {
+    val bytes = "the quick brown fox jumps over the lazy dog " * 40
+    val sig = MediaCore.aHash64(bytes.getBytes("UTF-8"), 64, 64)
+    val grid = MediaCore.resizeNearest(bytes.getBytes("UTF-8"), 64, 64, 8, 8)
+    val sum = grid.map(_ & 0xff).map(_.toLong).sum
+    (0 until 64).foreach { i =>
+      val bit = ((sig >>> i) & 1L) == 1L
+      assert(bit == ((grid(i) & 0xff).toLong * 64L > sum), s"bit $i")
+    }
+    assert(MediaCore.aHash64(bytes.getBytes("UTF-8"), 64, 64) == sig)
+  }
+
+  test("perceptual near-dups match a brute-force pair scan") {
+    val media = Multimodal.synthesizeMedia(docs).where($"kind" === "image")
+    val banded = Multimodal.perceptualNearDups(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = media.select($"doc_id", Multimodal.ahash64($"payload", 64, 64).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (i, si) <- sigs; (j, sj) <- sigs
+      if i < j && java.lang.Long.bitCount(si ^ sj) <= 3
+    } yield (i, j)).toSet
+    assert(banded == brute, "4x16 banding must have perfect recall at hamming <= 3")
+  }
+
   test("batched mapPartitions decode agrees with the expression path") {
     val m = Multimodal.synthesizeMedia(docs)
     val viaExpr = m.select($"doc_id", element_at(Multimodal.media_features($"payload"), 1).as("f0"))

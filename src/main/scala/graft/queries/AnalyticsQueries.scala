@@ -377,6 +377,63 @@ object AnalyticsQueries {
           ") as (column_name, n_nulls, n_distinct, min_v, max_v)"))
         .orderBy("column_name")
     }),
+    // Time-series gap-fill: the hour × event-type grid from a generated
+    // spine (sequence of hour timestamps × distinct types — both
+    // metadata-sized, so the grid build is free at any corpus scale),
+    // LEFT-joined with the partial-aggregated hourly counts; missing
+    // cells surface as explicit zeros. The dashboard-densification op.
+    "a43_gapfill" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val bounds = ev.agg(date_trunc("hour", min($"ts")).as("lo"),
+        date_trunc("hour", max($"ts")).as("hi"))
+      val spine = bounds.select(explode(
+        sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("hour"))
+      val grid = spine.crossJoin(ev.select($"event_type").distinct())
+      val counts = ev.groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("cnt"))
+      grid.join(counts, Seq("hour", "event_type"), "left")
+        .select($"hour", $"event_type", coalesce($"cnt", lit(0L)).as("cnt"))
+        .orderBy("hour", "event_type")
+    }),
+    // Ordered funnel (view → click → purchase): each stage's timestamp
+    // must follow the previous stage's FIRST timestamp. Three chained
+    // per-user min-aggregations — each is one partial-agg exchange on
+    // user_id, and each stage's state is one row per surviving user.
+    "a44_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"user_id", $"event_type", $"ts")
+      val v = ev.where($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+      val c = ev.where($"event_type" === "click").join(v, Seq("user_id"))
+        .where($"ts" > $"v_ts")
+        .groupBy($"user_id").agg(min($"ts").as("c_ts"))
+      val p = ev.where($"event_type" === "purchase").join(c, Seq("user_id"))
+        .where($"ts" > $"c_ts")
+        .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+      val one = (df: DataFrame, stage: String, ord: Int) =>
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(ord).as("stage_ord"), lit(stage).as("stage"), $"users")
+      one(v, "view", 1).unionAll(one(c, "click", 2)).unionAll(one(p, "purchase", 3))
+        .orderBy("stage_ord")
+    }),
+    // Weekly cohort retention: cohort = ISO week of a user's first
+    // event; one distinct (user, week) pass joined back to the cohort
+    // table, counted per (cohort, week offset). Offsets are exact
+    // integer divisions of day differences between week-truncated
+    // timestamps — no float anywhere.
+    "a45_retention" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val cohorts = ev.groupBy($"user_id")
+        .agg(date_trunc("week", min($"ts")).as("cohort_week"))
+      ev.select($"user_id", date_trunc("week", $"ts").as("w")).distinct()
+        .join(cohorts, Seq("user_id"))
+        .groupBy($"cohort_week",
+          expr("datediff(w, cohort_week) div 7").cast("int").as("week_offset"))
+        .agg(count(lit(1)).as("users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
     // Sliding event-time windows (1h window, 30m slide) in batch form.
     "a37_sliding_window" -> ((s, dir) => {
       import s.implicits._
@@ -389,6 +446,39 @@ object AnalyticsQueries {
   )
 
   val oracles3: Map[String, String] = Map(
+    "a43_gapfill" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |  date_trunc('hour', max(ts)) AS hi FROM events),
+        |sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT sp.hour AS hour, ty.event_type, COALESCE(c.cnt, 0) AS cnt
+        |FROM sp CROSS JOIN ty
+        |LEFT JOIN c ON c.hour = sp.hour AND c.event_type = ty.event_type
+        |ORDER BY sp.hour, ty.event_type""".stripMargin,
+    "a44_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+        |SELECT 1 AS stage_ord, 'view' AS stage, count(*) AS users FROM v
+        |UNION ALL SELECT 2, 'click', count(*) FROM c
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM p
+        |ORDER BY stage_ord""".stripMargin,
+    "a45_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+        |SELECT f.cohort_week,
+        | CAST(date_diff('day', f.cohort_week, a.w) // 7 AS INTEGER) AS week_offset,
+        | count(*) AS users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
     "a41_column_profile" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       cols.map { c =>

@@ -434,6 +434,23 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("users"))
         .orderBy("cohort_week", "week_offset")
     }),
+    // Event-transition matrix (product-analytics path analysis): lag()
+    // over each user's event stream in the (ts, event_id) TOTAL order —
+    // same-timestamp ties break on event_id, so the transition pairs
+    // are deterministic — then one count per (prev, curr) type pair.
+    // One window shuffle on user_id; the matrix itself is type²-sized.
+    "a46_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .select($"user_id", $"event_id", $"ts", $"event_type")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .where($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type".as("next_type"))
+        .agg(count(lit(1)).as("transitions"))
+        .orderBy("prev_type", "next_type")
+    }),
     // Sliding event-time windows (1h window, 30m slide) in batch form.
     "a37_sliding_window" -> ((s, dir) => {
       import s.implicits._
@@ -479,6 +496,13 @@ object AnalyticsQueries {
         | count(*) AS users
         |FROM a JOIN f ON a.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "a46_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        | FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*) AS transitions
+        |FROM o WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin,
     "a41_column_profile" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       cols.map { c =>

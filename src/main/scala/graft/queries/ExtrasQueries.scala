@@ -142,9 +142,14 @@ object ExtrasQueries {
       import s.implicits._
       val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
       val l = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
-      val fwd = o.join(l, $"o_orderkey" === $"l_orderkey")
-        .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
-      val edges = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
+      // both directions from ONE pass over the join (a self-union of
+      // the joined frame would run the orders⋈lineitem join twice)
+      val edges = o.join(l, $"o_orderkey" === $"l_orderkey")
+        .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("p"))
+        .select(explode(array(
+          struct($"c".as("src"), $"p".as("dst")),
+          struct($"p".as("src"), $"c".as("dst")))).as("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"))
       graft.operators.Graph.pageRank(edges, iters = 5, symmetric = true).orderBy("node")
     }),
     // Z-order (Morton) layout keys over events: interleave (user bucket,

@@ -143,6 +143,24 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("d50: bloom prefilter probes a broadcast bitmap (no join against the corpus rows)") {
+    val p = plan("d50_bloom_dedup")
+    // one broadcast of the 1-row bitmap; no shuffle join of old vs new
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("bit_get"), p.take(2000))
+  }
+
+  test("a42: pagerank's visible plan is a flat scan of the final round's checkpoint") {
+    val p = plan("a42_pagerank")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the rounds ran against cached edges during construction; the
+    // caller-facing plan must be the checkpointed state, not a replay
+    // of the 5-round tree
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("cluster expressions fold into scan-stage codegen") {
     // run first: under AQE the codegen-starred final plan exists only
     // after execution

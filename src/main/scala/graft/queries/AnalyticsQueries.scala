@@ -451,6 +451,23 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("transitions"))
         .orderBy("prev_type", "next_type")
     }),
+    // Per-group top-k WITHOUT a window sort: the bounded TopKAgg buffer
+    // partial-aggregates map-side (shuffle carries ≤ k rows per group
+    // per partition; a row_number window would shuffle and sort every
+    // row). Tie-break on orderkey makes the answer deterministic —
+    // which the oracle's window form reproduces exactly.
+    "a47_grouped_topk" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
+      val o = t(s, dir, "orders").select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      o.join(c, $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment".as("segment"))
+        .agg(graft.functions.TopKAgg.top_k($"o_totalprice", $"o_orderkey", 3).as("tk"))
+        .select($"segment", posexplode($"tk"))
+        .select($"segment", ($"pos" + 1).cast("int").as("rank"),
+          $"col._2".as("o_orderkey"), $"col._1".as("o_totalprice"))
+        .orderBy("segment", "rank")
+    }),
     // Sliding event-time windows (1h window, 30m slide) in batch form.
     "a37_sliding_window" -> ((s, dir) => {
       import s.implicits._
@@ -503,6 +520,13 @@ object AnalyticsQueries {
         |SELECT prev_type, event_type AS next_type, count(*) AS transitions
         |FROM o WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin,
+    "a47_grouped_topk" ->
+      """SELECT segment, CAST(rk AS INTEGER) AS rank, o_orderkey, o_totalprice FROM (
+        | SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
+        |  row_number() OVER (PARTITION BY c.c_mktsegment
+        |    ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        |WHERE rk <= 3 ORDER BY segment, rank""".stripMargin,
     "a41_column_profile" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       cols.map { c =>

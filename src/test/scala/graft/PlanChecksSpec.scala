@@ -161,6 +161,13 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("a47: grouped top-k partial-aggregates (no Window sort of the full row set)") {
+    val p = plan("a47_grouped_topk")
+    assert(!p.contains("Window"), p.take(2000))
+    // partial + final ObjectHashAggregate pair around the group exchange
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+
   test("cluster expressions fold into scan-stage codegen") {
     // run first: under AQE the codegen-starred final plan exists only
     // after execution

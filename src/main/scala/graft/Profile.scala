@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /**
- * Developer profiling harness: time named queries (3 runs each, after the
- * same warm-up Bench does) and optionally dump the formatted plan.
+ * Developer profiling harness: time named queries (3 runs each) and
+ * optionally dump the formatted plan. NO warm-up is performed — run 1
+ * includes codegen compilation and cold JIT (the costs Bench's warm-up
+ * phase removes); read run 2-3 for steady-state numbers.
  *
  * Usage: runMain graft.Profile <sfDir> <query>[,<query>...] [--explain]
  */

@@ -23,16 +23,24 @@ class TopKAgg(k: Int)
     extends Aggregator[(java.lang.Double, java.lang.Long), Array[(Double, Long)], Array[(Double, Long)]] {
   require(k >= 1, s"k must be >= 1, got $k")
 
-  // (score DESC, id ASC) total order: a precedes b ⇔ "a ranks higher"
-  private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  // (score DESC, id ASC) total order: a precedes b ⇔ "a ranks higher".
+  // Double.compare gives Spark's sort semantics at the edges (NaN above
+  // every value — `ORDER BY score DESC` puts NaN first); -0.0 is
+  // normalized to 0.0 at the reduce boundary to match Spark's sort-key
+  // normalization, so the buffer invariant holds for ALL doubles and
+  // the window-form equivalence survives NaN/-0.0 inputs.
+  private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   override def zero: Array[(Double, Long)] = Array.empty
 
   override def reduce(b: Array[(Double, Long)],
                       in: (java.lang.Double, java.lang.Long)): Array[(Double, Long)] = {
     if (in._1 == null || in._2 == null) return b
-    val s = in._1.doubleValue()
+    val raw = in._1.doubleValue()
+    val s = if (raw == 0.0) 0.0 else raw // -0.0 → 0.0, as Spark sorts it
     val id = in._2.longValue()
     val n = b.length
     if (n == k && !beats(s, id, b(n - 1)._1, b(n - 1)._2)) return b

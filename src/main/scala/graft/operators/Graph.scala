@@ -39,9 +39,6 @@ object Graph {
    * @param edges directed edge DataFrame (`srcCol`, `dstCol`); dedup'd
    *              internally. For an undirected walk, union both
    *              directions before calling.
-   * @return (node, rank) — rank in units of 10^-12
-   */
-  /**
    * @param symmetric set true when the edge list is symmetric (u→v ⇒
    *                  v→u, the undirected-walk encoding): then every
    *                  node has in-edges, so the per-round dangling-node
@@ -50,6 +47,7 @@ object Graph {
    *                  out-degree table. Directed graphs must keep the
    *                  default (a node with out-edges but no in-edges
    *                  would otherwise vanish from the state).
+   * @return (node, rank) — rank in units of 10^-12
    */
   def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
                iters: Int = 5, symmetric: Boolean = false): DataFrame = {

@@ -36,6 +36,20 @@ class TopKAggSpec extends AnyFunSuite {
     assert(run(orders) == run(orders.repartition(13)))
   }
 
+  test("NaN and -0.0 scores rank exactly as Spark's window sort ranks them") {
+    val df = Seq(
+      (Double.NaN, 1L), (2.0, 2L), (Double.NaN, 3L), (-0.0, 4L),
+      (0.0, 5L), (Double.NegativeInfinity, 6L), (Double.PositiveInfinity, 7L)
+    ).toDF("s", "id")
+    val viaAgg = df.agg(TopKAgg.top_k($"s", $"id", 5))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getLong(1))
+    val w = Window.partitionBy(lit(1)).orderBy($"s".desc, $"id")
+    val viaWindow = df.withColumn("rk", row_number().over(w)).where($"rk" <= 5)
+      .orderBy("rk").collect().map(_.getLong(1)).toSeq
+    assert(viaAgg == viaWindow, s"$viaAgg vs $viaWindow")
+  }
+
   test("buffer never exceeds k and stays ranked") {
     val agg = new TopKAgg(3)
     var b = agg.zero

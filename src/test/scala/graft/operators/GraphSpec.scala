@@ -8,9 +8,16 @@ class GraphSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  /** Run, collect and RELEASE: every pageRank call persists edge/degree/
+    * node frames plus per-round checkpoints — sweep them so the shared
+    * test session doesn't accumulate stale blocks across suites (the
+    * leak class SessionHygiene exists for). */
+  private def collected(df: org.apache.spark.sql.DataFrame): Array[(Long, Long)] =
+    try df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    finally graft.SessionHygiene.sweep(spark)
+
   private def ranks(edges: Seq[(Long, Long)], iters: Int = 5): Map[Long, Long] =
-    Graph.pageRank(edges.toDF("src", "dst"), iters = iters)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    collected(Graph.pageRank(edges.toDF("src", "dst"), iters = iters)).toMap
 
   test("symmetric 2-cycle: both nodes keep the uniform rank") {
     val r = ranks(Seq((1L, 2L), (2L, 1L)))
@@ -40,17 +47,15 @@ class GraphSpec extends AnyFunSuite {
   test("symmetric fast path equals the general path on symmetric input") {
     val fwd = (1L to 50L).map(i => (i, i % 50 + 1))
     val sym = fwd ++ fwd.map { case (a, b) => (b, a) }
-    val gen = Graph.pageRank(sym.toDF("src", "dst"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-    val fast = Graph.pageRank(sym.toDF("src", "dst"), symmetric = true)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val gen = collected(Graph.pageRank(sym.toDF("src", "dst"))).sorted
+    val fast = collected(Graph.pageRank(sym.toDF("src", "dst"), symmetric = true)).sorted
     assert(gen.sameElements(fast))
   }
 
   test("deterministic across partitionings") {
     val e = (1L to 200L).map(i => (i, (i * 7) % 200 + 1))
-    val a = Graph.pageRank(e.toDF("src", "dst")).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-    val b = Graph.pageRank(e.toDF("src", "dst").repartition(13)).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val a = collected(Graph.pageRank(e.toDF("src", "dst"))).sorted
+    val b = collected(Graph.pageRank(e.toDF("src", "dst").repartition(13))).sorted
     assert(a.sameElements(b))
   }
 }

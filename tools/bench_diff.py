@@ -15,7 +15,7 @@ def load(path):
             return d
         # driver wrapper: the bench line is embedded (escaped) in "tail"
         if "tail" in d and d["tail"]:
-            m = re.search(r'\{"metric":"total".*"sf":"[^"]*"\}', d["tail"])
+            m = re.search(r'\{"metric":"total".*?"sf":"[^"]*"\}', d["tail"])
             if m:
                 return json.loads(m.group(0))
     except json.JSONDecodeError:
@@ -31,7 +31,16 @@ def main():
     old, new = load(sys.argv[1]), load(sys.argv[2])
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     oq, nq = old["queries"], new["queries"]
-    common = sorted(set(oq) & set(nq))
+    # Bench records failed queries as -1: a flip to failure is the worst
+    # regression there is — surface it first and keep the sentinel out of
+    # ratios and totals
+    broke = sorted(n for n in set(oq) & set(nq) if nq[n] < 0 <= oq[n])
+    fixed = sorted(n for n in set(oq) & set(nq) if oq[n] < 0 <= nq[n])
+    for n in broke:
+        print(f"BROKE: {n} (was {oq[n]:.2f}s, now FAILS)")
+    for n in fixed:
+        print(f"fixed: {n} (was failing, now {nq[n]:.2f}s)")
+    common = sorted(n for n in set(oq) & set(nq) if oq[n] >= 0 and nq[n] >= 0)
     rows = [(n, oq[n], nq[n], nq[n] / oq[n] if oq[n] > 0 else float("inf"))
             for n in common]
     rows.sort(key=lambda r: -r[3])

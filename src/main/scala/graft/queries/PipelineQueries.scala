@@ -459,6 +459,27 @@ object PipelineQueries {
         .select($"doc_id", $"maybe_dup".cast("int").as("maybe_dup"), $"n_chars")
         .orderBy("doc_id")
     }),
+    // Count-Min frequency sketch (the frequency member of the sketch
+    // family: d50 Bloom = membership, a40 KMV = distinct, a48 CMS =
+    // frequency — one double-hashing scheme drives all positions):
+    // per-customer order counts estimated from a 3×512 counter matrix
+    // vs the exact counts. Width deliberately small so collision
+    // overestimates occur — the oracle reproduces them counter-exactly.
+    "a48_cms_freq" -> ((s, dir) => {
+      import s.implicits._
+      val (w, d) = (512, 3)
+      val keys = t(s, dir, "orders").select($"o_custkey",
+        graft.functions.TextFunctions
+          .fnv1a64_mix(concat(lit("cust:"), $"o_custkey")).as("h"))
+      val cms = keys.agg(graft.functions.CountMinAgg.cms_agg($"h", w, d).as("cms"))
+      keys.where($"o_custkey" < 40)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("exact_cnt"), min($"h").as("h"))
+        .crossJoin(broadcast(cms))
+        .select($"o_custkey", $"exact_cnt",
+          graft.functions.CountMinAgg.estimate($"cms", $"h", w, d).as("est_cnt"))
+        .orderBy("o_custkey")
+    }),
     // Rolling-hash document fingerprints (native codegen'd expression).
     "t42_fingerprints" -> ((s, dir) => {
       import s.implicits._
@@ -523,15 +544,17 @@ object PipelineQueries {
       s" % 4294967296) * 4294967296)) % CAST(18446744073709551616 AS HUGEINT))"
   }
 
-  /** CTE chain `<name>0..<name>` computing fnv1a64_mix(text) → the
-    * Kirsch–Mitzenmacher double-hash params (u1, u2) used by the Bloom
-    * bit positions, carrying `carry` columns through. Mirrors
-    * [[graft.functions.BloomFilterAgg.position]] exactly: hm = low 62
-    * bits, u1 = low 31, u2 = next 31 forced odd. */
-  private def bloomHashCtes(name: String, where: String, carry: Seq[String]): String = {
+  /** CTE chain `<name>0..<name>` computing fnv1a64_mix(`keyExpr`) → the
+    * Kirsch–Mitzenmacher double-hash params (u1, u2) that drive both
+    * the Bloom bit positions and the CMS counter columns, carrying
+    * `carry` columns through. Mirrors [[graft.functions.BloomFilterAgg
+    * .position]] exactly: hm = low 62 bits, u1 = low 31, u2 = next 31
+    * forced odd. `src` is a FROM-clause fragment. */
+  private def hashMixCtes(name: String, src: String, carry: Seq[String],
+                          keyExpr: String = "text"): String = {
     val c = if (carry.isEmpty) "" else carry.mkString("", ", ", ", ")
     val hm = "(h % 4611686018427387904)"
-    s"${name}0 AS (SELECT $c${duckFnv("text")} AS h FROM documents WHERE $where),\n" +
+    s"${name}0 AS (SELECT $c${duckFnv(keyExpr)} AS h FROM $src),\n" +
       s"${name}1 AS (SELECT ${c}xor(h, h // 8589934592) AS h FROM ${name}0),\n" +
       s"${name}2 AS (SELECT $c${duckMulmod64("h", 0xff51afd7ed558ccdL)} AS h FROM ${name}1),\n" +
       s"${name}3 AS (SELECT ${c}xor(h, h // 8589934592) AS h FROM ${name}2),\n" +
@@ -663,10 +686,10 @@ object PipelineQueries {
     // HUGEINT limbs) become the set-bit set; a new doc is maybe_dup
     // iff ALL its positions are set — false positives and all.
     "d50_bloom_dedup" ->
-      s"""WITH ${bloomHashCtes("ex", "doc_id < 250", Seq())},
+      s"""WITH ${hashMixCtes("ex", "documents WHERE doc_id < 250", Seq())},
          |epos AS (SELECT DISTINCT CAST((u1 + i.i * u2) % 1024 AS BIGINT) AS pos
          |  FROM ex, range(0, 3) i(i)),
-         |${bloomHashCtes("nw", "doc_id >= 250", Seq("doc_id", "n_chars"))},
+         |${hashMixCtes("nw", "documents WHERE doc_id >= 250", Seq("doc_id", "n_chars"))},
          |npos AS (SELECT DISTINCT doc_id, n_chars,
          |   CAST((u1 + i.i * u2) % 1024 AS BIGINT) AS pos
          |  FROM nw, range(0, 3) i(i)),
@@ -676,6 +699,27 @@ object PipelineQueries {
          | GROUP BY n.doc_id, n.n_chars)
          |SELECT doc_id, CAST(maybe_dup AS INTEGER) AS maybe_dup, n_chars
          |FROM fl ORDER BY doc_id""".stripMargin,
+    // The CMS counter matrix rebuilt row-exactly in SQL: every order's
+    // key hashes to one position per depth row; the counters are plain
+    // GROUP BY counts, and each probe's estimate is the min over its
+    // depth positions' counters (a probe key always finds its own
+    // contributions, so the join is total over probes).
+    "a48_cms_freq" ->
+      s"""WITH ${hashMixCtes("ks", "(SELECT o_custkey, 'cust:' || o_custkey AS key FROM orders) kk",
+             Seq("o_custkey"), "key")},
+         |pos AS (SELECT o_custkey, i.i AS row_i,
+         |   CAST((u1 + i.i * u2) % 512 AS BIGINT) AS pos
+         |  FROM ks, range(0, 3) i(i)),
+         |counters AS (SELECT row_i, pos, count(*) AS c FROM pos GROUP BY row_i, pos),
+         |probe AS (SELECT o_custkey, count(*) AS exact_cnt FROM orders
+         |  WHERE o_custkey < 40 GROUP BY o_custkey),
+         |ppos AS (SELECT DISTINCT o_custkey, row_i, pos FROM pos WHERE o_custkey < 40),
+         |est AS (SELECT p.o_custkey, CAST(min(c.c) AS BIGINT) AS est_cnt
+         |  FROM ppos p JOIN counters c ON c.row_i = p.row_i AND c.pos = p.pos
+         |  GROUP BY p.o_custkey)
+         |SELECT probe.o_custkey AS o_custkey, probe.exact_cnt, est.est_cnt
+         |FROM probe JOIN est ON probe.o_custkey = est.o_custkey
+         |ORDER BY probe.o_custkey""".stripMargin,
     "d30_dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS copies,
         | CAST(length(text) AS BIGINT) AS n_chars

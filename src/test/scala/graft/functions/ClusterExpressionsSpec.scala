@@ -99,6 +99,23 @@ class ClusterExpressionsSpec extends AnyFunSuite {
     assert(slots == 2L)
   }
 
+  test("SQL registration covers the sketch/top-k aggregators at default shapes") {
+    ClusterHashFunctions.register(spark)
+    import spark.implicits._
+    Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 3.0, 3L))
+      .toDF("g", "s", "id").createOrReplaceTempView("agg_probe")
+    val r = spark.sql(
+      """SELECT size(bloom_build(fnv1a64_mix(g))) AS nbloom,
+        |  size(cms_build(fnv1a64_mix(g))) AS ncms,
+        |  size(top_k_pairs(s, id)) AS ntk,
+        |  kmv_distinct(fnv1a64_mix(g)) AS kd
+        |FROM agg_probe""".stripMargin).head()
+    assert(r.getInt(0) == 8192 / 64)
+    assert(r.getInt(1) == 512 * 3)
+    assert(r.getInt(2) == 3)
+    assert(r.getDouble(3) == 2.0)
+  }
+
   test("literal calls constant-fold in the optimized plan") {
     ClusterHashFunctions.register(spark)
     val qe = spark.sql("SELECT cluster_slot('user:1000') AS s").queryExecution

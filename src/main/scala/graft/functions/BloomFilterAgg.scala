@@ -70,6 +70,16 @@ object BloomFilterAgg {
     (u1 + i.toLong * u2) % mBits.toLong
   }
 
+  /** Column form of [[position]]'s (u1, u2) derivation — the ONE
+    * Kirsch–Mitzenmacher scheme shared by the Bloom bit positions and
+    * the CMS counter columns ([[CountMinAgg.estimate]]); the SQL-string
+    * twin in [[mightContainExpr]] is pinned equal by the specs. */
+  def doubleHashParams(h: Column): (Column, Column) = {
+    import org.apache.spark.sql.functions._
+    val hm = h.bitwiseAND(lit(0x3FFFFFFFFFFFFFFFL))
+    (hm.bitwiseAND(lit(0x7FFFFFFFL)), shiftright(hm, 31).bitwiseOR(lit(1L)))
+  }
+
   /** Column form: `bloom_agg(hashCol, mBits, k)` → array<long> bitmap. */
   def bloom_agg(hash: Column, mBits: Int, k: Int): Column =
     org.apache.spark.sql.functions.udaf(new BloomFilterAgg(mBits, k)).apply(hash)

@@ -128,11 +128,13 @@ object ClusterHashFunctions {
       org.apache.spark.sql.functions.udaf(SlotBitmapAgg))
     spark.udf.register("kmv_distinct",
       org.apache.spark.sql.functions.udaf(new KmvSketchAgg(256)))
-    // sketch family + grouped top-k at library-default shapes (typed
-    // params aren't expressible through the udf registry — SQL users
-    // get the defaults, the Column API keeps the knobs)
+    // sketch family + grouped top-k at FIXED shapes (typed params
+    // aren't expressible through the udf registry; the Column API
+    // keeps the knobs). bloom_build matches Dedup.bloomPrefilter's
+    // default (1024, 3) so SQL-built bitmaps are bit-compatible with
+    // the operator's.
     spark.udf.register("bloom_build",
-      org.apache.spark.sql.functions.udaf(new BloomFilterAgg(8192, 3)))
+      org.apache.spark.sql.functions.udaf(new BloomFilterAgg(1024, 3)))
     spark.udf.register("cms_build",
       org.apache.spark.sql.functions.udaf(new CountMinAgg(512, 3)))
     spark.udf.register("top_k_pairs",

@@ -26,6 +26,8 @@ class CountMinAgg(width: Int, depth: Int)
     extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
   require(width > 0, s"width must be positive, got $width")
   require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+  require(width.toLong * depth <= Int.MaxValue,
+    s"width*depth must fit an array, got ${width.toLong * depth}")
 
   override def zero: Array[Long] = new Array[Long](width * depth)
 
@@ -60,14 +62,19 @@ object CountMinAgg {
   def cms_agg(hash: Column, width: Int, depth: Int): Column =
     org.apache.spark.sql.functions.udaf(new CountMinAgg(width, depth)).apply(hash)
 
-  /** Point estimate of hash column `h` against sketch column `cms`
-    * (built with the same width/depth): min over the depth rows. Pure
-    * integer column arithmetic — runs inside codegen on the probe side. */
+  /** Point estimate of hash column `h` against sketch column `cms`:
+    * min over the depth rows. Pure integer column arithmetic — runs
+    * inside codegen on the probe side. INVARIANT: width/depth MUST
+    * match the [[cms_agg]] the sketch was built with — a mismatch
+    * reads unrelated (or out-of-range → NULL) counters and the
+    * never-underestimate guarantee is void; the sketch cannot carry
+    * its shape, so the caller owns this (the a48 query derives both
+    * from one pair of vals). */
   def estimate(cms: Column, h: Column, width: Int, depth: Int): Column = {
     import org.apache.spark.sql.functions._
-    val hm = h.bitwiseAND(lit(0x3FFFFFFFFFFFFFFFL))
-    val u1 = hm.bitwiseAND(lit(0x7FFFFFFFL))
-    val u2 = shiftright(hm, 31).bitwiseOR(lit(1L))
+    require(width > 0 && depth >= 1 && width.toLong * depth <= Int.MaxValue,
+      s"invalid sketch shape ${width}x$depth")
+    val (u1, u2) = BloomFilterAgg.doubleHashParams(h)
     (0 until depth).map { i =>
       val pos = (u1 + lit(i.toLong) * u2) % lit(width.toLong)
       element_at(cms, (lit(i.toLong * width) + pos).cast("int") + 1)

@@ -110,7 +110,7 @@ class ClusterExpressionsSpec extends AnyFunSuite {
         |  size(top_k_pairs(s, id)) AS ntk,
         |  kmv_distinct(fnv1a64_mix(g)) AS kd
         |FROM agg_probe""".stripMargin).head()
-    assert(r.getInt(0) == 8192 / 64)
+    assert(r.getInt(0) == 1024 / 64)
     assert(r.getInt(1) == 512 * 3)
     assert(r.getInt(2) == 3)
     assert(r.getDouble(3) == 2.0)

@@ -225,6 +225,11 @@ private[functions] object GraftFunctionBuilders {
         litInt(dw, "media_resize"), litInt(dh, "media_resize"))
       case _ => bad("media_resize", "(payload, srcW, srcH, dstW, dstH)")
     },
+    "ahash64" -> {
+      case Seq(p, sw, sh) => graft.operators.AHash64(p,
+        litInt(sw, "ahash64"), litInt(sh, "ahash64"))
+      case _ => bad("ahash64", "(payload, srcW, srcH)")
+    },
   )
 }
 

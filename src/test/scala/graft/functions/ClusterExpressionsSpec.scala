@@ -67,7 +67,8 @@ class ClusterExpressionsSpec extends AnyFunSuite {
         |  size(media_features(cast('abcd' AS BINARY))) AS nf,
         |  size(frame_checksums(cast('abcdefgh' AS BINARY), 4)) AS nfr,
         |  length(media_resize(cast('abcd' AS BINARY), 2, 2, 1, 1)) AS nrz,
-        |  size(fingerprint_set('the quick brown fox jumps', 16, 1)) AS nfps
+        |  size(fingerprint_set('the quick brown fox jumps', 16, 1)) AS nfps,
+        |  ahash64(cast('abcdefgh' AS BINARY), 8, 1) AS ah
         |""".stripMargin).head()
     import graft.core.{TextHash, TextStatsCore}
     assert(r.getLong(0) ==
@@ -83,6 +84,8 @@ class ClusterExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(11) ==
       graft.core.TextHash.fingerprintSet(
         "the quick brown fox jumps".getBytes("UTF-8"), 16, 1).length)
+    assert(r.getLong(12) ==
+      graft.core.MediaCore.aHash64("abcdefgh".getBytes("UTF-8"), 8, 1))
     // shape params must be literals — a column there is a clear error
     val err = intercept[Exception] {
       spark.sql("SELECT shingle_hashes('a b c', cast(rand()*3 AS INT))").head()

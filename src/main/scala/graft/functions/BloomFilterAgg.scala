@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
 
 /**
  * Deterministic Bloom filter over 64-bit hashes — the memory-bounded
@@ -84,12 +89,29 @@ object BloomFilterAgg {
   def bloom_agg(hash: Column, mBits: Int, k: Int): Column =
     org.apache.spark.sql.functions.udaf(new BloomFilterAgg(mBits, k)).apply(hash)
 
-  /** Membership test against a [[bloom_agg]] bitmap, by COLUMN NAME
-    * (the variable-distance bit probe only exists in the SQL surface —
-    * `bit_get` — not the Scala column builder): true = maybe present,
-    * false = definitely absent. Pure fused expression over the k
-    * double-hashed positions — runs inside whole-stage codegen on the
-    * new batch; the bitmap column is a broadcast-joined scalar. */
+  /** Loop body shared by the interpreted eval and the generated code
+    * of [[BloomMightContain]]: probe all k positions of `h` in the
+    * bitmap. */
+  def mightContainArray(bf: ArrayData, h: Long, mBits: Int, k: Int): Boolean = {
+    var i = 0
+    while (i < k) {
+      val pos = position(h, i, mBits)
+      if ((bf.getLong((pos >>> 6).toInt) & (1L << (pos & 63).toInt)) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Native membership probe: true = maybe present, false = definitely
+    * absent. Codegen'd ([[BloomMightContain]]), so the probe fuses into
+    * the new batch's scan stage — which matters because at ingest scale
+    * the NEW side is the big one; the bitmap is a broadcast scalar. */
+  def might_contain(bf: Column, h: Column, mBits: Int, k: Int): Column =
+    Bridge.column(BloomMightContain(Bridge.expression(bf), Bridge.expression(h), mBits, k))
+
+  /** SQL-string twin of [[might_contain]] built from `bit_get` over
+    * named columns — kept as an independent second formulation that the
+    * specs pin equal to the native expression. */
   def mightContainExpr(bfCol: String, hCol: String, mBits: Int, k: Int): Column = {
     import org.apache.spark.sql.functions.expr
     val hm = s"($hCol & 4611686018427387903)" // low 62 bits, non-negative
@@ -101,4 +123,25 @@ object BloomFilterAgg {
         s"bit_get(element_at($bfCol, CAST($pos DIV 64 AS INT) + 1), " +
         s"CAST($pos % 64 AS INT)) = 1)")
   }
+}
+
+/** `bloom_might_contain(bitmap, hash)` — native, codegen'd Bloom probe
+  * over a [[BloomFilterAgg]] bitmap (mBits/k fixed at plan time; must
+  * match the build, same caller-owned invariant as
+  * [[CountMinAgg.estimate]]). Null bitmap or hash → null. */
+case class BloomMightContain(left: Expression, right: Expression, mBits: Int, k: Int)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "bloom_might_contain"
+  override def inputTypes = Seq(ArrayType(LongType, containsNull = false), LongType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(bf: Any, h: Any): Any =
+    BloomFilterAgg.mightContainArray(
+      bf.asInstanceOf[ArrayData], h.asInstanceOf[Long], mBits, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (bf, h) =>
+      s"graft.functions.BloomFilterAgg.mightContainArray($bf, $h, $mBits, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(left = newLeft, right = newRight)
 }

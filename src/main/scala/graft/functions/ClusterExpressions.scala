@@ -230,6 +230,11 @@ private[functions] object GraftFunctionBuilders {
         litInt(sw, "ahash64"), litInt(sh, "ahash64"))
       case _ => bad("ahash64", "(payload, srcW, srcH)")
     },
+    "bloom_might_contain" -> {
+      case Seq(bf, h, m, kk) => BloomMightContain(bf, h,
+        litInt(m, "bloom_might_contain"), litInt(kk, "bloom_might_contain"))
+      case _ => bad("bloom_might_contain", "(bitmap, hash, mBits, k)")
+    },
   )
 }
 

@@ -43,6 +43,28 @@ class BloomFilterAggSpec extends AnyFunSuite {
     assert(fpRate < 0.5, s"FP rate $fpRate implausibly high")
   }
 
+  test("native probe equals the SQL bit_get formulation and survives codegen") {
+    val hashes = docs.select(TextFunctions.fnv1a64_mix($"text").as("h"))
+    val bloom = hashes.agg(BloomFilterAgg.bloom_agg($"h", 1024, 3).as("bf"))
+    val probed = hashes.crossJoin(broadcast(bloom))
+      .select($"h",
+        BloomFilterAgg.might_contain($"bf", $"h", 1024, 3).as("native"),
+        BloomFilterAgg.mightContainExpr("bf", "h", 1024, 3).as("sqlform"))
+    probed.collect().foreach { r =>
+      assert(r.getBoolean(1) == r.getBoolean(2), s"probe mismatch for h=${r.getLong(0)}")
+    }
+    // the native expression must fuse into a WholeStageCodegen stage —
+    // probed's combined projection can't (the SQL form's aggregate() HOF
+    // blocks codegen for the whole Project, which is exactly why the
+    // native expression exists), so pin a native-only projection
+    val nativeOnly = hashes.crossJoin(broadcast(bloom))
+      .select(BloomFilterAgg.might_contain($"bf", $"h", 1024, 3).as("native"))
+    nativeOnly.collect()
+    val plan = nativeOnly.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("bloom_might_contain") && l.contains("*(")), plan)
+  }
+
   test("positions match the documented double-hashing formula") {
     val h = TextHash.fnv1a64Mixed("hello world".getBytes("UTF-8"))
     val hm = h & 0x3FFFFFFFFFFFFFFFL

@@ -117,6 +117,15 @@ class ClusterExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 512 * 3)
     assert(r.getInt(2) == 3)
     assert(r.getDouble(3) == 2.0)
+    // SQL-built bitmap probed by the SQL-registered native expression:
+    // members hit, a non-member key of this tiny set misses
+    val probes = spark.sql(
+      """WITH bf AS (SELECT bloom_build(fnv1a64_mix(g)) AS b FROM agg_probe)
+        |SELECT bloom_might_contain(b, fnv1a64_mix('a'), 1024, 3),
+        |       bloom_might_contain(b, fnv1a64_mix('zzz-not-present'), 1024, 3)
+        |FROM bf""".stripMargin).head()
+    assert(probes.getBoolean(0))
+    assert(!probes.getBoolean(1))
   }
 
   test("literal calls constant-fold in the optimized plan") {

@@ -148,7 +148,7 @@ class PlanChecksSpec extends AnyFunSuite {
     // one broadcast of the 1-row bitmap; no shuffle join of old vs new
     assert(p.contains("BroadcastExchange"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
-    assert(p.contains("bit_get"), p.take(2000))
+    assert(p.contains("bloom_might_contain"), p.take(2000))
   }
 
   test("a42: pagerank's visible plan is a flat scan of the final round's checkpoint") {

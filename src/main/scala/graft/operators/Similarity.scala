@@ -75,7 +75,7 @@ object Similarity {
   def lshSignature(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
     val planes = hyperplanes(nPlanes, dim, seed)
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(lit): _*)
+      val plane = array(p.toIndexedSeq.map(lit): _*)
       when(dot(vec, plane) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _).cast("long")
@@ -121,7 +121,7 @@ object Similarity {
     val planes = hyperplanes(tables * bitsPerTable, dim)
     def tableSig(vec: Column, t: Int): Column =
       (0 until bitsPerTable).map { k =>
-        when(dot(vec, array(planes(t * bitsPerTable + k).map(lit): _*)) >= 0.0,
+        when(dot(vec, array(planes(t * bitsPerTable + k).toIndexedSeq.map(lit): _*)) >= 0.0,
           lit(1L << k)).otherwise(lit(0L))
       }.reduce(_ + _)
     // signatures only — the 8-byte (tbl, sig) rows shuffle; vectors don't.
@@ -192,10 +192,10 @@ object Similarity {
   private def assignToCentroids(df: DataFrame, centroids: Array[Array[Double]],
                                 idCol: String, vecCol: String): DataFrame = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val cl = array(c.map(lit): _*)
+      val cl = array(c.toIndexedSeq.map(lit): _*)
       struct(cosine(col(vecCol), cl).as("s"), lit(-i).as("p"), lit(i).as("c"))
     }
-    df.withColumn("__cid", array_max(array(scored: _*)).getField("c"))
+    df.withColumn("__cid", array_max(array(scored.toIndexedSeq: _*)).getField("c"))
   }
 
   /**
@@ -223,10 +223,10 @@ object Similarity {
         norm(col(vecCol)).as("cn"), col("__cid"))
     // each query → its nprobe nearest centroid ids, exploded to probe rows
     val probes = centroids.zipWithIndex.map { case (cv, i) =>
-      struct(cosine(col(vecCol), array(cv.map(lit): _*)).as("s"), lit(i).as("c"))
+      struct(cosine(col(vecCol), array(cv.toIndexedSeq.map(lit): _*)).as("s"), lit(i).as("c"))
     }
     val q = queries
-      .withColumn("__probe", explode(slice(reverse(array_sort(array(probes: _*))), 1, nprobe)))
+      .withColumn("__probe", explode(slice(reverse(array_sort(array(probes.toIndexedSeq: _*))), 1, nprobe)))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("qn"), col("__probe.c").as("__cid"))
     val cand = c.join(broadcast(q), Seq("__cid"))
@@ -461,10 +461,10 @@ object Similarity {
       .select(col(idCol).as("nbr_id"), col("__cid"),
         pqCodes(books, col(vecCol)).as("codes"))
     val probes = cents.zipWithIndex.map { case (cv, i) =>
-      struct(cosine(col(vecCol), array(cv.map(lit): _*)).as("s"), lit(i).as("c"))
+      struct(cosine(col(vecCol), array(cv.toIndexedSeq.map(lit): _*)).as("s"), lit(i).as("c"))
     }
     val q = queries
-      .withColumn("__probe", explode(slice(reverse(array_sort(array(probes: _*))), 1, nprobe)))
+      .withColumn("__probe", explode(slice(reverse(array_sort(array(probes.toIndexedSeq: _*))), 1, nprobe)))
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         col("__probe.c").as("__cid"))
     val cand = codes.join(broadcast(q), Seq("__cid"))

@@ -529,7 +529,7 @@ object PipelineQueries {
 
   /** FNV-1a64 of a text expression as a HUGEINT fold mod 2^64 (same
     * chain as the a40/d32 oracles; ASCII ord == byte caveat applies). */
-  private def duckFnv(textExpr: String): String =
+  private[queries] def duckFnv(textExpr: String): String =
     s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
       s"list_transform(range(1, length($textExpr)+1), i -> ord(substr($textExpr, i, 1)))), " +
       "(acc, b) -> (xor(acc, CAST(b AS HUGEINT)) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT))"
@@ -550,18 +550,27 @@ object PipelineQueries {
     * `carry` columns through. Mirrors [[graft.functions.BloomFilterAgg
     * .position]] exactly: hm = low 62 bits, u1 = low 31, u2 = next 31
     * forced odd. `src` is a FROM-clause fragment. */
-  private def hashMixCtes(name: String, src: String, carry: Seq[String],
-                          keyExpr: String = "text"): String = {
+  /** CTE chain `<name>0..<name>` computing fnv1a64_mix(`keyExpr`) as a
+    * HUGEINT `h` in [0, 2^64), carrying `carry` columns through —
+    * the SQL recompute of [[graft.core.TextHash.fnv1a64Mixed]]. */
+  private[queries] def fnvMixCtes(name: String, src: String, carry: Seq[String],
+                                  keyExpr: String = "text"): String = {
     val c = if (carry.isEmpty) "" else carry.mkString("", ", ", ", ")
-    val hm = "(h % 4611686018427387904)"
     s"${name}0 AS (SELECT $c${duckFnv(keyExpr)} AS h FROM $src),\n" +
       s"${name}1 AS (SELECT ${c}xor(h, h // 8589934592) AS h FROM ${name}0),\n" +
       s"${name}2 AS (SELECT $c${duckMulmod64("h", 0xff51afd7ed558ccdL)} AS h FROM ${name}1),\n" +
       s"${name}3 AS (SELECT ${c}xor(h, h // 8589934592) AS h FROM ${name}2),\n" +
       s"${name}4 AS (SELECT $c${duckMulmod64("h", 0xc4ceb9fe1a85ec53L)} AS h FROM ${name}3),\n" +
-      s"${name}5 AS (SELECT ${c}xor(h, h // 8589934592) AS h FROM ${name}4),\n" +
+      s"$name AS (SELECT ${c}xor(h, h // 8589934592) AS h FROM ${name}4)"
+  }
+
+  private def hashMixCtes(name: String, src: String, carry: Seq[String],
+                          keyExpr: String = "text"): String = {
+    val c = if (carry.isEmpty) "" else carry.mkString("", ", ", ", ")
+    val hm = "(h % 4611686018427387904)"
+    fnvMixCtes(s"${name}h", src, carry, keyExpr) + ",\n" +
       s"$name AS (SELECT $c$hm % 2147483648 AS u1, " +
-      s"($hm // 2147483648) - (($hm // 2147483648) % 2) + 1 AS u2 FROM ${name}5)"
+      s"($hm // 2147483648) - (($hm // 2147483648) % 2) + 1 AS u2 FROM ${name}h)"
   }
 
   /** Squared-L2 distance list of `vec` against subspace `s` of the

@@ -198,6 +198,26 @@ object StreamingQueries {
         .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"))
         .orderBy("user_id", "start_ts")
     }),
+    // Approximate distinct users per event type maintained AS STREAMING
+    // STATE: the KMV sketch aggregator runs inside the engine's stateful
+    // aggregation (Complete mode), its buffer merging across batches in
+    // the state store. Because KMV is insertion-order-independent, the
+    // streaming answer equals the batch recompute EXACTLY — the DuckDB
+    // oracle re-derives every per-group k-th-minimum from scratch. This
+    // is the production shape for streaming cardinality dashboards:
+    // state per group is the fixed-size sketch, never the value set.
+    "s49_stream_sketch" -> ((s, dir) => {
+      val agg = eventStream(s, dir)
+        .select(col("event_type"),
+          graft.functions.TextFunctions
+            .fnv1a64_mix(concat(lit("user:"), col("user_id"))).as("h"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.KmvSketchAgg.kmv_distinct(col("h"), 64)
+            .as("est_users"),
+          count(lit(1)).as("n_events"))
+      runToTable(s, agg, OutputMode.Complete(), "s49_sink")
+        .orderBy("event_type")
+    }),
     // Stream-static enrichment: the event stream joins a STATIC
     // dimension table (broadcast — no state, re-resolvable per batch,
     // the standard dimension-enrichment topology), then a watermarked
@@ -309,6 +329,30 @@ object StreamingQueries {
         |   AND epoch_us(a.ts) + 1800000000 < wm_us)
         |SELECT * FROM inner_j UNION ALL SELECT * FROM outer_j
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // Per-group KMV re-derived from scratch: fmix64'd FNV per DISTINCT
+    // (type, user) key, the 64th-smallest hash per type (HUGEINT order
+    // == unsigned order), the same (k-1)·2^64/kth estimator with the
+    // exact-below-k fallback — the streaming state answer must equal
+    // this batch recompute because the sketch is order-independent.
+    "s49_stream_sketch" -> {
+      val chain = PipelineQueries.fnvMixCtes("kh",
+        "(SELECT DISTINCT event_type, 'user:' || user_id AS key FROM events) t",
+        Seq("event_type"), "key")
+      s"""WITH $chain,
+         |ranked AS (SELECT event_type, h,
+         |   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |   count(*) OVER (PARTITION BY event_type) AS nd
+         | FROM (SELECT DISTINCT event_type, h FROM kh)),
+         |est AS (SELECT event_type,
+         |   CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+         |        ELSE 63.0 * 18446744073709551616.0 /
+         |          CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE) END AS est_users
+         | FROM ranked GROUP BY event_type),
+         |cnt AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1)
+         |SELECT est.event_type AS event_type, est.est_users, cnt.n_events
+         |FROM est JOIN cnt ON est.event_type = cnt.event_type
+         |ORDER BY est.event_type""".stripMargin
+    },
     "s46_stream_enrich" ->
       """SELECT c.c_mktsegment, COUNT(*) AS n_events,
         | CAST(SUM(CAST(round(e.value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_value

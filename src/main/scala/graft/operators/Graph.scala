@@ -96,4 +96,62 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank"))
   }
+
+  /**
+   * Per-vertex triangle participation counts over an undirected graph,
+   * via degree-ordered edge orientation (the standard distributed
+   * formulation): each undirected edge is directed from its lower
+   * (degree, id) endpoint to the higher, so every triangle is
+   * enumerated exactly once and the wedge fan-out per vertex is
+   * bounded by O(√(2m)) regardless of skew — a hub vertex never sits
+   * at the center of a wedge, which is what makes naive neighborhood
+   * joins quadratic on power-law graphs. Three equi-joins total
+   * (orientation, wedge build, closure probe); no cartesian product,
+   * nothing on the driver.
+   *
+   * The orientation key packs (degree, id) into one sortable long
+   * (`deg << 32 | id`) — ids must fit in 32 bits, which holds for
+   * every key space here; past that, compare a struct instead.
+   *
+   * @param edges undirected edge list (`srcCol`, `dstCol`); duplicates
+   *              and self-loops are dropped internally.
+   * @return (node, triangles) for every vertex on ≥1 triangle
+   */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val ord = deg.select(col("node"),
+      (shiftleft(col("d"), 32) + col("node")).as("ord"))
+    // orient low→high by the (degree, id) total order; carry the dst
+    // key so the wedge join below never re-joins the degree table
+    val oriented = und
+      .join(ord.select(col("node").as("u"), col("ord").as("uord")), Seq("u"))
+      .join(ord.select(col("node").as("v"), col("ord").as("vord")), Seq("v"))
+      .select(
+        when(col("uord") < col("vord"), col("u")).otherwise(col("v")).as("a"),
+        when(col("uord") < col("vord"), col("v")).otherwise(col("u")).as("b"),
+        greatest(col("uord"), col("vord")).as("bord"))
+      .persist()
+    // wedges (a→b, a→c) with b ≺ c, closed by probing the oriented
+    // edge set for b→c — each triangle appears exactly once as a≺b≺c
+    val e1 = oriented.select(col("a"), col("b"), col("bord"))
+    val e2 = oriented.select(col("a"), col("b").as("c"), col("bord").as("cord"))
+    val wedges = e1.join(e2, Seq("a")).where(col("bord") < col("cord"))
+      .select(col("a"), col("b"), col("c"))
+    // persisted `oriented` is read 3× (two wedge sides + the probe) in
+    // one job; the per-query sweep releases the blocks, the
+    // [[Dedup.lshCandidates]] contract
+    val tri = wedges.join(
+      oriented.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+    tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
 }

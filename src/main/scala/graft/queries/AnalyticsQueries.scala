@@ -477,9 +477,117 @@ object AnalyticsQueries {
         .select($"w.start".as("window_start"), $"event_type", $"cnt")
         .orderBy("window_start", "event_type")
     }),
+    // Per-vertex triangle counts over the supplier co-occurrence graph
+    // (suppliers sharing ≥5 orders): degree-ordered enumeration — the
+    // wedge center is always the lowest-degree vertex, so fan-out is
+    // bounded by O(√(2m)) even on power-law graphs. The oracle closes
+    // triangles by plain id order instead (a different enumeration of
+    // the same triangle set), making it genuinely independent.
+    "a49_triangle_counts" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val pairs = li.as("x").join(li.as("y"),
+          $"x.l_orderkey" === $"y.l_orderkey" && $"x.l_suppkey" < $"y.l_suppkey")
+        .groupBy($"x.l_suppkey".as("src"), $"y.l_suppkey".as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .where($"w" >= 5)
+        .select($"src", $"dst")
+      graft.operators.Graph.triangleCounts(pairs).orderBy("node")
+    }),
+    // Two-pass equi-width histogram of event values: a 1-row min/max
+    // aggregate broadcast onto the scan (no driver collect), then one
+    // map-side-combined shuffle on the 20-value bucket key. Bucket
+    // arithmetic is the same IEEE-double expression on both sides, so
+    // the edges land identically; per-bucket lo/hi are exact picks.
+    "a50_histogram" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"value")
+      val mm = ev.agg(min($"value").as("vmin"), max($"value").as("vmax"))
+      ev.crossJoin(broadcast(mm))
+        .select(least(lit(19L), floor(($"value" - $"vmin") * lit(20.0) / ($"vmax" - $"vmin")))
+          .cast("int").as("bucket"), $"value")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min($"value").as("lo"), max($"value").as("hi"))
+        .orderBy("bucket")
+    }),
+    // Data-quality audit: referential integrity as broadcast anti-join
+    // counts, per-table constraint rules as ONE-pass conditional
+    // aggregates (no scan per rule), unpivoted with stack(). The
+    // ingest-gate pattern for a pipeline: rules are declarative, every
+    // violation count is an aggregate, nothing leaves the executors.
+    "a51_dq_audit" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val orphanLi = li.join(ord.select($"o_orderkey"),
+          $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("lineitem_orphan_order").as("rule"), $"violations")
+      val childlessOrd = ord.join(li.select($"l_orderkey"),
+          $"o_orderkey" === $"l_orderkey", "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("orders_no_lineitem").as("rule"), $"violations")
+      val evRules = t(s, dir, "events")
+        .agg(sum(when($"value" <= 0, 1L).otherwise(0L)).as("nonpos"),
+          sum(when($"user_id".isNull, 1L).otherwise(0L)).as("nulluser"))
+        .select(expr("stack(2, 'events_nonpos_value', nonpos, " +
+          "'events_null_user', nulluser) as (rule, violations)"))
+      val dupDocs = t(s, dir, "documents")
+        .groupBy($"doc_id").agg(count(lit(1)).as("c")).where($"c" > 1)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("documents_dup_id").as("rule"), $"violations")
+      val badStatus = ord
+        .agg(sum(when(!$"o_orderstatus".isin("F", "O", "P"), 1L).otherwise(0L))
+          .as("violations"))
+        .select(lit("orders_bad_status").as("rule"), $"violations")
+      orphanLi.unionByName(childlessOrd).unionByName(evRules)
+        .unionByName(dupDocs).unionByName(badStatus)
+        .orderBy("rule")
+    }),
   )
 
   val oracles3: Map[String, String] = Map(
+    "a49_triangle_counts" ->
+      """WITH pairs AS (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM pairs e1 JOIN pairs e2 ON e2.u = e1.v
+        |  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nodes AS (SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |SELECT node, count(*) AS triangles FROM nodes
+        |GROUP BY node ORDER BY node""".stripMargin,
+    "a50_histogram" ->
+      """WITH mm AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events)
+        |SELECT CAST(LEAST(19, CAST(floor((value - vmin) * 20.0 / (vmax - vmin)) AS BIGINT)) AS INTEGER) AS bucket,
+        | count(*) AS n, min(value) AS lo, max(value) AS hi
+        |FROM events, mm GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "a51_dq_audit" ->
+      """SELECT 'lineitem_orphan_order' AS rule, count(*) AS violations
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_no_lineitem', count(*)
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |UNION ALL
+        |SELECT 'events_nonpos_value',
+        | CAST(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |UNION ALL
+        |SELECT 'events_null_user',
+        | CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |UNION ALL
+        |SELECT 'documents_dup_id', count(*) FROM
+        | (SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'orders_bad_status',
+        | CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |ORDER BY rule""".stripMargin,
     "a43_gapfill" ->
       """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
         |  date_trunc('hour', max(ts)) AS hi FROM events),

@@ -170,6 +170,27 @@ object ExtrasQueries {
           min($"hb").as("min_hb"), max($"hb").as("max_hb"))
         .orderBy("cell")
     }),
+    // Temporal segmentation of "video" payloads: frame checksums (8
+    // frames, scan-fused native expression), then a per-doc lag window
+    // flags scene cuts where adjacent fingerprints jump by > 8000.
+    // Window state is per-document frame counts — bounded — and the
+    // heavy part (checksum folds) happens in the scan stage before the
+    // one exchange on doc_id.
+    "m54_scene_cuts" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"frame_idx")
+      Multimodal.synthesizeMedia(t(s, dir, "documents"))
+        .where($"kind" === "video")
+        .select($"doc_id", posexplode(Multimodal.frame_checksums($"payload", 8)))
+        .select($"doc_id", $"pos".cast("int").as("frame_idx"), $"col".as("fp"))
+        .withColumn("prev", lag($"fp", 1).over(w))
+        .withColumn("cut", $"prev".isNotNull && abs($"fp" - $"prev") > 8000)
+        .groupBy($"doc_id")
+        .agg((sum(when($"cut", 1L).otherwise(0L)) + 1L).as("n_scenes"),
+          min(when($"cut", $"frame_idx")).as("first_cut"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ASCII-corpus assumption (same caveat as DuckSql's CRC16 oracle): the
@@ -310,5 +331,24 @@ object ExtrasQueries {
          | min(hb) AS min_hb, max(hb) AS max_hb
          |FROM z GROUP BY cell ORDER BY cell""".stripMargin
     },
+    // Same frame split (k·n // 8) and Adler-style fold as the m51
+    // oracle, then the identical lag + threshold rule in SQL.
+    "m54_scene_cuts" ->
+      """WITH v AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, unnest(range(0, 8)) AS frame_idx, text, n FROM v),
+        |fp AS (SELECT doc_id, frame_idx,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(frame_idx*n//8 + 1, (frame_idx+1)*n//8 + 1),
+        |      j -> CAST(ord(substr(text, j, 1)) AS BIGINT))),
+        |    (a, b) -> a + b) % 65521 AS BIGINT) AS fp
+        | FROM f),
+        |c AS (SELECT doc_id, frame_idx, fp,
+        |  lag(fp) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM fp)
+        |SELECT doc_id,
+        | CAST(SUM(CASE WHEN prev IS NOT NULL AND abs(fp - prev) > 8000
+        |               THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_scenes,
+        | CAST(MIN(CASE WHEN prev IS NOT NULL AND abs(fp - prev) > 8000
+        |               THEN frame_idx END) AS INTEGER) AS first_cut
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -488,6 +488,35 @@ object PipelineQueries {
           graft.functions.TextFunctions.rolling_fingerprint($"text").as("fp"))
         .orderBy("doc_id")
     }),
+    // Incremental corpus merge (upsert): a new crawl batch (updates to
+    // every 5th doc, brand-new ids for every 7th) reconciled against
+    // the existing corpus with ONE full-outer shuffle join on the key.
+    // This is the MERGE INTO shape of an append-heavy 100 TB corpus:
+    // at scale both sides are bucketed on doc_id so the join is
+    // zero-exchange (the p11 layout), and the output is the next
+    // corpus snapshot. Status accounting rides along for free.
+    "d51_corpus_merge" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val existing = docs
+        .select($"doc_id", $"text", $"lang", lit(1).cast("int").as("version"))
+      val updates = docs.where($"doc_id" % 5 === 0)
+        .select($"doc_id", concat($"text", lit(" [rev2]")).as("text"),
+          $"lang", lit(2).cast("int").as("version"))
+      val inserts = docs.where($"doc_id" % 7 === 3)
+        .select(($"doc_id" + 10000000L).as("doc_id"), $"text", $"lang",
+          lit(2).cast("int").as("version"))
+      val incoming = updates.unionByName(inserts)
+      existing.as("e").join(incoming.as("i"), Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          when($"i.version".isNotNull && $"e.version".isNotNull, lit("updated"))
+            .when($"i.version".isNotNull, lit("inserted"))
+            .otherwise(lit("kept")).as("status"),
+          coalesce($"i.version", $"e.version").as("version"),
+          length(coalesce($"i.text", $"e.text")).cast("long").as("n_chars"),
+          coalesce($"i.lang", $"e.lang").as("lang"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Exact pairwise n-gram Jaccard ≥ threshold over `src` (any relation
@@ -1235,5 +1264,23 @@ object PipelineQueries {
         | count(*) AS n_events,
         | CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, start_ts""".stripMargin,
+    "d51_corpus_merge" ->
+      """WITH existing AS (
+        |  SELECT doc_id, text, lang, 1 AS version FROM documents),
+        |incoming AS (
+        |  SELECT doc_id, text || ' [rev2]' AS text, lang, 2 AS version
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, lang, 2
+        |  FROM documents WHERE doc_id % 7 = 3)
+        |SELECT COALESCE(i.doc_id, e.doc_id) AS doc_id,
+        |  CASE WHEN i.doc_id IS NOT NULL AND e.doc_id IS NOT NULL THEN 'updated'
+        |       WHEN i.doc_id IS NOT NULL THEN 'inserted'
+        |       ELSE 'kept' END AS status,
+        |  CAST(COALESCE(i.version, e.version) AS INTEGER) AS version,
+        |  length(COALESCE(i.text, e.text)) AS n_chars,
+        |  COALESCE(i.lang, e.lang) AS lang
+        |FROM existing e FULL OUTER JOIN incoming i ON e.doc_id = i.doc_id
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -233,6 +233,24 @@ object StreamingQueries {
       runToTable(s, enriched, OutputMode.Complete(), "s46_sink")
         .orderBy("c_mktsegment")
     }),
+    // Grouped top-k maintained AS STREAMING STATE: the bounded top-k
+    // buffer (a47's aggregator) runs inside the stateful aggregation,
+    // merging across micro-batches in the state store — state per
+    // group is k rows, never the stream. Top-k under a TOTAL order
+    // (value DESC, event_id) is a deterministic function of the row
+    // multiset, so the streaming answer equals the batch row_number
+    // twin exactly.
+    "s50_stream_topk" -> ((s, dir) => {
+      val agg = eventStream(s, dir)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.TopKAgg
+          .top_k(col("value"), col("event_id"), 3).as("tk"))
+      runToTable(s, agg, OutputMode.Complete(), "s50_sink")
+        .select(col("event_type"), posexplode(col("tk")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+          col("col._2").as("event_id"), col("col._1").as("value"))
+        .orderBy("event_type", "rank")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -358,5 +376,12 @@ object StreamingQueries {
         | CAST(SUM(CAST(round(e.value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "s50_stream_topk" ->
+      """SELECT event_type, CAST(rk AS INTEGER) AS rank, event_id, value FROM (
+        | SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, event_id) AS rk
+        | FROM events) WHERE rk <= 3
+        |ORDER BY event_type, rank""".stripMargin,
   )
 }

@@ -168,6 +168,16 @@ class PlanChecksSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
   }
 
+  test("a49: triangle enumeration is all equi-joins (no pair scan)") {
+    val p = plan("a49_triangle_counts")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("d51: corpus merge plans a full-outer join on the key") {
+    assert(plan("d51_corpus_merge").contains("FullOuter"))
+  }
+
   test("cluster expressions fold into scan-stage codegen") {
     // run first: under AQE the codegen-starred final plan exists only
     // after execution

@@ -58,4 +58,57 @@ class GraphSpec extends AnyFunSuite {
     val b = collected(Graph.pageRank(e.toDF("src", "dst").repartition(13))).sorted
     assert(a.sameElements(b))
   }
+
+  private def triangles(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    collected(Graph.triangleCounts(edges.toDF("src", "dst"))).toMap
+
+  /** Brute-force reference: count id-ordered closed triples. */
+  private def naiveTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val tri = for {
+      (i, ai) <- nodes.zipWithIndex
+      (j, aj) <- nodes.zipWithIndex.drop(ai + 1) if und((i, j))
+      k <- nodes.drop(aj + 1) if und((j, k)) && und((i, k))
+    } yield Seq(i, j, k)
+    tri.flatten.groupBy(identity).map { case (n, xs) => (n, xs.size.toLong) }
+  }
+
+  test("K4: four triangles, every vertex on three") {
+    val vs = Seq(1L, 2L, 3L, 4L)
+    val edges = for (a <- vs; b <- vs if a < b) yield (a, b)
+    val t = triangles(edges)
+    assert(t == vs.map(_ -> 3L).toMap)
+  }
+
+  test("star graph has no triangles (and no output rows)") {
+    val edges = (1L to 30L).map(i => (0L, i))
+    assert(triangles(edges).isEmpty)
+  }
+
+  test("self-loops, duplicates and reversed edges don't invent triangles") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 3L))
+    assert(triangles(edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("matches the brute-force reference on a pseudo-random graph") {
+    // deterministic LCG edge set over 40 nodes, ~160 edges
+    val edges = (0 until 200).map { i =>
+      val a = (i * 2654435761L) % 40
+      val b = (i * 40503L + 13) % 40
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    assert(triangles(edges) == naiveTriangles(edges))
+  }
+
+  test("triangle counts are partitioning-invariant") {
+    val edges = (0 until 300).map { i =>
+      ((i * 48271L) % 60, (i * 16807L + 7) % 60)
+    }.filter { case (a, b) => a != b }
+    val a = triangles(edges)
+    val b = collected(Graph.triangleCounts(
+      edges.toDF("src", "dst").repartition(17))).toMap
+    assert(a == b)
+  }
 }

@@ -593,8 +593,8 @@ object PipelineQueries {
       s"$name AS (SELECT ${c}xor(h, h // 8589934592) AS h FROM ${name}4)"
   }
 
-  private def hashMixCtes(name: String, src: String, carry: Seq[String],
-                          keyExpr: String = "text"): String = {
+  private[queries] def hashMixCtes(name: String, src: String, carry: Seq[String],
+                                   keyExpr: String = "text"): String = {
     val c = if (carry.isEmpty) "" else carry.mkString("", ", ", ", ")
     val hm = "(h % 4611686018427387904)"
     fnvMixCtes(s"${name}h", src, carry, keyExpr) + ",\n" +

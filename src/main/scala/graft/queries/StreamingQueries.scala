@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
@@ -251,6 +251,33 @@ object StreamingQueries {
           col("col._2").as("event_id"), col("col._1").as("value"))
         .orderBy("event_type", "rank")
     }),
+    // Count-Min frequency sketch maintained AS STREAMING STATE (global
+    // stateful agg — state is the fixed 3×512 counter matrix, never the
+    // stream), completing the sketch-family-in-streaming-state trio:
+    // KMV distinct (s49), top-k (s50), CMS frequency (s51). Counter
+    // adds commute, so the streaming matrix equals the batch build
+    // exactly; probes (per-user event counts, collisions included) are
+    // recomputed counter-exactly by the oracle.
+    "s51_stream_cms" -> ((s, dir) => {
+      val (w, d) = (512, 3)
+      def hashed(c: Column): Column =
+        graft.functions.TextFunctions.fnv1a64_mix(concat(lit("user:"), c))
+      val agg = eventStream(s, dir)
+        .select(hashed(col("user_id")).as("h"))
+        .groupBy()
+        .agg(graft.functions.CountMinAgg.cms_agg(col("h"), w, d).as("cms"))
+      val cms = runToTable(s, agg, OutputMode.Complete(), "s51_sink")
+      graft.sources.Tables.load(s, dir, "events")
+        .where(col("user_id") < 40)
+        .select(col("user_id"), hashed(col("user_id")).as("h"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact_cnt"), min(col("h")).as("h"))
+        .crossJoin(broadcast(cms))
+        .select(col("user_id"), col("exact_cnt"),
+          graft.functions.CountMinAgg.estimate(col("cms"), col("h"), w, d)
+            .as("est_cnt"))
+        .orderBy("user_id")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -383,5 +410,28 @@ object StreamingQueries {
         |    ORDER BY value DESC, event_id) AS rk
         | FROM events) WHERE rk <= 3
         |ORDER BY event_type, rank""".stripMargin,
+    // Counter-matrix recompute as GROUP BY counts over the double-hash
+    // positions (a48's oracle shape, keyed on events.user_id): the
+    // streaming state answer must equal this batch rebuild because
+    // counter adds commute.
+    "s51_stream_cms" -> {
+      val chain = PipelineQueries.hashMixCtes("ks",
+        "(SELECT user_id, 'user:' || user_id AS key FROM events) kk",
+        Seq("user_id"), "key")
+      s"""WITH $chain,
+         |pos AS (SELECT user_id, i.i AS row_i,
+         |   CAST((u1 + i.i * u2) % 512 AS BIGINT) AS pos
+         |  FROM ks, range(0, 3) i(i)),
+         |counters AS (SELECT row_i, pos, count(*) AS c FROM pos GROUP BY row_i, pos),
+         |probe AS (SELECT user_id, count(*) AS exact_cnt FROM events
+         |  WHERE user_id < 40 GROUP BY user_id),
+         |ppos AS (SELECT DISTINCT user_id, row_i, pos FROM pos WHERE user_id < 40),
+         |est AS (SELECT p.user_id, CAST(min(c.c) AS BIGINT) AS est_cnt
+         |  FROM ppos p JOIN counters c ON c.row_i = p.row_i AND c.pos = p.pos
+         |  GROUP BY p.user_id)
+         |SELECT probe.user_id AS user_id, probe.exact_cnt, est.est_cnt
+         |FROM probe JOIN est ON probe.user_id = est.user_id
+         |ORDER BY probe.user_id""".stripMargin
+    },
   )
 }

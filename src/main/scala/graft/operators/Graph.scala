@@ -50,10 +50,15 @@ object Graph {
    * @return (node, rank) — rank in units of 10^-12
    */
   def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-               iters: Int = 5, symmetric: Boolean = false): DataFrame = {
-    val e = edges
+               iters: Int = 5, symmetric: Boolean = false,
+               assumeDistinct: Boolean = false): DataFrame = {
+    val raw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct().persist()
+    // `assumeDistinct` skips the dedup shuffle when the caller already
+    // guarantees a distinct edge list (e.g. built from a distinct pair
+    // set) — on a multi-million-edge build that is the largest exchange
+    // in the whole query
+    val e = (if (assumeDistinct) raw else raw.distinct()).persist()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     val nodes =
       if (symmetric) outdeg.select(col("src").as("node"))
@@ -72,8 +77,11 @@ object Graph {
       // combined partial sums keyed on dst. (At node counts past
       // broadcast size, drop the hint and pre-partition both edge list
       // and rank state on src once — same plan, co-partitioned.)
+      // broadcast the node-sized degree table: the contrib build then
+      // needs NO exchange at all (ranks scan → broadcast join → project),
+      // leaving one exchange per round (the inflow partial-sum)
       val contrib = ranks
-        .join(outdeg.withColumnRenamed("src", "node"), Seq("node"))
+        .join(broadcast(outdeg.withColumnRenamed("src", "node")), Seq("node"))
         // `div` (integral divide), not `/`: the double round-trip can
         // round a near-integer quotient the wrong way
         .select(col("node").as("src"), expr("(r * 17) div (20 * deg)").as("c"))

@@ -485,10 +485,16 @@ object AnalyticsQueries {
     // the same triangle set), making it genuinely independent.
     "a49_triangle_counts" -> ((s, dir) => {
       import s.implicits._
+      // co-occurrence pairs via ONE shuffle on the order key (per-order
+      // supplier sets expanded locally, k² per order with tiny k) — a
+      // lineitem self-join would shuffle the table twice and join
       val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
-      val pairs = li.as("x").join(li.as("y"),
-          $"x.l_orderkey" === $"y.l_orderkey" && $"x.l_suppkey" < $"y.l_suppkey")
-        .groupBy($"x.l_suppkey".as("src"), $"y.l_suppkey".as("dst"))
+      val pairs = li.groupBy($"l_orderkey")
+        .agg(collect_set($"l_suppkey").as("ss"))
+        .select(explode($"ss").as("u"), $"ss")
+        .select($"u", explode($"ss").as("v"))
+        .where($"u" < $"v")
+        .groupBy($"u".as("src"), $"v".as("dst"))
         .agg(count(lit(1)).as("w"))
         .where($"w" >= 5)
         .select($"src", $"dst")
@@ -548,11 +554,12 @@ object AnalyticsQueries {
 
   val oracles3: Map[String, String] = Map(
     "a49_triangle_counts" ->
-      """WITH pairs AS (
-        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      """WITH co AS (
+        |  SELECT DISTINCT a.l_orderkey, a.l_suppkey AS u, b.l_suppkey AS v
         |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |pairs AS (
+        |  SELECT u, v FROM co GROUP BY u, v HAVING count(*) >= 5),
         |tri AS (
         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
         |  FROM pairs e1 JOIN pairs e2 ON e2.u = e1.v

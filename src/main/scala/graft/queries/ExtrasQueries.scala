@@ -146,11 +146,16 @@ object ExtrasQueries {
       // the joined frame would run the orders⋈lineitem join twice)
       val edges = o.join(l, $"o_orderkey" === $"l_orderkey")
         .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("p"))
+        // dedup BEFORE doubling: half the rows through the distinct
+        // exchange, and the doubled list is distinct by construction
+        // (src parity differs), so pageRank can skip its own dedup
+        .distinct()
         .select(explode(array(
           struct($"c".as("src"), $"p".as("dst")),
           struct($"p".as("src"), $"c".as("dst")))).as("e"))
         .select($"e.src".as("src"), $"e.dst".as("dst"))
-      graft.operators.Graph.pageRank(edges, iters = 5, symmetric = true).orderBy("node")
+      graft.operators.Graph.pageRank(edges, iters = 5, symmetric = true,
+        assumeDistinct = true).orderBy("node")
     }),
     // Z-order (Morton) layout keys over events: interleave (user bucket,
     // hour bucket) and aggregate per coarse z-cell. Each cell's min/max

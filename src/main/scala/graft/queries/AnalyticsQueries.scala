@@ -550,6 +550,19 @@ object AnalyticsQueries {
         .unionByName(dupDocs).unionByName(badStatus)
         .orderBy("rule")
     }),
+    // MapType surface: parse the JSON props into a map, explode it to
+    // (key, value) rows, aggregate per event type × key. The oracle
+    // discovers keys via json_keys — neither side hard-codes the
+    // property names.
+    "a52_map_explode" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_type",
+          explode(expr("from_json(props, 'map<string,bigint>')")))
+        .groupBy($"event_type", $"key".as("prop_key"))
+        .agg(count(lit(1)).as("cnt"), sum($"value").as("sum_v"))
+        .orderBy("event_type", "prop_key")
+    }),
   )
 
   val oracles3: Map[String, String] = Map(
@@ -573,6 +586,11 @@ object AnalyticsQueries {
         |SELECT CAST(LEAST(19, CAST(floor((value - vmin) * 20.0 / (vmax - vmin)) AS BIGINT)) AS INTEGER) AS bucket,
         | count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM events, mm GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "a52_map_explode" ->
+      """SELECT event_type, k.key AS prop_key, count(*) AS cnt,
+        | CAST(sum(CAST(json_extract_string(props, '$.' || k.key) AS BIGINT)) AS BIGINT) AS sum_v
+        |FROM events, unnest(json_keys(props)) AS k(key)
+        |GROUP BY 1, 2 ORDER BY event_type, prop_key""".stripMargin,
     "a51_dq_audit" ->
       """SELECT 'lineitem_orphan_order' AS rule, count(*) AS violations
         |FROM lineitem l

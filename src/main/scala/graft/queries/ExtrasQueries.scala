@@ -196,6 +196,15 @@ object ExtrasQueries {
           min(when($"cut", $"frame_idx")).as("first_cut"))
         .orderBy("doc_id")
     }),
+    // The mapPartitions batch-decode path (iterator-of-batches shape a
+    // real codec / model server plugs into), driver-checked against the
+    // same byte-histogram oracle as the expression path (m50) — both
+    // executions of the stub kernel must agree with the independent
+    // SQL recompute.
+    "m55_batched_decode" -> ((s, dir) => {
+      Multimodal.decodeBatched(Multimodal.synthesizeMedia(t(s, dir, "documents")))
+        .orderBy("doc_id")
+    }),
   )
 
   // ASCII-corpus assumption (same caveat as DuckSql's CRC16 oracle): the
@@ -336,6 +345,16 @@ object ExtrasQueries {
          | min(hb) AS min_hb, max(hb) AS max_hb
          |FROM z GROUP BY cell ORDER BY cell""".stripMargin
     },
+    "m55_batched_decode" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |  CAST(length(text) AS BIGINT) AS n_bytes, $duckCodes AS codes
+         | FROM documents)
+         |SELECT doc_id, n_bytes,
+         | CAST(len(list_filter(codes, c -> c >= 32 AND c < 64)) AS DOUBLE) / greatest(n_bytes, 1) AS f0,
+         | CAST(len(list_filter(codes, c -> c >= 64 AND c < 96)) AS DOUBLE) / greatest(n_bytes, 1) AS f1,
+         | CAST(len(list_filter(codes, c -> c >= 96 AND c < 128)) AS DOUBLE) / greatest(n_bytes, 1) AS f2,
+         | CAST(len(list_filter(codes, c -> c < 32 OR c >= 128)) AS DOUBLE) / greatest(n_bytes, 1) AS f3
+         |FROM b ORDER BY doc_id""".stripMargin,
     // Same frame split (k·n // 8) and Adler-style fold as the m51
     // oracle, then the identical lag + threshold rule in SQL.
     "m54_scene_cuts" ->

@@ -36,6 +36,29 @@ object Sampling {
   }
 
   /**
+   * Deterministic train/val/test assignment by slot-hash thresholds:
+   * the first `valFrac` of the 16384-slot space is "val", the next
+   * `testFrac` is "test", the rest "train". Stable across runs,
+   * engines, partitionings and appends (a new row can never move an
+   * existing row's split), disjoint and exhaustive by construction.
+   * Scan-local — a projection, no shuffle, composable with any
+   * downstream operator.
+   */
+  def assignSplit(df: DataFrame, key: Column, valFrac: Double, testFrac: Double,
+                  splitCol: String = "split"): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
+      s"fractions out of range: val=$valFrac test=$testFrac")
+    val slots = graft.core.ClusterHash.TotalSlots
+    val valHi = (valFrac * slots).toInt
+    val testHi = valHi + (testFrac * slots).toInt
+    val s = cluster_slot(key)
+    df.withColumn(splitCol,
+      when(s < valHi, lit("val"))
+        .when(s < testHi, lit("test"))
+        .otherwise(lit("train")))
+  }
+
+  /**
    * Deterministic per-group cap: keep at most `cap` rows per value of
    * `groupCol` — web-corpus curation's "at most K documents per
    * domain/source" rule. Rows are ranked by slot hash (ties by `idCol`),

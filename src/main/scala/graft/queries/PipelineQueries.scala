@@ -488,6 +488,20 @@ object PipelineQueries {
           graft.functions.TextFunctions.rolling_fingerprint($"text").as("fp"))
         .orderBy("doc_id")
     }),
+    // Deterministic train/val/test split: slot-hash thresholds assign
+    // every doc a split (5% val, 10% test) — stable across engines,
+    // partitionings and appends, disjoint/exhaustive by construction,
+    // and scan-local (a projection; the only exchange is the output
+    // ordering). Per-doc assignment checked row-by-row, plus the
+    // per-(lang, split) distribution a pipeline would monitor.
+    "d52_train_split" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sampling.assignSplit(
+          t(s, dir, "documents"), concat(lit("doc:"), $"doc_id"),
+          valFrac = 0.05, testFrac = 0.10)
+        .select($"doc_id", $"lang", $"split")
+        .orderBy("doc_id")
+    }),
     // Incremental corpus merge (upsert): a new crawl batch (updates to
     // every 5th doc, brand-new ids for every 7th) reconciled against
     // the existing corpus with ONE full-outer shuffle join on the key.
@@ -1264,6 +1278,18 @@ object PipelineQueries {
         | count(*) AS n_events,
         | CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, start_ts""".stripMargin,
+    "d52_train_split" -> {
+      val inner = graft.oracle.DuckSql.withSlotNode(
+        "SELECT doc_id, lang, 'doc:' || doc_id AS key FROM documents",
+        Seq("doc_id", "lang"), Some("slot"), None)
+      val valHi = (0.05 * 16384).toInt
+      val testHi = valHi + (0.10 * 16384).toInt
+      s"""SELECT doc_id, lang,
+         | CASE WHEN slot < $valHi THEN 'val'
+         |      WHEN slot < $testHi THEN 'test'
+         |      ELSE 'train' END AS split
+         |FROM ($inner) ORDER BY doc_id""".stripMargin
+    },
     "d51_corpus_merge" ->
       """WITH existing AS (
         |  SELECT doc_id, text, lang, 1 AS version FROM documents),

@@ -84,4 +84,22 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == sampled.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("split assignment is exhaustive, near-fraction, and matches the core hash") {
+    val key = concat(lit("doc:"), $"doc_id")
+    val split = Sampling.assignSplit(docs, key, valFrac = 0.05, testFrac = 0.10)
+      .select($"doc_id", $"split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(split.size == docs.count(), "every doc gets exactly one split")
+    val n = split.size.toDouble
+    val frac = split.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.05) < 0.03, frac.toString)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.10) < 0.05, frac.toString)
+    // assignment is the slot rule — recompute independently per doc
+    split.foreach { case (id, sp) =>
+      val slot = ClusterHash.getSlot(s"doc:$id")
+      val expect = if (slot < 819) "val" else if (slot < 2457) "test" else "train"
+      assert(sp == expect, s"doc $id slot $slot: $sp != $expect")
+    }
+  }
 }

@@ -550,6 +550,20 @@ object AnalyticsQueries {
         .unionByName(dupDocs).unionByName(badStatus)
         .orderBy("rule")
     }),
+    // Higher-order lambda functions (filter/transform/aggregate/exists)
+    // over the token array — all evaluated inside the scan's codegen
+    // stage, zero shuffles before the output ordering. The declared
+    // coverage for Spark's lambda-function surface.
+    "a53_higher_order" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("words"))
+        .select($"doc_id",
+          expr("size(filter(words, w -> length(w) >= 4))").cast("long").as("n_long"),
+          expr("aggregate(transform(words, w -> length(w)), 0L, (a, x) -> a + CAST(x AS BIGINT))").as("char_mass"),
+          expr("exists(words, w -> length(w) > 8)").as("any_long8"))
+        .orderBy("doc_id")
+    }),
     // MapType surface: parse the JSON props into a map, explode it to
     // (key, value) rows, aggregate per event type × key. The oracle
     // discovers keys via json_keys — neither side hard-codes the
@@ -586,6 +600,14 @@ object AnalyticsQueries {
         |SELECT CAST(LEAST(19, CAST(floor((value - vmin) * 20.0 / (vmax - vmin)) AS BIGINT)) AS INTEGER) AS bucket,
         | count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM events, mm GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "a53_higher_order" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split(text, ' '), w -> length(w) >= 4)) AS BIGINT) AS n_long,
+        | CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT))),
+        |   (a, b) -> a + b) AS BIGINT) AS char_mass,
+        | len(list_filter(string_split(text, ' '), w -> length(w) > 8)) > 0 AS any_long8
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "a52_map_explode" ->
       """SELECT event_type, k.key AS prop_key, count(*) AS cnt,
         | CAST(sum(CAST(json_extract_string(props, '$.' || k.key) AS BIGINT)) AS BIGINT) AS sum_v

@@ -99,6 +99,23 @@ object RelationalQueries {
     dir
   }
 
+  /** Plain-text export root (one doc per line; the corpus has no
+    * embedded newlines, so line == document). */
+  def textDir(sfDir: String): String =
+    "/root/repo/data/graft-text/" +
+      sfDir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_") + "/documents"
+
+  /** Ingest-once text sink (Bench warm-up calls this too). */
+  def ensureTextExport(s: SparkSession, sfDir: String): String = {
+    val dir = textDir(sfDir)
+    if (stale(dir, sfDir, "documents")) {
+      Tables.load(s, sfDir, "documents")
+        .select("text").coalesce(1)
+        .write.mode("overwrite").text(dir)
+    }
+    dir
+  }
+
   /** Hive-style partitioned parquet export root (per-sf, as above). */
   def partitionedDir(sfDir: String): String =
     "/root/repo/data/graft-part/" +
@@ -162,6 +179,16 @@ object RelationalQueries {
         .agg(count(lit(1)).as("suppliers"), min($"s_name").as("first_name"))
         .orderBy("s_nationkey")
     }),
+    // Text source/sink leg: documents exported one-per-line, read back
+    // via the line-oriented text source. The oracle recomputes from the
+    // source parquet — the layout round-trip must not change the data.
+    "x63_text_scan" -> ((s, dir) => {
+      import s.implicits._
+      val path = ensureTextExport(s, dir)
+      s.read.text(path)
+        .select($"value", length($"value").cast("long").as("n_chars"))
+        .orderBy("value")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -181,6 +208,11 @@ object RelationalQueries {
     // independent of the export: recomputed straight from the source
     // table — DuckDB has no ORC reader, and the layout must not change
     // the answer anyway
+    // independent of the export: recomputed from the source table (text
+    // is unique per doc, so the value ordering is total)
+    "x63_text_scan" ->
+      """SELECT text AS value, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY value""".stripMargin,
     "o62_orc_scan" ->
       """SELECT p_brand, count(*) AS parts, min(p_name) AS first_name,
         | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS retail_total

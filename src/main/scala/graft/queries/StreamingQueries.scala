@@ -37,6 +37,55 @@ object StreamingQueries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Schema of the time-split export (ts already normalized to a real
+    * timestamp at export time, unlike the raw nanos table). */
+  private val splitEventSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+
+  /**
+   * Ingest-once TIME-SPLIT export of events: first half by event time
+   * written before the second, so `FileStreamSource`'s oldest-first
+   * file ordering yields time-ordered micro-batches. A time-ordered
+   * split is the one arrangement where multi-batch replay provably
+   * equals the single-batch answer: every batch-2 event sits above
+   * batch-1's watermark (max(ts of half 1) ≤ split point), so nothing
+   * is late-dropped, and the final watermark is the global one. The
+   * split point is the exact median (deterministic); only the scalar
+   * reaches the driver.
+   */
+  def ensureTimeSplitEvents(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val out = "/root/repo/data/graft-events-split/" +
+      dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_")
+    val marker = Paths.get(out, "b", "_SUCCESS")
+    val src = Paths.get(dir.replaceAll("/+$", ""), "events.parquet")
+    val fresh = Files.exists(marker) &&
+      Files.getLastModifiedTime(marker).compareTo(Files.getLastModifiedTime(src)) >= 0
+    if (!fresh) {
+      val ev = graft.sources.Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      val med = ev.agg(expr("CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)"))
+        .head().getLong(0)
+      ev.where(expr(s"unix_micros(ts) <= ${med}L")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/a")
+      ev.where(expr(s"unix_micros(ts) > ${med}L")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/b")
+    }
+    out
+  }
+
+  /** The s52 stream: one file per micro-batch over the time-split
+    * export — the engine merges session state ACROSS batches. */
+  def splitEventStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream
+      .schema(splitEventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"${ensureTimeSplitEvents(s, dir)}/*/part*")
+
   /** Drain a streaming DataFrame into a named memory sink and return
     * the sink table. `dropTempView` first: bench re-invokes queries in
     * one session and a stale sink view would collide.
@@ -251,6 +300,24 @@ object StreamingQueries {
           col("col._2").as("event_id"), col("col._1").as("value"))
         .orderBy("event_type", "rank")
     }),
+    // Session windows again, but processed as TIME-ORDERED MULTI-BATCH
+    // replay (one file per micro-batch over the time-split export): the
+    // merging session state now genuinely carries across micro-batches
+    // — a session spanning the split point is opened by batch 1, merged
+    // and extended by batch 2, and emitted on the final watermark. Same
+    // oracle as s42 by construction (see ensureTimeSplitEvents).
+    "s52_stream_sessions_batched" -> ((s, dir) => {
+      val sess = splitEventStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value, 6) AS DECIMAL(18,6))")).cast("double").as("total_value"))
+        .select(col("user_id"), unix_millis(col("w.start")).as("start_ts"),
+          unix_millis(col("w.end")).as("window_end_ts"),
+          col("n_events"), col("total_value"))
+      runToTable(s, sess, OutputMode.Append(), "s52_sink")
+        .orderBy("user_id", "start_ts")
+    }),
     // Count-Min frequency sketch maintained AS STREAMING STATE (global
     // stateful agg — state is the fixed 3×512 counter matrix, never the
     // stream), completing the sketch-family-in-streaming-state trio:
@@ -280,6 +347,33 @@ object StreamingQueries {
     }),
   )
 
+  /** Gaps-and-islands sessions (same break rule as s38) plus the
+    * engine's append-mode emission cutoff: watermark is tracked in
+    * whole milliseconds (floor of the max event time) minus the 10m
+    * delay, compared against the session end in MICROseconds — the
+    * exact arithmetic the state store eviction uses. Held sessions
+    * (end + gap past the watermark) never reach the sink. Shared by
+    * s42 (single-batch) and s52 (time-ordered multi-batch). */
+  private val sessionOracleSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+      |m AS (SELECT user_id, t, value,
+      |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |        OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
+      |       THEN 1 ELSE 0 END AS brk FROM e),
+      |g AS (SELECT user_id, t, value,
+      |  SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m),
+      |sess AS (SELECT user_id, min(t) AS start_us, max(t) AS end_us,
+      |   count(*) AS n_events,
+      |   CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      | FROM g GROUP BY user_id, sid),
+      |wm AS (SELECT ((max(t) // 1000) - 600000) * 1000 AS wm_us FROM e)
+      |SELECT user_id, start_us // 1000 AS start_ts,
+      | (end_us + 1800000000) // 1000 AS window_end_ts,
+      | n_events, total_value
+      |FROM sess, wm WHERE end_us + 1800000000 <= wm_us
+      |ORDER BY user_id, start_ts""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "s40_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt,
@@ -294,25 +388,13 @@ object StreamingQueries {
     // delay, compared against the session end in MICROseconds — the
     // exact arithmetic the state store eviction uses. Held sessions
     // (end + gap past the watermark) never reach the sink.
-    "s42_stream_sessions" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
-        |m AS (SELECT user_id, t, value,
-        |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
-        |        OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
-        |       THEN 1 ELSE 0 END AS brk FROM e),
-        |g AS (SELECT user_id, t, value,
-        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY t
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m),
-        |sess AS (SELECT user_id, min(t) AS start_us, max(t) AS end_us,
-        |   count(*) AS n_events,
-        |   CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        | FROM g GROUP BY user_id, sid),
-        |wm AS (SELECT ((max(t) // 1000) - 600000) * 1000 AS wm_us FROM e)
-        |SELECT user_id, start_us // 1000 AS start_ts,
-        | (end_us + 1800000000) // 1000 AS window_end_ts,
-        | n_events, total_value
-        |FROM sess, wm WHERE end_us + 1800000000 <= wm_us
-        |ORDER BY user_id, start_ts""".stripMargin,
+    "s42_stream_sessions" -> sessionOracleSql,
+    // identical oracle on purpose: a TIME-ORDERED multi-batch replay
+    // must converge to the same emitted session set as the single-batch
+    // run (batch 2's events all sit above batch 1's watermark, and the
+    // final watermark is the same) — what changes is only that the
+    // engine now proves its cross-batch session-state merge
+    "s52_stream_sessions_batched" -> sessionOracleSql,
     "s43_stream_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
         | epoch_ms(a.ts) AS click_ms, epoch_ms(b.ts) AS purchase_ms

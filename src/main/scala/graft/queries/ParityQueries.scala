@@ -110,6 +110,22 @@ object ParityQueries {
         .agg(count(lit(1)).as("keys"), countDistinct($"slot").as("slots"))
         .orderBy("node")
     }),
+    // Resharding plan: the migration matrix a 6→12 node scale-out needs —
+    // how many keys each old node sends to each new node (keys where
+    // node6 ≠ node12 must move; slot assignment itself never changes, the
+    // cluster-hash invariant that makes resharding slot-granular). One
+    // scan, both node mappings computed in the same codegen stage, one
+    // map-combined agg on a ≤72-cell key space.
+    "p16_reshard_matrix" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(concat(lit("order:"), $"o_orderkey").as("key"))
+        .select(cluster_node($"key").as("node6"),
+          cluster_node($"key", lit(12)).as("node12"))
+        .groupBy("node6", "node12")
+        .agg(count(lit(1)).as("keys"))
+        .orderBy("node6", "node12")
+    }),
     // E2 lifecycle path (SURVEY.md §3): SQL text → parse → resolve against
     // the registered functions → same plans as the DataFrame path
     "p09_sql_path" -> ((s, dir) => {
@@ -164,6 +180,13 @@ object ParityQueries {
         "SELECT 'user:' || c_custkey AS key FROM customer",
         Seq(), None, None, Some(("node12", 12)))
       s"SELECT node12, count(*) AS cnt FROM ($inner) GROUP BY node12 ORDER BY node12"
+    },
+    "p16_reshard_matrix" -> {
+      val inner = DuckSql.withSlotNode(
+        "SELECT 'order:' || o_orderkey AS key FROM orders",
+        Seq(), None, Some("node6"), Some(("node12", 12)))
+      s"""SELECT node6, node12, count(*) AS keys FROM ($inner)
+         |GROUP BY node6, node12 ORDER BY node6, node12""".stripMargin
     },
     "p07_ilike" ->
       "SELECT p_partkey, p_name FROM part WHERE p_name ILIKE '%RED%' ORDER BY p_partkey",

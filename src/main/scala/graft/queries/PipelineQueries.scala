@@ -488,6 +488,24 @@ object PipelineQueries {
           graft.functions.TextFunctions.rolling_fingerprint($"text").as("fp"))
         .orderBy("doc_id")
     }),
+    // Quality-percentile filtering (the FineWeb-style curation rule):
+    // keep the top half of docs per language by quality score. Integer
+    // rank arithmetic (rk·2 ≤ n) — no float percentile — so the kept
+    // set is bit-stable. One shuffle on lang; per-group window state is
+    // a running count.
+    "t49_quality_filter" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"quality".desc, $"doc_id")
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      TextAnalysis.analyze(t(s, dir, "documents"))
+        .select($"doc_id", $"lang", round($"quality", 6).as("quality"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .where($"rk" * 2 <= $"n")
+        .select($"doc_id", $"lang", $"quality", $"rk".cast("long").as("rk"))
+        .orderBy("doc_id")
+    }),
     // Deterministic train/val/test split: slot-hash thresholds assign
     // every doc a split (5% val, 10% test) — stable across engines,
     // partitionings and appends, disjoint/exhaustive by construction,
@@ -1278,6 +1296,29 @@ object PipelineQueries {
         | count(*) AS n_events,
         | CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, start_ts""".stripMargin,
+    // Same quality chain as the t40 oracle (trimmed to the terms the
+    // score uses), then integer-rank percentile selection in SQL.
+    "t49_quality_filter" -> {
+      val en = TextAnalysis.stopwords("en").sorted.map(w => s"'$w'").mkString(",")
+      s"""WITH b AS (SELECT doc_id, lang, text, $duckTokens AS toks FROM documents),
+         |c AS (SELECT doc_id, lang, text,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS punct_ratio,
+         |  CAST(len(list_filter(toks, w -> list_contains([$en], lower(w)))) AS DOUBLE) AS hits_en
+         | FROM b),
+         |d AS (SELECT *,
+         |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+         |  least(hits_en / greatest(n_tokens, 1) * 5.0, 1.0) AS stop_score,
+         |  least(punct_ratio * 4.0, 1.0) AS punct_pen FROM c),
+         |q AS (SELECT doc_id, lang,
+         |  round(len_score * 0.4 + stop_score * 0.4 + (1.0 - punct_pen) * 0.2, 6) AS quality FROM d),
+         |r AS (SELECT doc_id, lang, quality,
+         |  row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk,
+         |  count(*) OVER (PARTITION BY lang) AS n FROM q)
+         |SELECT doc_id, lang, quality, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk * 2 <= n ORDER BY doc_id""".stripMargin
+    },
     "d52_train_split" -> {
       val inner = graft.oracle.DuckSql.withSlotNode(
         "SELECT doc_id, lang, 'doc:' || doc_id AS key FROM documents",

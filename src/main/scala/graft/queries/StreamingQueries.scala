@@ -39,7 +39,7 @@ object StreamingQueries {
 
   /** Schema of the time-split export (ts already normalized to a real
     * timestamp at export time, unlike the raw nanos table). */
-  private val splitEventSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[queries] val splitEventSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
     org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),

@@ -28,4 +28,71 @@ class StreamingQueriesSpec extends AnyFunSuite {
     val expect = graft.sources.Tables.load(spark, sf, "events").count()
     assert(total == expect, s"split halves must cover the table: $total != $expect")
   }
+
+  /** The recovery contract an unbounded deployment lives on: kill the
+    * query, restart from the checkpoint with new data present, and the
+    * engine must (a) not re-emit what the fault-tolerant file sink
+    * already committed, (b) resume session state so windows opened
+    * before the restart finish correctly after it — the restarted
+    * output must equal a never-restarted run bit-for-bit. */
+  test("session state survives a checkpointed restart (exactly-once file sink)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val sf = SparkTestSession.sf001
+    val splitDir = StreamingQueries.ensureTimeSplitEvents(spark, sf)
+    def half(name: String) = {
+      val s = Files.list(Paths.get(splitDir, name)).filter(
+        p => p.getFileName.toString.startsWith("part-")).findFirst.get
+      s
+    }
+    val srcDir = Files.createTempDirectory("graft-restart-src")
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-restart-out").toString
+
+    def sessionAgg(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("start_ts"),
+        unix_millis(col("w.end")).as("end_ts"), col("n_events"))
+
+    def runOnce(src: String, checkpoint: String, out: String): Unit = {
+      val q = sessionAgg(spark.readStream
+          .schema(StreamingQueries.splitEventSchema)
+          .option("maxFilesPerTrigger", 1).parquet(src))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def rows(out: String) = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // phase 1: only the first (time-earlier) half exists
+    Files.copy(half("a"), srcDir.resolve("00-a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    runOnce(s"$srcDir/*.parquet", ckpt, outDir)
+    val afterPhase1 = rows(outDir)
+    // phase 2: new data arrives, restart from the SAME checkpoint
+    Files.copy(half("b"), srcDir.resolve("01-b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    runOnce(s"$srcDir/*.parquet", ckpt, outDir)
+    val afterPhase2 = rows(outDir)
+
+    // never-restarted reference over the same two files
+    val ckpt2 = Files.createTempDirectory("graft-restart-ckpt2").toString
+    val out2 = Files.createTempDirectory("graft-restart-out2").toString
+    runOnce(s"$srcDir/*.parquet", ckpt2, out2)
+    val reference = rows(out2)
+
+    assert(afterPhase1.nonEmpty && afterPhase1.subsetOf(afterPhase2))
+    assert(afterPhase2 == reference,
+      s"restarted output diverged: ${(afterPhase2 -- reference).take(3)} / ${(reference -- afterPhase2).take(3)}")
+    // state genuinely crossed the restart: some session emitted after
+    // the restart STARTED in phase-1 data (its window was open state
+    // in the checkpoint when the query was stopped)
+    val maxA = spark.read.parquet(srcDir.resolve("00-a.parquet").toString)
+      .agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val phase2New = afterPhase2 -- afterPhase1
+    assert(phase2New.exists(_._2 <= maxA),
+      s"no emitted session carried state across the restart (maxA=$maxA)")
+  }
 }

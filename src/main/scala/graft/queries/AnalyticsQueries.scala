@@ -550,6 +550,27 @@ object AnalyticsQueries {
         .unionByName(dupDocs).unionByName(badStatus)
         .orderBy("rule")
     }),
+    // Sketch set algebra: per-segment KMV sketches answer |clicks ∪
+    // purchases| by aggregating the union and |∩| by inclusion-
+    // exclusion — the mergeable-summary algebra a 1000-executor
+    // dashboard runs instead of exact distinct over raw IDs. Every
+    // estimate is deterministic (KMV is order-independent), so even
+    // the error is oracle-reproducible.
+    "a54_sketch_setops" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .where($"event_type".isin("click", "purchase"))
+        .select($"event_type",
+          graft.functions.TextFunctions
+            .fnv1a64_mix(concat(lit("user:"), $"user_id")).as("h"))
+      def est(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.agg(graft.functions.KmvSketchAgg.kmv_distinct($"h", 64).as(as))
+      est(ev.where($"event_type" === "click"), "est_click")
+        .crossJoin(broadcast(est(ev.where($"event_type" === "purchase"), "est_purchase")))
+        .crossJoin(broadcast(est(ev, "est_union")))
+        .select($"est_click", $"est_purchase", $"est_union",
+          ($"est_click" + $"est_purchase" - $"est_union").as("est_intersection"))
+    }),
     // Higher-order lambda functions (filter/transform/aggregate/exists)
     // over the token array — all evaluated inside the scan's codegen
     // stage, zero shuffles before the output ordering. The declared
@@ -600,6 +621,27 @@ object AnalyticsQueries {
         |SELECT CAST(LEAST(19, CAST(floor((value - vmin) * 20.0 / (vmax - vmin)) AS BIGINT)) AS INTEGER) AS bucket,
         | count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM events, mm GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "a54_sketch_setops" -> {
+      def kmv(name: String, where: String): String = {
+        val chain = PipelineQueries.fnvMixCtes(name,
+          s"(SELECT DISTINCT 'user:' || user_id AS key FROM events WHERE $where) t",
+          Seq(), "key")
+        s"""$chain,
+           |${name}r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+           |   count(*) OVER () AS nd FROM (SELECT DISTINCT h FROM $name)),
+           |${name}e AS (SELECT CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+           |   ELSE 63.0 * 18446744073709551616.0 /
+           |     CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE) END AS est
+           | FROM ${name}r)""".stripMargin
+      }
+      s"""WITH ${kmv("ck", "event_type = 'click'")},
+         |${kmv("pu", "event_type = 'purchase'")},
+         |${kmv("un", "event_type IN ('click', 'purchase')")}
+         |SELECT cke.est AS est_click, pue.est AS est_purchase,
+         | une.est AS est_union,
+         | cke.est + pue.est - une.est AS est_intersection
+         |FROM cke, pue, une""".stripMargin
+    },
     "a53_higher_order" ->
       """SELECT doc_id,
         | CAST(len(list_filter(string_split(text, ' '), w -> length(w) >= 4)) AS BIGINT) AS n_long,

@@ -550,6 +550,25 @@ object AnalyticsQueries {
         .unionByName(dupDocs).unionByName(badStatus)
         .orderBy("rule")
     }),
+    // RANGE-interval window frames (the time-based complement of a28's
+    // ROWS frames): per-user moving count/sum over the preceding hour
+    // BY EVENT TIME. RANGE includes all peers of the current timestamp,
+    // so the result is deterministic even under ts ties; the DECIMAL
+    // sum keeps the fold order-independent.
+    "a55_range_frames" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"t")
+        .rangeBetween(-3600000L, 0L)
+      t(s, dir, "events")
+        .select($"event_id", $"user_id", unix_millis($"ts").as("t"),
+          $"value")
+        .withColumn("events_last_hour", count(lit(1)).over(w))
+        .withColumn("value_last_hour",
+          sum(expr("CAST(round(value, 6) AS DECIMAL(18,6))")).over(w)
+            .cast("double"))
+        .select($"event_id", $"user_id", $"events_last_hour", $"value_last_hour")
+        .orderBy("event_id")
+    }),
     // Sketch set algebra: per-segment KMV sketches answer |clicks ∪
     // purchases| by aggregating the union and |∩| by inclusion-
     // exclusion — the mergeable-summary algebra a 1000-executor
@@ -621,6 +640,14 @@ object AnalyticsQueries {
         |SELECT CAST(LEAST(19, CAST(floor((value - vmin) * 20.0 / (vmax - vmin)) AS BIGINT)) AS INTEGER) AS bucket,
         | count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM events, mm GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "a55_range_frames" ->
+      """SELECT event_id, user_id,
+        | count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS events_last_hour,
+        | CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) OVER (
+        |   PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_last_hour
+        |FROM events ORDER BY event_id""".stripMargin,
     "a54_sketch_setops" -> {
       def kmv(name: String, where: String): String = {
         val chain = PipelineQueries.fnvMixCtes(name,

@@ -550,6 +550,21 @@ object AnalyticsQueries {
         .unionByName(dupDocs).unionByName(badStatus)
         .orderBy("rule")
     }),
+    // Correlated LATERAL subquery (per-customer argmax via ORDER BY ..
+    // LIMIT 1 against the outer row): Catalyst decorrelates this into
+    // a join — no per-row re-execution — which is exactly what makes
+    // the construct usable at scale. SQL-text path on purpose: the
+    // lateral syntax only exists there.
+    "a56_lateral_topper" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+              |FROM customer c, LATERAL (
+              |  SELECT o_orderkey, o_totalprice FROM orders o
+              |  WHERE o.o_custkey = c.c_custkey
+              |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+              |WHERE c.c_custkey < 500
+              |ORDER BY c.c_custkey""".stripMargin)
+    }),
     // RANGE-interval window frames (the time-based complement of a28's
     // ROWS frames): per-user moving count/sum over the preceding hour
     // BY EVENT TIME. RANGE includes all peers of the current timestamp,
@@ -640,6 +655,14 @@ object AnalyticsQueries {
         |SELECT CAST(LEAST(19, CAST(floor((value - vmin) * 20.0 / (vmax - vmin)) AS BIGINT)) AS INTEGER) AS bucket,
         | count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM events, mm GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "a56_lateral_topper" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |WHERE c.c_custkey < 500
+        |ORDER BY c.c_custkey""".stripMargin,
     "a55_range_frames" ->
       """SELECT event_id, user_id,
         | count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)

@@ -35,23 +35,19 @@ object Bench {
     // timed bodies measure the query, not setup cost paid once per corpus
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // representative query shapes (agg, joins, windows, explode, text and
-    // vector kernels) at the smallest SF: the alphabetically-first timed
-    // queries otherwise absorb the whole JIT bill (measured: a10 first
-    // call 4.9 s vs 1.3 s steady-state). Warm-up runs sf0.001 — never
-    // the timed corpus — and is skipped when that dir doesn't exist.
-    val warmDir = new java.io.File(sfDir).getParent + "/sf0.001"
-    if (new java.io.File(warmDir).isDirectory) {
-      // EVERY query once at the smallest SF: a query's generated code is
-      // identical across SF dirs (the path lives in the scan metadata, not
-      // the code), so with the cache sized above this compiles each
-      // stage exactly once — the timed sf0.1 runs then measure execution,
-      // not janino. JIT tiering of the kernels rides along for free.
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        SessionHygiene.sweep(spark)
-      }
+    // EVERY query once, untimed, at the TIMED scale factor. An sf0.001
+    // warm-up (rounds 3's design) compiles most stages, but AQE picks
+    // different physical strategies at sf0.1 (broadcast↔SMJ, coalesced
+    // widths), so multi-stage iterative queries still paid janino
+    // recompiles inside their timed body (a49 measured 9.4 s in-bench
+    // vs 2.9 s steady-state). Warming at the timed SF exercises the
+    // exact plan variants the timed pass will run — codegen cache is
+    // sized above to hold them all — so the timed numbers measure
+    // execution, full stop. JIT tiering of the kernels rides along.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      SessionHygiene.sweep(spark)
     }
     try graft.queries.ExtrasQueries.ensureSlotBucketedTables(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] bucketed ingest failed: ${e.getMessage}") }

@@ -65,6 +65,10 @@ object PlanReport {
       "two-pass histogram: 1-row min/max aggregate BROADCAST onto the value scan (BroadcastNestedLoop on a single row, not a shuffle), then one map-combined agg on the bucket key",
     "d51_corpus_merge" ->
       "incremental corpus merge: ONE full-outer SortMergeJoin on doc_id; both sides' derivations stay in their scan stages",
+    "p16_reshard_matrix" ->
+      "resharding plan: both node mappings (n=6 ranges, n=12 proportional) evaluate in the same scan codegen stage; one map-combined agg on a ≤72-cell key",
+    "a56_lateral_topper" ->
+      "correlated LATERAL LIMIT 1 decorrelated by Catalyst into a per-group top-1 join — no per-outer-row subquery execution",
   )
 
   def main(args: Array[String]): Unit = {

@@ -117,9 +117,8 @@ object Graph {
    * (orientation, wedge build, closure probe); no cartesian product,
    * nothing on the driver.
    *
-   * The orientation key packs (degree, id) into one sortable long
-   * (`deg << 32 | id`) — ids must fit in 32 bits, which holds for
-   * every key space here; past that, compare a struct instead.
+   * The orientation key is a (degree, id) struct compared
+   * lexicographically — valid for any 64-bit id space.
    *
    * @param edges undirected edge list (`srcCol`, `dstCol`); duplicates
    *              and self-loops are dropped internally.
@@ -135,7 +134,7 @@ object Graph {
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
     val ord = deg.select(col("node"),
-      (shiftleft(col("d"), 32) + col("node")).as("ord"))
+      struct(col("d"), col("node").as("n")).as("ord"))
     // orient low→high by the (degree, id) total order; carry the dst
     // key so the wedge join below never re-joins the degree table
     val oriented = und

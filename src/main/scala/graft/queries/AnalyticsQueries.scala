@@ -509,8 +509,13 @@ object AnalyticsQueries {
       import s.implicits._
       val ev = t(s, dir, "events").select($"value")
       val mm = ev.agg(min($"value").as("vmin"), max($"value").as("vmax"))
+      // degenerate single-value range → everything lands in bucket 0
+      // (the division would be 0/0 = NaN, which the two engines coerce
+      // differently — guard it identically on both sides)
       ev.crossJoin(broadcast(mm))
-        .select(least(lit(19L), floor(($"value" - $"vmin") * lit(20.0) / ($"vmax" - $"vmin")))
+        .select(when($"vmax" === $"vmin", lit(0L))
+          .otherwise(least(lit(19L),
+            floor(($"value" - $"vmin") * lit(20.0) / ($"vmax" - $"vmin"))))
           .cast("int").as("bucket"), $"value")
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), min($"value").as("lo"), max($"value").as("hi"))
@@ -592,16 +597,19 @@ object AnalyticsQueries {
     // the error is oracle-reproducible.
     "a54_sketch_setops" -> ((s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events")
+      import graft.functions.KmvSketchAgg.kmv_distinct
+      // ONE scan builds all three sketches: the aggregator skips NULL
+      // hashes, so a conditional projection carves the per-segment
+      // inputs out of the shared pass
+      t(s, dir, "events")
         .where($"event_type".isin("click", "purchase"))
         .select($"event_type",
           graft.functions.TextFunctions
             .fnv1a64_mix(concat(lit("user:"), $"user_id")).as("h"))
-      def est(df: org.apache.spark.sql.DataFrame, as: String) =
-        df.agg(graft.functions.KmvSketchAgg.kmv_distinct($"h", 64).as(as))
-      est(ev.where($"event_type" === "click"), "est_click")
-        .crossJoin(broadcast(est(ev.where($"event_type" === "purchase"), "est_purchase")))
-        .crossJoin(broadcast(est(ev, "est_union")))
+        .agg(
+          kmv_distinct(when($"event_type" === "click", $"h"), 64).as("est_click"),
+          kmv_distinct(when($"event_type" === "purchase", $"h"), 64).as("est_purchase"),
+          kmv_distinct($"h", 64).as("est_union"))
         .select($"est_click", $"est_purchase", $"est_union",
           ($"est_click" + $"est_purchase" - $"est_union").as("est_intersection"))
     }),
@@ -652,7 +660,9 @@ object AnalyticsQueries {
         |GROUP BY node ORDER BY node""".stripMargin,
     "a50_histogram" ->
       """WITH mm AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events)
-        |SELECT CAST(LEAST(19, CAST(floor((value - vmin) * 20.0 / (vmax - vmin)) AS BIGINT)) AS INTEGER) AS bucket,
+        |SELECT CAST(CASE WHEN vmax = vmin THEN 0
+        |  ELSE LEAST(19, CAST(floor((value - vmin) * 20.0 / (vmax - vmin)) AS BIGINT))
+        |  END AS INTEGER) AS bucket,
         | count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM events, mm GROUP BY 1 ORDER BY bucket""".stripMargin,
     "a56_lateral_topper" ->

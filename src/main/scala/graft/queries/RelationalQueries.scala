@@ -37,7 +37,7 @@ object RelationalQueries {
   /** Export is stale when missing OR older than its source parquet — a
     * regenerated corpus must not leave the declared queries (and their
     * oracles) silently reading last round's files. */
-  private def stale(dir: String, sfDir: String, table: String): Boolean = {
+  private[queries] def stale(dir: String, sfDir: String, table: String): Boolean = {
     val marker = Paths.get(dir, "_SUCCESS")
     val src = Paths.get(sfDir.replaceAll("/+$", ""), s"$table.parquet")
     !Files.exists(marker) ||

@@ -58,18 +58,14 @@ object StreamingQueries {
    * reaches the driver.
    */
   def ensureTimeSplitEvents(s: SparkSession, dir: String): String = {
-    import java.nio.file.{Files, Paths}
     val out = "/root/repo/data/graft-events-split/" +
       dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_")
-    val marker = Paths.get(out, "b", "_SUCCESS")
-    val src = Paths.get(dir.replaceAll("/+$", ""), "events.parquet")
-    val fresh = Files.exists(marker) &&
-      Files.getLastModifiedTime(marker).compareTo(Files.getLastModifiedTime(src)) >= 0
-    if (!fresh) {
+    if (RelationalQueries.stale(s"$out/b", dir, "events")) {
       val ev = graft.sources.Tables.load(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      val med = ev.agg(expr("CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)"))
-        .head().getLong(0)
+      val medRow = ev.agg(expr("CAST(percentile(unix_micros(ts), 0.5) AS BIGINT)")).head()
+      // empty table → percentile is NULL; split at 0 (both halves empty)
+      val med = if (medRow.isNullAt(0)) 0L else medRow.getLong(0)
       ev.where(expr(s"unix_micros(ts) <= ${med}L")).coalesce(1)
         .write.mode("overwrite").parquet(s"$out/a")
       ev.where(expr(s"unix_micros(ts) > ${med}L")).coalesce(1)

@@ -40,9 +40,9 @@ class StreamingQueriesSpec extends AnyFunSuite {
     val sf = SparkTestSession.sf001
     val splitDir = StreamingQueries.ensureTimeSplitEvents(spark, sf)
     def half(name: String) = {
-      val s = Files.list(Paths.get(splitDir, name)).filter(
-        p => p.getFileName.toString.startsWith("part-")).findFirst.get
-      s
+      val listing = Files.list(Paths.get(splitDir, name))
+      try listing.filter(_.getFileName.toString.startsWith("part-")).findFirst.get
+      finally listing.close()
     }
     val srcDir = Files.createTempDirectory("graft-restart-src")
     val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString

@@ -102,6 +102,12 @@ class GraphSpec extends AnyFunSuite {
     assert(triangles(edges) == naiveTriangles(edges))
   }
 
+  test("triangle counts are correct for ids past 32 bits (struct orientation key)") {
+    val b = 1L << 33
+    val edges = Seq((b + 1, b + 2), (b + 2, b + 3), (b + 3, b + 1), (b + 3, b + 4))
+    assert(triangles(edges) == Map(b + 1 -> 1L, b + 2 -> 1L, b + 3 -> 1L))
+  }
+
   test("triangle counts are partitioning-invariant") {
     val edges = (0 until 300).map { i =>
       ((i * 48271L) % 60, (i * 16807L + 7) % 60)

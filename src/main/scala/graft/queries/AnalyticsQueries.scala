@@ -555,6 +555,22 @@ object AnalyticsQueries {
         .unionByName(dupDocs).unionByName(badStatus)
         .orderBy("rule")
     }),
+    // Distribution window functions (ntile/percent_rank/cume_dist)
+    // over a TOTAL order (price, then key — ties broken), so every
+    // rank-derived value is deterministic on any engine. percent_rank
+    // and cume_dist are exact rational divisions evaluated identically
+    // in IEEE; rounding pins the printed precision.
+    "a57_distribution_ranks" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderstatus")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      t(s, dir, "orders").where($"o_custkey" < 200)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .withColumn("decile", ntile(10).over(w).cast("int"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .orderBy("o_orderkey")
+    }),
     // Correlated LATERAL subquery (per-customer argmax via ORDER BY ..
     // LIMIT 1 against the outer row): Catalyst decorrelates this into
     // a join — no per-row re-execution — which is exactly what makes
@@ -665,6 +681,14 @@ object AnalyticsQueries {
         |  END AS INTEGER) AS bucket,
         | count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM events, mm GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "a57_distribution_ranks" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        | CAST(ntile(10) OVER w AS INTEGER) AS decile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "a56_lateral_topper" ->
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
         |FROM customer c, LATERAL (

@@ -30,6 +30,11 @@ object Packing {
   def greedyPack(df: DataFrame, groupCol: String, orderCol: String,
                  weightCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // fail at plan time, not as an opaque executor ClassCastException /
+    // NPE mid-shuffle: the streaming fold below reads the weight as a
+    // non-null long
+    require(df.schema(weightCol).dataType == LongType,
+      s"weight column $weightCol must be LongType, got ${df.schema(weightCol).dataType}")
     val outSchema = df.schema.add("pack_id", LongType, nullable = false)
     val gIdx = df.schema.fieldIndex(groupCol)
     val wIdx = df.schema.fieldIndex(weightCol)
@@ -43,8 +48,12 @@ object Packing {
         var pack = 0L
         rows.map { r =>
           val g = r.get(gIdx)
+          require(!r.isNullAt(wIdx),
+            s"null weight in '$weightCol' — filter or default nulls before packing")
           val w = r.getLong(wIdx)
-          if (!started || g != curGroup) {
+          // deepEquals, not !=: a BinaryType group key surfaces as a
+          // fresh Array[Byte] per row, whose equals() is reference-based
+          if (!started || !java.util.Objects.deepEquals(g, curGroup)) {
             started = true; curGroup = g; pack = 0L; acc = w
           } else if (acc + w > budget) {
             pack += 1L; acc = w

@@ -30,9 +30,19 @@ object ZOrder {
   }
 
   /** Morton key of two 16-bit dimension values: x's bits at even
-    * positions, y's at odd — z(x,y) ∈ [0, 2^32). */
-  def zkey(x: Column, y: Column): Column =
-    spread16(x).bitwiseOR(shiftleft(spread16(y), 1)).cast("long")
+    * positions, y's at odd — z(x,y) ∈ [0, 2^32). Inputs outside
+    * [0, 65536) would silently alias after the 16-bit mask (65536 → 0),
+    * destroying the locality the key exists for — so they raise
+    * instead; bucket wider dimensions first (`% 65536`, `div`, hour
+    * truncation …). */
+  def zkey(x: Column, y: Column): Column = {
+    def checked(v: Column, name: String): Column =
+      when(v >= 0 && v < 65536, v)
+        .otherwise(raise_error(concat(
+          lit(s"zkey: $name dimension out of [0, 65536): "), v.cast("string"))))
+    spread16(checked(x, "x"))
+      .bitwiseOR(shiftleft(spread16(checked(y, "y")), 1)).cast("long")
+  }
 
   /**
    * Z-order layout write: range-partition on the z-key (contiguous
@@ -43,10 +53,14 @@ object ZOrder {
    * row-group sweet spot.
    */
   def zorderWrite(df: DataFrame, x: Column, y: Column, path: String,
-                  outputPartitions: Int): Unit =
-    df.withColumn("__z", zkey(x, y))
-      .repartitionByRange(outputPartitions, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+                  outputPartitions: Int): Unit = {
+    // unique temp name: a user column literally named "__z" must not be
+    // silently replaced and dropped
+    val zc = s"__graft_zkey_${java.util.UUID.randomUUID.toString.take(8)}"
+    df.withColumn(zc, zkey(x, y))
+      .repartitionByRange(outputPartitions, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
       .write.mode("overwrite").parquet(path)
+  }
 }

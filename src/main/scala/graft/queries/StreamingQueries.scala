@@ -30,11 +30,10 @@ object StreamingQueries {
     * partition inference rejects a file basePath; a glob skips that
     * injection entirely. */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(EventStreams.eventSchema)
-      .parquet(s"$dir/events.parque*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Tables.nanosTsToTimestamp(s,
+      s.readStream
+        .schema(EventStreams.eventSchema)
+        .parquet(s"$dir/events.parque*"))
   }
 
   /** Schema of the time-split export (ts already normalized to a real

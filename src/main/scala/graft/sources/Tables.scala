@@ -13,14 +13,26 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /**
+   * events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+   * reader rejects; with `nanosAsLong` set the raw int64 nanos arrive
+   * as a long `ts`, which this floors to a micros timestamp. ONE
+   * definition shared by the batch reader below and the streaming
+   * reader ([[graft.streaming.EventStreams.readEventStream]]) — the
+   * batch/stream agreement specs depend on the two paths never
+   * drifting.
+   */
+  def nanosTsToTimestamp(spark: SparkSession, df: DataFrame): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-      // reader rejects; read the raw int64 nanos and floor to micros.
+      // conf must be set BEFORE the read plans the scan
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      nanosTsToTimestamp(spark, spark.read.parquet(s"$sfDir/$name.parquet"))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

@@ -30,11 +30,10 @@ object EventStreams {
 
   /** File-source stream over an events parquet directory. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Tables.nanosTsToTimestamp(spark,
+      spark.readStream
+        .schema(eventSchema)
+        .parquet(dir))
   }
 
   /**
@@ -77,11 +76,20 @@ object EventStreams {
           sorted.foreach { e =>
             val t = e.ts.getTime
             cur match {
+              case Some(s) if s.start - t > gapMs =>
+                // cross-batch straggler older than the open session by
+                // more than the gap: it is its own (already closed)
+                // session — merging would bridge an event-time hole the
+                // batch form keeps open
+                closed += Session(userId, t, t, 1, e.value)
               case Some(s) if t - s.lastSeen > gapMs =>
                 closed += Session(userId, s.start, s.lastSeen, s.nEvents, s.total)
                 cur = Some(SessionState(t, t, 1, e.value))
               case Some(s) =>
-                cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                // a cross-batch straggler inside the gap extends the
+                // session backwards (same rule as sessionizeBounded)
+                cur = Some(s.copy(start = math.min(s.start, t),
+                  lastSeen = math.max(s.lastSeen, t),
                   nEvents = s.nEvents + 1, total = s.total + e.value))
               case None =>
                 cur = Some(SessionState(t, t, 1, e.value))
@@ -127,6 +135,12 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
+                case Some(s) if s.start - t > gapMs =>
+                  // admissible late event older than the open session by
+                  // MORE than the gap (possible whenever lateness > gap):
+                  // a session of its own, already closed — merging would
+                  // bridge an event-time hole the batch form keeps open
+                  closed += Session(userId, t, t, 1, e.value)
                 case Some(s) if t - s.lastSeen > gapMs =>
                   closed += Session(userId, s.start, s.lastSeen, s.nEvents, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -183,9 +197,13 @@ object EventStreams {
   }
 
   /** Run a streaming DF to completion against bounded input (memory sink). */
-  def runToMemory(df: DataFrame, name: String): StreamingQuery = {
+  /** Drain `df` to a memory sink. The output mode must match the plan:
+    * Complete for aggregations, Append for the flatMapGroupsWithState
+    * sessionizers (which register Append and reject a Complete start). */
+  def runToMemory(df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Complete()): StreamingQuery = {
     val q = df.writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())

@@ -134,6 +134,33 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(u1.head.end_ts == ts("2024-01-01 10:30:00").getTime && u1.head.n_events == 2, u1.head)
   }
 
+  test("bounded sessionization does not bridge a >gap hole with a far-older admissible straggler") {
+    import EventStreams.{Event, Session}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    // lateness 2h > gap 30m makes a straggler admissible even when it is
+    // more than a gap older than the open session's start
+    val q = EventStreams.sessionizeBounded(input.toDS(), gapMinutes = 30, lateness = "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_hole_test").start()
+    input.addData(Event(1, ts("2024-01-01 12:00:00"), 1, "click", 1.0))
+    q.processAllAvailable() // watermark → 10:00
+    // 10:45 is admissible (>= 10:00) but 75m before the open session's
+    // start: the batch form keeps these as TWO sessions — so must we
+    input.addData(Event(2, ts("2024-01-01 10:45:00"), 1, "click", 2.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to flush user 1's open session
+    input.addData(Event(3, ts("2024-01-01 15:00:00"), 2, "view", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sessions_hole_test").as[Session].collect()
+      .filter(_.user_id == 1).sortBy(_.start_ts)
+    assert(u1.length == 2, u1.mkString("; "))
+    assert(u1(0).start_ts == ts("2024-01-01 10:45:00").getTime && u1(0).n_events == 1, u1(0))
+    assert(u1(1).start_ts == ts("2024-01-01 12:00:00").getTime && u1(1).n_events == 1, u1(1))
+  }
+
   test("batch gaps-and-islands sessions agree with streaming sessionize on real events") {
     import EventStreams.{Event, Session}
     implicit val sqlCtx = spark.sqlContext

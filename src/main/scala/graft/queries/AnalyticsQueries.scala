@@ -555,6 +555,20 @@ object AnalyticsQueries {
         .unionByName(dupDocs).unionByName(badStatus)
         .orderBy("rule")
     }),
+    // GROUPING() disambiguation over a rollup: tells a real NULL key
+    // apart from a subtotal row — the detail a17's plain rollup output
+    // can't express. SQL-text path; explicit NULLS FIRST because Spark
+    // and DuckDB default opposite null orderings.
+    "a58_grouping_id" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+              |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+              |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+              |  count(*) AS cnt
+              |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+              |ORDER BY g_status, g_priority,
+              |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    }),
     // Distribution window functions (ntile/percent_rank/cume_dist)
     // over a TOTAL order (price, then key — ties broken), so every
     // rank-derived value is deterministic on any engine. percent_rank
@@ -681,6 +695,14 @@ object AnalyticsQueries {
         |  END AS INTEGER) AS bucket,
         | count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM events, mm GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "a58_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority,
+        |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "a57_distribution_ranks" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         | CAST(ntile(10) OVER w AS INTEGER) AS decile,

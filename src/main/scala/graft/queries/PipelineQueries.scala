@@ -488,6 +488,17 @@ object PipelineQueries {
           graft.functions.TextFunctions.rolling_fingerprint($"text").as("fp"))
         .orderBy("doc_id")
     }),
+    // Language-ID confusion matrix (classifier-eval op): predicted vs
+    // labeled language counts over the corpus — the diagnostic a
+    // pipeline runs before trusting its language routing. One scan,
+    // one map-combined agg on a ≤36-cell key.
+    "t50_langid_confusion" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.analyze(t(s, dir, "documents"))
+        .groupBy($"lang", $"lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }),
     // Quality-percentile filtering (the FineWeb-style curation rule):
     // keep the top half of docs per language by quality score. Integer
     // rank arithmetic (rk·2 ≤ n) — no float percentile — so the kept
@@ -1296,6 +1307,23 @@ object PipelineQueries {
         | count(*) AS n_events,
         | CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, start_ts""".stripMargin,
+    // t40's hit-count + argmax chain grouped into the confusion cells.
+    "t50_langid_confusion" -> {
+      val hits = TextAnalysis.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+        s"CAST(len(list_filter(toks, w -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], lower(w)))) AS DOUBLE) AS hits_$l"
+      }.mkString(", ")
+      s"""WITH b AS (SELECT lang, $duckTokens AS toks FROM documents),
+         |c AS (SELECT lang, $hits FROM b),
+         |p AS (SELECT lang,
+         |  CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) = 0 THEN 'und'
+         |   WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'de'
+         |   WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'en'
+         |   WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'es'
+         |   WHEN hits_fr = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'fr'
+         |   ELSE 'zh' END AS lang_pred FROM c)
+         |SELECT lang, lang_pred, count(*) AS n FROM p
+         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+    },
     // Same quality chain as the t40 oracle (trimmed to the terms the
     // score uses), then integer-rank percentile selection in SQL.
     "t49_quality_filter" -> {

@@ -33,6 +33,10 @@ case class RollingFingerprint(child: Expression) extends UnaryExpression with Ex
   * Karp-Rabin fingerprints (winnowing/MOSS family), distinct + sorted. */
 case class FingerprintSet(child: Expression, window: Int, modP: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  // fail at plan time, not as an ArithmeticException (h % 0) or
+  // zero-width windows deep inside execution
+  require(window > 0, s"fingerprint_set: window must be positive, got $window")
+  require(modP > 0, s"fingerprint_set: modP must be positive, got $modP")
   override def prettyName: String = "fingerprint_set"
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -57,7 +61,11 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   protected override def nullSafeEval(input: Any): Any = {
+    // the declared ArrayType(StringType) admits null ELEMENTS, which
+    // the kernel's .toString would NPE on — skip them (they carry no
+    // token signal), keeping non-null tokens' votes intact
     val arr = input.asInstanceOf[ArrayData].toObjectArray(StringType)
+      .filter(_ != null)
     TextHash.simHash64(arr.asInstanceOf[Array[AnyRef]])
   }
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =

@@ -16,21 +16,31 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
  * to the fold form and to the DuckDB oracle), ~10× less overhead.
  */
 object VecOps {
+  /** Mismatched dimensions are upstream data corruption — fail loudly
+    * (the zip_with reference form would surface them as NULL; a silent
+    * shorter-prefix dot product would mask them entirely). */
+  private def dim(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot: dimension mismatch $n vs ${b.numElements()}")
+    n
+  }
   def dotFF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = dim(a, b)
     var s = 0.0; var i = 0
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     s
   }
   def dotFD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = dim(a, b)
     var s = 0.0; var i = 0
     while (i < n) { s += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
     s
   }
   def dotDF(a: ArrayData, b: ArrayData): Double = dotFD(b, a)
   def dotDD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = dim(a, b)
     var s = 0.0; var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
@@ -99,8 +109,26 @@ object PqOps {
     s
   }
 
+  /** Sum of subspace dims — the vector length the codebook expects. */
+  def totalDims(books: Array[Array[Array[Double]]]): Int = {
+    var s = 0; var t = 0
+    while (s < books.length) { t += books(s)(0).length; s += 1 }
+    t
+  }
+
+  /** A wrong-length vector would read past the UnsafeArrayData bounds
+    * (Platform.getFloat has no production index check) and return
+    * plausible garbage — check once per row, fail loudly. */
+  private def checkDims(v: ArrayData, books: Array[Array[Array[Double]]], fn: String): Unit = {
+    val want = totalDims(books)
+    if (v.numElements() != want)
+      throw new IllegalArgumentException(
+        s"$fn: vector has ${v.numElements()} dims, codebook expects $want")
+  }
+
   /** Per-subspace argmin code (ties → lowest code), as array<int>. */
   def encode(v: ArrayData, vIsFloat: Boolean, books: Array[Array[Array[Double]]]): ArrayData = {
+    checkDims(v, books, "pq_encode")
     val out = new Array[Int](books.length)
     var s = 0; var off = 0
     while (s < books.length) {
@@ -120,6 +148,10 @@ object PqOps {
     * candidate's code‖², subspaces accumulated left-to-right. */
   def adc(q: ArrayData, qIsFloat: Boolean, codes: ArrayData,
           books: Array[Array[Array[Double]]]): Double = {
+    checkDims(q, books, "pq_adc")
+    if (codes.numElements() != books.length)
+      throw new IllegalArgumentException(
+        s"pq_adc: ${codes.numElements()} codes for ${books.length} subspaces")
     var acc = 0.0; var s = 0; var off = 0
     while (s < books.length) {
       acc += subdist(q, qIsFloat, off, books(s)(codes.getInt(s)))
@@ -132,11 +164,20 @@ object PqOps {
     * at plan time. */
   def parseBooks(e: Expression, fn: String): Array[Array[Array[Double]]] = {
     require(e.foldable, s"$fn: codebook must be a foldable literal")
-    val ad = e.eval().asInstanceOf[ArrayData]
-    Array.tabulate(ad.numElements()) { s =>
+    val evaled = e.eval()
+    require(evaled != null, s"$fn: codebook literal is null")
+    val ad = evaled.asInstanceOf[ArrayData]
+    require(ad.numElements() > 0, s"$fn: codebook has no subspaces")
+    val books = Array.tabulate(ad.numElements()) { s =>
       val book = ad.getArray(s)
+      require(book.numElements() > 0, s"$fn: subspace $s has no centroids")
       Array.tabulate(book.numElements())(i => book.getArray(i).toDoubleArray())
     }
+    books.zipWithIndex.foreach { case (book, s) =>
+      require(book.forall(_.length == book(0).length),
+        s"$fn: subspace $s centroids have uneven dims")
+    }
+    books
   }
 
   def isFloatVec(e: Expression, fn: String): Boolean = e.dataType match {

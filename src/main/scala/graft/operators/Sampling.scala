@@ -21,16 +21,22 @@ object Sampling {
    * 16384-slot space. Scan-local (no shuffle), pushes nothing to the
    * driver, composes with any downstream operator.
    */
+  private val Slots = graft.core.ClusterHash.TotalSlots
+
   def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame = {
     require(rate > 0 && rate <= 1, s"rate out of range: $rate")
-    df.where(cluster_slot(key) < (rate * graft.core.ClusterHash.TotalSlots).toInt)
+    // below one slot the truncated threshold would silently select
+    // NOTHING — fail loudly instead
+    require((rate * Slots).toInt >= 1,
+      s"rate $rate is below the 1/$Slots slot granularity")
+    df.where(cluster_slot(key) < (rate * Slots).toInt)
   }
 
   /** Per-stratum hash sampling: different rates per value of `stratum`. */
   def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
                            rates: Map[String, Double], default: Double = 0.0): DataFrame = {
-    val threshold = rates.foldLeft(lit((default * 16384).toInt)) { case (acc, (value, rate)) =>
-      when(stratum === value, lit((rate * 16384).toInt)).otherwise(acc)
+    val threshold = rates.foldLeft(lit((default * Slots).toInt)) { case (acc, (value, rate)) =>
+      when(stratum === value, lit((rate * Slots).toInt)).otherwise(acc)
     }
     df.where(cluster_slot(key) < threshold)
   }
@@ -48,9 +54,15 @@ object Sampling {
                   splitCol: String = "split"): DataFrame = {
     require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
       s"fractions out of range: val=$valFrac test=$testFrac")
-    val slots = graft.core.ClusterHash.TotalSlots
+    val slots = Slots
     val valHi = (valFrac * slots).toInt
     val testHi = valHi + (testFrac * slots).toInt
+    // a nonzero fraction that truncates to zero slots would silently
+    // produce an empty split while claiming exhaustive assignment
+    require(valFrac == 0 || valHi >= 1,
+      s"valFrac $valFrac is below the 1/$slots slot granularity")
+    require(testFrac == 0 || testHi - valHi >= 1,
+      s"testFrac $testFrac is below the 1/$slots slot granularity")
     val s = cluster_slot(key)
     df.withColumn(splitCol,
       when(s < valHi, lit("val"))
@@ -78,9 +90,12 @@ object Sampling {
     require(cap > 0, s"cap must be positive: $cap")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(cluster_slot(key), col(idCol))
-    df.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= cap)
-      .drop("__rk")
+    // collision-proof temp name: a caller column literally named "__rk"
+    // must not be clobbered and dropped
+    val rk = s"__graft_rk_${java.util.UUID.randomUUID.toString.take(8)}"
+    df.withColumn(rk, row_number().over(w))
+      .where(col(rk) <= cap)
+      .drop(rk)
   }
 
   /**
@@ -100,12 +115,19 @@ object Sampling {
   def temperatureSample(df: DataFrame, key: Column, langCol: String): DataFrame = {
     val counts = df.groupBy(col(langCol)).agg(count(lit(1)).as("__n"))
     val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    // greatest(1, …): at extreme head/tail ratios (n_l > n_min·16384²)
+    // the floor would reach 0 and silently DROP the whole language —
+    // downsample-only must never mean downsample-to-nothing, so the
+    // rate saturates at one slot (1/16384)
     val thresh = counts.crossJoin(broadcast(nmin))
       .select(col(langCol),
-        floor(sqrt(col("__nmin").cast("double") / col("__n").cast("double"))
-          * graft.core.ClusterHash.TotalSlots).cast("int").as("__thr"))
-    df.join(broadcast(thresh), Seq(langCol))
+        greatest(lit(1L),
+          floor(sqrt(col("__nmin").cast("double") / col("__n").cast("double"))
+            * graft.core.ClusterHash.TotalSlots)).cast("int").as("__thr"))
+    // null-safe equality: a NULL language (failed language ID) must
+    // meet its own threshold group, not silently vanish from the join
+    df.join(broadcast(thresh), df(langCol) <=> thresh(langCol))
       .where(cluster_slot(key) < col("__thr"))
-      .drop("__thr")
+      .drop("__thr").drop(thresh(langCol))
   }
 }

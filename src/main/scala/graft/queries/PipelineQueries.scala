@@ -971,8 +971,8 @@ object PipelineQueries {
          |decon AS (SELECT doc_id, lang, toks FROM clean
          |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
          |cnt AS (SELECT lang, count(*) AS n FROM decon GROUP BY lang),
-         |th AS (SELECT lang, CAST(floor(sqrt(
-         |    CAST((SELECT min(n) FROM cnt) AS DOUBLE) / CAST(n AS DOUBLE)) * 16384)
+         |th AS (SELECT lang, CAST(GREATEST(1, floor(sqrt(
+         |    CAST((SELECT min(n) FROM cnt) AS DOUBLE) / CAST(n AS DOUBLE)) * 16384))
          |  AS INTEGER) AS thr FROM cnt),
          |kept AS (SELECT s.doc_id, s.toks FROM ($slotInner) s
          |  JOIN th USING (lang) WHERE s.slot < th.thr),
@@ -1025,8 +1025,8 @@ object PipelineQueries {
         "SELECT doc_id, lang, n_chars, 'doc:' || doc_id AS key FROM documents",
         Seq("doc_id", "lang", "n_chars"), Some("slot"), None)
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-         |th AS (SELECT lang, CAST(floor(sqrt(
-         |    CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE)) * 16384)
+         |th AS (SELECT lang, CAST(GREATEST(1, floor(sqrt(
+         |    CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE)) * 16384))
          |  AS INTEGER) AS thr FROM c)
          |SELECT doc_id, lang, n_chars FROM ($inner) s JOIN th USING (lang)
          |WHERE slot < thr ORDER BY doc_id""".stripMargin

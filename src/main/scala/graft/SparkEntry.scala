@@ -27,10 +27,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ AnalyticsQueries.queries ++ AnalyticsQueries.queries2 ++ AnalyticsQueries.queries3 ++ PipelineQueries.queries ++ ExtrasQueries.queries ++ RelationalQueries.queries ++ StreamingQueries.queries
+    ParityQueries.queries ++ AnalyticsQueries.queries ++ AnalyticsQueries.queries2 ++ AnalyticsQueries.queries3 ++ PipelineQueries.queries ++ ExtrasQueries.queries ++ RelationalQueries.queries ++ StreamingQueries.queries ++ SqlSurfaceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracles ++ AnalyticsQueries.oracles ++ AnalyticsQueries.oracles2 ++ AnalyticsQueries.oracles3 ++ PipelineQueries.oracles ++ ExtrasQueries.oracles ++ RelationalQueries.oracles ++ StreamingQueries.oracles
+    ParityQueries.oracles ++ AnalyticsQueries.oracles ++ AnalyticsQueries.oracles2 ++ AnalyticsQueries.oracles3 ++ PipelineQueries.oracles ++ ExtrasQueries.oracles ++ RelationalQueries.oracles ++ StreamingQueries.oracles ++ SqlSurfaceQueries.oracles
 }

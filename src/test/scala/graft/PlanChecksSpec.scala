@@ -178,6 +178,47 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(plan("d51_corpus_merge").contains("FullOuter"))
   }
 
+  test("a59: both full-outer sides pre-aggregate below the join (one row per key per side)") {
+    val p = plan("a59_full_outer")
+    assert(p.contains("FullOuter"), p.take(2000))
+    // the join consumes aggregated sides: HashAggregate appears on both
+    // input branches before the join node in the tree dump
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p.take(2000))
+  }
+
+  test("a61: all four FILTER-clause aggregates come from ONE scan of orders") {
+    val p = plan("a61_filtered_agg")
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).length == 1, p.take(2000))
+  }
+
+  test("a62: statistical aggregates partial-aggregate before the exchange") {
+    val p = plan("a62_stat_aggs")
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(p.contains("HashAggregate") && exchangeIdx > 0 &&
+      p.indexOf("HashAggregate", exchangeIdx) >= 0, p.take(2000))
+  }
+
+  test("a64: pivot + unpivot round-trip scans lineitem once") {
+    val p = plan("a64_unpivot")
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).length == 1, p.take(2000))
+  }
+
+  test("a65: one Window operator evaluates all three IGNORE-NULLS navigations") {
+    val p = plan("a65_window_nulls")
+    assert("Window".r.findAllIn(p).length == 1, p.take(2000))
+  }
+
+  test("a67: fuzzy top-k plans TakeOrderedAndProject (heaps, not a global sort)") {
+    assert(plan("a67_fuzzy_lev").contains("TakeOrderedAndProject"))
+  }
+
+  test("x64: XML round-trip prunes the customer scan to the two used columns") {
+    val p = plan("x64_xml_roundtrip")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("c_acctbal") && !read.contains("c_name"), read)
+    assert(read.contains("c_mktsegment") && read.contains("c_nationkey"), read)
+  }
+
   test("cluster expressions fold into scan-stage codegen") {
     // run first: under AQE the codegen-starred final plan exists only
     // after execution

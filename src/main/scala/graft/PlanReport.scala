@@ -69,6 +69,12 @@ object PlanReport {
       "resharding plan: both node mappings (n=6 ranges, n=12 proportional) evaluate in the same scan codegen stage; one map-combined agg on a ≤72-cell key",
     "a56_lateral_topper" ->
       "correlated LATERAL LIMIT 1 decorrelated by Catalyst into a per-group top-1 join — no per-outer-row subquery execution",
+    "a59_full_outer" ->
+      "full outer join of two aggregates: each side partial-aggregates on the shared key before the FullOuter merge — the join shuffles one row per key per side",
+    "a61_filtered_agg" ->
+      "FILTER-clause conditional aggregates: all four computed in one scan + one partial/final agg exchange — no per-condition re-scan",
+    "a66_recursive_spine" ->
+      "recursive-CTE date spine: the 31-row recursion (UnionLoop) is driver-sized; one orders scan feeds the left-outer join (AQE broadcasts whichever side is small — orders at this SF, the spine at 100 TB)",
   )
 
   def main(args: Array[String]): Unit = {

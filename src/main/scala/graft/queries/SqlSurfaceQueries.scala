@@ -186,6 +186,59 @@ object SqlSurfaceQueries {
         .orderBy($"dist", $"p_partkey")
         .limit(20)
     }),
+    // Spark 4 VARIANT: parse the JSON props column once into a variant,
+    // then pull the same path out typed three ways (bigint, string, a
+    // missing path). The shredded extraction happens in the scan stage;
+    // the oracle recomputes from DuckDB's JSON functions — the variant
+    // representation must be lossless.
+    "v65_variant" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_type", expr("parse_json(props)").as("v"))
+        .select($"event_type",
+          expr("CAST(variant_get(v, '$.k', 'bigint') AS BIGINT)").as("k"),
+          expr("variant_get(v, '$.k', 'string')").as("ks"),
+          expr("variant_get(v, '$.missing', 'bigint')").as("miss"))
+        .groupBy($"event_type")
+        .agg(count($"k").as("n_k"),
+          sum($"k").as("sum_k"),
+          min($"ks").as("min_ks"),
+          max($"ks").as("max_ks"),
+          count($"miss").as("n_miss"))
+        .orderBy("event_type")
+    }),
+    // ANSI-safe error-handling functions: try_cast swallows parse
+    // failures (odd users carry a non-numeric string), try_divide
+    // swallows division by zero (every 5th user) — both map to NULL
+    // instead of failing the job, the semantics a 100 TB batch needs
+    // when one malformed row must not kill a 6-hour run. Divided
+    // doubles are rounded then DECIMAL-summed so the fold order can't
+    // perturb the result.
+    "a68_try_arith" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("mixed",
+          when($"user_id" % 2 === 0, $"user_id".cast("string")).otherwise($"event_type"))
+        .withColumn("parsed", expr("try_cast(mixed AS BIGINT)"))
+        .withColumn("ratio", expr("try_divide(value, CAST(user_id % 5 AS DOUBLE))"))
+        .groupBy($"event_type")
+        .agg(
+          count($"parsed").as("n_parsed"),
+          sum($"parsed").as("sum_parsed"),
+          count(when($"ratio".isNull, 1)).as("n_div_null"),
+          sum(expr("CAST(round(ratio, 6) AS DECIMAL(28,6))")).cast("double").as("sum_ratio"))
+        .orderBy("event_type")
+    }),
+    // GROUP BY ALL / ORDER BY ALL (Spark 4 ≡ DuckDB): every
+    // non-aggregate select item is a grouping key, the full select
+    // list the sort key — the exact query text runs on both engines.
+    "a69_group_by_all" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("a69_orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM a69_orders GROUP BY ALL ORDER BY ALL""")
+    }),
     // XML round-trip: serialize two customer columns into an XML
     // fragment, parse it back with Spark 4's native from_xml, and
     // aggregate the PARSED fields. The oracle aggregates the raw
@@ -285,6 +338,30 @@ object SqlSurfaceQueries {
       """SELECT p_partkey, p_name,
         | CAST(levenshtein(p_name, 'ghost linen sandy spring') AS BIGINT) AS dist
         |FROM part ORDER BY dist, p_partkey LIMIT 20""".stripMargin,
+    "v65_variant" ->
+      """SELECT event_type,
+        | COUNT(json_extract(props, '$.k')) AS n_k,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | MIN(json_extract_string(props, '$.k')) AS min_ks,
+        | MAX(json_extract_string(props, '$.k')) AS max_ks,
+        | COUNT(json_extract(props, '$.missing')) AS n_miss
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a68_try_arith" ->
+      """SELECT event_type,
+        | COUNT(TRY_CAST(mixed AS BIGINT)) AS n_parsed,
+        | CAST(SUM(TRY_CAST(mixed AS BIGINT)) AS BIGINT) AS sum_parsed,
+        | COUNT(*) FILTER (WHERE ratio IS NULL) AS n_div_null,
+        | CAST(SUM(CAST(round(ratio, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_ratio
+        |FROM (SELECT event_type,
+        |        CASE WHEN user_id % 2 = 0 THEN CAST(user_id AS VARCHAR)
+        |             ELSE event_type END AS mixed,
+        |        value / nullif(CAST(user_id % 5 AS DOUBLE), 0) AS ratio
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a69_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin,
     "x64_xml_roundtrip" ->
       """SELECT c_mktsegment AS seg, COUNT(*) AS cnt,
         | CAST(SUM(c_nationkey) AS BIGINT) AS sum_nat

@@ -218,6 +218,38 @@ object StreamingQueries {
       runToTable(s, joined, OutputMode.Append(), "s47_sink")
         .orderBy("click_id", "purchase_id")
     }),
+    // FULL OUTER stream-stream interval join — completes the trio with
+    // s43 (inner) and s47 (left outer). Both sides' unmatched rows are
+    // null-extended when the watermark passes their matchable range:
+    // clicks when click_ts + 30m < wm (as s47), purchases when
+    // purchase_ts < wm (a purchase can only match clicks at or before
+    // its own timestamp, so its horizon is itself). Both cutoffs are
+    // strict against the min-of-sides ms-floored watermark — verified
+    // empirically at sf0.001 and sf0.01. Output ordering uses NULLS
+    // FIRST on both engines (unmatched purchases carry NULL click_id).
+    "s53_stream_full_join" -> ((s, dir) => {
+      val clicks = eventStream(s, dir)
+        .where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val purchases = eventStream(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "full_outer")
+        .select(col("click_id"), col("purchase_id"),
+          coalesce(col("user_id"), col("p_user")).as("uid"),
+          unix_millis(col("click_ts")).as("click_ms"),
+          unix_millis(col("purchase_ts")).as("purchase_ms"))
+      runToTable(s, joined, OutputMode.Append(), "s53_sink")
+        .orderBy(asc_nulls_first("click_id"), asc_nulls_first("purchase_id"))
+    }),
     // Bounded-state sessionization through flatMapGroupsWithState — the
     // custom-state API (EventTimeTimeout), as opposed to s42's built-in
     // session_window state store. On bounded replay every event lands in
@@ -451,6 +483,46 @@ object StreamingQueries {
         |   AND epoch_us(a.ts) + 1800000000 < wm_us)
         |SELECT * FROM inner_j UNION ALL SELECT * FROM outer_j
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // s47's oracle extended with the third arm: unmatched purchases
+    // null-extend once the watermark strictly passes their own
+    // timestamp (their max matchable click time). Explicit NULLS FIRST
+    // bridges the engines' opposite null-order defaults — unmatched
+    // purchases all carry NULL click_id and must sort together.
+    "s53_stream_full_join" ->
+      """WITH wm AS (
+        |  SELECT (LEAST(
+        |    (SELECT epoch_us(max(ts))//1000 FROM events WHERE event_type='click'),
+        |    (SELECT epoch_us(max(ts))//1000 FROM events WHERE event_type='purchase')
+        |  ) - 600000) * 1000 AS wm_us),
+        |inner_j AS (
+        |  SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+        |         a.user_id AS uid,
+        |         epoch_ms(a.ts) AS click_ms, epoch_ms(b.ts) AS purchase_ms
+        |  FROM events a JOIN events b ON a.user_id = b.user_id
+        |   AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE),
+        |left_only AS (
+        |  SELECT a.event_id AS click_id, NULL::BIGINT AS purchase_id,
+        |         a.user_id AS uid,
+        |         epoch_ms(a.ts) AS click_ms, NULL::BIGINT AS purchase_ms
+        |  FROM events a, wm WHERE a.event_type = 'click'
+        |   AND NOT EXISTS (SELECT 1 FROM events b WHERE b.user_id = a.user_id
+        |                   AND b.event_type = 'purchase'
+        |                   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE)
+        |   AND epoch_us(a.ts) + 1800000000 < wm_us),
+        |right_only AS (
+        |  SELECT NULL::BIGINT AS click_id, b.event_id AS purchase_id,
+        |         b.user_id AS uid,
+        |         NULL::BIGINT AS click_ms, epoch_ms(b.ts) AS purchase_ms
+        |  FROM events b, wm WHERE b.event_type = 'purchase'
+        |   AND NOT EXISTS (SELECT 1 FROM events a WHERE a.user_id = b.user_id
+        |                   AND a.event_type = 'click'
+        |                   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE)
+        |   AND epoch_us(b.ts) < wm_us)
+        |SELECT * FROM inner_j
+        |UNION ALL SELECT * FROM left_only
+        |UNION ALL SELECT * FROM right_only
+        |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
     // Per-group KMV re-derived from scratch: fmix64'd FNV per DISTINCT
     // (type, user) key, the 64th-smallest hash per type (HUGEINT order
     // == unsigned order), the same (k-1)·2^64/kth estimator with the

@@ -239,6 +239,25 @@ object SqlSurfaceQueries {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM a69_orders GROUP BY ALL ORDER BY ALL""")
     }),
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): every 7th
+    // user's bucket key is NULL, and the null-safe join matches the two
+    // sides' NULL buckets to each other — the semantics plain `=` would
+    // silently drop. Both sides pre-aggregate to one row per bucket
+    // before the join.
+    "a70_nullsafe_join" -> ((s, dir) => {
+      import s.implicits._
+      val key = when($"user_id" % 7 === 0, lit(null)).otherwise($"user_id" % 100)
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select(key.cast("long").as("ka"))
+        .groupBy($"ka").agg(count(lit(1)).as("click_cnt"))
+      val views = ev.filter($"event_type" === "view")
+        .select(key.cast("long").as("kb"))
+        .groupBy($"kb").agg(count(lit(1)).as("view_cnt"))
+      clicks.join(views, $"ka" <=> $"kb", "inner")
+        .select($"ka".as("bucket"), $"click_cnt", $"view_cnt")
+        .orderBy(asc_nulls_first("bucket"))
+    }),
     // XML round-trip: serialize two customer columns into an XML
     // fragment, parse it back with Spark 4's native from_xml, and
     // aggregate the PARSED fields. The oracle aggregates the raw
@@ -362,6 +381,16 @@ object SqlSurfaceQueries {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin,
+    "a70_nullsafe_join" ->
+      """SELECT a.ka AS bucket, a.click_cnt, b.view_cnt
+        |FROM (SELECT CASE WHEN user_id % 7 = 0 THEN NULL
+        |             ELSE user_id % 100 END AS ka, COUNT(*) AS click_cnt
+        |      FROM events WHERE event_type = 'click' GROUP BY 1) a
+        |JOIN (SELECT CASE WHEN user_id % 7 = 0 THEN NULL
+        |             ELSE user_id % 100 END AS kb, COUNT(*) AS view_cnt
+        |      FROM events WHERE event_type = 'view' GROUP BY 1) b
+        |ON a.ka IS NOT DISTINCT FROM b.kb
+        |ORDER BY bucket NULLS FIRST""".stripMargin,
     "x64_xml_roundtrip" ->
       """SELECT c_mktsegment AS seg, COUNT(*) AS cnt,
         | CAST(SUM(c_nationkey) AS BIGINT) AS sum_nat

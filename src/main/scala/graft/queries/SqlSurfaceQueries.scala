@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,7 +41,6 @@ import graft.sources.Tables
 object SqlSurfaceQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
-  private def dec(c: Column) = c.cast("decimal(18,2)")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // FULL OUTER JOIN of two aggregates over disjoint order-status

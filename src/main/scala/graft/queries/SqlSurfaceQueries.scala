@@ -257,6 +257,22 @@ object SqlSurfaceQueries {
         .select($"ka".as("bucket"), $"click_cnt", $"view_cnt")
         .orderBy(asc_nulls_first("bucket"))
     }),
+    // ANSI ordered-set aggregates (Spark 4): listagg WITHIN GROUP gives
+    // a deterministic concatenation (unlike collect_list, whose order
+    // is partition-arrival-dependent and can never be oracle-checked),
+    // plus percentile_cont/percentile_disc in their WITHIN GROUP form.
+    // The custkey cap keeps the concatenated strings KB-sized; at
+    // 100 TB you'd cap or hash the group the same way.
+    "a71_ordered_set" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("a71_customer")
+      s.sql("""
+        SELECT c_mktsegment,
+               listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name) AS names,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal), 4) AS bal_p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal) AS bal_p90
+        FROM a71_customer WHERE c_custkey <= 300
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
     // XML round-trip: serialize two customer columns into an XML
     // fragment, parse it back with Spark 4's native from_xml, and
     // aggregate the PARSED fields. The oracle aggregates the raw
@@ -390,6 +406,13 @@ object SqlSurfaceQueries {
         |      FROM events WHERE event_type = 'view' GROUP BY 1) b
         |ON a.ka IS NOT DISTINCT FROM b.kb
         |ORDER BY bucket NULLS FIRST""".stripMargin,
+    "a71_ordered_set" ->
+      """SELECT c_mktsegment,
+        | string_agg(c_name, '|' ORDER BY c_name) AS names,
+        | round(percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal), 4) AS bal_p50,
+        | percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal) AS bal_p90
+        |FROM customer WHERE c_custkey <= 300
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "x64_xml_roundtrip" ->
       """SELECT c_mktsegment AS seg, COUNT(*) AS cnt,
         | CAST(SUM(c_nationkey) AS BIGINT) AS sum_nat

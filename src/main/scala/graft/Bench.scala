@@ -56,6 +56,7 @@ object Bench {
       graft.queries.RelationalQueries.ensureJsonExport(spark, sfDir)
       graft.queries.RelationalQueries.ensureOrcExport(spark, sfDir)
       graft.queries.RelationalQueries.ensurePartitionedExport(spark, sfDir)
+      graft.queries.RelationalQueries.ensureGenerationExport(spark, sfDir)
       graft.queries.RelationalQueries.ensureTextExport(spark, sfDir)
     } catch { case e: Throwable => System.err.println(s"[bench] format export failed: ${e.getMessage}") }
     // shed the setup phase's heap debt (bucketed ingest + 4 sf-dir

@@ -189,7 +189,68 @@ object RelationalQueries {
         .select($"value", length($"value").cast("long").as("n_chars"))
         .orderBy("value")
     }),
+    // Dynamic partition pruning: the fact side is the status-partitioned
+    // layout and the dim side's selective predicate is only known at
+    // RUNTIME (statuses appearing among the first orders), so Catalyst
+    // injects a dynamicpruning subquery into the fact scan's partition
+    // filters — whole directories are skipped per the dim's actual
+    // content, the mechanism that makes a 100 TB fact scan read only
+    // the partitions a runtime-filtered dimension touches. Plan-pinned
+    // in PlanChecksSpec; the oracle recomputes the plain join.
+    "p17_dpp_join" -> ((s, dir) => {
+      import s.implicits._
+      val path = ensurePartitionedExport(s, dir)
+      val fact = s.read.parquet(path)
+      val dim = Tables.load(s, dir, "orders")
+        .filter($"o_orderkey" < 1000)
+        .select($"o_orderstatus").distinct()
+      fact.join(broadcast(dim), Seq("o_orderstatus"))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("orders"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+    // Schema evolution: two parquet generations of the same table — the
+    // second adds a column — read together with mergeSchema; the old
+    // generation's rows surface NULL for the new column. This is the
+    // read path a long-lived 100 TB corpus needs when its schema grows
+    // over time without rewriting history.
+    "p18_schema_merge" -> ((s, dir) => {
+      import s.implicits._
+      val path = ensureGenerationExport(s, dir)
+      s.read.option("mergeSchema", "true").parquet(s"$path/g1", s"$path/g2")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("docs"),
+          count($"n_chars").as("docs_with_chars"),
+          sum($"n_chars").as("sum_chars"))
+        .orderBy("lang")
+    }),
   )
+
+  /** Two-generation export root (schema evolution fixture). */
+  def generationDir(sfDir: String): String =
+    "/root/repo/data/graft-gen/" +
+      sfDir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_") + "/documents"
+
+  /** Ingest-once two-generation layout: even doc_ids written with the
+    * original (doc_id, lang) schema, odd doc_ids with the grown
+    * (doc_id, lang, n_chars) schema — a deterministic split so the
+    * oracle can recompute which generation each row came from. */
+  def ensureGenerationExport(s: SparkSession, sfDir: String): String = {
+    val dir = generationDir(sfDir)
+    if (stale(dir, sfDir, "documents")) {
+      val docs = Tables.load(s, sfDir, "documents")
+      docs.where(org.apache.spark.sql.functions.expr("doc_id % 2 = 0"))
+        .select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$dir/g1")
+      docs.where(org.apache.spark.sql.functions.expr("doc_id % 2 = 1"))
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/g2")
+      Files.createDirectories(Paths.get(dir))
+      Files.write(Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+    }
+    dir
+  }
 
   val oracles: Map[String, String] = Map(
     // absolute sf0.01 path: the driver's oracle gate always runs at
@@ -224,5 +285,20 @@ object RelationalQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // independent of the partitioned layout: the runtime-pruned join is
+    // just a semi-join against the dim's statuses
+    "p17_dpp_join" ->
+      """SELECT o_orderstatus, count(*) AS orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus IN (
+        |  SELECT DISTINCT o_orderstatus FROM orders WHERE o_orderkey < 1000)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // independent of the two-generation layout: the oracle re-derives
+    // each row's generation from the same doc_id parity rule
+    "p18_schema_merge" ->
+      """SELECT lang, count(*) AS docs,
+        | count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS docs_with_chars,
+        | CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

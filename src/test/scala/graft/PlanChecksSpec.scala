@@ -219,6 +219,11 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(read.contains("c_mktsegment") && read.contains("c_nationkey"), read)
   }
 
+  test("p17: the dim's runtime filter dynamically prunes the fact's partitions") {
+    val p = plan("p17_dpp_join")
+    assert(p.contains("dynamicpruningexpression"), p.take(2000))
+  }
+
   test("cluster expressions fold into scan-stage codegen") {
     // run first: under AQE the codegen-starred final plan exists only
     // after execution

@@ -128,6 +128,33 @@ object StreamingQueries {
       runToTable(s, agg, OutputMode.Complete(), "s40_sink")
         .orderBy("hour", "event_type")
     }),
+    // The s40 topology on the ROCKSDB state store provider — the
+    // production backend once state outgrows the executor heap (the
+    // HDFS-backed default holds every version in memory; RocksDB spills
+    // to local SSD and bounds memory by block cache). The answer must
+    // be byte-identical to s40's: state backends change capacity, never
+    // semantics. Conf is restored afterwards so every other streaming
+    // query still runs the default provider.
+    "s54_stream_rocksdb" -> ((s, dir) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val agg = eventStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .select(col("w.start").as("hour"), col("event_type"),
+            col("cnt"), col("sum_value"))
+        runToTable(s, agg, OutputMode.Complete(), "s54_sink")
+          .orderBy("hour", "event_type")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }),
     // Streaming dedup through the engine's dedup state store (append
     // mode). Projecting to the dedup key first makes the kept row
     // independent of arrival order — deterministic, oracle = DISTINCT.
@@ -409,6 +436,12 @@ object StreamingQueries {
     "s41_stream_dedup" ->
       """SELECT DISTINCT user_id % 100 AS user_bucket, event_type
         |FROM events ORDER BY user_bucket, event_type""".stripMargin,
+    // identical to s40's oracle: the state backend must not change the
+    // answer
+    "s54_stream_rocksdb" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     // Sessions via gaps-and-islands (same break rule as s38), then the
     // engine's append-mode emission cutoff: watermark is tracked in
     // whole milliseconds (floor of the max event time) minus the 10m

@@ -155,6 +155,34 @@ object StreamingQueries {
         case None    => s.conf.unset(key)
       }
     }),
+    // foreachBatch parquet sink — the production sink path (idempotent
+    // batch writes to real storage instead of the test-only memory
+    // sink). Each micro-batch lands as parquet; the declared result
+    // re-reads the files and aggregates, so the answer is independent
+    // of batch boundaries and file layout. The output dir is cleared
+    // per invocation (bench re-runs queries in one session).
+    "s55_stream_foreachbatch" -> ((s, dir) => {
+      val out = "/root/repo/data/graft-fb/" +
+        dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val proj = eventStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,2)").as("v"))
+      val q = proj.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).as("users"),
+          sum(col("v")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
     // Streaming dedup through the engine's dedup state store (append
     // mode). Projecting to the dedup key first makes the kept row
     // independent of arrival order — deterministic, oracle = DISTINCT.
@@ -436,6 +464,14 @@ object StreamingQueries {
     "s41_stream_dedup" ->
       """SELECT DISTINCT user_id % 100 AS user_bucket, event_type
         |FROM events ORDER BY user_bucket, event_type""".stripMargin,
+    // independent of the parquet landing files: recomputed from the
+    // source table — batch boundaries and file layout must not change
+    // the answer
+    "s55_stream_foreachbatch" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        | COUNT(DISTINCT user_id) AS users,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // identical to s40's oracle: the state backend must not change the
     // answer
     "s54_stream_rocksdb" ->

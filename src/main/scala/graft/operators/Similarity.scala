@@ -199,6 +199,31 @@ object Similarity {
   }
 
   /**
+   * Per-cluster corpus report over a fitted quantizer: size, lowest
+   * member id, and the DECIMAL-folded sum of member cosines to the
+   * owning centroid (the inertia-style cohesion signal a curation
+   * pipeline buckets by — SemDeDup-family clustering reads exactly
+   * this table to pick prototype-dense clusters). One corpus pass:
+   * the nlist scored structs evaluate in the scan projection, the
+   * only exchange is the ≤nlist-group aggregation.
+   */
+  def clusterReport(centroids: Array[Array[Double]], corpus: DataFrame,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.toIndexedSeq.map(lit): _*)
+      struct(cosine(col(vecCol), cl).as("s"), lit(-i).as("p"), lit(i).as("c"))
+    }
+    val best = array_max(array(scored.toIndexedSeq: _*))
+    corpus
+      .select(col(idCol), best.getField("c").as("cid"), best.getField("s").as("sim"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col(idCol)).as("first_vec"),
+        sum(expr("CAST(round(sim, 6) AS DECIMAL(18,6))")).cast("double").as("sum_sim"))
+      .orderBy("cid")
+  }
+
+  /**
    * IVF (inverted-file) ANN: corpus vectors are bucketed by nearest
    * centroid; each query probes only its `nprobe` nearest lists. The
    * 100 TB path when even one full corpus pass per query is too slow:

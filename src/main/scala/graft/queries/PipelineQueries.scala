@@ -28,6 +28,10 @@ object PipelineQueries {
   /** s44's codebooks, stashed at query time exactly like [[ivfCentroids]]. */
   @volatile private var pqBooks: Option[Array[Array[Array[Double]]]] = None
 
+  /** d53's centroids, stashed at query time exactly like [[ivfCentroids]]
+    * (own stash — each query must be independently runnable). */
+  @volatile private var clusterCents: Option[Array[Array[Double]]] = None
+
   /** s45's coarse centroids + codebooks (own stash — each query must be
     * independently runnable, never borrowing another query's state). */
   @volatile private var ivfPqState: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
@@ -104,6 +108,18 @@ object PipelineQueries {
       Similarity.ivfTopKWith(cents, emb, emb.where($"vec_id" < 5), k = 10)
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
+    }),
+    // Corpus clustering report (SemDeDup/DCLM-family curation step):
+    // every embedding assigned to its nearest of 16 deterministic
+    // k-means centroids; per-cluster size, lowest member, and the
+    // DECIMAL-folded cohesion sum. The stashed centroids become VALUES
+    // literals in the oracle, which recomputes assignment and cohesion
+    // from scratch.
+    "d53_kmeans_clusters" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, nlist = 16, iters = 2)
+      clusterCents = Some(cents)
+      Similarity.clusterReport(cents, emb)
     }),
     // Int8 scalar-quantized ANN: both sides quantized (4× smaller
     // corpus — the memory-bound 100 TB path), ranking on the integer
@@ -597,7 +613,30 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ pqOracle ++ ivfPqOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ pqOracle ++ ivfPqOracle ++ clusterOracle
+
+  /** d53's oracle from the stashed centroids (see [[ivfOracle]] for the
+    * stash-then-splice contract): assignment (argmax cosine, ties→low
+    * cid) and the rounded-DECIMAL cohesion fold recomputed in DuckDB. */
+  private def clusterOracle: Map[String, String] = clusterCents match {
+    case None => Map.empty
+    case Some(cents) =>
+      val centValues = cents.zipWithIndex.map { case (c, i) =>
+        s"($i, ${c.map(_.toString).mkString("[", ",", "]")})"
+      }.mkString(", ")
+      Map("d53_kmeans_clusters" ->
+        s"""WITH cents AS (SELECT * FROM (VALUES $centValues) v(cid, cv)),
+           |scored AS (SELECT e.vec_id, c.cid,
+           |   ${duckCosine("e.embedding", "c.cv")} AS s
+           | FROM embeddings e CROSS JOIN cents c),
+           |assign AS (SELECT vec_id, cid, s FROM (
+           |  SELECT vec_id, cid, s,
+           |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM scored)
+           | WHERE rn = 1)
+           |SELECT cid, COUNT(*) AS n_vecs, MIN(vec_id) AS first_vec,
+           | CAST(SUM(CAST(round(s, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_sim
+           |FROM assign GROUP BY cid ORDER BY cid""".stripMargin)
+  }
 
   /** FNV-1a64 of a text expression as a HUGEINT fold mod 2^64 (same
     * chain as the a40/d32 oracles; ASCII ord == byte caveat applies). */

@@ -273,6 +273,21 @@ object SqlSurfaceQueries {
         FROM a71_customer WHERE c_custkey <= 300
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
+    // Join-strategy hints: /*+ MERGE(c) */ forces a sort-merge join
+    // where the planner would otherwise broadcast the 150-row customer
+    // side — proof the hint surface steers physical strategy
+    // (plan-pinned). The hint is the escape hatch when a "small" side
+    // is only small at test scale: at 100 TB the same query text keeps
+    // the scalable plan no matter what the estimator thinks.
+    "a72_join_hints" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("a72_customer")
+      t(s, dir, "orders").createOrReplaceTempView("a72_orders")
+      s.sql("""
+        SELECT /*+ MERGE(c) */ c.c_mktsegment, COUNT(*) AS orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM a72_customer c JOIN a72_orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+    }),
     // XML round-trip: serialize two customer columns into an XML
     // fragment, parse it back with Spark 4's native from_xml, and
     // aggregate the PARSED fields. The oracle aggregates the raw
@@ -413,6 +428,11 @@ object SqlSurfaceQueries {
         | percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal) AS bal_p90
         |FROM customer WHERE c_custkey <= 300
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "a72_join_hints" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS orders,
+        | CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "x64_xml_roundtrip" ->
       """SELECT c_mktsegment AS seg, COUNT(*) AS cnt,
         | CAST(SUM(c_nationkey) AS BIGINT) AS sum_nat

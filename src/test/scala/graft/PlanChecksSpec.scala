@@ -219,6 +219,11 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(read.contains("c_mktsegment") && read.contains("c_nationkey"), read)
   }
 
+  test("a72: the MERGE hint forces a sort-merge join over the would-be broadcast") {
+    val p = plan("a72_join_hints")
+    assert(p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("p17: the dim's runtime filter dynamically prunes the fact's partitions") {
     val p = plan("p17_dpp_join")
     assert(p.contains("dynamicpruningexpression"), p.take(2000))

@@ -75,6 +75,10 @@ object PlanReport {
       "FILTER-clause conditional aggregates: all four computed in one scan + one partial/final agg exchange — no per-condition re-scan",
     "a66_recursive_spine" ->
       "recursive-CTE date spine: the 31-row recursion (UnionLoop) is driver-sized; one orders scan feeds the left-outer join (AQE broadcasts whichever side is small — orders at this SF, the spine at 100 TB)",
+    "p17_dpp_join" ->
+      "dynamic partition pruning: the fact scan's PartitionFilters carry a dynamicpruningexpression fed by the runtime-filtered dim — whole status directories are skipped per the dim's actual content",
+    "d53_kmeans_clusters" ->
+      "k-means cluster report: all 16 centroid scores evaluate as literals inside the scan projection (no join against a centroid table); the only exchange is the 16-group aggregation",
   )
 
   def main(args: Array[String]): Unit = {

@@ -59,7 +59,7 @@ object Bench {
       graft.queries.RelationalQueries.ensureGenerationExport(spark, sfDir)
       graft.queries.RelationalQueries.ensureTextExport(spark, sfDir)
     } catch { case e: Throwable => System.err.println(s"[bench] format export failed: ${e.getMessage}") }
-    // shed the setup phase's heap debt (bucketed ingest + 4 sf-dir
+    // shed the setup phase's heap debt (bucketed ingest + the format
     // exports churn GBs) so the first timed queries don't pay its GC
     System.gc()
     // a failed query is recorded as -1 (never mistakable for a fast

@@ -188,14 +188,22 @@ object Similarity {
     centroids
   }
 
+  /** The per-centroid (cosine, -i, i) structs whose array_max implements
+    * argmax-cosine with ties → LOWEST centroid id — THE assignment rule,
+    * shared by [[assignToCentroids]] and [[clusterReport]] so the
+    * tie-break can never drift between the IVF and clustering paths. */
+  private def centroidScoreStructs(centroids: Array[Array[Double]],
+                                   vecCol: String): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.toIndexedSeq.map(lit): _*)
+      struct(cosine(col(vecCol), cl).as("s"), lit(-i).as("p"), lit(i).as("c"))
+    }.toIndexedSeq
+
   /** Add `__cid` = argmax-cosine centroid id (ties → lowest id). */
   private def assignToCentroids(df: DataFrame, centroids: Array[Array[Double]],
                                 idCol: String, vecCol: String): DataFrame = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val cl = array(c.toIndexedSeq.map(lit): _*)
-      struct(cosine(col(vecCol), cl).as("s"), lit(-i).as("p"), lit(i).as("c"))
-    }
-    df.withColumn("__cid", array_max(array(scored.toIndexedSeq: _*)).getField("c"))
+    val scored = centroidScoreStructs(centroids, vecCol)
+    df.withColumn("__cid", array_max(array(scored: _*)).getField("c"))
   }
 
   /**
@@ -209,11 +217,7 @@ object Similarity {
    */
   def clusterReport(centroids: Array[Array[Double]], corpus: DataFrame,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val cl = array(c.toIndexedSeq.map(lit): _*)
-      struct(cosine(col(vecCol), cl).as("s"), lit(-i).as("p"), lit(i).as("c"))
-    }
-    val best = array_max(array(scored.toIndexedSeq: _*))
+    val best = array_max(array(centroidScoreStructs(centroids, vecCol): _*))
     corpus
       .select(col(idCol), best.getField("c").as("cid"), best.getField("s").as("sim"))
       .groupBy(col("cid"))

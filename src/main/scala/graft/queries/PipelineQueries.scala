@@ -621,18 +621,8 @@ object PipelineQueries {
   private def clusterOracle: Map[String, String] = clusterCents match {
     case None => Map.empty
     case Some(cents) =>
-      val centValues = cents.zipWithIndex.map { case (c, i) =>
-        s"($i, ${c.map(_.toString).mkString("[", ",", "]")})"
-      }.mkString(", ")
       Map("d53_kmeans_clusters" ->
-        s"""WITH cents AS (SELECT * FROM (VALUES $centValues) v(cid, cv)),
-           |scored AS (SELECT e.vec_id, c.cid,
-           |   ${duckCosine("e.embedding", "c.cv")} AS s
-           | FROM embeddings e CROSS JOIN cents c),
-           |assign AS (SELECT vec_id, cid, s FROM (
-           |  SELECT vec_id, cid, s,
-           |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM scored)
-           | WHERE rn = 1)
+        s"""WITH ${centroidAssignCtes(cents, "s")}
            |SELECT cid, COUNT(*) AS n_vecs, MIN(vec_id) AS first_vec,
            | CAST(SUM(CAST(round(s, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_sim
            |FROM assign GROUP BY cid ORDER BY cid""".stripMargin)
@@ -740,19 +730,9 @@ object PipelineQueries {
   private def ivfPqOracle: Map[String, String] = ivfPqState match {
     case None => Map.empty
     case Some((cents, books)) =>
-      val centValues = cents.zipWithIndex.map { case (c, i) =>
-        s"($i, ${c.map(_.toString).mkString("[", ",", "]")})"
-      }.mkString(", ")
       val (distLists, codeCols, adc) = pqCodeCols(books)
       Map("s45_ann_ivfpq" ->
-        s"""WITH cents AS (SELECT * FROM (VALUES $centValues) v(cid, cv)),
-           |scored AS (SELECT e.vec_id, e.embedding, c.cid,
-           |   ${duckCosine("e.embedding", "c.cv")} AS s
-           | FROM embeddings e CROSS JOIN cents c),
-           |assign AS (SELECT vec_id, embedding, cid FROM (
-           |  SELECT vec_id, embedding, cid,
-           |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM scored)
-           | WHERE rn = 1),
+        s"""WITH ${centroidAssignCtes(cents, "embedding")},
            |enc0 AS (SELECT vec_id, cid, embedding, $distLists FROM assign),
            |enc AS (SELECT vec_id, cid, $codeCols FROM enc0),
            |qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
@@ -772,21 +752,33 @@ object PipelineQueries {
     * recomputes assignment (argmax cosine, ties→low cid), per-query
     * probing (top-nprobe centroids, ties→high cid — matching the
     * reverse-sorted array slice on the Spark side) and final ranking. */
+  /** Shared cents/scored/assign CTE prefix for every centroid-based
+    * oracle (s37/s45/d53): centroid VALUES literals, cross-join cosine
+    * scoring, and the argmax assignment (ties → LOW cid — matching
+    * Similarity's struct-argmax). ONE encoding of the assignment
+    * semantics, so a tie-break or scoring fix reaches all three
+    * oracles at once. `carry` is the extra scored column the
+    * assignment keeps (embedding for the ANN probes, s for the
+    * cluster cohesion report). */
+  private def centroidAssignCtes(cents: Array[Array[Double]], carry: String): String = {
+    val centValues = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(_.toString).mkString("[", ",", "]")})"
+    }.mkString(", ")
+    s"""cents AS (SELECT * FROM (VALUES $centValues) v(cid, cv)),
+       |scored AS (SELECT e.vec_id, e.embedding, c.cid,
+       |   ${duckCosine("e.embedding", "c.cv")} AS s
+       | FROM embeddings e CROSS JOIN cents c),
+       |assign AS (SELECT vec_id, $carry, cid FROM (
+       |  SELECT vec_id, $carry, cid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM scored)
+       | WHERE rn = 1)""".stripMargin
+  }
+
   private def ivfOracle: Map[String, String] = ivfCentroids match {
     case None => Map.empty
     case Some(cents) =>
-      val centValues = cents.zipWithIndex.map { case (c, i) =>
-        s"($i, ${c.map(_.toString).mkString("[", ",", "]")})"
-      }.mkString(", ")
       Map("s37_ann_ivf" ->
-        s"""WITH cents AS (SELECT * FROM (VALUES $centValues) v(cid, cv)),
-           |scored AS (SELECT e.vec_id, e.embedding, c.cid,
-           |   ${duckCosine("e.embedding", "c.cv")} AS s
-           | FROM embeddings e CROSS JOIN cents c),
-           |assign AS (SELECT vec_id, embedding, cid FROM (
-           |  SELECT vec_id, embedding, cid,
-           |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM scored)
-           | WHERE rn = 1),
+        s"""WITH ${centroidAssignCtes(cents, "embedding")},
            |qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
            |  SELECT vec_id, embedding, cid,
            |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn

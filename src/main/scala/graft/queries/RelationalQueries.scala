@@ -240,10 +240,13 @@ object RelationalQueries {
     val dir = generationDir(sfDir)
     if (stale(dir, sfDir, "documents")) {
       val docs = Tables.load(s, sfDir, "documents")
+      // `= 0` / `<> 0` (not `= 1`): truncated remainder gives -1 for
+      // negative odd ids, which `= 1` would silently drop from BOTH
+      // generations — the split must partition the table
       docs.where(org.apache.spark.sql.functions.expr("doc_id % 2 = 0"))
         .select("doc_id", "lang")
         .write.mode("overwrite").parquet(s"$dir/g1")
-      docs.where(org.apache.spark.sql.functions.expr("doc_id % 2 = 1"))
+      docs.where(org.apache.spark.sql.functions.expr("doc_id % 2 <> 0"))
         .select("doc_id", "lang", "n_chars")
         .write.mode("overwrite").parquet(s"$dir/g2")
       Files.createDirectories(Paths.get(dir))
@@ -297,8 +300,8 @@ object RelationalQueries {
     // each row's generation from the same doc_id parity rule
     "p18_schema_merge" ->
       """SELECT lang, count(*) AS docs,
-        | count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS docs_with_chars,
-        | CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars
+        | count(CASE WHEN doc_id % 2 <> 0 THEN n_chars END) AS docs_with_chars,
+        | CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN n_chars END) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

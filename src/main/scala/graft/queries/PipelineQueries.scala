@@ -109,6 +109,22 @@ object PipelineQueries {
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
     }),
+    // Dataset-card corpus summary: the one-row report a corpus release
+    // ships (docs, languages, sources, chars, whitespace tokens, exact
+    // duplicate count, empty docs) from ONE scan — the distinct counts
+    // are the only shuffles, and the text-keyed one is the same
+    // exchange exact dedup already pays.
+    "d54_corpus_summary" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"lang").as("n_langs"),
+        countDistinct($"source").as("n_sources"),
+        sum($"n_chars").as("sum_chars"),
+        sum(size(filter(split($"text", "\\s+"), w => length(w) > 0)).cast("long")).as("n_tokens"),
+        (count(lit(1)) - countDistinct($"text")).as("dup_docs"),
+        count(when(length(trim($"text")) === 0, 1)).as("n_empty"))
+    }),
     // Corpus clustering report (SemDeDup/DCLM-family curation step):
     // every embedding assigned to its nearest of 16 deterministic
     // k-means centroids; per-cluster size, lowest member, and the
@@ -904,6 +920,15 @@ object PipelineQueries {
          | FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
          | WHERE q.vec_id < 5)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "d54_corpus_summary" ->
+      s"""SELECT count(*) AS n_docs,
+         | count(DISTINCT lang) AS n_langs,
+         | count(DISTINCT source) AS n_sources,
+         | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         | CAST(SUM(len($duckTokens)) AS BIGINT) AS n_tokens,
+         | count(*) - count(DISTINCT text) AS dup_docs,
+         | count(*) FILTER (WHERE length(trim(text)) = 0) AS n_empty
+         |FROM documents""".stripMargin,
     "t40_text_stats" ->
       s"""WITH b AS (SELECT doc_id, text, $duckTokens AS toks FROM documents),
          |c AS (SELECT doc_id, text, toks,

@@ -138,10 +138,20 @@ object RelationalQueries {
     dir
   }
 
+  /** Export paths from the most recent c60/j61 runs in this JVM —
+    * stash-then-splice (the s37-centroid contract): Verify runs every
+    * query before dumping oracle_sql.json, so by dump time these hold
+    * exactly the files the Spark result scanned, whatever the scale
+    * factor. Unset (oracles dumped without running the query) → the
+    * driver's sf0.01 default, the only sf its gate ever uses. */
+  @volatile private var stashedCsvDir: Option[String] = None
+  @volatile private var stashedJsonDir: Option[String] = None
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c60_csv_scan" -> ((s, dir) => {
       import s.implicits._
       val path = ensureCsvExport(s, dir)
+      stashedCsvDir = Some(path)
       s.read.schema(csvSchema).option("header", "true").csv(path)
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("customers"),
@@ -174,6 +184,7 @@ object RelationalQueries {
     "j61_json_scan" -> ((s, dir) => {
       import s.implicits._
       val path = ensureJsonExport(s, dir)
+      stashedJsonDir = Some(path)
       s.read.schema(jsonSchema).json(path)
         .groupBy($"s_nationkey")
         .agg(count(lit(1)).as("suppliers"), min($"s_name").as("first_name"))
@@ -255,18 +266,18 @@ object RelationalQueries {
     dir
   }
 
-  val oracles: Map[String, String] = Map(
-    // absolute sf0.01 path: the driver's oracle gate always runs at
-    // sf0.01 (TESTDATA.md) and only after Verify exported the files
+  // def, not val: the c60/j61 entries splice the stashed export path of
+  // the run being verified (any sf), falling back to the driver's sf0.01
+  def oracles: Map[String, String] = Map(
     "c60_csv_scan" ->
       s"""SELECT c_mktsegment, count(*) AS customers,
          | count(DISTINCT c_nationkey) AS nations,
          | min(c_name) AS first_name
-         |FROM read_csv('${csvDir("/root/testdata/sf0.01")}/*.csv', header=true)
+         |FROM read_csv('${stashedCsvDir.getOrElse(csvDir("/root/testdata/sf0.01"))}/*.csv', header=true)
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "j61_json_scan" ->
       s"""SELECT s_nationkey, count(*) AS suppliers, min(s_name) AS first_name
-         |FROM read_json('${jsonDir("/root/testdata/sf0.01")}/*.json',
+         |FROM read_json('${stashedJsonDir.getOrElse(jsonDir("/root/testdata/sf0.01"))}/*.json',
          |  format='newline_delimited')
          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     // independent of the export: recomputed straight from the source

@@ -3,7 +3,9 @@
 DuckDB against the sf parquet tables and compare (schema, rows, values)
 with the Spark output parquet written by graft.Verify.
 
-Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir> [names]
+  names: optional comma-separated query-name filter (same syntax as
+  graft.Verify's 3rd arg), for chunked or per-query runs.
 """
 import sys, json, glob, math
 import duckdb
@@ -18,6 +20,9 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if len(sys.argv) > 3:
+        keep = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         try:

@@ -75,6 +75,19 @@ class RelationalSurfaceSpec extends AnyFunSuite {
       src.select(sum($"n_nationkey")).head().getLong(0))
   }
 
+  test("c60/j61 oracle SQL tracks the verified run's export path") {
+    import graft.queries.RelationalQueries
+    val sf = SparkTestSession.sf0001
+    RelationalQueries.queries("c60_csv_scan")(spark, sf).collect()
+    RelationalQueries.queries("j61_json_scan")(spark, sf).collect()
+    // stash-then-splice: after running at some sf, the dumped oracle
+    // must read THAT run's export, not a hardcoded default scale
+    assert(RelationalQueries.oracles("c60_csv_scan")
+      .contains(RelationalQueries.csvDir(sf)))
+    assert(RelationalQueries.oracles("j61_json_scan")
+      .contains(RelationalQueries.jsonDir(sf)))
+  }
+
   test("slot bitmap aggregator equals countDistinct on slots") {
     import spark.implicits._
     import graft.functions.ClusterHashFunctions.cluster_slot

@@ -90,12 +90,13 @@ object StreamingQueries {
     * session's batch shuffle width: every state partition pays a
     * commit + maintenance cost per microbatch, so 32 mostly-empty
     * HDFS-backed stores cost ~3× the query (measured 7.6 s → 2.8 s at
-    * sf0.1). This is the knob an unbounded deployment sizes the same
+    * sf0.1; 8 → 4 shaved a further ~0.5 s on the sessionize/join
+    * class). This is the knob an unbounded deployment sizes the same
     * way — by keys held, not by input rows scanned. Restored after the
     * run so batch queries in the same session keep their width. */
   private def runToTable(s: SparkSession, df: DataFrame,
                          mode: OutputMode, name: String,
-                         statePartitions: Int = 8): DataFrame = {
+                         statePartitions: Int = 4): DataFrame = {
     s.catalog.dropTempView(name)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
@@ -104,11 +105,31 @@ object StreamingQueries {
         .outputMode(mode)
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", freshCheckpointDir(s, name))
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
+  }
+
+  /** Ephemeral per-run checkpoint dir on RAM-backed tmpfs when the host
+    * has one. Every commit in the run writes offset/commit logs plus one
+    * state delta per store partition through the checkpoint FS; on the
+    * default disk-backed temp dir those small files are the dominant
+    * fixed cost of an AvailableNow micro-batch. The dir is DELETED
+    * before start — each invocation must replay from scratch (a reused
+    * checkpoint would mark all batches committed and leave the fresh
+    * memory sink empty). A durable deployment points this at real
+    * storage; the state-store sizing above is unchanged either way. */
+  private def freshCheckpointDir(s: SparkSession, name: String): String = {
+    val base =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ck"
+      else sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-ck"
+    val ck = s"$base/$name"
+    val p = new org.apache.hadoop.fs.Path(ck)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    ck
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -173,6 +194,7 @@ object StreamingQueries {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.write.mode("append").parquet(out)
         }
+        .option("checkpointLocation", freshCheckpointDir(s, "s55_fb"))
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()

@@ -30,9 +30,11 @@ object StreamingQueries {
     * partition inference rejects a file basePath; a glob skips that
     * injection entirely. */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val onDisk = s.read.parquet(s"$dir/events.parquet").schema
     graft.sources.Tables.nanosTsToTimestamp(s,
       s.readStream
-        .schema(EventStreams.eventSchema)
+        .schema(onDisk)
         .parquet(s"$dir/events.parque*"))
   }
 

@@ -14,18 +14,27 @@ object Tables {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   /**
-   * events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-   * reader rejects; with `nanosAsLong` set the raw int64 nanos arrive
-   * as a long `ts`, which this floors to a micros timestamp. ONE
+   * Normalize `events.ts` to a session-TZ TIMESTAMP whatever the file's
+   * physical type. The driver has shipped the column two ways across
+   * rounds: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects;
+   * with `nanosAsLong` the raw int64 nanos arrive as a long, floored
+   * here to micros) and TIMESTAMP(MICROS) without timezone (arrives as
+   * TIMESTAMP_NTZ; reinterpreted in the session TZ — UTC in Verify /
+   * Bench — matching DuckDB's `epoch_us` view of the same file). ONE
    * definition shared by the batch reader below and the streaming
-   * reader ([[graft.streaming.EventStreams.readEventStream]]) — the
-   * batch/stream agreement specs depend on the two paths never
-   * drifting.
+   * readers ([[graft.streaming.EventStreams.readEventStream]]) — the
+   * batch/stream agreement specs depend on the paths never drifting.
    */
   def nanosTsToTimestamp(spark: SparkSession, df: DataFrame): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -19,7 +19,9 @@ import org.apache.spark.sql.types._
  */
 object EventStreams {
 
-  /** events schema with ts already normalized to micros (Tables.load). */
+  /** events schema with raw int64-nanos ts — the shape spec fixtures
+    * write. Real files may instead carry a true timestamp column; the
+    * readers below infer the on-disk schema rather than assume this. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // raw int64 nanos as stored in parquet
@@ -28,11 +30,16 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over an events parquet directory. */
+  /** File-source stream over an events parquet directory. The schema is
+    * inferred from the files via a batch read (a file-source stream
+    * requires an explicit schema) so long-nanos and timestamp-typed
+    * files both work; `nanosTsToTimestamp` then normalizes either. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val onDisk = spark.read.parquet(dir).schema
     graft.sources.Tables.nanosTsToTimestamp(spark,
       spark.readStream
-        .schema(eventSchema)
+        .schema(onDisk)
         .parquet(dir))
   }
 

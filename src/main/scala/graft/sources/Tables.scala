@@ -42,6 +42,20 @@ object Tables {
       // conf must be set BEFORE the read plans the scan
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       nanosTsToTimestamp(spark, spark.read.parquet(s"$sfDir/$name.parquet"))
+    } else if (name == "embeddings") {
+      // same insurance as ts above: the vector kernels and their specs
+      // assume array<float>; if a regeneration ships array<double>,
+      // normalize at the source (a same-type cast is optimized away,
+      // so the green path costs nothing)
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("embedding").dataType match {
+        case ArrayType(FloatType, _) => df
+        case ArrayType(_, n) =>
+          df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType, n)))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

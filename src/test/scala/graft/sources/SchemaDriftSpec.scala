@@ -84,6 +84,17 @@ class SchemaDriftSpec extends AnyFunSuite {
     assert(v === Seq(0.25f, -1.5f))
   }
 
+  test("time-range predicate on normalized ts still reaches the parquet scan") {
+    // the NTZ -> session-TZ cast sits between user predicates and the
+    // scan; Catalyst must unwrap it (UnwrapCastInBinaryComparison) or
+    // a 100 TB time-range query loses row-group pruning on the fact
+    // table. Pin the pushed filter, not just the answer.
+    val ev = Tables.load(spark, graft.SparkTestSession.sf001, "events")
+    val q = ev.where($"ts" >= java.sql.Timestamp.valueOf("2021-06-01 00:00:00"))
+    val leaves = q.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(leaves.contains("GreaterThanOrEqual(ts"), leaves)
+  }
+
   test("embeddings already array<float> load unchanged (no cast in plan)") {
     val out = Tables.load(spark, graft.SparkTestSession.sf0001, "embeddings")
     assert(out.schema("embedding").dataType.asInstanceOf[ArrayType].elementType === FloatType)

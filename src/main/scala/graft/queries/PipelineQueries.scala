@@ -105,6 +105,22 @@ object PipelineQueries {
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
     }),
+    // Retrieval join — the RAG / grounded-training corpus-construction
+    // step: ANN hits joined back to document metadata so neighbor ids
+    // become usable text records. The hit set is queries×k (tiny);
+    // broadcast it into the corpus side so the enrichment is a
+    // broadcast probe of the big table — no corpus shuffle at 100 TB.
+    "s56_retrieval_join" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val hits = Similarity.bruteForceTopK(emb, emb.where($"vec_id" < 5), k = 10)
+        .select($"query_id", $"nbr_id", $"rank")
+      t(s, dir, "documents")
+        .select($"doc_id".as("nbr_id"), $"lang", $"source", $"n_chars")
+        .join(broadcast(hits), Seq("nbr_id"))
+        .select($"query_id", $"rank", $"nbr_id", $"lang", $"source", $"n_chars")
+        .orderBy("query_id", "rank")
+    }),
     // LSH-bucketed ANN — approximate; recall pinned vs brute in spec.
     "s36_ann_lsh" -> ((s, dir) => {
       import s.implicits._
@@ -939,6 +955,19 @@ object PipelineQueries {
          | FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
          | WHERE q.vec_id < 5)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "s56_retrieval_join" ->
+      s"""WITH hits AS (
+         | SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${duckCosine("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 5)
+         | WHERE rank <= 10)
+         |SELECT h.query_id, h.rank, h.nbr_id, d.lang, d.source,
+         | CAST(d.n_chars AS BIGINT) AS n_chars
+         |FROM hits h JOIN documents d ON d.doc_id = h.nbr_id
+         |ORDER BY query_id, rank""".stripMargin,
     "d54_corpus_summary" ->
       s"""SELECT count(*) AS n_docs,
          | count(DISTINCT lang) AS n_langs,

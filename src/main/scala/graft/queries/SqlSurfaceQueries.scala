@@ -288,6 +288,25 @@ object SqlSurfaceQueries {
         FROM a72_customer c JOIN a72_orders o ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
     }),
+    // CDC / changelog compaction: keep each key's LATEST record
+    // (row_number = 1 over ts DESC with an id tie-break — a total
+    // order, so the survivor is deterministic on both engines). At
+    // scale this is the upsert-table compaction every ingest runs;
+    // Spark plans the rank<=1 filter as WindowGroupLimit, pruning
+    // per-group state to one row instead of sorting whole groups
+    // through the aggregation. ts is reported as epoch micros — the
+    // engines' timestamp renderings differ, their micros don't.
+    "a73_latest_per_key" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)))
+        .where($"rn" === 1)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("last_us"),
+          $"event_type", $"value")
+        .orderBy("user_id")
+    }),
     // XML round-trip: serialize two customer columns into an XML
     // fragment, parse it back with Spark 4's native from_xml, and
     // aggregate the PARSED fields. The oracle aggregates the raw
@@ -433,6 +452,14 @@ object SqlSurfaceQueries {
         | CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    "a73_latest_per_key" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS last_us, event_type, value
+        |FROM (
+        | SELECT user_id, event_id, ts, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "x64_xml_roundtrip" ->
       """SELECT c_mktsegment AS seg, COUNT(*) AS cnt,
         | CAST(SUM(c_nationkey) AS BIGINT) AS sum_nat

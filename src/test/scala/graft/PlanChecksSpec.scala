@@ -123,6 +123,21 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p.take(2000))
   }
 
+  test("s56: retrieval join broadcasts the hit set; the corpus side streams with a pruned schema") {
+    val p = plan("s56_retrieval_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("BuildRight"), p.take(2000))
+    val docRead = p.linesIterator
+      .find(l => l.contains("documents.parquet") && l.contains("ReadSchema"))
+      .getOrElse("")
+    assert(!docRead.contains("text"), s"documents scan must not read text: $docRead")
+  }
+
+  test("a73: latest-per-key plans Partial+Final WindowGroupLimit (one row per key into the shuffle)") {
+    val p = plan("a73_latest_per_key")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(p.contains("Partial") && p.contains("Final"), p.take(2000))
+  }
+
   test("d45: temperature thresholds are broadcast onto the scan (corpus never shuffled pre-filter)") {
     val p = plan("d45_temperature_sample")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

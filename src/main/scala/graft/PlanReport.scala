@@ -79,6 +79,10 @@ object PlanReport {
       "dynamic partition pruning: the fact scan's PartitionFilters carry a dynamicpruningexpression fed by the runtime-filtered dim — whole status directories are skipped per the dim's actual content",
     "d53_kmeans_clusters" ->
       "k-means cluster report: all 16 centroid scores evaluate as literals inside the scan projection (no join against a centroid table); the only exchange is the 16-group aggregation",
+    "s56_retrieval_join" ->
+      "retrieval join: the queries×k hit set is BROADCAST into the documents probe (BuildRight) — the corpus streams once with a pruned 4-column read schema, no corpus shuffle",
+    "a73_latest_per_key" ->
+      "changelog compaction: Partial+Final WindowGroupLimit forwards ONE row per key into the shuffle instead of sorting whole groups through it",
   )
 
   def main(args: Array[String]): Unit = {

@@ -81,10 +81,11 @@ object Bench {
     // The host steals CPU in waves (measured: the same query lands at
     // 0.9 s or 13 s across runs with identical plans), so one starved
     // scheduling window would otherwise be recorded as that query's
-    // cost for the round. Re-time the slowest successes within a fixed
-    // 120 s budget, slowest first, and report the per-query MIN — the
-    // run the machine actually allowed. Failures are never retried
-    // into successes silently (-1 stands).
+    // cost for the round. Re-time the slowest successes within a ~120 s
+    // budget (soft: checked before each retry, so it can overshoot by
+    // at most the final retry's duration), slowest first, and report
+    // the per-query MIN — the run the machine actually allowed.
+    // Failures are never retried into successes silently (-1 stands).
     var retryBudget = 120.0
     val results = firstPass.sortBy { case (_, _, s) => -s }.map {
       case (name, fn, sec) =>

@@ -48,11 +48,19 @@ object PipelineQueries {
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+  /** Cache key carries the corpus file's (mtime, length) so an IN-PLACE
+    * regeneration of embeddings.parquet within one JVM invalidates the
+    * memo instead of serving a stale model (the round-5 incident class:
+    * the driver rewrites testdata under a live path). */
+  private def corpusKey(dir: String): String = {
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    s"$dir@${f.lastModified}:${f.length}"
+  }
   private def centroids16(s: SparkSession, dir: String): Array[Array[Double]] =
-    kmCache.getOrElseUpdate(dir,
+    kmCache.getOrElseUpdate(corpusKey(dir),
       Similarity.kmeansCentroids(t(s, dir, "embeddings"), nlist = 16, iters = 2))
   private def codebooks16(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
-    pqCache.getOrElseUpdate(dir,
+    pqCache.getOrElseUpdate(corpusKey(dir),
       Similarity.pqCodebooks(t(s, dir, "embeddings")))
 
   /** DuckDB: whitespace tokens / 3-word shingles mirroring TextAnalysis/Dedup. */

@@ -453,11 +453,16 @@ object SqlSurfaceQueries {
         |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "a73_latest_per_key" ->
+      // order on epoch_us(ts), not raw ts: on a nanos-typed events file
+      // DuckDB would otherwise tie-break at nanosecond precision while
+      // Spark orders the micros-floored timestamp — different survivors
+      // for same-microsecond events. Micros ordering matches Spark's
+      // normalized column under every encoding the loader accepts.
       """SELECT user_id, event_id, epoch_us(ts) AS last_us, event_type, value
         |FROM (
         | SELECT user_id, event_id, ts, event_type, value,
         |  row_number() OVER (PARTITION BY user_id
-        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         | FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "x64_xml_roundtrip" ->

@@ -29,14 +29,10 @@ object StreamingQueries {
     * injects `basePath = <the file>` into each batch's relation and
     * partition inference rejects a file basePath; a glob skips that
     * injection entirely. */
-  private def eventStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val onDisk = s.read.parquet(s"$dir/events.parquet").schema
-    graft.sources.Tables.nanosTsToTimestamp(s,
-      s.readStream
-        .schema(onDisk)
-        .parquet(s"$dir/events.parque*"))
-  }
+  private def eventStream(s: SparkSession, dir: String): DataFrame =
+    EventStreams.readEventStream(s,
+      schemaPath = s"$dir/events.parquet",
+      streamPath = s"$dir/events.parque*")
 
   /** Schema of the time-split export (ts already normalized to a real
     * timestamp at export time, unlike the raw nanos table). */

@@ -19,9 +19,10 @@ import org.apache.spark.sql.types._
  */
 object EventStreams {
 
-  /** events schema with raw int64-nanos ts — the shape spec fixtures
-    * write. Real files may instead carry a true timestamp column; the
-    * readers below infer the on-disk schema rather than assume this. */
+  /** Legacy events shape (raw int64-nanos ts). Used only as the
+    * fallback schema when a stream starts over a directory that has no
+    * files yet to infer from; populated directories are always read
+    * with their actual on-disk schema. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // raw int64 nanos as stored in parquet
@@ -30,17 +31,28 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over an events parquet directory. The schema is
-    * inferred from the files via a batch read (a file-source stream
-    * requires an explicit schema) so long-nanos and timestamp-typed
-    * files both work; `nanosTsToTimestamp` then normalizes either. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+  /** File-source stream over an events parquet location. The schema is
+    * inferred from the files via a batch read of `schemaPath` (a
+    * file-source stream requires an explicit schema) so long-nanos and
+    * timestamp-typed files both work; `nanosTsToTimestamp` then
+    * normalizes either. An empty/not-yet-populated location falls back
+    * to the legacy [[eventSchema]] so the stream can still start and
+    * pick up files as they arrive. ONE definition — the query-layer
+    * reader ([[graft.queries.StreamingQueries]]) routes through here
+    * with its glob, so a ts-encoding fix lands in both paths at once. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    readEventStream(spark, dir, dir)
+
+  def readEventStream(spark: SparkSession, schemaPath: String,
+                      streamPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val onDisk = spark.read.parquet(dir).schema
+    val onDisk =
+      try spark.read.parquet(schemaPath).schema
+      catch { case _: Throwable => eventSchema }
     graft.sources.Tables.nanosTsToTimestamp(spark,
       spark.readStream
         .schema(onDisk)
-        .parquet(dir))
+        .parquet(streamPath))
   }
 
   /**

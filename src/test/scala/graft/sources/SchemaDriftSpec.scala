@@ -84,6 +84,23 @@ class SchemaDriftSpec extends AnyFunSuite {
     assert(v === Seq(0.25f, -1.5f))
   }
 
+  test("streaming reader handles the raw int64-nanos encoding too") {
+    val dir = tmpDir("stream-nanos")
+    Seq((1L, micros * 1000L + 999L, 7L, "click", 1.0, "{}"),
+        (2L, (micros + 3L) * 1000L, 8L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val stream = graft.streaming.EventStreams.readEventStream(spark, s"$dir/events.parquet")
+    assert(stream.schema("ts").dataType === TimestampType)
+    val q = stream.writeStream.format("memory").queryName("drift_stream_nanos")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("drift_stream_nanos")
+      .select(unix_micros($"ts")).as[Long].collect().sorted
+    assert(got.sameElements(Array(micros, micros + 3L))) // nanos floored
+    spark.catalog.dropTempView("drift_stream_nanos")
+  }
+
   test("time-range predicate on normalized ts still reaches the parquet scan") {
     // the NTZ -> session-TZ cast sits between user predicates and the
     // scan; Catalyst must unwrap it (UnwrapCastInBinaryComparison) or

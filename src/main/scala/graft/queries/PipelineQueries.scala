@@ -44,24 +44,51 @@ object PipelineQueries {
     * treats a trained index artifact: train once, serve many. Each
     * query still stashes its OWN copy for oracle splicing, and a
     * filtered Verify that runs only one of them trains on demand. */
-  private val kmCache =
+  private[graft] val kmCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
-  private val pqCache =
+  private[graft] val pqCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
-  /** Cache key carries the corpus file's (mtime, length) so an IN-PLACE
-    * regeneration of embeddings.parquet within one JVM invalidates the
-    * memo instead of serving a stale model (the round-5 incident class:
-    * the driver rewrites testdata under a live path). */
-  private def corpusKey(dir: String): String = {
+  /** Cache key digests the corpus's full file listing (each file's
+    * name, mtime, length — recursing one level when embeddings.parquet
+    * is a Spark-written DIRECTORY of part files) so an IN-PLACE
+    * regeneration within one JVM invalidates the memo instead of
+    * serving a stale model (the round-5 incident class: the driver
+    * rewrites testdata under a live path). A plain top-level stat is
+    * not enough for the directory case: a part-file rewrite that keeps
+    * the same entry names leaves the directory's own mtime/size
+    * untouched. */
+  private[graft] def corpusKey(dir: String): String = {
     val f = new java.io.File(s"$dir/embeddings.parquet")
-    s"$dir@${f.lastModified}:${f.length}"
+    val entries: Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName) else Seq(f)
+    val listing = entries
+      .map(e => s"${e.getName}:${e.lastModified}:${e.length}")
+      .mkString("|")
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(listing.getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
+    s"$dir@$digest"
   }
-  private def centroids16(s: SparkSession, dir: String): Array[Array[Double]] =
-    kmCache.getOrElseUpdate(corpusKey(dir),
+  /** On a key miss, drop any earlier generations of the SAME corpus dir
+    * before training: a long-lived JVM watching a dir that the driver
+    * regenerates repeatedly would otherwise accumulate one dead model
+    * per generation. Bounds each cache at one live entry per dir. */
+  private def evictStale[V](cache: scala.collection.concurrent.TrieMap[String, V],
+                            dir: String, key: String): Unit =
+    if (!cache.contains(key))
+      cache.keys.filter(k => k.startsWith(s"$dir@") && k != key).foreach(cache.remove)
+  private[graft] def centroids16(s: SparkSession, dir: String): Array[Array[Double]] = {
+    val key = corpusKey(dir)
+    evictStale(kmCache, dir, key)
+    kmCache.getOrElseUpdate(key,
       Similarity.kmeansCentroids(t(s, dir, "embeddings"), nlist = 16, iters = 2))
-  private def codebooks16(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
-    pqCache.getOrElseUpdate(corpusKey(dir),
+  }
+  private def codebooks16(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val key = corpusKey(dir)
+    evictStale(pqCache, dir, key)
+    pqCache.getOrElseUpdate(key,
       Similarity.pqCodebooks(t(s, dir, "embeddings")))
+  }
 
   /** DuckDB: whitespace tokens / 3-word shingles mirroring TextAnalysis/Dedup. */
   private val duckTokens =

@@ -46,9 +46,20 @@ object EventStreams {
   def readEventStream(spark: SparkSession, schemaPath: String,
                       streamPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Fall back to the legacy schema ONLY for a genuinely absent/empty
+    // location (stream starts before the first file lands). Any other
+    // failure — corrupt footer, permission error, OOM — must propagate:
+    // silently trusting eventSchema here would decode NTZ-micros files
+    // as nanos (~1970 timestamps), the round-5 corruption class.
     val onDisk =
       try spark.read.parquet(schemaPath).schema
-      catch { case _: Throwable => eventSchema }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null &&
+            (e.getMessage.contains("Path does not exist") ||
+             e.getMessage.contains("Unable to infer schema")) => eventSchema
+        case _: java.io.FileNotFoundException => eventSchema
+      }
     graft.sources.Tables.nanosTsToTimestamp(spark,
       spark.readStream
         .schema(onDisk)

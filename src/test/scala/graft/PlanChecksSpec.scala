@@ -132,8 +132,10 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(bhj.nonEmpty && bhj.exists(_.contains("BuildRight")), p.take(2000))
     val docRead = p.linesIterator
       .find(l => l.contains("documents.parquet") && l.contains("ReadSchema"))
-      .getOrElse("")
-    assert(!docRead.contains("text"), s"documents scan must not read text: $docRead")
+    assert(docRead.isDefined,
+      s"no documents.parquet ReadSchema line found in plan:\n${p.take(2000)}")
+    assert(!docRead.get.contains("text"),
+      s"documents scan must not read text: ${docRead.get}")
   }
 
   test("a73: latest-per-key plans Partial+Final WindowGroupLimit (one row per key into the shuffle)") {

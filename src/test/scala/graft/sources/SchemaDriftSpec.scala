@@ -112,6 +112,32 @@ class SchemaDriftSpec extends AnyFunSuite {
     assert(leaves.contains("GreaterThanOrEqual(ts"), leaves)
   }
 
+  test("streaming reader on an empty directory starts with the legacy fallback schema") {
+    // a stream can legitimately start over an existing-but-empty dir
+    // (files arrive later); batch inference fails there, so the legacy
+    // schema fallback must kick in and the stream must still start
+    val dir = tmpDir("empty")
+    val path = s"$dir/events.parquet"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(path))
+    val stream = graft.streaming.EventStreams.readEventStream(spark, path)
+    assert(stream.isStreaming)
+    // legacy eventSchema: raw long nanos, normalized to timestamp
+    assert(stream.schema("ts").dataType === TimestampType)
+  }
+
+  test("streaming reader FAILS LOUDLY on an existing-but-unreadable schema path") {
+    // the round-6 advice class: a transient/corrupt read must NOT be
+    // silently papered over with the legacy nanos schema (that decodes
+    // micros files as nanos -> ~1970 timestamps)
+    val dir = tmpDir("corrupt")
+    val f = new java.io.File(s"$dir/events.parquet")
+    java.nio.file.Files.write(f.toPath, "not a parquet file".getBytes)
+    intercept[Throwable] {
+      graft.streaming.EventStreams.readEventStream(spark, f.toString)
+        .schema // force evaluation
+    }
+  }
+
   test("embeddings already array<float> load unchanged (no cast in plan)") {
     val out = Tables.load(spark, graft.SparkTestSession.sf0001, "embeddings")
     assert(out.schema("embedding").dataType.asInstanceOf[ArrayType].elementType === FloatType)

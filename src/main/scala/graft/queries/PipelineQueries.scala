@@ -97,7 +97,10 @@ object PipelineQueries {
     s"list_distinct(list_transform(range(1, greatest(len($wordsExpr)-$n,0)+2), " +
       s"i -> array_to_string($wordsExpr[i:i+${n - 1}], ' ')))"
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ sampledTwinQueries
+
+  private lazy val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup groups: one shuffle on content, keeper = min id.
     "d30_dedup_exact" -> ((s, dir) => {
       import s.implicits._
@@ -298,25 +301,7 @@ object PipelineQueries {
     // exact dedup → near-dup CLUSTER resolution (connected components
     // over Jaccard-≥0.5 pairs of the surviving corpus; keep exactly the
     // min-id doc per cluster) → per-doc stats of the surviving corpus.
-    "d39_corpus_clean" -> ((s, dir) => {
-      import s.implicits._
-      val stats = TextAnalysis.analyze(t(s, dir, "documents"))
-        .select($"doc_id", $"text", $"n_tokens", round($"quality", 6).as("quality"))
-        .where($"quality" >= 0.5)
-      // the surviving corpus is consumed three times (pair generation,
-      // anti-join left side, and the component loop's edge build) —
-      // materialize the text-stats + dedup-join pass ONCE instead of
-      // letting every consumer replan it from the scan. At 100 TB this
-      // is the "write the cleaned corpus, then cluster it" step; here a
-      // local checkpoint plays that role (Bench/Verify sweep the blocks
-      // after the query is consumed).
-      val exact = Dedup.exactDedup(stats, "doc_id", "text").localCheckpoint(true)
-      val pairs = Dedup.ngramJaccardPairs(exact, "doc_id", "text", 0.5)
-      val losers = Dedup.clusterLosers(pairs).select($"id".as("doc_id"))
-      exact.join(losers, Seq("doc_id"), "left_anti")
-        .select($"doc_id", $"n_tokens", $"quality")
-        .orderBy("doc_id")
-    }),
+    "d39_corpus_clean" -> ((s, dir) => corpusCleanDf(t(s, dir, "documents"))),
     // Deterministic hash-based 10% sample — stable across runs, engines
     // and partitionings (the oracle recomputes the same CRC selection).
     "d41_hash_sample" -> ((s, dir) => {
@@ -347,23 +332,7 @@ object PipelineQueries {
     "d48_training_corpus" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val bench = docs.where($"doc_id" < 5)
-      val stats = TextAnalysis.analyze(docs.where($"doc_id" >= 5))
-        .select($"doc_id", $"lang", $"text", $"n_tokens",
-          round($"quality", 6).as("quality"))
-        .where($"quality" >= 0.5)
-      val exact = Dedup.exactDedup(stats, "doc_id", "text").localCheckpoint(true)
-      val losers = Dedup.clusterLosers(
-          Dedup.ngramJaccardPairs(exact, "doc_id", "text", 0.5))
-        .select($"id".as("doc_id"))
-      val clean = exact.join(losers, Seq("doc_id"), "left_anti")
-      val contaminated = Dedup.contaminatedDocs(clean, bench, "doc_id", "text",
-        shingleN = 4).select($"doc_id")
-      val decon = clean.join(contaminated, Seq("doc_id"), "left_anti")
-      val kept = graft.operators.Sampling.temperatureSample(
-        decon, concat(lit("doc:"), $"doc_id"), "lang")
-      TextAnalysis.chunk(kept, "doc_id", "text", window = 100, stride = 80)
-        .orderBy("doc_id", "chunk_idx")
+      trainingCorpusDf(docs.where($"doc_id" < 5), docs.where($"doc_id" >= 5))
     }),
     // Winnowed copy detection: doc pairs sharing ≥4 mod-sampled 16-byte
     // rolling fingerprints (character-level substring duplication).
@@ -377,19 +346,7 @@ object PipelineQueries {
     // representative (cluster_size = component members; 1 = no dup).
     // At 100 TB the pair source flips to the banded-LSH path (d36) —
     // identical downstream component/keeper machinery.
-    "d46_semantic_dedup" -> ((s, dir) => {
-      import s.implicits._
-      val emb = t(s, dir, "embeddings")
-      val labels = Dedup.connectedComponents(
-        Similarity.nearDupPairs(emb, threshold = 0.5).select($"i", $"j"))
-      val losers = labels.where($"id" =!= $"comp").select($"id".as("vec_id"))
-      val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
-      emb.select($"vec_id")
-        .join(losers, Seq("vec_id"), "left_anti")
-        .join(sizes.select($"comp".as("vec_id"), $"cluster_size"), Seq("vec_id"), "left")
-        .select($"vec_id", coalesce($"cluster_size", lit(1L)).as("cluster_size"))
-        .orderBy("vec_id")
-    }),
+    "d46_semantic_dedup" -> ((s, dir) => semanticDedupDf(t(s, dir, "embeddings"))),
     // Temperature-flattened language rebalancing (α = 0.5): keep rate
     // √(n_min/n_l) per language, deterministic slot-hash selection.
     "d45_temperature_sample" -> ((s, dir) => {
@@ -664,6 +621,144 @@ object PipelineQueries {
     }),
   )
 
+  // --- sf0.1-scale verification twins -----------------------------------
+  // Seven queries (d34/d36/d46/d35/d39/d48/d44) have ORACLES that are
+  // quadratic (all-pairs cosine, recursive closure, exhaustive cross-side
+  // recompute) — DuckDB cannot finish them at sf0.1, so until now their
+  // exactness claims rested on the sf0.01 gate alone. Each twin below
+  // runs the SAME operator composition over a deterministic slot-hash
+  // sub-corpus (the d41 sampling machinery, recomputed identically by
+  // the oracle), sized so the SAME oracle template stays feasible at
+  // sf0.1: ~10% of documents / ~25% of embeddings keeps the sf0.1
+  // sampled corpus at the size of the full sf0.01 gate corpus. The
+  // sample is part of the declared query on BOTH sides, so these are
+  // full-oracle rows at every scale factor.
+  private val DocTwinRate = 0.10
+  private val EmbTwinRate = 0.25
+  /** The corpus's max pair cosine is ~0.5, so the originals' 0.5
+    * threshold yields (near-)empty pair sets inside a sample — an
+    * empty-vs-empty hash match verifies nothing. The twins run at 0.35
+    * (~99.9th percentile) so the sampled verification exercises a real
+    * pair set at both sf0.01 and sf0.1. */
+  private val EmbTwinThreshold = 0.35
+
+  /** d46's body over any embeddings relation (shared with d57's twin):
+    * components over exact cosine-≥0.5 pairs, keep each cluster's
+    * min-id representative, size survivors by component. */
+  private def semanticDedupDf(emb: DataFrame, threshold: Double = 0.5): DataFrame = {
+    import emb.sparkSession.implicits._
+    val labels = Dedup.connectedComponents(
+      Similarity.nearDupPairs(emb, threshold = threshold).select($"i", $"j"))
+    val losers = labels.where($"id" =!= $"comp").select($"id".as("vec_id"))
+    val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+    emb.select($"vec_id")
+      .join(losers, Seq("vec_id"), "left_anti")
+      .join(sizes.select($"comp".as("vec_id"), $"cluster_size"), Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"cluster_size", lit(1L)).as("cluster_size"))
+      .orderBy("vec_id")
+  }
+
+  /** d39's body over any documents relation (shared with d59's twin):
+    * quality gate → exact dedup → near-dup cluster resolution → stats
+    * of the surviving corpus. The surviving corpus is consumed three
+    * times (pair generation, anti-join left side, the component loop's
+    * edge build) — materialize the text-stats + dedup-join pass ONCE
+    * instead of letting every consumer replan it from the scan. At
+    * 100 TB this is the "write the cleaned corpus, then cluster it"
+    * step; here a local checkpoint plays that role (Bench/Verify sweep
+    * the blocks after the query is consumed). */
+  private def corpusCleanDf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val stats = TextAnalysis.analyze(docs)
+      .select($"doc_id", $"text", $"n_tokens", round($"quality", 6).as("quality"))
+      .where($"quality" >= 0.5)
+    val exact = Dedup.exactDedup(stats, "doc_id", "text").localCheckpoint(true)
+    val pairs = Dedup.ngramJaccardPairs(exact, "doc_id", "text", 0.5)
+    val losers = Dedup.clusterLosers(pairs).select($"id".as("doc_id"))
+    exact.join(losers, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"n_tokens", $"quality")
+      .orderBy("doc_id")
+  }
+
+  /** d48's capstone body over any (benchmark, corpus) pair (shared with
+    * d60's twin): quality filter → exact dedup → near-dup component
+    * removal → benchmark decontamination → temperature rebalancing →
+    * sliding chunking, checkpointed once at the dedup boundary. */
+  private def trainingCorpusDf(bench: DataFrame, corpus: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val stats = TextAnalysis.analyze(corpus)
+      .select($"doc_id", $"lang", $"text", $"n_tokens",
+        round($"quality", 6).as("quality"))
+      .where($"quality" >= 0.5)
+    val exact = Dedup.exactDedup(stats, "doc_id", "text").localCheckpoint(true)
+    val losers = Dedup.clusterLosers(
+        Dedup.ngramJaccardPairs(exact, "doc_id", "text", 0.5))
+      .select($"id".as("doc_id"))
+    val clean = exact.join(losers, Seq("doc_id"), "left_anti")
+    val contaminated = Dedup.contaminatedDocs(clean, bench, "doc_id", "text",
+      shingleN = 4).select($"doc_id")
+    val decon = clean.join(contaminated, Seq("doc_id"), "left_anti")
+    val kept = graft.operators.Sampling.temperatureSample(
+      decon, concat(lit("doc:"), $"doc_id"), "lang")
+    TextAnalysis.chunk(kept, "doc_id", "text", window = 100, stride = 80)
+      .orderBy("doc_id", "chunk_idx")
+  }
+  private def sampledDocs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashSample(
+      t(s, dir, "documents"), concat(lit("doc:"), col("doc_id")), DocTwinRate)
+  private def sampledEmb(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashSample(
+      t(s, dir, "embeddings"), concat(lit("vec:"), col("vec_id")), EmbTwinRate)
+
+  private def sampledTwinQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // d34's exact all-pairs cosine ground truth at 10× the gate scale.
+    "d55_neardup_sampled" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.nearDupPairs(sampledEmb(s, dir), threshold = EmbTwinThreshold)
+        .select($"i", $"j")
+        .orderBy("i", "j")
+    }),
+    // d36's banded-LSH production path over the same sub-corpus.
+    "d56_lsh_neardup_sampled" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.bandedNearDupPairs(sampledEmb(s, dir), threshold = EmbTwinThreshold)
+        .select($"i", $"j", round($"sim", 6).as("sim"))
+        .orderBy("i", "j")
+    }),
+    // d46's component-resolution semantic dedup over the sub-corpus.
+    "d57_semantic_dedup_sampled" -> ((s, dir) =>
+      semanticDedupDf(sampledEmb(s, dir), EmbTwinThreshold)),
+    // d35's Jaccard-pair connected components over the sub-corpus.
+    "d58_clusters_sampled" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Dedup.ngramJaccardPairs(sampledDocs(s, dir), "doc_id", "text", 0.5)
+      Dedup.connectedComponents(pairs)
+        .select($"id".as("doc_id"), $"comp".as("component"))
+        .orderBy("doc_id")
+    }),
+    // d39's full corpus-cleaning pipeline over the sub-corpus.
+    "d59_corpus_clean_sampled" -> ((s, dir) =>
+      corpusCleanDf(sampledDocs(s, dir))),
+    // d48's capstone training-corpus pipeline: corpus side sampled, the
+    // benchmark (docs 0-4) stays FULL so decontamination stays live.
+    "d60_training_sampled" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      trainingCorpusDf(docs.where($"doc_id" < 5),
+        sampledDocs(s, dir).where($"doc_id" >= 5))
+    }),
+    // d44's incremental ingest dedup over the sub-corpus (same 250 split).
+    "d61_incremental_sampled" -> ((s, dir) => {
+      import s.implicits._
+      val docs = sampledDocs(s, dir)
+      Dedup.incrementalDedup(
+          docs.where($"doc_id" >= 250), docs.where($"doc_id" < 250),
+          "doc_id", "text", threshold = 0.5)
+        .select($"doc_id", $"n_chars")
+        .orderBy("doc_id")
+    }),
+  )
+
   /** Exact pairwise n-gram Jaccard ≥ threshold over `src` (any relation
     * exposing doc_id + text). Standalone SELECT — nest as a derived
     * table where needed. */
@@ -878,7 +973,9 @@ object PipelineQueries {
            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
   }
 
-  private val staticOracles: Map[String, String] = Map(
+  private lazy val staticOracles: Map[String, String] = staticOracles1 ++ staticOracles2
+
+  private lazy val staticOracles1: Map[String, String] = Map(
     // Every bit of the Bloom filter recomputed independently: the
     // existing corpus's k=3 double-hashed positions (fmix64 chain in
     // HUGEINT limbs) become the set-bit set; a new doc is maybe_dup
@@ -954,11 +1051,14 @@ object PipelineQueries {
     "d31_dedup_minhash" -> (
       s"""SELECT i, j, round(inter * 1.0 / uni, 6) AS jaccard
          |FROM (${jaccardOracle(0.5).replace("ORDER BY i, j", "")}) ORDER BY i, j""".stripMargin),
-    "d34_embed_neardup" ->
-      s"""SELECT a.vec_id AS i, b.vec_id AS j
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.5
-         |ORDER BY i, j""".stripMargin,
+    "d34_embed_neardup" -> d34Oracle(),
+    "d55_neardup_sampled" -> d34Oracle(sampledEmbSql, EmbTwinThreshold),
+    "d56_lsh_neardup_sampled" -> d36Oracle(sampledEmbSql, EmbTwinThreshold),
+    "d57_semantic_dedup_sampled" -> d46Oracle(sampledEmbSql, EmbTwinThreshold),
+    "d58_clusters_sampled" -> d35Oracle(sampledDocsSql),
+    "d59_corpus_clean_sampled" -> d39Oracle(sampledDocsSql),
+    "d60_training_sampled" -> d48Oracle(sampledDocsSql),
+    "d61_incremental_sampled" -> d44Oracle(sampledDocsSql),
     // Full independent LSH recompute: the hyperplanes are deterministic
     // (seeded LCG, exact dyadic doubles that round-trip through
     // toString), so the oracle re-derives every 8-bit signature, applies
@@ -1076,13 +1176,19 @@ object PipelineQueries {
     // oracle templates: d39's quality/dedup/closure CTEs, d43's
     // benchmark shingle intersect, d45's sqrt thresholds over the
     // DECONTAMINATED counts, the d41 slot fold, t46's chunk expansion.
-    "d48_training_corpus" -> {
+    "d48_training_corpus" -> d48Oracle(),
+  )
+
+  /** d48's oracle over any corpus source (the benchmark side — docs
+    * 0-4 — always comes from the FULL documents table, matching the
+    * Spark twin which decontaminates against the unsampled benchmark). */
+  private def d48Oracle(corpusSrc: String = "documents"): String = {
       val slotInner = graft.oracle.DuckSql.withSlotNode(
         "SELECT doc_id, lang, toks, 'doc:' || doc_id AS key FROM decon",
         Seq("doc_id", "lang", "toks"), Some("slot"), None)
       val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(",")
       s"""WITH RECURSIVE b AS (SELECT doc_id, lang, text, $duckTokens AS toks
-         |  FROM documents WHERE doc_id >= 5),
+         |  FROM $corpusSrc WHERE doc_id >= 5),
          |c AS (SELECT doc_id, lang, text, toks,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,
          |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
@@ -1123,7 +1229,119 @@ object PipelineQueries {
          | CAST(len(tk[ci*80+1 : ci*80+100]) AS BIGINT) AS n_tokens,
          | array_to_string(tk[ci*80+1 : ci*80+100], ' ') AS chunk_text
          |FROM chx ORDER BY doc_id, chunk_idx""".stripMargin
-    },
+  }
+
+  /** Slot-sampled oracle sources for the sf0.1 twins: the same CRC16
+    * slot fold the Spark side's Sampling.hashSample applies, recomputed
+    * in SQL (d41's oracle pattern), as nestable derived tables. */
+  private lazy val sampledDocsSql: String = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val inner = graft.oracle.DuckSql.withSlotNode(
+      s"SELECT ${cols.mkString(", ")}, 'doc:' || doc_id AS key FROM documents",
+      cols, Some("slot"), None)
+    s"(SELECT ${cols.mkString(", ")} FROM ($inner) WHERE slot < ${(DocTwinRate * 16384).toInt})"
+  }
+  private lazy val sampledEmbSql: String = {
+    val cols = Seq("vec_id", "embedding", "label")
+    val inner = graft.oracle.DuckSql.withSlotNode(
+      s"SELECT ${cols.mkString(", ")}, 'vec:' || vec_id AS key FROM embeddings",
+      cols, Some("slot"), None)
+    s"(SELECT ${cols.mkString(", ")} FROM ($inner) WHERE slot < ${(EmbTwinRate * 16384).toInt})"
+  }
+
+  /** d34's all-pairs cosine oracle over any embeddings source. */
+  private def d34Oracle(src: String = "embeddings", threshold: Double = 0.5): String =
+    s"""SELECT a.vec_id AS i, b.vec_id AS j
+       |FROM $src a JOIN $src b ON a.vec_id < b.vec_id
+       |WHERE ${duckCosine("a.embedding", "b.embedding")} >= $threshold
+       |ORDER BY i, j""".stripMargin
+
+  /** d36's full banded-LSH recompute over any embeddings source: all 32
+    * seeded hyperplanes (8 tables × 4 sign-bits) re-derived as literals
+    * — exact dyadic doubles, same as s36 — candidates = agreement on ANY
+    * table's full signature, then the exact cosine threshold. */
+  private def d36Oracle(src: String = "embeddings", threshold: Double = 0.5): String = {
+    val planes = Similarity.hyperplanes(32, 64)
+    def dotPlane(vec: String, p: Array[Double]): String = {
+      val lits = p.map(_.toString).mkString("[", ",", "]")
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+        s"i -> CAST($vec[i] AS DOUBLE) * ($lits)[i])), (acc, v) -> acc + v)"
+    }
+    def sigExpr(tbl: Int): String = (0 until 4).map { k =>
+      s"(CASE WHEN ${dotPlane("embedding", planes(tbl * 4 + k))} >= 0.0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+    val sigCols = (0 until 8).map(tbl => s"${sigExpr(tbl)} AS sig$tbl").mkString(", ")
+    val anyTable = (0 until 8).map(tbl => s"a.sig$tbl = b.sig$tbl").mkString(" OR ")
+    s"""WITH s AS (SELECT vec_id, embedding, $sigCols FROM $src)
+       |SELECT a.vec_id AS i, b.vec_id AS j,
+       | round(${duckCosine("a.embedding", "b.embedding")}, 6) AS sim
+       |FROM s a JOIN s b ON a.vec_id < b.vec_id AND ($anyTable)
+       |WHERE ${duckCosine("a.embedding", "b.embedding")} >= $threshold
+       |ORDER BY i, j""".stripMargin
+  }
+
+  /** d46's transitive-closure semantic-dedup oracle over any embeddings
+    * source; survivors are non-members plus component representatives. */
+  private def d46Oracle(src: String = "embeddings", threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE pr AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j
+       |  FROM $src a JOIN $src b ON a.vec_id < b.vec_id
+       |  WHERE ${duckCosine("a.embedding", "b.embedding")} >= $threshold),
+       |$componentsCtes,
+       |sz AS (SELECT component, count(*) AS n FROM comp GROUP BY component)
+       |SELECT e.vec_id, CAST(COALESCE(sz.n, 1) AS BIGINT) AS cluster_size
+       |FROM $src e
+       |LEFT JOIN comp c ON e.vec_id = c.doc_id
+       |LEFT JOIN sz ON c.component = sz.component
+       |WHERE c.doc_id IS NULL OR c.doc_id = c.component
+       |ORDER BY e.vec_id""".stripMargin
+
+  /** d35's recursive-closure clustering oracle over any documents source. */
+  private def d35Oracle(src: String = "documents"): String =
+    s"""WITH RECURSIVE pr AS (SELECT i, j FROM (${jaccardOracle(0.5, src).replace("ORDER BY i, j", "")})),
+       |$componentsCtes
+       |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
+
+  /** d39's corpus-cleaning oracle over any documents source. */
+  private def d39Oracle(src: String = "documents"): String =
+    s"""WITH RECURSIVE b AS (SELECT doc_id, text, $duckTokens AS toks FROM $src),
+       |c AS (SELECT doc_id, text,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |    / greatest(length(text), 1) AS punct_ratio,
+       |  CAST(len(list_filter(toks, w -> list_contains([${TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(",")}], lower(w)))) AS DOUBLE) AS hits_en
+       | FROM b),
+       |q AS (SELECT doc_id, text, n_tokens,
+       |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+       |   + least(hits_en / greatest(n_tokens, 1) * 5.0, 1.0) * 0.4
+       |   + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2, 6) AS quality FROM c),
+       |filtered AS (SELECT * FROM q WHERE quality >= 0.5),
+       |keepers AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY text),
+       |surviving AS (SELECT f.doc_id, f.text, f.n_tokens, f.quality
+       |  FROM filtered f JOIN keepers k ON f.doc_id = k.doc_id),
+       |pr AS (SELECT i, j FROM (${jaccardOracle(0.5, "surviving").replace("ORDER BY i, j", "")})),
+       |$componentsCtes
+       |SELECT s.doc_id, s.n_tokens, s.quality FROM surviving s
+       |WHERE s.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+       |ORDER BY s.doc_id""".stripMargin
+
+  /** d44's exhaustive incremental-dedup oracle over any documents source
+    * (the new/old split at doc_id 250 stays in-template). */
+  private def d44Oracle(src: String = "documents"): String =
+    s"""WITH w AS (SELECT doc_id, n_chars, text, $duckTokens AS words FROM $src),
+       |sh AS (SELECT doc_id, n_chars, text, ${duckShingles("words")} AS s FROM w),
+       |nw AS (SELECT * FROM sh WHERE doc_id >= 250),
+       |old AS (SELECT * FROM sh WHERE doc_id < 250),
+       |exact_kill AS (SELECT DISTINCT n.doc_id FROM nw n JOIN old o ON n.text = o.text),
+       |near_kill AS (SELECT DISTINCT n.doc_id FROM nw n JOIN old o
+       |  ON len(list_intersect(n.s, o.s)) * 1.0 /
+       |     (len(n.s) + len(o.s) - len(list_intersect(n.s, o.s))) >= 0.5)
+       |SELECT doc_id, n_chars FROM nw
+       |WHERE doc_id NOT IN (SELECT doc_id FROM exact_kill)
+       |  AND doc_id NOT IN (SELECT doc_id FROM near_kill)
+       |ORDER BY doc_id""".stripMargin
+
+  private lazy val staticOracles2: Map[String, String] = Map(
     // Full per-window Karp-Rabin recompute (same Base/Mod chain as the
     // t42 oracle — BIGINT-safe: acc < 2^31 so acc*257+255 < 2^40),
     // mod-8 sampling, exhaustive pair intersect. ASCII-corpus caveat
@@ -1143,19 +1361,7 @@ object PipelineQueries {
         |FROM p WHERE shared >= 4 ORDER BY i, j""".stripMargin,
     // Transitive closure over fold-exact cosine pairs; survivors are
     // non-members plus component representatives, sized by component.
-    "d46_semantic_dedup" ->
-      s"""WITH RECURSIVE pr AS (
-         |  SELECT a.vec_id AS i, b.vec_id AS j
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |  WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.5),
-         |$componentsCtes,
-         |sz AS (SELECT component, count(*) AS n FROM comp GROUP BY component)
-         |SELECT e.vec_id, CAST(COALESCE(sz.n, 1) AS BIGINT) AS cluster_size
-         |FROM embeddings e
-         |LEFT JOIN comp c ON e.vec_id = c.doc_id
-         |LEFT JOIN sz ON c.component = sz.component
-         |WHERE c.doc_id IS NULL OR c.doc_id = c.component
-         |ORDER BY e.vec_id""".stripMargin,
+    "d46_semantic_dedup" -> d46Oracle(),
     // Same slot-hash selection as d41; thresholds recomputed from the
     // language counts with the identical IEEE arithmetic (sqrt + one
     // double division + power-of-two scale — no libm pow anywhere).
@@ -1199,31 +1405,8 @@ object PipelineQueries {
          |SELECT doc_id, $counts, $clean AS text_clean
          |FROM u ORDER BY doc_id""".stripMargin
     },
-    "d35_dedup_clusters" ->
-      s"""WITH RECURSIVE pr AS (SELECT i, j FROM (${jaccardOracle(0.5).replace("ORDER BY i, j", "")})),
-         |$componentsCtes
-         |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
-    "d39_corpus_clean" ->
-      s"""WITH RECURSIVE b AS (SELECT doc_id, text, $duckTokens AS toks FROM documents),
-         |c AS (SELECT doc_id, text,
-         |  CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-         |    / greatest(length(text), 1) AS punct_ratio,
-         |  CAST(len(list_filter(toks, w -> list_contains([${TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(",")}], lower(w)))) AS DOUBLE) AS hits_en
-         | FROM b),
-         |q AS (SELECT doc_id, text, n_tokens,
-         |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-         |   + least(hits_en / greatest(n_tokens, 1) * 5.0, 1.0) * 0.4
-         |   + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2, 6) AS quality FROM c),
-         |filtered AS (SELECT * FROM q WHERE quality >= 0.5),
-         |keepers AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY text),
-         |surviving AS (SELECT f.doc_id, f.text, f.n_tokens, f.quality
-         |  FROM filtered f JOIN keepers k ON f.doc_id = k.doc_id),
-         |pr AS (SELECT i, j FROM (${jaccardOracle(0.5, "surviving").replace("ORDER BY i, j", "")})),
-         |$componentsCtes
-         |SELECT s.doc_id, s.n_tokens, s.quality FROM surviving s
-         |WHERE s.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
-         |ORDER BY s.doc_id""".stripMargin,
+    "d35_dedup_clusters" -> d35Oracle(),
+    "d39_corpus_clean" -> d39Oracle(),
     // ASCII-corpus assumption (same caveat as DuckSql's CRC16 oracle):
     // this fold hashes ord() CODE POINTS while the Scala kernel hashes
     // UTF-8 BYTES — they agree only while `documents.text` is pure
@@ -1238,25 +1421,7 @@ object PipelineQueries {
     // (8 tables × 4 sign-bits) re-derived as literals — exact dyadic
     // doubles, same as s36 — candidates = agreement on ANY table's full
     // signature, then the exact cosine threshold.
-    "d36_embed_neardup_lsh" -> {
-      val planes = Similarity.hyperplanes(32, 64)
-      def dotPlane(vec: String, p: Array[Double]): String = {
-        val lits = p.map(_.toString).mkString("[", ",", "]")
-        s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
-          s"i -> CAST($vec[i] AS DOUBLE) * ($lits)[i])), (acc, v) -> acc + v)"
-      }
-      def sigExpr(tbl: Int): String = (0 until 4).map { k =>
-        s"(CASE WHEN ${dotPlane("embedding", planes(tbl * 4 + k))} >= 0.0 THEN ${1L << k} ELSE 0 END)"
-      }.mkString(" + ")
-      val sigCols = (0 until 8).map(tbl => s"${sigExpr(tbl)} AS sig$tbl").mkString(", ")
-      val anyTable = (0 until 8).map(tbl => s"a.sig$tbl = b.sig$tbl").mkString(" OR ")
-      s"""WITH s AS (SELECT vec_id, embedding, $sigCols FROM embeddings)
-         |SELECT a.vec_id AS i, b.vec_id AS j,
-         | round(${duckCosine("a.embedding", "b.embedding")}, 6) AS sim
-         |FROM s a JOIN s b ON a.vec_id < b.vec_id AND ($anyTable)
-         |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.5
-         |ORDER BY i, j""".stripMargin
-    },
+    "d36_embed_neardup_lsh" -> d36Oracle(),
     // Repetition signals recomputed with unnest+GROUP BY mode counts
     // (a structurally different computation from the Spark side's
     // per-row array fold — a stronger oracle than a literal transcription).
@@ -1381,19 +1546,7 @@ object PipelineQueries {
     // Exhaustive cross-side recompute (oracle-side only): exact matches
     // plus Jaccard-≥0.5 near-dups against the existing corpus kill a
     // new doc; survivors keep their row.
-    "d44_incremental_dedup" ->
-      s"""WITH w AS (SELECT doc_id, n_chars, text, $duckTokens AS words FROM documents),
-         |sh AS (SELECT doc_id, n_chars, text, ${duckShingles("words")} AS s FROM w),
-         |nw AS (SELECT * FROM sh WHERE doc_id >= 250),
-         |old AS (SELECT * FROM sh WHERE doc_id < 250),
-         |exact_kill AS (SELECT DISTINCT n.doc_id FROM nw n JOIN old o ON n.text = o.text),
-         |near_kill AS (SELECT DISTINCT n.doc_id FROM nw n JOIN old o
-         |  ON len(list_intersect(n.s, o.s)) * 1.0 /
-         |     (len(n.s) + len(o.s) - len(list_intersect(n.s, o.s))) >= 0.5)
-         |SELECT doc_id, n_chars FROM nw
-         |WHERE doc_id NOT IN (SELECT doc_id FROM exact_kill)
-         |  AND doc_id NOT IN (SELECT doc_id FROM near_kill)
-         |ORDER BY doc_id""".stripMargin,
+    "d44_incremental_dedup" -> d44Oracle(),
     // Same rational idf (N+1)/(df+1) as the Spark side: exact integer
     // arithmetic in DOUBLE, identical parenthesization → identical
     // scores → identical ranks.

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.ClusterHashFunctions.{cluster_node, cluster_slot}
 import graft.sources.Tables
 
 /**
@@ -221,6 +222,24 @@ object RelationalQueries {
           sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy("o_orderstatus")
     }),
+    // Persistent catalog: the slot-bucketed customer table is saved
+    // through the catalog into the warehouse, then read back BY NAME
+    // from a FRESH session (same shared external catalog, none of the
+    // writing session's state) and aggregated per node. The oracle
+    // recomputes from the source parquet — catalog + bucketed layout
+    // must not change the answer. Closes the last spec-only surface
+    // (CREATE TABLE lived only in RelationalSurfaceSpec before this).
+    "p19_catalog_table" -> ((s, dir) => {
+      val tbl = ensureCatalogTable(s, dir)
+      val fresh = s.newSession()
+      fresh.table(tbl)
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("customers"),
+          countDistinct(col("slot")).as("slots"),
+          min(col("c_name")).as("first_name"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("acctbal_total"))
+        .orderBy("node")
+    }),
     // Schema evolution: two parquet generations of the same table — the
     // second adds a column — read together with mergeSchema; the old
     // generation's rows surface NULL for the new column. This is the
@@ -237,6 +256,40 @@ object RelationalQueries {
         .orderBy("lang")
     }),
   )
+
+  /** Warehouse table name, suffixed per scale factor (the catalog is
+    * shared across a JVM's sessions; the sf0.01 gate and the sf0.1
+    * bench must not clobber each other's table). */
+  def catalogTable(sfDir: String): String =
+    "graft_wh_customer_" +
+      sfDir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Ingest-once PERSISTENT catalog table: customer with its cluster
+    * slot/node, bucketed by slot, saved through the session catalog
+    * into the warehouse (spark-warehouse/). Readers get it back by
+    * NAME via `spark.table` — no path, no temp view — the metadata
+    * that outlives a session. Slot and node are computed at WRITE
+    * time, so a reading session needs no function registration. */
+  def ensureCatalogTable(s: SparkSession, sfDir: String): String = {
+    val tbl = catalogTable(sfDir)
+    val warehouse = new java.net.URI(
+      s.conf.get("spark.sql.warehouse.dir")).getPath
+    if (!s.catalog.tableExists(tbl) || stale(s"$warehouse/$tbl", sfDir, "customer")) {
+      import s.implicits._
+      val key = concat(lit("cust:"), $"c_custkey")
+      Tables.load(s, sfDir, "customer")
+        .withColumn("slot", cluster_slot(key))
+        .withColumn("node", cluster_node(key))
+        .write.mode("overwrite")
+        .bucketBy(8, "slot").sortBy("slot")
+        .format("parquet")
+        .saveAsTable(tbl)
+      // bucketed saveAsTable does not reliably leave a root _SUCCESS —
+      // touch the staleness marker explicitly (Spark ignores _-files)
+      Files.write(Paths.get(s"$warehouse/$tbl", "_SUCCESS"), Array.emptyByteArray)
+    }
+    tbl
+  }
 
   /** Two-generation export root (schema evolution fixture). */
   def generationDir(sfDir: String): String =
@@ -307,6 +360,17 @@ object RelationalQueries {
         |FROM orders WHERE o_orderstatus IN (
         |  SELECT DISTINCT o_orderstatus FROM orders WHERE o_orderkey < 1000)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // independent of the catalog + bucketed layout: slot/node recomputed
+    // straight from the source table via the CRC16 SQL fold
+    "p19_catalog_table" -> {
+      val inner = graft.oracle.DuckSql.withSlotNode(
+        "SELECT c_custkey, c_name, c_acctbal, 'cust:' || c_custkey AS key FROM customer",
+        Seq("c_custkey", "c_name", "c_acctbal"), Some("slot"), Some("node"))
+      s"""SELECT node, count(*) AS customers, count(DISTINCT slot) AS slots,
+         | min(c_name) AS first_name,
+         | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_total
+         |FROM ($inner) GROUP BY node ORDER BY node""".stripMargin
+    },
     // independent of the two-generation layout: the oracle re-derives
     // each row's generation from the same doc_id parity rule
     "p18_schema_merge" ->

@@ -36,6 +36,9 @@ object PipelineQueries {
     * independently runnable, never borrowing another query's state). */
   @volatile private var ivfPqState: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
 
+  /** s57's coarse centroids + RESIDUAL codebooks (own stash). */
+  @volatile private var ivfPqResState: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
+
   /** Trained-quantizer memo, keyed by corpus dir. The k-means coarse
     * quantizer (s37/d53/s45) and the PQ codebooks (s44/s45) are
     * deterministic functions of the corpus (seeded init, fixed
@@ -88,6 +91,18 @@ object PipelineQueries {
     evictStale(pqCache, dir, key)
     pqCache.getOrElseUpdate(key,
       Similarity.pqCodebooks(t(s, dir, "embeddings")))
+  }
+  private val pqResCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+  /** Residual codebooks are a deterministic function of (corpus,
+    * coarse centroids) and the centroids are themselves memoized per
+    * corpus — so one key serves both. */
+  private def residualBooks16(s: SparkSession, dir: String,
+                              cents: Array[Array[Double]]): Array[Array[Array[Double]]] = {
+    val key = corpusKey(dir)
+    evictStale(pqResCache, dir, key)
+    pqResCache.getOrElseUpdate(key,
+      Similarity.pqResidualCodebooks(cents, t(s, dir, "embeddings")))
   }
 
   /** DuckDB: whitespace tokens / 3-word shingles mirroring TextAnalysis/Dedup. */
@@ -244,6 +259,20 @@ object PipelineQueries {
       val books = codebooks16(s, dir)
       ivfPqState = Some((cents, books))
       Similarity.ivfPqTopKWith(cents, books, emb, emb.where($"vec_id" < 5), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    // Residual-encoded IVF-PQ — the FAISS production layout: PQ codes
+    // encode each vector's residual against its coarse centroid, and
+    // queries ADC-rank from their per-probed-list residuals. Same probe
+    // cost as s45 at equal bytes, finer within-list grid (recall ≥ the
+    // raw-vector encoding, spec-pinned in SimilaritySpec).
+    "s57_ann_ivfpq_res" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = centroids16(s, dir)
+      val books = residualBooks16(s, dir, cents)
+      ivfPqResState = Some((cents, books))
+      Similarity.ivfPqResidualTopKWith(cents, books, emb, emb.where($"vec_id" < 5), k = 10)
         .orderBy("query_id", "rank")
     }),
     // Banded (8 tables × 4 bits) hyperplane-LSH embedding near-dups —
@@ -794,7 +823,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ pqOracle ++ ivfPqOracle ++ clusterOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ clusterOracle
 
   /** d53's oracle from the stashed centroids (see [[ivfOracle]] for the
     * stash-then-splice contract): assignment (argmax cosine, ties→low
@@ -873,15 +902,17 @@ object PipelineQueries {
     * (first minimum = lowest code, the Spark struct-argmax rule), and
     * the ADC sum over `q`'s exact subvectors — the s44/s45 oracle
     * building blocks. */
-  private def pqCodeCols(books: Array[Array[Array[Double]]]): (String, String, String) = {
+  private def pqCodeCols(books: Array[Array[Array[Double]]],
+                         vec: String = "embedding",
+                         qvec: String = "q.qv"): (String, String, String) = {
     val m = books.length
-    val distLists = (0 until m).map(s => s"${pqDistListSql(books, s, "embedding")} AS l$s")
+    val distLists = (0 until m).map(s => s"${pqDistListSql(books, s, vec)} AS l$s")
       .mkString(", ")
     val codeCols = (0 until m).map { s =>
       s"CAST(list_position(l$s, list_min(l$s)) - 1 AS INTEGER) AS c$s"
     }.mkString(", ")
     val adc = (0 until m).map { s =>
-      s"(${pqDistListSql(books, s, "q.qv")})[e.c$s + 1]"
+      s"(${pqDistListSql(books, s, qvec)})[e.c$s + 1]"
     }.mkString(" + ")
     (distLists, codeCols, adc)
   }
@@ -920,6 +951,41 @@ object PipelineQueries {
            |  SELECT vec_id, embedding, cid,
            |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
            |  FROM scored WHERE vec_id < 5) WHERE rn <= 4),
+           |sc AS (SELECT q.query_id, e.vec_id AS nbr_id, $adc AS dist
+           | FROM enc e JOIN qprobe q ON e.cid = q.cid AND e.vec_id <> q.query_id)
+           |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
+           | SELECT query_id, nbr_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, nbr_id) AS rank FROM sc)
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+  }
+
+  /** s57's oracle: s45's composition with the residual refinement —
+    * corpus rows encode `res = embedding − owning centroid` (exact
+    * element-wise DOUBLE subtraction, centroids spliced as literals),
+    * queries ADC from `qres = qv − probed centroid`. The `CAST(x AS
+    * DOUBLE)` inside the shared distance template is a no-op on the
+    * already-DOUBLE residuals, so the same building blocks serve both
+    * encodings. */
+  private def ivfPqResOracle: Map[String, String] = ivfPqResState match {
+    case None => Map.empty
+    case Some((cents, books)) =>
+      val dim = cents(0).length
+      val (distLists, codeCols, adc) = pqCodeCols(books, vec = "res", qvec = "q.qres")
+      Map("s57_ann_ivfpq_res" ->
+        s"""WITH ${centroidAssignCtes(cents, "embedding")},
+           |wres AS (SELECT a.vec_id, a.cid,
+           |   list_transform(range(1, ${dim + 1}),
+           |     i -> CAST(a.embedding[i] AS DOUBLE) - c.cv[i]) AS res
+           | FROM assign a JOIN cents c ON a.cid = c.cid),
+           |enc0 AS (SELECT vec_id, cid, $distLists FROM wres),
+           |enc AS (SELECT vec_id, cid, $codeCols FROM enc0),
+           |qprobe AS (SELECT query_id, cid,
+           |  list_transform(range(1, ${dim + 1}),
+           |    i -> CAST(qv[i] AS DOUBLE) - cv[i]) AS qres FROM (
+           |  SELECT s.vec_id AS query_id, s.embedding AS qv, s.cid, c.cv,
+           |   row_number() OVER (PARTITION BY s.vec_id ORDER BY s.s DESC, s.cid DESC) AS rn
+           |  FROM scored s JOIN cents c ON s.cid = c.cid WHERE s.vec_id < 5)
+           | WHERE rn <= 4),
            |sc AS (SELECT q.query_id, e.vec_id AS nbr_id, $adc AS dist
            | FROM enc e JOIN qprobe q ON e.cid = q.cid AND e.vec_id <> q.query_id)
            |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (

@@ -163,6 +163,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"PQ recall $recall too low")
   }
 
+  test("residual IVF-PQ: recall vs exact L2 >= raw-vector IVF-PQ at equal bytes") {
+    val queries = emb.where($"vec_id" < 20)
+    val cents = Similarity.kmeansCentroids(emb, nlist = 16, iters = 2)
+    // equal byte budget: same m=8, k=16 codebook shape for both encodings
+    val rawBooks = Similarity.pqCodebooks(emb)
+    val resBooks = Similarity.pqResidualCodebooks(cents, emb)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2").asc, col("nbr_id"))
+    val exact = emb.select($"vec_id".as("nbr_id"), $"embedding".as("cv"))
+      .crossJoin(broadcast(queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))))
+      .where($"nbr_id" =!= $"query_id")
+      .select($"query_id", $"nbr_id", expr(
+        "aggregate(zip_with(cv, qv, (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), 0.0D, (acc, x) -> acc + x)").as("d2"))
+      .withColumn("rank", row_number().over(w)).where($"rank" <= 10)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = pairs(Similarity.ivfPqTopKWith(cents, rawBooks, emb, queries, k = 10))
+    val res = pairs(Similarity.ivfPqResidualTopKWith(cents, resBooks, emb, queries, k = 10))
+    val rawRecall = (exact & raw).size.toDouble / exact.size
+    val resRecall = (exact & res).size.toDouble / exact.size
+    // the residual refinement must not cost recall at equal bytes —
+    // within-list variance is all the codes have to encode
+    assert(resRecall >= rawRecall,
+      s"residual recall $resRecall < raw recall $rawRecall at equal bytes")
+  }
+
   test("IVF-PQ returns only probed-list candidates and tracks full-scan PQ") {
     val queries = emb.where($"vec_id" < 20)
     val cents = Similarity.kmeansCentroids(emb, nlist = 16, iters = 2)

@@ -87,21 +87,41 @@ object Bench {
     // the per-query MIN — the run the machine actually allowed.
     // Failures are never retried into successes silently (-1 stands).
     var retryBudget = 120.0
-    val results = firstPass.sortBy { case (_, _, s) => -s }.map {
+    // each query carries ALL its successful samples (first pass + any
+    // retry): min is the headline (host-noise rationale above), median
+    // is reported alongside so a real plan regression that manifests as
+    // variance can't hide behind the retry policy (for the 2-sample
+    // case the median is the midpoint of both runs).
+    val sampled = firstPass.sortBy { case (_, _, s) => -s }.map {
       case (name, fn, sec) =>
         if (sec > 1.0 && retryBudget > 0) {
           val t0 = System.nanoTime()
           val again = timeOnce(name, fn)
           retryBudget -= (System.nanoTime() - t0) / 1e9
-          (name, if (again >= 0) math.min(sec, again) else sec)
-        } else (name, sec)
+          (name, if (again >= 0) Seq(sec, again) else Seq(sec))
+        } else (name, Seq(sec))
     }.sortBy(_._1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = sampled.map { case (name, ss) =>
+      (name, if (ss.exists(_ < 0)) -1.0 else ss.min)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsMed = sampled.map { case (k, ss) =>
+      "\"" + k + "\":" + (if (ss.exists(_ < 0)) -1.0 else median(ss))
+    }.mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // warm_artifacts: the untimed warm-up pass trains the ANN quantizer
+    // models (centroids/codebooks are memoized per corpus), so every
+    // timed s37/s39/s44/s45/s57/d53 number is the warm serving cost —
+    // the production treatment of an index artifact, but NOT comparable
+    // to a cold train-per-query run.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"errors":$errs,"warm_artifacts":true,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

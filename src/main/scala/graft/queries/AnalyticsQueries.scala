@@ -357,6 +357,39 @@ object AnalyticsQueries {
           sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue"))
         .orderBy("brand")
     }),
+    // AQE-native skew join: the complement of a39's manual salting —
+    // the mechanism a real 100 TB join relies on BEFORE anyone
+    // hand-salts. The fact side lands ~80% of lineitem on one join key
+    // (a deliberately pathological distribution), the dim side is a
+    // metadata-sized key table forced past broadcast with a MERGE hint,
+    // and spark.sql.adaptive.skewJoin splits the straggler partition at
+    // runtime — value-identical to the plain join (the oracle IS the
+    // plain join), so the split must not change the answer. The
+    // skew=true plan shape is pinned in PlanChecksSpec under
+    // bench-scale thresholds.
+    "a74_skew_join_aqe" -> ((s, dir) => {
+      import s.implicits._
+      // per-order pre-aggregation first — the production shape (reduce
+      // before the expensive join), and what makes the skewed partition
+      // SPLITTABLE: AQE divides it at map-output granularity, so the
+      // join's input must come from many mappers (the pre-agg's
+      // reducers), not one small-file scan task
+      val fact = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).as("order_rev"))
+        .select(
+          when($"l_orderkey" % 10 < 8, lit(0L))
+            .otherwise($"l_orderkey" % 997).as("skew_key"),
+          $"n_items", $"order_rev")
+      val dim = s.range(0, 997)
+        .select($"id".as("skew_key"), ($"id" % 7).as("grp"))
+      fact.join(dim.hint("merge"), "skew_key")
+        .groupBy($"grp")
+        .agg(sum($"n_items").as("n_items"),
+          sum($"order_rev").cast("double").as("revenue"))
+        .orderBy("grp")
+    }),
     // Column profiling (the data-quality pass every ingest runs): null
     // count, exact distinct count, min/max per numeric column, ONE scan.
     // Multiple countDistinct on different columns plans a single Expand
@@ -673,6 +706,18 @@ object AnalyticsQueries {
   )
 
   val oracles3: Map[String, String] = Map(
+    // the plain join over the same synthesized skew key — AQE's runtime
+    // partition split must be invisible in the values
+    "a74_skew_join_aqe" ->
+      """WITH po AS (SELECT l_orderkey, count(*) AS n_items,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS order_rev
+        | FROM lineitem GROUP BY l_orderkey)
+        |SELECT g.id % 7 AS grp, CAST(SUM(n_items) AS BIGINT) AS n_items,
+        | CAST(SUM(order_rev) AS DOUBLE) AS revenue
+        |FROM po
+        |JOIN generate_series(0, 996) g(id)
+        |  ON (CASE WHEN l_orderkey % 10 < 8 THEN 0 ELSE l_orderkey % 997 END) = g.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a49_triangle_counts" ->
       """WITH co AS (
         |  SELECT DISTINCT a.l_orderkey, a.l_suppkey AS u, b.l_suppkey AS v

@@ -275,6 +275,17 @@ object RelationalQueries {
     val warehouse = new java.net.URI(
       s.conf.get("spark.sql.warehouse.dir")).getPath
     if (!s.catalog.tableExists(tbl) || stale(s"$warehouse/$tbl", sfDir, "customer")) {
+      // a previous JVM's in-memory catalog may have left the MANAGED
+      // location behind without a catalog entry in this one — CTAS
+      // refuses to reuse the location, so clear the remnant first
+      if (!s.catalog.tableExists(tbl)) {
+        val loc = Paths.get(s"$warehouse/$tbl")
+        if (Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+        }
+      }
       import s.implicits._
       val key = concat(lit("cust:"), $"c_custkey")
       Tables.load(s, sfDir, "customer")
@@ -307,11 +318,18 @@ object RelationalQueries {
       // `= 0` / `<> 0` (not `= 1`): truncated remainder gives -1 for
       // negative odd ids, which `= 1` would silently drop from BOTH
       // generations — the split must partition the table
+      // coalesce(2): mergeSchema reads EVERY file footer in a schema-
+      // inference job before the scan, so one part file per write task
+      // (32 at bench parallelism) made p18 pay a ~0.6 s footer sweep per
+      // run (the r6 0.27→0.90 s regression). Two files per generation
+      // keeps the multi-file merge semantics real at 4 footers total.
       docs.where(org.apache.spark.sql.functions.expr("doc_id % 2 = 0"))
         .select("doc_id", "lang")
+        .coalesce(2)
         .write.mode("overwrite").parquet(s"$dir/g1")
       docs.where(org.apache.spark.sql.functions.expr("doc_id % 2 <> 0"))
         .select("doc_id", "lang", "n_chars")
+        .coalesce(2)
         .write.mode("overwrite").parquet(s"$dir/g2")
       Files.createDirectories(Paths.get(dir))
       Files.write(Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)

@@ -253,6 +253,37 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruningexpression"), p.take(2000))
   }
 
+  test("a74: AQE splits the skewed join partition at runtime (skew=true in the final SMJ)") {
+    // bench-scale thresholds: the heavy key holds ~80% of lineitem, so
+    // its post-shuffle partition dwarfs the 64 KB threshold while the
+    // remaining 996 keys stay far under it. Confs are runtime-settable;
+    // restored after so the other pins see stock behavior.
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      // AQE splits a skewed reduce partition at MAP-OUTPUT granularity
+      // (per-mapper ranges). At test scale, partition coalescing would
+      // shrink the pre-agg stage to ONE task — one mapper feeding the
+      // join shuffle, nothing to split. A real-scale stage has
+      // thousands of mappers; keeping the 4 reducers models that.
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = SparkEntry.queries("a74_skew_join_aqe")(spark, SparkTestSession.sf001)
+      df.collect() // final adaptive plan exists only after execution
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the SMJ as skew-optimized:\n${p.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("cluster expressions fold into scan-stage codegen") {
     // run first: under AQE the codegen-starred final plan exists only
     // after execution

@@ -83,6 +83,12 @@ object PlanReport {
       "retrieval join: the queries×k hit set is BROADCAST into the documents probe (BuildRight) — the corpus streams once with a pruned 4-column read schema, no corpus shuffle",
     "a73_latest_per_key" ->
       "changelog compaction: Partial+Final WindowGroupLimit forwards ONE row per key into the shuffle instead of sorting whole groups through it",
+    "a74_skew_join_aqe" ->
+      "AQE-native skew join: per-order pre-agg feeds a deliberately skewed SMJ; under bench thresholds AQE splits the straggler partition at map-output granularity (SortMergeJoin(skew=true), pinned in PlanChecksSpec)",
+    "m56_png_decode" ->
+      "REAL-codec decode: JDK PNG decode + resize + aHash fused into the scan stage as one codegen'd expression over the fixture parquet",
+    "m57_png_neardup" ->
+      "m53's banding machinery over REAL decoded bytes: 4x16-bit pigeonhole bands on PNG-decoded signatures, chunk-bucket equi-joins, never a pair scan",
   )
 
   def main(args: Array[String]): Unit = {

@@ -88,6 +88,104 @@ object MediaCore {
     sig
   }
 
+  // ---------------------------------------------------------------------
+  // REAL-CODEC PATH (the stub boundary's other side): the JDK ships an
+  // actual PNG codec (javax.imageio — zlib inflate + scanline
+  // unfiltering), so the m56 fixture set exercises genuine decode: a
+  // deterministic gray pattern is PNG-ENCODED at ingest, stored as an
+  // opaque binary column, and the query-side kernel PNG-DECODES it back
+  // to pixels before hashing. The oracle recomputes the expected hash
+  // from the pattern formula alone, so a decoder that didn't faithfully
+  // reproduce the encoded pixels would hash-mismatch. The byte-level
+  // stub kernels above remain the path for synthesized payloads.
+  // ---------------------------------------------------------------------
+
+  /** Fixture pattern dimensions (both divide 8 exactly, so the aHash
+    * resize grid samples at (3x, 2y) with no rounding). */
+  final val PatW = 24
+  final val PatH = 16
+
+  /** Deterministic gray pattern for fixture image `imgId` = doc_id·2 +
+    * variant: v(x,y) = (floorMod(doc_id·31, 251) + 7x + 13y) mod 251,
+    * with variant 1 additionally bumping the (0,0) pixel by 120 — a
+    * one-pixel perturbation, so each doc's two variants are perceptual
+    * near-duplicates (small aHash Hamming distance) while distinct docs
+    * are not. All terms are non-negative before the final mod, so
+    * DuckDB's truncated `%` recomputes the same values. */
+  def patternGray(imgId: Long): Array[Byte] = {
+    val docId = java.lang.Math.floorDiv(imgId, 2L)
+    val variant = java.lang.Math.floorMod(imgId, 2L)
+    val base = java.lang.Math.floorMod(docId * 31L, 251L)
+    val out = new Array[Byte](PatW * PatH)
+    var y = 0
+    while (y < PatH) {
+      var x = 0
+      while (x < PatW) {
+        val bump = if (x == 0 && y == 0) 120L * variant else 0L
+        out(y * PatW + x) = ((base + x * 7L + y * 13L + bump) % 251L).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Real PNG encode of the imgId's fixture pattern (8-bit grayscale). */
+  def encodePatternPng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      PatW, PatH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = patternGray(id)
+    var y = 0
+    while (y < PatH) {
+      var x = 0
+      while (x < PatW) {
+        img.getRaster.setSample(x, y, 0, g(y * PatW + x) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /**
+   * Real PNG decode → (width, height, 8x8-grid sum, aHash64). The
+   * decoded raster's gray samples feed the SAME resize + average-hash
+   * kernel as the stub path ([[aHash64]] body) — only the "bytes are
+   * pixels" assumption is replaced by actual decoding. Throws on
+   * undecodable payloads (a silent fallback would defeat the fixture's
+   * purpose: proving the codec reproduced the encoded pixels).
+   */
+  def pngStats(png: Array[Byte]): Array[Long] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray = new Array[Byte](w * h)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        gray(y * w + x) = raster.getSample(x, y, 0).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val grid = resizeNearest(gray, w, h, 8, 8)
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += (grid(i) & 0xff); i += 1 }
+    var sig = 0L
+    i = 0
+    while (i < 64) {
+      if ((grid(i) & 0xff).toLong * 64L > sum) sig |= (1L << i)
+      i += 1
+    }
+    Array(w.toLong, h.toLong, sum, sig)
+  }
+
   /**
    * Per-frame checksums: split the payload into `nFrames` contiguous
    * chunks (boundaries `k*len/nFrames`, integer division) and Adler-style

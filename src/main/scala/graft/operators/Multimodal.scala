@@ -66,6 +66,16 @@ object Multimodal {
   def ahash64(payload: Column, srcW: Int, srcH: Int): Column =
     Bridge.column(AHash64(Bridge.expression(payload), srcW, srcH))
 
+  /** Real-codec encode: the id's deterministic gray pattern as actual
+    * PNG bytes (JDK ImageIO — see [[MediaCore.encodePatternPng]]). */
+  def png_encode_pattern(id: Column): Column =
+    Bridge.column(PngEncodePattern(Bridge.expression(id)))
+
+  /** Real-codec decode: PNG payload → [width, height, 8x8-grid sum,
+    * aHash64] via the JDK's actual PNG decoder. */
+  def png_stats(payload: Column): Column =
+    Bridge.column(PngStats(Bridge.expression(payload)))
+
   /**
    * Perceptual-hash image near-dups: aHash signatures banded and
    * verified exactly like SimHash text near-dups
@@ -147,6 +157,41 @@ case class AHash64(child: Expression, srcW: Int, srcH: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.core.MediaCore.aHash64($c, $srcW, $srcH)")
   override protected def withNewChildInternal(newChild: Expression): AHash64 =
+    copy(child = newChild)
+}
+
+/** `png_encode_pattern(id)` → binary: REAL PNG encode (JDK ImageIO) of
+  * the id's deterministic fixture pattern. Interpreted-only (no
+  * doGenCode): the codec call dominates, so codegen fusion buys nothing
+  * and this runs at fixture-ingest time, not in a hot query path. */
+case class PngEncodePattern(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "png_encode_pattern"
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    MediaCore.encodePatternPng(input.asInstanceOf[Long])
+  override protected def withNewChildInternal(newChild: Expression): PngEncodePattern =
+    copy(child = newChild)
+}
+
+/** `png_stats(payload)` → array<long> [width, height, grid_sum, ahash]:
+  * REAL PNG decode (JDK ImageIO) feeding the shared resize + average-
+  * hash kernel. Codegen'd like the stub-path expressions — the static
+  * call keeps the scan stage in whole-stage codegen. */
+case class PngStats(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "png_stats"
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MediaCore.pngStats(input.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.MediaCore.pngStats($c))")
+  override protected def withNewChildInternal(newChild: Expression): PngStats =
     copy(child = newChild)
 }
 

@@ -41,7 +41,71 @@ object ExtrasQueries {
     (custTable, ordTable)
   }
 
+  /** PNG fixture export root (per-sf, same layout rationale as
+    * RelationalQueries.csvDir). */
+  def pngDir(sfDir: String): String =
+    "/root/repo/data/graft-png/" +
+      sfDir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_") + "/fixtures"
+
+  /** Ingest-once REAL-codec fixture set: the first 100 docs' ids, each
+    * rendered as TWO deterministic gray patterns (variant 1 perturbs
+    * one pixel — a perceptual near-duplicate of variant 0) and
+    * PNG-encoded with the JDK's actual codec
+    * (MediaCore.encodePatternPng), stored as an opaque binary column
+    * keyed by img_id = doc_id·2 + variant. The m56/m57 read paths must
+    * genuinely decode these bytes — the oracles know only the pattern
+    * formula. */
+  def ensurePngExport(s: SparkSession, sfDir: String): String = {
+    val dir = pngDir(sfDir)
+    if (RelationalQueries.stale(dir, sfDir, "documents")) {
+      t(s, sfDir, "documents")
+        .orderBy("doc_id").limit(100)
+        .select(col("doc_id"), explode(array(lit(0L), lit(1L))).as("variant"))
+        .select((col("doc_id") * 2 + col("variant")).as("img_id"))
+        .select(col("img_id"),
+          Multimodal.png_encode_pattern(col("img_id")).as("payload"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // REAL-codec decode (the stub boundary's other side): PNG fixtures
+    // are decoded with the JDK's actual PNG codec inside a codegen'd
+    // scan expression, then fed to the same resize + average-hash
+    // kernel as the stub path. The oracle recomputes width/height/
+    // grid-sum/aHash purely from the pattern formula — a decoder that
+    // failed to reproduce the encoded pixels bit-for-bit would
+    // hash-mismatch.
+    "m56_png_decode" -> ((s, dir) => {
+      import s.implicits._
+      val path = ensurePngExport(s, dir)
+      s.read.parquet(path)
+        .select($"img_id", Multimodal.png_stats($"payload").as("st"))
+        .select($"img_id",
+          element_at($"st", 1).as("width"),
+          element_at($"st", 2).as("height"),
+          element_at($"st", 3).as("grid_sum"),
+          element_at($"st", 4).as("ahash"))
+        .orderBy("img_id")
+    }),
+    // The m53 banding machinery over REAL decoded bytes: signatures come
+    // from the JDK PNG decoder (not byte-as-pixel stubs), then the same
+    // 4×16-bit pigeonhole banding + exact Hamming verify. Each doc's
+    // two variants differ by one pixel, so the expected pairs are the
+    // variant twins (whichever land within Hamming ≤ 3 — the oracle
+    // recomputes the signatures from the pattern formula and scans all
+    // pairs exhaustively, so the threshold censoring matches exactly).
+    "m57_png_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val path = ensurePngExport(s, dir)
+      val sigs = s.read.parquet(path)
+        .select($"img_id".as("id"),
+          element_at(Multimodal.png_stats($"payload"), 4).as("sig"))
+      graft.operators.Dedup.hammingPairs(sigs, maxHamming = 3)
+        .orderBy("i", "j")
+    }),
     // Binary payload + typed metadata + native feature expression.
     "m50_media_features" -> ((s, dir) => {
       import s.implicits._
@@ -215,7 +279,44 @@ object ExtrasQueries {
   private val duckCodes =
     "list_transform(range(1, length(text)+1), i -> ord(substr(text, i, 1)))"
 
+  // Shared CTE prefix for the PNG-fixture oracles: expected pixels come
+  // from the pattern formula alone (base = floorMod(doc_id·31, 251);
+  // resize samples at (3x, 2y) so grid cell t reads base + 21·(t%8) +
+  // 26·(t//8), plus the variant-1 bump of 120 at cell 0 — all mod 251),
+  // the mean compare is the same integer v·64 > sum rule, and the
+  // signature folds to HUGEINT (2^63 won't fit BIGINT).
+  private val pngSigCte =
+    """ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100),
+      |imgs AS (SELECT doc_id, unnest([0, 1]) AS variant FROM ids),
+      |cells AS (SELECT doc_id * 2 + variant AS img_id, doc_id, variant,
+      |          unnest(range(0, 64)) AS t FROM imgs),
+      |v AS (SELECT img_id, t,
+      |  (((doc_id * 31) % 251 + 251) % 251 + (t % 8) * 21 + (t // 8) * 26
+      |   + CASE WHEN t = 0 THEN 120 * variant ELSE 0 END) % 251 AS g
+      | FROM cells),
+      |s AS (SELECT img_id, SUM(g) AS gs FROM v GROUP BY img_id),
+      |sg AS (SELECT v.img_id,
+      |  SUM(CASE WHEN v.g * 64 > s.gs THEN CAST(1 AS HUGEINT) << v.t
+      |           ELSE CAST(0 AS HUGEINT) END) AS su
+      | FROM v JOIN s ON v.img_id = s.img_id GROUP BY v.img_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "m56_png_decode" ->
+      s"""WITH $pngSigCte
+         |SELECT s.img_id, CAST(24 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+         |  CAST(s.gs AS BIGINT) AS grid_sum,
+         |  CAST(CASE WHEN sg.su >= CAST('9223372036854775808' AS HUGEINT)
+         |       THEN sg.su - CAST('18446744073709551616' AS HUGEINT)
+         |       ELSE sg.su END AS BIGINT) AS ahash
+         |FROM s JOIN sg ON s.img_id = sg.img_id ORDER BY s.img_id""".stripMargin,
+    // exhaustive pair scan oracle-side only (the Spark side bands)
+    "m57_png_neardup" ->
+      s"""WITH $pngSigCte
+         |SELECT a.img_id AS i, b.img_id AS j,
+         | CAST(bit_count(xor(a.su, b.su)) AS INTEGER) AS hamming
+         |FROM sg a JOIN sg b ON a.img_id < b.img_id
+         |WHERE bit_count(xor(a.su, b.su)) <= 3
+         |ORDER BY i, j""".stripMargin,
     "m50_media_features" ->
       s"""WITH b AS (SELECT doc_id,
          |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -86,6 +86,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(banded == brute, "4x16 banding must have perfect recall at hamming <= 3")
   }
 
+  test("PNG round-trip: the JDK codec reproduces the pattern pixels exactly") {
+    Seq(0L, 1L, 7L, 250L, 251L, 123456789L, -3L).foreach { id =>
+      val png = MediaCore.encodePatternPng(id)
+      // genuinely PNG: magic bytes present, and bigger than the raw
+      // pixels' entropy floor would be if this were a fake passthrough
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+      val st = MediaCore.pngStats(png)
+      assert(st(0) == MediaCore.PatW && st(1) == MediaCore.PatH)
+      // decode → resize → hash must equal the stub kernel applied
+      // directly to the pattern pixels (the codec is the only new step)
+      val direct = MediaCore.aHash64(MediaCore.patternGray(id), MediaCore.PatW, MediaCore.PatH)
+      assert(st(3) == direct, s"id=$id: decoded hash ${st(3)} != direct $direct")
+    }
+  }
+
+  test("variant twins are near-duplicates; distinct docs are not trivially close") {
+    val hams = (0L until 20L).map { d =>
+      val s0 = MediaCore.pngStats(MediaCore.encodePatternPng(d * 2))(3)
+      val s1 = MediaCore.pngStats(MediaCore.encodePatternPng(d * 2 + 1))(3)
+      java.lang.Long.bitCount(s0 ^ s1)
+    }
+    // one perturbed pixel: the bumped cell plus the few cells the
+    // shifted mean re-classifies — always a small Hamming distance
+    assert(hams.forall(_ <= 10), hams.mkString(","))
+    assert(hams.exists(_ <= 3), hams.mkString(","))
+  }
+
+  test("png_stats rejects non-image payloads loudly") {
+    intercept[Exception] {
+      MediaCore.pngStats("definitely not a png".getBytes("UTF-8"))
+    }
+  }
+
   test("batched mapPartitions decode agrees with the expression path") {
     val m = Multimodal.synthesizeMedia(docs)
     val viaExpr = m.select($"doc_id", element_at(Multimodal.media_features($"payload"), 1).as("f0"))

@@ -39,6 +39,9 @@ object PipelineQueries {
   /** s57's coarse centroids + RESIDUAL codebooks (own stash). */
   @volatile private var ivfPqResState: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
 
+  /** s58's centroids (own stash — see [[ivfCentroids]]'s contract). */
+  @volatile private var hardNegCentroids: Option[Array[Array[Double]]] = None
+
   /** Trained-quantizer memo, keyed by corpus dir. The k-means coarse
     * quantizer (s37/d53/s45) and the PQ codebooks (s44/s45) are
     * deterministic functions of the corpus (seeded init, fixed
@@ -196,6 +199,33 @@ object PipelineQueries {
       Similarity.ivfTopKWith(cents, emb, emb.where($"vec_id" < 5), k = 10)
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
+    }),
+    // Hard-negative mining — the contrastive-retrieval training-data
+    // construction step: for each query, the positive is its exact
+    // nearest neighbor (one linear corpus pass — ground truth, tiny
+    // query set broadcast); the negatives are the top IVF candidates
+    // that are NOT the positive — close enough to fool the index,
+    // provably not the answer. At 100 TB the candidate generation is
+    // the bucketed nprobe/nlist scan, the positive check a broadcast
+    // join on the queries×k hit set — no corpus shuffle anywhere.
+    "s58_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where($"vec_id" < 5)
+      val cents = centroids16(s, dir)
+      hardNegCentroids = Some(cents)
+      val pos = Similarity.bruteForceTopK(emb, queries, k = 1)
+        .select($"query_id", $"nbr_id".as("pos_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"rank")
+      Similarity.ivfTopKWith(cents, emb, queries, k = 8)
+        .join(broadcast(pos), Seq("query_id"))
+        .where($"nbr_id" =!= $"pos_id")
+        .withColumn("neg_rank", row_number().over(w))
+        .where($"neg_rank" <= 5)
+        .select($"query_id", $"nbr_id".as("neg_id"),
+          $"neg_rank".cast("int").as("neg_rank"))
+        .orderBy("query_id", "neg_rank")
     }),
     // Dataset-card corpus summary: the one-row report a corpus release
     // ships (docs, languages, sources, chars, whitespace tokens, exact
@@ -823,7 +853,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ clusterOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ clusterOracle ++ hardNegOracle
 
   /** d53's oracle from the stashed centroids (see [[ivfOracle]] for the
     * stash-then-splice contract): assignment (argmax cosine, ties→low
@@ -1037,6 +1067,39 @@ object PipelineQueries {
            | SELECT query_id, nbr_id,
            |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM cand)
            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+  }
+
+  /** s58's oracle from its stashed centroids: IVF candidates (same CTEs
+    * as s37, k=8), exact nearest per query (all-pairs, oracle-side
+    * only), anti-filter + re-rank — negatives are candidates that are
+    * not the exact top-1, in candidate order. */
+  private def hardNegOracle: Map[String, String] = hardNegCentroids match {
+    case None => Map.empty
+    case Some(cents) =>
+      Map("s58_hard_negatives" ->
+        s"""WITH ${centroidAssignCtes(cents, "embedding")},
+           |qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+           |  SELECT vec_id, embedding, cid,
+           |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+           |  FROM scored WHERE vec_id < 5) WHERE rn <= 4),
+           |cand AS (SELECT q.query_id, a.vec_id AS nbr_id,
+           |   ${duckCosine("q.qv", "a.embedding")} AS sim
+           | FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id),
+           |ivf AS (SELECT query_id, nbr_id, rank FROM (
+           | SELECT query_id, nbr_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM cand)
+           | WHERE rank <= 8),
+           |pos AS (SELECT query_id, pos_id FROM (
+           | SELECT q.vec_id AS query_id, c.vec_id AS pos_id,
+           |  row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY ${duckCosine("q.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+           | FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           | WHERE q.vec_id < 5) WHERE rn = 1)
+           |SELECT query_id, neg_id, CAST(neg_rank AS INTEGER) AS neg_rank FROM (
+           | SELECT i.query_id, i.nbr_id AS neg_id,
+           |  row_number() OVER (PARTITION BY i.query_id ORDER BY i.rank) AS neg_rank
+           | FROM ivf i JOIN pos p ON i.query_id = p.query_id AND i.nbr_id <> p.pos_id)
+           |WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin)
   }
 
   private lazy val staticOracles: Map[String, String] = staticOracles1 ++ staticOracles2

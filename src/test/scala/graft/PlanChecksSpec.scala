@@ -284,6 +284,34 @@ class PlanChecksSpec extends AnyFunSuite {
     }
   }
 
+  test("p19: ANALYZE stats feed the optimizer (CBO estimates filtered cardinality from column stats)") {
+    // the mechanism a 100 TB planner runs on: collected table/column
+    // statistics drive cardinality estimation, which drives join
+    // strategy and reorder. Pin that the catalog table's ANALYZE stats
+    // actually reach the optimizer: with CBO on, a node-equality
+    // filter's estimated rowCount comes from the column NDV (≈ 1/6 of
+    // the table), not a guess — and the size estimate shrinks with it.
+    val tbl = graft.queries.RelationalQueries.ensureCatalogTable(spark, sf)
+    spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS node")
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      import org.apache.spark.sql.functions.col
+      val full = spark.table(tbl)
+      val filtered = full.where(col("node") === 0)
+      val fullStats = full.queryExecution.optimizedPlan.stats
+      val fStats = filtered.queryExecution.optimizedPlan.stats
+      assert(fullStats.rowCount.exists(_ > 0), s"ANALYZE did not record rowCount: $fullStats")
+      assert(fStats.rowCount.isDefined, s"CBO did not estimate through the filter: $fStats")
+      assert(fStats.rowCount.get < fullStats.rowCount.get,
+        s"filter estimate ${fStats.rowCount} not below table ${fullStats.rowCount}")
+      assert(fStats.sizeInBytes < fullStats.sizeInBytes)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None    => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("cluster expressions fold into scan-stage codegen") {
     // run first: under AQE the codegen-starred final plan exists only
     // after execution

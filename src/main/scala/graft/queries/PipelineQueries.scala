@@ -356,6 +356,16 @@ object PipelineQueries {
         .select($"id".as("doc_id"), $"comp".as("component"))
         .orderBy("doc_id")
     }),
+    // Duplicate-cluster representative selection — the curation
+    // decision d35 stops short of: which copy to KEEP. Every doc gets
+    // its near-dup cluster (connected components over Jaccard-≥0.5
+    // pairs; singletons are their own cluster), and the kept
+    // representative is the highest-quality member (ties → lowest id)
+    // — keep-best, not keep-first. The argmax is a partial-aggregable
+    // max(struct(quality, −doc_id)) — map-side combinable, no window
+    // sort of the corpus; quality is scan-local; the only corpus-wide
+    // exchange is the cluster groupBy on the output-sensitive key.
+    "d62_cluster_reps" -> ((s, dir) => clusterRepsDf(t(s, dir, "documents"))),
     // Flagship end-to-end corpus-cleaning pipeline: quality gate →
     // exact dedup → near-dup CLUSTER resolution (connected components
     // over Jaccard-≥0.5 pairs of the surviving corpus; keep exactly the
@@ -726,6 +736,29 @@ object PipelineQueries {
     * 100 TB this is the "write the cleaned corpus, then cluster it"
     * step; here a local checkpoint plays that role (Bench/Verify sweep
     * the blocks after the query is consumed). */
+  /** d62/d63 shared body (original and sampled twin provably run the
+    * same code): near-dup clusters (singletons = own cluster) and the
+    * kept representative = highest-quality member, ties → lowest id,
+    * as a map-side-combinable max(struct(quality, −doc_id)) — no
+    * window sort of the corpus. */
+  private def clusterRepsDf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+    val comp = Dedup.connectedComponents(pairs)
+      .select($"id".as("doc_id"), $"comp")
+    TextAnalysis.analyze(docs)
+      .select($"doc_id", round($"quality", 6).as("quality"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce($"comp", $"doc_id"))
+      .groupBy($"cluster")
+      .agg(max(struct($"quality", (-$"doc_id").as("nid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select($"cluster", (-$"best.nid").as("rep_id"),
+        $"n_members", $"best.quality".as("quality"))
+      .orderBy("cluster")
+  }
+
   private def corpusCleanDf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val stats = TextAnalysis.analyze(docs)
@@ -798,6 +831,9 @@ object PipelineQueries {
     // d39's full corpus-cleaning pipeline over the sub-corpus.
     "d59_corpus_clean_sampled" -> ((s, dir) =>
       corpusCleanDf(sampledDocs(s, dir))),
+    // d62's keep-best cluster representatives over the sub-corpus.
+    "d63_cluster_reps_sampled" -> ((s, dir) =>
+      clusterRepsDf(sampledDocs(s, dir))),
     // d48's capstone training-corpus pipeline: corpus side sampled, the
     // benchmark (docs 0-4) stays FULL so decontamination stays live.
     "d60_training_sampled" -> ((s, dir) => {
@@ -834,6 +870,28 @@ object PipelineQueries {
   /** Connected components over a pair CTE named `pr` (columns i, j):
     * CTE chain ending in `comp(doc_id, component)` where component =
     * min reachable id. Must be spliced under a WITH RECURSIVE. */
+  /** ONE encoding of the per-doc quality score chain (b → c → d → q,
+    * ending in q(doc_id, lang, quality)) shared by the t49 and d62
+    * oracles — the formula must not drift between them. Matches
+    * TextAnalysis.analyze's score: 0.4·len + 0.4·stopword + 0.2·(1 −
+    * punct), rounded to 6 places. */
+  private def qualityCtes(src: String = "documents"): String = {
+    val en = TextAnalysis.stopwords("en").sorted.map(w => s"'$w'").mkString(",")
+    s"""b AS (SELECT doc_id, lang, text, $duckTokens AS toks FROM $src),
+       |c AS (SELECT doc_id, lang, text,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |    / greatest(length(text), 1) AS punct_ratio,
+       |  CAST(len(list_filter(toks, w -> list_contains([$en], lower(w)))) AS DOUBLE) AS hits_en
+       | FROM b),
+       |d AS (SELECT *,
+       |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+       |  least(hits_en / greatest(n_tokens, 1) * 5.0, 1.0) AS stop_score,
+       |  least(punct_ratio * 4.0, 1.0) AS punct_pen FROM c),
+       |q AS (SELECT doc_id, lang,
+       |  round(len_score * 0.4 + stop_score * 0.4 + (1.0 - punct_pen) * 0.2, 6) AS quality FROM d)""".stripMargin
+  }
+
   private val componentsCtes: String =
     """e AS (SELECT i AS a, j AS b FROM pr UNION SELECT j, i FROM pr),
       |reach(id, r) AS (
@@ -1185,6 +1243,7 @@ object PipelineQueries {
     "d56_lsh_neardup_sampled" -> d36Oracle(sampledEmbSql, EmbTwinThreshold),
     "d57_semantic_dedup_sampled" -> d46Oracle(sampledEmbSql, EmbTwinThreshold),
     "d58_clusters_sampled" -> d35Oracle(sampledDocsSql),
+    "d63_cluster_reps_sampled" -> d62Oracle(sampledDocsSql),
     "d59_corpus_clean_sampled" -> d39Oracle(sampledDocsSql),
     "d60_training_sampled" -> d48Oracle(sampledDocsSql),
     "d61_incremental_sampled" -> d44Oracle(sampledDocsSql),
@@ -1426,6 +1485,22 @@ object PipelineQueries {
        |ORDER BY e.vec_id""".stripMargin
 
   /** d35's recursive-closure clustering oracle over any documents source. */
+  /** d62's oracle: d35's recursive-closure clusters + the shared
+    * quality chain; keep-best = row_number over (quality DESC, doc_id)
+    * per cluster — the same ordering the Spark side's struct-argmax
+    * encodes. */
+  private def d62Oracle(src: String = "documents"): String =
+    s"""WITH RECURSIVE pr AS (SELECT i, j FROM (${jaccardOracle(0.5, src).replace("ORDER BY i, j", "")})),
+       |$componentsCtes,
+       |${qualityCtes(src)},
+       |full0 AS (SELECT q.doc_id, COALESCE(comp.component, q.doc_id) AS cluster, q.quality
+       |  FROM q LEFT JOIN comp ON q.doc_id = comp.doc_id),
+       |r AS (SELECT cluster, doc_id, quality,
+       |  row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rk,
+       |  count(*) OVER (PARTITION BY cluster) AS n FROM full0)
+       |SELECT cluster, doc_id AS rep_id, CAST(n AS BIGINT) AS n_members, quality
+       |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin
+
   private def d35Oracle(src: String = "documents"): String =
     s"""WITH RECURSIVE pr AS (SELECT i, j FROM (${jaccardOracle(0.5, src).replace("ORDER BY i, j", "")})),
        |$componentsCtes
@@ -1535,6 +1610,7 @@ object PipelineQueries {
          |FROM u ORDER BY doc_id""".stripMargin
     },
     "d35_dedup_clusters" -> d35Oracle(),
+    "d62_cluster_reps" -> d62Oracle(),
     "d39_corpus_clean" -> d39Oracle(),
     // ASCII-corpus assumption (same caveat as DuckSql's CRC16 oracle):
     // this fold hashes ord() CODE POINTS while the Scala kernel hashes
@@ -1747,27 +1823,13 @@ object PipelineQueries {
     },
     // Same quality chain as the t40 oracle (trimmed to the terms the
     // score uses), then integer-rank percentile selection in SQL.
-    "t49_quality_filter" -> {
-      val en = TextAnalysis.stopwords("en").sorted.map(w => s"'$w'").mkString(",")
-      s"""WITH b AS (SELECT doc_id, lang, text, $duckTokens AS toks FROM documents),
-         |c AS (SELECT doc_id, lang, text,
-         |  CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-         |    / greatest(length(text), 1) AS punct_ratio,
-         |  CAST(len(list_filter(toks, w -> list_contains([$en], lower(w)))) AS DOUBLE) AS hits_en
-         | FROM b),
-         |d AS (SELECT *,
-         |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
-         |  least(hits_en / greatest(n_tokens, 1) * 5.0, 1.0) AS stop_score,
-         |  least(punct_ratio * 4.0, 1.0) AS punct_pen FROM c),
-         |q AS (SELECT doc_id, lang,
-         |  round(len_score * 0.4 + stop_score * 0.4 + (1.0 - punct_pen) * 0.2, 6) AS quality FROM d),
+    "t49_quality_filter" ->
+      s"""WITH ${qualityCtes()},
          |r AS (SELECT doc_id, lang, quality,
          |  row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk,
          |  count(*) OVER (PARTITION BY lang) AS n FROM q)
          |SELECT doc_id, lang, quality, CAST(rk AS BIGINT) AS rk
-         |FROM r WHERE rk * 2 <= n ORDER BY doc_id""".stripMargin
-    },
+         |FROM r WHERE rk * 2 <= n ORDER BY doc_id""".stripMargin,
     "d52_train_split" -> {
       val inner = graft.oracle.DuckSql.withSlotNode(
         "SELECT doc_id, lang, 'doc:' || doc_id AS key FROM documents",

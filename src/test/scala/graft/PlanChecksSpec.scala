@@ -284,6 +284,13 @@ class PlanChecksSpec extends AnyFunSuite {
     }
   }
 
+  test("d62: keep-best cluster rep aggregates (max-struct argmax), never a corpus Window sort") {
+    val p = plan("d62_cluster_reps")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("p19: ANALYZE stats feed the optimizer (CBO estimates filtered cardinality from column stats)") {
     // the mechanism a 100 TB planner runs on: collected table/column
     // statistics drive cardinality estimation, which drives join

@@ -246,10 +246,33 @@ object Similarity {
     * these centroids into DuckDB SQL as literals). */
   def ivfTopKWith(centroids: Array[Array[Double]],
                   corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 4,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = assignToCentroids(corpus, centroids, idCol, vecCol)
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfRank(ivfAssigned(centroids, corpus, idCol, vecCol),
+      centroids, queries, k, nprobe, idCol, vecCol)
+
+  /** The assigned-corpus shape both IVF serving paths consume:
+    * (nbr_id, cvec, cn, __cid) — vector, precomputed norm, owning
+    * list. [[ivfTopKWith]] computes it inline; [[ivfTopKOnIndex]]
+    * reads it back from a persisted index layout. */
+  def ivfAssigned(centroids: Array[Array[Double]], corpus: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignToCentroids(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"),
         norm(col(vecCol)).as("cn"), col("__cid"))
+
+  /** IVF probe/rank over an ALREADY-ASSIGNED corpus in the
+    * [[ivfAssigned]] shape. When that frame is a scan of a
+    * `partitionBy(cid)` index layout, the broadcast probe join on the
+    * partition column lets dynamic partition pruning skip every
+    * unprobed list's directory — the on-disk IVF read path. */
+  def ivfTopKOnIndex(centroids: Array[Array[Double]], assigned: DataFrame,
+                     queries: DataFrame, k: Int, nprobe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfRank(assigned, centroids, queries, k, nprobe, idCol, vecCol)
+
+  private def ivfRank(c: DataFrame, centroids: Array[Array[Double]],
+                      queries: DataFrame, k: Int, nprobe: Int,
+                      idCol: String, vecCol: String): DataFrame = {
     // each query → its nprobe nearest centroid ids, exploded to probe rows
     val probes = centroids.zipWithIndex.map { case (cv, i) =>
       struct(cosine(col(vecCol), array(cv.toIndexedSeq.map(lit): _*)).as("s"), lit(i).as("c"))

@@ -284,6 +284,16 @@ class PlanChecksSpec extends AnyFunSuite {
     }
   }
 
+  test("s60: the probe set dynamically prunes the on-disk IVF list partitions") {
+    val p = plan("s60_ann_ivf_persisted")
+    // the index scan must carry a runtime pruning subquery on the list
+    // id — only probed lists' directories are read (p17's mechanism,
+    // applied to the ANN index layout)
+    assert(p.contains("dynamicpruningexpression"), p.take(3000))
+    val scan = p.linesIterator.find(l => l.contains("graft-ivf") && l.contains("PartitionFilters"))
+    assert(scan.isDefined && scan.get.contains("__cid"), s"index scan: $scan\n${p.take(2000)}")
+  }
+
   test("d62: keep-best cluster rep aggregates (max-struct argmax), never a corpus Window sort") {
     val p = plan("d62_cluster_reps")
     assert(!p.contains("Window"), p.take(2000))

@@ -89,6 +89,12 @@ object PlanReport {
       "REAL-codec decode: JDK PNG decode + resize + aHash fused into the scan stage as one codegen'd expression over the fixture parquet",
     "m57_png_neardup" ->
       "m53's banding machinery over REAL decoded bytes: 4x16-bit pigeonhole bands on PNG-decoded signatures, chunk-bucket equi-joins, never a pair scan",
+    "d62_cluster_reps" ->
+      "keep-best duplicate-cluster representative: map-side-combinable max(struct(quality, -id)) argmax per cluster — no corpus Window sort",
+    "s60_ann_ivf_persisted" ->
+      "persisted IVF index: hive-partitioned inverted lists; the broadcast probe join on the partition column triggers dynamic partition pruning — only probed lists' directories are read",
+    "s61_ann_index_append" ->
+      "incremental index update: delta batch assigned with the frozen persisted centroids into its own partition layout; base UNION delta served with both scans pruned to the probed lists",
   )
 
   def main(args: Array[String]): Unit = {

@@ -47,6 +47,9 @@ object PipelineQueries {
     * the trainer's output bit-for-bit). */
   @volatile private var persistedIvfCents: Option[Array[Array[Double]]] = None
 
+  /** s61's centroids (own stash — base+delta serving path). */
+  @volatile private var appendedIvfCents: Option[Array[Array[Double]]] = None
+
   /** Trained-quantizer memo, keyed by corpus dir. The k-means coarse
     * quantizer (s37/d53/s45) and the PQ codebooks (s44/s45) are
     * deterministic functions of the corpus (seeded init, fixed
@@ -137,6 +140,35 @@ object PipelineQueries {
         .write.mode("overwrite").parquet(s"$root/centroids")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(root, "_SUCCESS"), Array.emptyByteArray)
+    }
+    root
+  }
+
+  /** Ingest-once index DELTA: a batch of new vectors (deterministic
+    * synthetics — reversed embeddings under shifted ids) assigned with
+    * the FROZEN centroids read from the persisted artifact and written
+    * as a separate partition layout beside the base index. The
+    * incremental-update path every production IVF index needs: no
+    * retraining, no base rewrite — serving unions base + delta and
+    * both scans still prune by probed list. Kept separate from
+    * `$root/index` so s60's base-only answer is unaffected. */
+  def ensureIvfDeltaExport(s: SparkSession, sfDir: String): String = {
+    val root = ensureIvfIndexExport(s, sfDir)
+    val marker = java.nio.file.Paths.get(root, "delta", "_SUCCESS")
+    val base = java.nio.file.Paths.get(root, "_SUCCESS")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.getLastModifiedTime(marker)
+        .compareTo(java.nio.file.Files.getLastModifiedTime(base)) >= 0
+    if (!fresh) {
+      import s.implicits._
+      val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
+        .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+      val delta = t(s, sfDir, "embeddings").where($"vec_id" < 200)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          reverse($"embedding").as("embedding"))
+      Similarity.ivfAssigned(cents, delta)
+        .write.mode("overwrite").partitionBy("__cid").parquet(s"$root/delta")
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
     }
     root
   }
@@ -242,6 +274,24 @@ object PipelineQueries {
       persistedIvfCents = Some(cents)
       val index = s.read.parquet(s"$root/index")
       Similarity.ivfTopKOnIndex(cents, index,
+          t(s, dir, "embeddings").where($"vec_id" < 5), k = 10)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
+    // Incremental index update: base + delta probed together. The
+    // delta batch was assigned with the FROZEN persisted centroids (no
+    // retrain, no base rewrite) into its own partition layout; the
+    // union of the two scans serves queries over old and new vectors
+    // alike, each scan still pruned to the probed lists.
+    "s61_ann_index_append" -> ((s, dir) => {
+      import s.implicits._
+      val root = ensureIvfDeltaExport(s, dir)
+      val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
+        .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+      appendedIvfCents = Some(cents)
+      val assigned = s.read.parquet(s"$root/index")
+        .unionByName(s.read.parquet(s"$root/delta"))
+      Similarity.ivfTopKOnIndex(cents, assigned,
           t(s, dir, "embeddings").where($"vec_id" < 5), k = 10)
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
@@ -966,7 +1016,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle
 
   /** d53's oracle from the stashed centroids (see [[ivfOracle]] for the
     * stash-then-splice contract): assignment (argmax cosine, ties→low
@@ -1150,14 +1200,15 @@ object PipelineQueries {
     * oracles at once. `carry` is the extra scored column the
     * assignment keeps (embedding for the ANN probes, s for the
     * cluster cohesion report). */
-  private def centroidAssignCtes(cents: Array[Array[Double]], carry: String): String = {
+  private def centroidAssignCtes(cents: Array[Array[Double]], carry: String,
+                                 src: String = "SELECT vec_id, embedding FROM embeddings"): String = {
     val centValues = cents.zipWithIndex.map { case (c, i) =>
       s"($i, ${c.map(_.toString).mkString("[", ",", "]")})"
     }.mkString(", ")
     s"""cents AS (SELECT * FROM (VALUES $centValues) v(cid, cv)),
        |scored AS (SELECT e.vec_id, e.embedding, c.cid,
        |   ${duckCosine("e.embedding", "c.cv")} AS s
-       | FROM embeddings e CROSS JOIN cents c),
+       | FROM ($src) e CROSS JOIN cents c),
        |assign AS (SELECT vec_id, $carry, cid FROM (
        |  SELECT vec_id, $carry, cid,
        |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM scored)
@@ -1167,8 +1218,9 @@ object PipelineQueries {
   /** The IVF probe/rank oracle SQL for a given quantizer — shared by
     * s37 (in-memory assignment) and s60 (persisted index): the answer
     * must not depend on where the assigned corpus lives. */
-  private def ivfProbeOracleSql(cents: Array[Array[Double]]): String =
-    s"""WITH ${centroidAssignCtes(cents, "embedding")},
+  private def ivfProbeOracleSql(cents: Array[Array[Double]],
+      src: String = "SELECT vec_id, embedding FROM embeddings"): String =
+    s"""WITH ${centroidAssignCtes(cents, "embedding", src)},
        |qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
        |  SELECT vec_id, embedding, cid,
        |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
@@ -1186,6 +1238,16 @@ object PipelineQueries {
 
   private def persistedIvfOracle: Map[String, String] =
     persistedIvfCents.map(c => "s60_ann_ivf_persisted" -> ivfProbeOracleSql(c)).toMap
+
+  /** s61's oracle: the same probe/rank SQL over the base ∪ delta
+    * corpus (delta = reversed embeddings under shifted ids, the exact
+    * synthesis the export writes). */
+  private def appendedIvfOracle: Map[String, String] =
+    appendedIvfCents.map(c => "s61_ann_index_append" -> ivfProbeOracleSql(c,
+      """SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, list_reverse(embedding) AS embedding
+        |  FROM embeddings WHERE vec_id < 200""".stripMargin)).toMap
 
   /** s58's oracle from its stashed centroids: IVF candidates (same CTEs
     * as s37, k=8), exact nearest per query (all-pairs, oracle-side

@@ -284,6 +284,41 @@ class PlanChecksSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter: a filtered dim injects might_contain into the fact scan") {
+    // Spark's OTHER runtime filter besides DPP (pinned at p17): when a
+    // shuffle join's small side carries a selective predicate, the
+    // optimizer builds a bloom filter from it at runtime and applies
+    // might_contain to the big side BEFORE the shuffle — at 100 TB the
+    // fact rows that cannot join never leave their mappers. Thresholds
+    // are sized down to fire at test scale; broadcast is disabled so
+    // the join actually shuffles (the broadcast path has its own
+    // reduction).
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1024",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "67108864",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      import org.apache.spark.sql.functions._
+      val l = spark.read.parquet(s"${SparkTestSession.sf001}/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val o = spark.read.parquet(s"${SparkTestSession.sf001}/orders.parquet")
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"))
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter was not injected:\n${p.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("s60: the probe set dynamically prunes the on-disk IVF list partitions") {
     val p = plan("s60_ann_ivf_persisted")
     // the index scan must carry a runtime pruning subquery on the list

@@ -203,4 +203,24 @@ class SimilaritySpec extends AnyFunSuite {
     val agree = (full & ivfpq).size.toDouble / full.size
     assert(agree >= 0.5, s"IVF-PQ agreement with full-scan PQ $agree too low")
   }
+
+  test("persisted index round-trip serves exactly the in-memory IVF answers") {
+    // the s60 contract in miniature: write the assigned corpus as a
+    // partitionBy(list) layout, read it back (floats/doubles and the
+    // partition-column type must survive the round-trip), and the
+    // probe path over the scan must reproduce the in-memory ranking
+    // row for row
+    val corpus = graft.sources.Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+    val queries = corpus.where($"vec_id" < 5)
+    val cents = Similarity.kmeansCentroids(corpus, nlist = 16, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
+    Similarity.ivfAssigned(cents, corpus)
+      .write.mode("overwrite").partitionBy("__cid").parquet(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nbr_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val mem = rows(Similarity.ivfTopKWith(cents, corpus, queries, k = 10))
+    val disk = rows(Similarity.ivfTopKOnIndex(cents, spark.read.parquet(dir), queries, k = 10))
+    assert(mem == disk, s"diverged: mem-only=${(mem -- disk).take(3)} disk-only=${(disk -- mem).take(3)}")
+  }
 }

@@ -44,8 +44,7 @@ object ExtrasQueries {
   /** PNG fixture export root (per-sf, same layout rationale as
     * RelationalQueries.csvDir). */
   def pngDir(sfDir: String): String =
-    "/root/repo/data/graft-png/" +
-      sfDir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_") + "/fixtures"
+    RelationalQueries.dataRoot("png", sfDir, "fixtures")
 
   /** Ingest-once REAL-codec fixture set: the first 100 docs' ids, each
     * rendered as TWO deterministic gray patterns (variant 1 perturbs
@@ -66,6 +65,7 @@ object ExtrasQueries {
           Multimodal.png_encode_pattern(col("img_id")).as("payload"))
         .coalesce(1)
         .write.mode("overwrite").parquet(dir)
+      RelationalQueries.markFresh(dir, sfDir, "documents")
     }
     dir
   }

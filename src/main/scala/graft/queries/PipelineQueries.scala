@@ -71,18 +71,8 @@ object PipelineQueries {
     * not enough for the directory case: a part-file rewrite that keeps
     * the same entry names leaves the directory's own mtime/size
     * untouched. */
-  private[graft] def corpusKey(dir: String): String = {
-    val f = new java.io.File(s"$dir/embeddings.parquet")
-    val entries: Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName) else Seq(f)
-    val listing = entries
-      .map(e => s"${e.getName}:${e.lastModified}:${e.length}")
-      .mkString("|")
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(listing.getBytes("UTF-8")).take(8)
-      .map("%02x".format(_)).mkString
-    s"$dir@$digest"
-  }
+  private[graft] def corpusKey(dir: String): String =
+    s"$dir@${RelationalQueries.srcDigest(dir, "embeddings")}"
   /** On a key miss, drop any earlier generations of the SAME corpus dir
     * before training: a long-lived JVM watching a dir that the driver
     * regenerates repeatedly would otherwise accumulate one dead model
@@ -119,8 +109,7 @@ object PipelineQueries {
   /** Persisted IVF index root (per-sf, outside target/ — same layout
     * rationale as RelationalQueries.csvDir). */
   def ivfIndexRoot(sfDir: String): String =
-    "/root/repo/data/graft-ivf/" +
-      sfDir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_") + "/emb"
+    RelationalQueries.dataRoot("ivf", sfDir, "emb")
 
   /** Ingest-once on-disk IVF index: the assigned corpus laid out with
     * one hive partition per inverted list (`partitionBy(__cid)`,
@@ -138,8 +127,7 @@ object PipelineQueries {
         .toDF("cid", "centroid")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$root/centroids")
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(root, "_SUCCESS"), Array.emptyByteArray)
+      RelationalQueries.markFresh(root, sfDir, "embeddings")
     }
     root
   }
@@ -832,15 +820,6 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
-  /** d39's body over any documents relation (shared with d59's twin):
-    * quality gate → exact dedup → near-dup cluster resolution → stats
-    * of the surviving corpus. The surviving corpus is consumed three
-    * times (pair generation, anti-join left side, the component loop's
-    * edge build) — materialize the text-stats + dedup-join pass ONCE
-    * instead of letting every consumer replan it from the scan. At
-    * 100 TB this is the "write the cleaned corpus, then cluster it"
-    * step; here a local checkpoint plays that role (Bench/Verify sweep
-    * the blocks after the query is consumed). */
   /** d62/d63 shared body (original and sampled twin provably run the
     * same code): near-dup clusters (singletons = own cluster) and the
     * kept representative = highest-quality member, ties → lowest id,
@@ -864,6 +843,15 @@ object PipelineQueries {
       .orderBy("cluster")
   }
 
+  /** d39's body over any documents relation (shared with d59's twin):
+    * quality gate → exact dedup → near-dup cluster resolution → stats
+    * of the surviving corpus. The surviving corpus is consumed three
+    * times (pair generation, anti-join left side, the component loop's
+    * edge build) — materialize the text-stats + dedup-join pass ONCE
+    * instead of letting every consumer replan it from the scan. At
+    * 100 TB this is the "write the cleaned corpus, then cluster it"
+    * step; here a local checkpoint plays that role (Bench/Verify sweep
+    * the blocks after the query is consumed). */
   private def corpusCleanDf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val stats = TextAnalysis.analyze(docs)

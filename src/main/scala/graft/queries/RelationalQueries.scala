@@ -20,14 +20,17 @@ import graft.sources.Tables
  */
 object RelationalQueries {
 
-  /** CSV export root, suffixed per scale factor so the sf0.01 path the
-    * oracle reads is stable no matter which sf ran last in the session.
-    * Outside target/ (an `sbt clean` between Verify and the oracle run
-    * must not delete the files the oracle SQL reads); data/ is
-    * gitignored. */
-  def csvDir(sfDir: String): String =
-    "/root/repo/data/graft-csv/" +
-      sfDir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_") + "/customer"
+  /** Export root for a per-sf artifact family under data/ — ONE
+    * encoding of the layout every export family uses. Suffixed per
+    * scale factor so the sf0.01 path the oracle reads is stable no
+    * matter which sf ran last in the session. Outside target/ (an
+    * `sbt clean` between Verify and the oracle run must not delete the
+    * files the oracle SQL reads); data/ is gitignored. */
+  def dataRoot(kind: String, sfDir: String, leaf: String): String =
+    s"/root/repo/data/graft-$kind/" +
+      sfDir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_") + "/" + leaf
+
+  def csvDir(sfDir: String): String = dataRoot("csv", sfDir, "customer")
 
   private val csvSchema = StructType(Seq(
     StructField("c_custkey", LongType),
@@ -35,14 +38,41 @@ object RelationalQueries {
     StructField("c_nationkey", LongType),
     StructField("c_mktsegment", StringType)))
 
-  /** Export is stale when missing OR older than its source parquet — a
-    * regenerated corpus must not leave the declared queries (and their
-    * oracles) silently reading last round's files. */
+  /** Digest of the source table's part-file listing (each file's name,
+    * mtime, length; one level into a Spark-written directory) — the
+    * identity an export must match to be fresh. A plain mtime compare
+    * is blind to the round-5 incident class: an in-place part-file
+    * rewrite that keeps the same entry names leaves the top-level
+    * mtime untouched. Shared with PipelineQueries.corpusKey. */
+  private[queries] def srcDigest(sfDir: String, table: String): String = {
+    val f = new java.io.File(s"${sfDir.replaceAll("/+$", "")}/$table.parquet")
+    val entries: Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName) else Seq(f)
+    val listing = entries
+      .map(e => s"${e.getName}:${e.lastModified}:${e.length}")
+      .mkString("|")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(listing.getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Export is stale when its marker is missing or records a different
+    * source digest — a regenerated corpus (even rewritten IN PLACE)
+    * must not leave the declared queries (and their oracles) silently
+    * reading last round's files. Markers written before this scheme
+    * (empty Spark _SUCCESS files) read as stale once, then converge. */
   private[queries] def stale(dir: String, sfDir: String, table: String): Boolean = {
     val marker = Paths.get(dir, "_SUCCESS")
-    val src = Paths.get(sfDir.replaceAll("/+$", ""), s"$table.parquet")
     !Files.exists(marker) ||
-      Files.getLastModifiedTime(marker).compareTo(Files.getLastModifiedTime(src)) < 0
+      new String(Files.readAllBytes(marker), "UTF-8") != srcDigest(sfDir, table)
+  }
+
+  /** Stamp an export fresh: record the source digest in the marker
+    * (overwriting the empty _SUCCESS Spark writes, where one exists). */
+  private[queries] def markFresh(dir: String, sfDir: String, table: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, "_SUCCESS"),
+      srcDigest(sfDir, table).getBytes("UTF-8"))
   }
 
   /** Ingest-once CSV sink — Bench warm-up calls this so the timed query
@@ -54,14 +84,13 @@ object RelationalQueries {
         .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
         .coalesce(1)
         .write.mode("overwrite").option("header", "true").csv(dir)
+      markFresh(dir, sfDir, "customer")
     }
     dir
   }
 
   /** JSON-lines export root (same per-sf layout rationale as [[csvDir]]). */
-  def jsonDir(sfDir: String): String =
-    "/root/repo/data/graft-json/" +
-      sfDir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_") + "/supplier"
+  def jsonDir(sfDir: String): String = dataRoot("json", sfDir, "supplier")
 
   private val jsonSchema = StructType(Seq(
     StructField("s_suppkey", LongType),
@@ -77,14 +106,13 @@ object RelationalQueries {
         .select("s_suppkey", "s_name", "s_nationkey")
         .coalesce(1)
         .write.mode("overwrite").json(dir)
+      markFresh(dir, sfDir, "supplier")
     }
     dir
   }
 
   /** ORC export root (same per-sf layout rationale as [[csvDir]]). */
-  def orcDir(sfDir: String): String =
-    "/root/repo/data/graft-orc/" +
-      sfDir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_") + "/part"
+  def orcDir(sfDir: String): String = dataRoot("orc", sfDir, "part")
 
   /** Ingest-once ORC sink — Spark's other first-class columnar format
     * (predicate pushdown + column pruning hold exactly as for parquet).
@@ -96,15 +124,14 @@ object RelationalQueries {
       Tables.load(s, sfDir, "part")
         .select("p_partkey", "p_name", "p_brand", "p_retailprice")
         .write.mode("overwrite").orc(dir)
+      markFresh(dir, sfDir, "part")
     }
     dir
   }
 
   /** Plain-text export root (one doc per line; the corpus has no
     * embedded newlines, so line == document). */
-  def textDir(sfDir: String): String =
-    "/root/repo/data/graft-text/" +
-      sfDir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_") + "/documents"
+  def textDir(sfDir: String): String = dataRoot("text", sfDir, "documents")
 
   /** Ingest-once text sink (Bench warm-up calls this too). */
   def ensureTextExport(s: SparkSession, sfDir: String): String = {
@@ -113,14 +140,13 @@ object RelationalQueries {
       Tables.load(s, sfDir, "documents")
         .select("text").coalesce(1)
         .write.mode("overwrite").text(dir)
+      markFresh(dir, sfDir, "documents")
     }
     dir
   }
 
   /** Hive-style partitioned parquet export root (per-sf, as above). */
-  def partitionedDir(sfDir: String): String =
-    "/root/repo/data/graft-part/" +
-      sfDir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_") + "/orders"
+  def partitionedDir(sfDir: String): String = dataRoot("part", sfDir, "orders")
 
   /** Ingest-once partitioned layout: orders laid out by o_orderstatus so
     * status-filtered scans prune whole directories (the on-disk analogue
@@ -132,9 +158,8 @@ object RelationalQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
         .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
       // partitionBy writes no root _SUCCESS reliably across committers —
-      // touch the staleness marker explicitly
-      Files.createDirectories(Paths.get(dir))
-      Files.write(Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+      // the digest stamp doubles as the marker
+      markFresh(dir, sfDir, "orders")
     }
     dir
   }
@@ -282,8 +307,9 @@ object RelationalQueries {
         val loc = Paths.get(s"$warehouse/$tbl")
         if (Files.exists(loc)) {
           import scala.jdk.CollectionConverters._
-          Files.walk(loc).iterator().asScala.toSeq.reverse
-            .foreach(Files.deleteIfExists(_))
+          val walk = Files.walk(loc)
+          try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally walk.close()
         }
       }
       import s.implicits._
@@ -296,16 +322,14 @@ object RelationalQueries {
         .format("parquet")
         .saveAsTable(tbl)
       // bucketed saveAsTable does not reliably leave a root _SUCCESS —
-      // touch the staleness marker explicitly (Spark ignores _-files)
-      Files.write(Paths.get(s"$warehouse/$tbl", "_SUCCESS"), Array.emptyByteArray)
+      // the digest stamp doubles as the marker (Spark ignores _-files)
+      markFresh(s"$warehouse/$tbl", sfDir, "customer")
     }
     tbl
   }
 
   /** Two-generation export root (schema evolution fixture). */
-  def generationDir(sfDir: String): String =
-    "/root/repo/data/graft-gen/" +
-      sfDir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_") + "/documents"
+  def generationDir(sfDir: String): String = dataRoot("gen", sfDir, "documents")
 
   /** Ingest-once two-generation layout: even doc_ids written with the
     * original (doc_id, lang) schema, odd doc_ids with the grown
@@ -331,8 +355,7 @@ object RelationalQueries {
         .select("doc_id", "lang", "n_chars")
         .coalesce(2)
         .write.mode("overwrite").parquet(s"$dir/g2")
-      Files.createDirectories(Paths.get(dir))
-      Files.write(Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+      markFresh(dir, sfDir, "documents")
     }
     dir
   }

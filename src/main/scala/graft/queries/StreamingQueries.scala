@@ -67,6 +67,7 @@ object StreamingQueries {
         .write.mode("overwrite").parquet(s"$out/a")
       ev.where(expr(s"unix_micros(ts) > ${med}L")).coalesce(1)
         .write.mode("overwrite").parquet(s"$out/b")
+      RelationalQueries.markFresh(s"$out/b", dir, "events")
     }
     out
   }

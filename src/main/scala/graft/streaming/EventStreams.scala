@@ -54,10 +54,17 @@ object EventStreams {
     val onDisk =
       try spark.read.parquet(schemaPath).schema
       catch {
+        // match the semantic error CONDITION first (stable across Spark
+        // versions), with the message substrings as a fallback for any
+        // path where the condition is unset — wording alone would break
+        // the empty-location startup on the next message reword
         case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage != null &&
-            (e.getMessage.contains("Path does not exist") ||
-             e.getMessage.contains("Unable to infer schema")) => eventSchema
+          if Option(e.getCondition).exists(c =>
+               c.contains("PATH_NOT_FOUND") ||
+               c.contains("UNABLE_TO_INFER_SCHEMA")) ||
+             (e.getMessage != null &&
+               (e.getMessage.contains("Path does not exist") ||
+                e.getMessage.contains("Unable to infer schema"))) => eventSchema
         case _: java.io.FileNotFoundException => eventSchema
       }
     graft.sources.Tables.nanosTsToTimestamp(spark,

@@ -28,12 +28,28 @@ object ExtrasQueries {
     val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
     val custTable = s"graft_cust_by_slot_$suffix"
     val ordTable = s"graft_ord_by_slot_$suffix"
-    if (!s.catalog.tableExists(custTable)) {
+    val warehouse = new java.net.URI(
+      s.conf.get("spark.sql.warehouse.dir")).getPath
+    // digest-guarded like every other derived artifact: a regenerated
+    // corpus (even rewritten in place) must not leave the bucketed
+    // layout serving last generation's rows just because the catalog
+    // entry still exists
+    def ensure(tbl: String, table: String)(build: => Unit): Unit = {
+      // writeSlotBucketed saves an EXTERNAL table at this explicit
+      // location — the staleness marker lives with the data files
+      val loc = s"$warehouse/graft_bucketed/$tbl"
+      val want = RelationalQueries.srcDigest(dir, table)
+      if (!s.catalog.tableExists(tbl) || RelationalQueries.stale(loc, dir, table)) {
+        build
+        RelationalQueries.markFresh(loc, want)
+      }
+    }
+    ensure(custTable, "customer") {
       val cust = t(s, dir, "customer").select($"c_custkey", $"c_mktsegment",
         concat(lit("{cust:"), $"c_custkey", lit("}")).as("key"))
       SlotPartitioning.writeSlotBucketed(cust, $"key", custTable)
     }
-    if (!s.catalog.tableExists(ordTable)) {
+    ensure(ordTable, "orders") {
       val ords = t(s, dir, "orders").select($"o_custkey", $"o_totalprice",
         concat(lit("{cust:"), $"o_custkey", lit("}")).as("key"))
       SlotPartitioning.writeSlotBucketed(ords, $"key", ordTable)
@@ -56,6 +72,7 @@ object ExtrasQueries {
     * formula. */
   def ensurePngExport(s: SparkSession, sfDir: String): String = {
     val dir = pngDir(sfDir)
+    val want = RelationalQueries.srcDigest(sfDir, "documents")
     if (RelationalQueries.stale(dir, sfDir, "documents")) {
       t(s, sfDir, "documents")
         .orderBy("doc_id").limit(100)
@@ -65,7 +82,7 @@ object ExtrasQueries {
           Multimodal.png_encode_pattern(col("img_id")).as("payload"))
         .coalesce(1)
         .write.mode("overwrite").parquet(dir)
-      RelationalQueries.markFresh(dir, sfDir, "documents")
+      RelationalQueries.markFresh(dir, want)
     }
     dir
   }

@@ -118,6 +118,7 @@ object PipelineQueries {
     * — the s60 read path probes it with dynamic partition pruning. */
   def ensureIvfIndexExport(s: SparkSession, sfDir: String): String = {
     val root = ivfIndexRoot(sfDir)
+    val want = RelationalQueries.srcDigest(sfDir, "embeddings")
     if (RelationalQueries.stale(root, sfDir, "embeddings")) {
       import s.implicits._
       val cents = centroids16(s, sfDir)
@@ -127,7 +128,7 @@ object PipelineQueries {
         .toDF("cid", "centroid")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$root/centroids")
-      RelationalQueries.markFresh(root, sfDir, "embeddings")
+      RelationalQueries.markFresh(root, want)
     }
     root
   }
@@ -144,9 +145,13 @@ object PipelineQueries {
     val root = ensureIvfIndexExport(s, sfDir)
     val marker = java.nio.file.Paths.get(root, "delta", "_SUCCESS")
     val base = java.nio.file.Paths.get(root, "_SUCCESS")
+    // digest-CHAINED to the base: the delta marker records the base
+    // marker's stamp, so the delta is fresh only against the exact
+    // base generation whose frozen centroids assigned it — an mtime
+    // pairing would trust any marker-metadata coincidence
+    val baseStamp = new String(java.nio.file.Files.readAllBytes(base), "UTF-8")
     val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.getLastModifiedTime(marker)
-        .compareTo(java.nio.file.Files.getLastModifiedTime(base)) >= 0
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == baseStamp
     if (!fresh) {
       import s.implicits._
       val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
@@ -156,7 +161,7 @@ object PipelineQueries {
           reverse($"embedding").as("embedding"))
       Similarity.ivfAssigned(cents, delta)
         .write.mode("overwrite").partitionBy("__cid").parquet(s"$root/delta")
-      java.nio.file.Files.write(marker, Array.emptyByteArray)
+      RelationalQueries.markFresh(s"$root/delta", baseStamp)
     }
     root
   }

@@ -46,10 +46,22 @@ object RelationalQueries {
     * mtime untouched. Shared with PipelineQueries.corpusKey. */
   private[queries] def srcDigest(sfDir: String, table: String): String = {
     val f = new java.io.File(s"${sfDir.replaceAll("/+$", "")}/$table.parquet")
+    // listFiles is null on a vanished/unreadable dir — treat as the
+    // file case (mtime/length read as 0), i.e. a deterministic
+    // "missing" digest, rather than NPE out of every staleness check
     val entries: Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName) else Seq(f)
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Seq(f))
+      else Seq(f)
+    // full-precision mtime (nanoseconds where the filesystem has them)
+    // — File.lastModified's millisecond tick would miss a same-length
+    // rewrite landing within the same millisecond
+    def mtimeNanos(e: java.io.File): Long =
+      try Files.getLastModifiedTime(e.toPath)
+        .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+      catch { case _: java.io.IOException => 0L }
     val listing = entries
-      .map(e => s"${e.getName}:${e.lastModified}:${e.length}")
+      .map(e => s"${e.getName}:${mtimeNanos(e)}:${e.length}")
       .mkString("|")
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(listing.getBytes("UTF-8")).take(8)
@@ -67,24 +79,28 @@ object RelationalQueries {
       new String(Files.readAllBytes(marker), "UTF-8") != srcDigest(sfDir, table)
   }
 
-  /** Stamp an export fresh: record the source digest in the marker
-    * (overwriting the empty _SUCCESS Spark writes, where one exists). */
-  private[queries] def markFresh(dir: String, sfDir: String, table: String): Unit = {
+  /** Stamp an export fresh with a digest CAPTURED BEFORE the export
+    * job read its source (overwriting the empty _SUCCESS Spark writes,
+    * where one exists). Stamping a freshly-computed digest instead
+    * would pin a mismatched export forever if the source was rewritten
+    * while the export job ran: the new listing's digest would be
+    * recorded against files built from the old generation. */
+  private[queries] def markFresh(dir: String, digest: String): Unit = {
     Files.createDirectories(Paths.get(dir))
-    Files.write(Paths.get(dir, "_SUCCESS"),
-      srcDigest(sfDir, table).getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "_SUCCESS"), digest.getBytes("UTF-8"))
   }
 
   /** Ingest-once CSV sink — Bench warm-up calls this so the timed query
     * measures the scan, not the one-time export. */
   def ensureCsvExport(s: SparkSession, sfDir: String): String = {
     val dir = csvDir(sfDir)
+    val want = srcDigest(sfDir, "customer")
     if (stale(dir, sfDir, "customer")) {
       Tables.load(s, sfDir, "customer")
         .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
         .coalesce(1)
         .write.mode("overwrite").option("header", "true").csv(dir)
-      markFresh(dir, sfDir, "customer")
+      markFresh(dir, want)
     }
     dir
   }
@@ -101,12 +117,13 @@ object RelationalQueries {
     * text round-trips are format-fragile and parquet covers them). */
   def ensureJsonExport(s: SparkSession, sfDir: String): String = {
     val dir = jsonDir(sfDir)
+    val want = srcDigest(sfDir, "supplier")
     if (stale(dir, sfDir, "supplier")) {
       Tables.load(s, sfDir, "supplier")
         .select("s_suppkey", "s_name", "s_nationkey")
         .coalesce(1)
         .write.mode("overwrite").json(dir)
-      markFresh(dir, sfDir, "supplier")
+      markFresh(dir, want)
     }
     dir
   }
@@ -120,11 +137,12 @@ object RelationalQueries {
     * parquet table instead: the layout must not change the answer. */
   def ensureOrcExport(s: SparkSession, sfDir: String): String = {
     val dir = orcDir(sfDir)
+    val want = srcDigest(sfDir, "part")
     if (stale(dir, sfDir, "part")) {
       Tables.load(s, sfDir, "part")
         .select("p_partkey", "p_name", "p_brand", "p_retailprice")
         .write.mode("overwrite").orc(dir)
-      markFresh(dir, sfDir, "part")
+      markFresh(dir, want)
     }
     dir
   }
@@ -136,11 +154,12 @@ object RelationalQueries {
   /** Ingest-once text sink (Bench warm-up calls this too). */
   def ensureTextExport(s: SparkSession, sfDir: String): String = {
     val dir = textDir(sfDir)
+    val want = srcDigest(sfDir, "documents")
     if (stale(dir, sfDir, "documents")) {
       Tables.load(s, sfDir, "documents")
         .select("text").coalesce(1)
         .write.mode("overwrite").text(dir)
-      markFresh(dir, sfDir, "documents")
+      markFresh(dir, want)
     }
     dir
   }
@@ -153,13 +172,14 @@ object RelationalQueries {
     * of partition pruning at 100 TB; pinned in PlanChecksSpec). */
   def ensurePartitionedExport(s: SparkSession, sfDir: String): String = {
     val dir = partitionedDir(sfDir)
+    val want = srcDigest(sfDir, "orders")
     if (stale(dir, sfDir, "orders")) {
       Tables.load(s, sfDir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
         .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
       // partitionBy writes no root _SUCCESS reliably across committers —
       // the digest stamp doubles as the marker
-      markFresh(dir, sfDir, "orders")
+      markFresh(dir, want)
     }
     dir
   }
@@ -299,6 +319,7 @@ object RelationalQueries {
     val tbl = catalogTable(sfDir)
     val warehouse = new java.net.URI(
       s.conf.get("spark.sql.warehouse.dir")).getPath
+    val want = srcDigest(sfDir, "customer")
     if (!s.catalog.tableExists(tbl) || stale(s"$warehouse/$tbl", sfDir, "customer")) {
       // a previous JVM's in-memory catalog may have left the MANAGED
       // location behind without a catalog entry in this one — CTAS
@@ -323,7 +344,7 @@ object RelationalQueries {
         .saveAsTable(tbl)
       // bucketed saveAsTable does not reliably leave a root _SUCCESS —
       // the digest stamp doubles as the marker (Spark ignores _-files)
-      markFresh(s"$warehouse/$tbl", sfDir, "customer")
+      markFresh(s"$warehouse/$tbl", want)
     }
     tbl
   }
@@ -337,6 +358,7 @@ object RelationalQueries {
     * oracle can recompute which generation each row came from. */
   def ensureGenerationExport(s: SparkSession, sfDir: String): String = {
     val dir = generationDir(sfDir)
+    val want = srcDigest(sfDir, "documents")
     if (stale(dir, sfDir, "documents")) {
       val docs = Tables.load(s, sfDir, "documents")
       // `= 0` / `<> 0` (not `= 1`): truncated remainder gives -1 for
@@ -355,7 +377,7 @@ object RelationalQueries {
         .select("doc_id", "lang", "n_chars")
         .coalesce(2)
         .write.mode("overwrite").parquet(s"$dir/g2")
-      markFresh(dir, sfDir, "documents")
+      markFresh(dir, want)
     }
     dir
   }

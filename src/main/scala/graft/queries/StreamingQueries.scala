@@ -55,8 +55,8 @@ object StreamingQueries {
    * reaches the driver.
    */
   def ensureTimeSplitEvents(s: SparkSession, dir: String): String = {
-    val out = "/root/repo/data/graft-events-split/" +
-      dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_")
+    val out = RelationalQueries.dataRoot("events-split", dir, "events")
+    val want = RelationalQueries.srcDigest(dir, "events")
     if (RelationalQueries.stale(s"$out/b", dir, "events")) {
       val ev = graft.sources.Tables.load(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -67,7 +67,7 @@ object StreamingQueries {
         .write.mode("overwrite").parquet(s"$out/a")
       ev.where(expr(s"unix_micros(ts) > ${med}L")).coalesce(1)
         .write.mode("overwrite").parquet(s"$out/b")
-      RelationalQueries.markFresh(s"$out/b", dir, "events")
+      RelationalQueries.markFresh(s"$out/b", want)
     }
     out
   }
@@ -182,8 +182,7 @@ object StreamingQueries {
     // of batch boundaries and file layout. The output dir is cleared
     // per invocation (bench re-runs queries in one session).
     "s55_stream_foreachbatch" -> ((s, dir) => {
-      val out = "/root/repo/data/graft-fb/" +
-        dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_")
+      val out = RelationalQueries.dataRoot("fb", dir, "events")
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(out), true)
       val proj = eventStream(s, dir)

@@ -17,7 +17,7 @@ class ExportStalenessSpec extends AnyFunSuite {
     Files.write(Paths.get(sfDir, "documents.parquet"), "v1".getBytes("UTF-8"))
     val exp = Files.createTempDirectory("graft-exp").toString
     assert(RelationalQueries.stale(exp, sfDir, "documents"))
-    RelationalQueries.markFresh(exp, sfDir, "documents")
+    RelationalQueries.markFresh(exp, RelationalQueries.srcDigest(sfDir, "documents"))
     assert(!RelationalQueries.stale(exp, sfDir, "documents"))
   }
 
@@ -26,9 +26,10 @@ class ExportStalenessSpec extends AnyFunSuite {
     val src = Paths.get(sfDir, "documents.parquet")
     Files.write(src, "v1".getBytes("UTF-8"))
     val exp = Files.createTempDirectory("graft-exp").toString
-    RelationalQueries.markFresh(exp, sfDir, "documents")
+    RelationalQueries.markFresh(exp, RelationalQueries.srcDigest(sfDir, "documents"))
     // same byte length, same entry name — only the mtime moves (forced
-    // forward; a same-millisecond rewrite is the only blind spot left)
+    // forward; digests carry nanosecond mtimes, so a same-NANOSECOND
+    // rewrite is the only blind spot left)
     Files.write(src, "v2".getBytes("UTF-8"))
     Files.setLastModifiedTime(src,
       FileTime.fromMillis(System.currentTimeMillis() + 5000))
@@ -42,7 +43,7 @@ class ExportStalenessSpec extends AnyFunSuite {
     val exp = Files.createTempDirectory("graft-exp").toString
     Files.write(Paths.get(exp, "_SUCCESS"), Array.emptyByteArray)
     assert(RelationalQueries.stale(exp, sfDir, "documents"))
-    RelationalQueries.markFresh(exp, sfDir, "documents")
+    RelationalQueries.markFresh(exp, RelationalQueries.srcDigest(sfDir, "documents"))
     assert(!RelationalQueries.stale(exp, sfDir, "documents"))
   }
 
@@ -53,7 +54,7 @@ class ExportStalenessSpec extends AnyFunSuite {
     Files.write(tbl.resolve("part-0"), "a".getBytes("UTF-8"))
     Files.write(tbl.resolve("part-1"), "b".getBytes("UTF-8"))
     val exp = Files.createTempDirectory("graft-exp").toString
-    RelationalQueries.markFresh(exp, sfDir, "embeddings")
+    RelationalQueries.markFresh(exp, RelationalQueries.srcDigest(sfDir, "embeddings"))
     assert(!RelationalQueries.stale(exp, sfDir, "embeddings"))
     // rewrite ONE part file in place; the directory's own mtime is not
     // what we rely on — the entry listing changes

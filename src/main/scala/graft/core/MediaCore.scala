@@ -74,8 +74,14 @@ object MediaCore {
    * A real pipeline computes the same 64-bit signature from decoded
    * luma; only the resize body changes at the stub boundary.
    */
-  def aHash64(bytes: Array[Byte], srcW: Int, srcH: Int): Long = {
-    val g = resizeNearest(bytes, srcW, srcH, 8, 8)
+  def aHash64(bytes: Array[Byte], srcW: Int, srcH: Int): Long =
+    gridSumSig(bytes, srcW, srcH)._2
+
+  /** ONE encoding of the 8×8 grid-sum + v·64 > sum threshold fold —
+    * shared by the stub ([[aHash64]]) and real-codec ([[pngStats]])
+    * paths, whose bit-for-bit oracle contracts must never drift. */
+  private def gridSumSig(src: Array[Byte], w: Int, h: Int): (Long, Long) = {
+    val g = resizeNearest(src, w, h, 8, 8)
     var sum = 0L
     var i = 0
     while (i < 64) { sum += (g(i) & 0xff); i += 1 }
@@ -85,7 +91,7 @@ object MediaCore {
       if ((g(i) & 0xff).toLong * 64L > sum) sig |= (1L << i)
       i += 1
     }
-    sig
+    (sum, sig)
   }
 
   // ---------------------------------------------------------------------
@@ -145,7 +151,11 @@ object MediaCore {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // write returns FALSE (no throw) when no writer claims the format —
+    // an empty fixture payload here would only surface as a misleading
+    // decode failure queries later
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      "no PNG writer registered in this JVM")
     bos.toByteArray
   }
 
@@ -158,10 +168,32 @@ object MediaCore {
    * purpose: proving the codec reproduced the encoded pixels).
    */
   def pngStats(png: Array[Byte]): Array[Long] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    // memory-cached image input: the default ImageIO.read(InputStream)
+    // path spools through a temp FILE per call — disk I/O per row in a
+    // scan expression, and a hard failure on a full/unwritable tmpdir
+    // even though the payload is already in memory
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(png))
+    // ImageIO.read(ImageInputStream) closes the stream itself on a
+    // successful decode — close here only for the null/throw paths
+    // (double-close raises "closed")
+    val img =
+      try javax.imageio.ImageIO.read(iis)
+      finally { try iis.close() catch { case _: java.io.IOException => () } }
     require(img != null, "payload is not a decodable image")
     val w = img.getWidth
     val h = img.getHeight
+    // decoder-controlled dims: bound before allocating (a crafted
+    // header would otherwise drive an overflow or a multi-GB per-row
+    // allocation), and reject anything but 8-bit single-band gray —
+    // silently truncating 16-bit or hashing only the red band would
+    // surface as a distant oracle mismatch instead of failing here
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 22),
+      s"image dimensions out of bounds: ${w}x$h")
+    require(img.getRaster.getNumBands == 1 &&
+        img.getColorModel.getComponentSize(0) == 8,
+      s"expected 8-bit grayscale, got ${img.getRaster.getNumBands} band(s) " +
+        s"of ${img.getColorModel.getComponentSize(0)} bits")
     val gray = new Array[Byte](w * h)
     val raster = img.getRaster
     var y = 0
@@ -173,16 +205,7 @@ object MediaCore {
       }
       y += 1
     }
-    val grid = resizeNearest(gray, w, h, 8, 8)
-    var sum = 0L
-    var i = 0
-    while (i < 64) { sum += (grid(i) & 0xff); i += 1 }
-    var sig = 0L
-    i = 0
-    while (i < 64) {
-      if ((grid(i) & 0xff).toLong * 64L > sum) sig |= (1L << i)
-      i += 1
-    }
+    val (sum, sig) = gridSumSig(gray, w, h)
     Array(w.toLong, h.toLong, sum, sig)
   }
 

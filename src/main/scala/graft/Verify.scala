@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [comma-separated query-name filter]
+    if (args.length < 2) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [name1,name2,...]")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None

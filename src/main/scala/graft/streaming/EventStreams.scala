@@ -19,13 +19,17 @@ import org.apache.spark.sql.types._
  */
 object EventStreams {
 
-  /** Legacy events shape (raw int64-nanos ts). Used only as the
-    * fallback schema when a stream starts over a directory that has no
-    * files yet to infer from; populated directories are always read
-    * with their actual on-disk schema. */
+  /** Fallback events shape, used only when a stream starts over a
+    * directory that has no files yet to infer from; populated
+    * directories are always read with their actual on-disk schema.
+    * `ts` is TIMESTAMP_NTZ-micros — the encoding the driver currently
+    * ships — NOT the legacy long-nanos shape: a pinned nanos schema
+    * would silently decode later-arriving micros files as ~1970
+    * timestamps (the round-5 corruption class), whereas a wrong NTZ
+    * guess against nanos files fails loudly at read time. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // raw int64 nanos as stored in parquet
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -82,7 +86,11 @@ object EventStreams {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      // DECIMAL fold (as s40/a24): raw double summation order differs
+      // between the streaming partial-agg and any batch recompute, so
+      // sum_value would be uncheckable against a batch twin
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("cnt"), col("sum_value"))
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -100,6 +108,36 @@ object EventStreams {
    * watermark + EventTimeTimeout flush idle users' final sessions and
    * bound state size.
    */
+  /**
+   * Uniform gaps-and-islands interval merge over (open state ∪ batch
+   * events), the SAME chaining rule as [[batchSessions]]: after sorting
+   * by start, any item within `gapMs` of the growing session's end
+   * merges into it — including multiple cross-batch stragglers that
+   * are mutually close but all far older than the open session (a
+   * per-event fold against only the open session would emit each as
+   * its own singleton, diverging from the batch form), and event
+   * chains that bridge a straggler up to the open session. Returns
+   * (closed sessions ascending, new open session = the latest one).
+   */
+  private def mergeSessions(open: Option[SessionState], batch: Seq[Event],
+                            gapMs: Long): (Seq[SessionState], Option[SessionState]) = {
+    val units = batch.sortBy(_.ts.getTime)
+      .map(e => SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+    val all = (open.toSeq ++ units).sortBy(s => (s.start, s.lastSeen))
+    all match {
+      case Seq() => (Nil, None)
+      case first +: rest =>
+        val merged = rest.foldLeft(List(first)) { (acc, s) =>
+          val head = acc.head
+          if (s.start - head.lastSeen <= gapMs)
+            SessionState(head.start, math.max(head.lastSeen, s.lastSeen),
+              head.nEvents + s.nEvents, head.total + s.total) :: acc.tail
+          else s :: acc
+        }
+        (merged.tail.reverse, Some(merged.head))
+    }
+  }
+
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
@@ -107,33 +145,10 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
-          val sorted = batch.toSeq.sortBy(_.ts.getTime)
-          var cur = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if s.start - t > gapMs =>
-                // cross-batch straggler older than the open session by
-                // more than the gap: it is its own (already closed)
-                // session — merging would bridge an event-time hole the
-                // batch form keeps open
-                closed += Session(userId, t, t, 1, e.value)
-              case Some(s) if t - s.lastSeen > gapMs =>
-                closed += Session(userId, s.start, s.lastSeen, s.nEvents, s.total)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case Some(s) =>
-                // a cross-batch straggler inside the gap extends the
-                // session backwards (same rule as sessionizeBounded)
-                cur = Some(s.copy(start = math.min(s.start, t),
-                  lastSeen = math.max(s.lastSeen, t),
-                  nEvents = s.nEvents + 1, total = s.total + e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
-            }
-          }
-          cur.foreach(state.update)
-          closed.result().iterator
+          val (closed, open) = mergeSessions(state.getOption, batch.toSeq, gapMs)
+          open.foreach(state.update)
+          closed.iterator
+            .map(s => Session(userId, s.start, s.lastSeen, s.nEvents, s.total))
         })
   }
 
@@ -166,37 +181,15 @@ object EventStreams {
             // session may already have been flushed by a timeout, so
             // processing them would spawn spurious one-event sessions
             val wm = state.getCurrentWatermarkMs()
-            val sorted = batch.toSeq.filter(_.ts.getTime >= wm).sortBy(_.ts.getTime)
-            var cur = state.getOption
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if s.start - t > gapMs =>
-                  // admissible late event older than the open session by
-                  // MORE than the gap (possible whenever lateness > gap):
-                  // a session of its own, already closed — merging would
-                  // bridge an event-time hole the batch form keeps open
-                  closed += Session(userId, t, t, 1, e.value)
-                case Some(s) if t - s.lastSeen > gapMs =>
-                  closed += Session(userId, s.start, s.lastSeen, s.nEvents, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case Some(s) =>
-                  // admissible late event may predate the open session's
-                  // start — extend backwards, don't just bump lastSeen
-                  cur = Some(s.copy(start = math.min(s.start, t),
-                    lastSeen = math.max(s.lastSeen, t),
-                    nEvents = s.nEvents + 1, total = s.total + e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            cur.foreach { s =>
+            val admissible = batch.toSeq.filter(_.ts.getTime >= wm)
+            val (closed, open) = mergeSessions(state.getOption, admissible, gapMs)
+            open.foreach { s =>
               state.update(s)
               // must be strictly ahead of the current watermark
               state.setTimeoutTimestamp(math.max(s.lastSeen + gapMs, wm + 1))
             }
-            closed.result().iterator
+            closed.iterator
+              .map(s => Session(userId, s.start, s.lastSeen, s.nEvents, s.total))
           }
         })
   }
@@ -233,12 +226,14 @@ object EventStreams {
       .drop("sid")
   }
 
-  /** Run a streaming DF to completion against bounded input (memory sink). */
   /** Drain `df` to a memory sink. The output mode must match the plan:
     * Complete for aggregations, Append for the flatMapGroupsWithState
     * sessionizers (which register Append and reject a Complete start). */
   def runToMemory(df: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Complete()): StreamingQuery = {
+    // a prior same-name run in this session leaves a stale memory-sink
+    // view behind — the same hazard StreamingQueries.runToTable guards
+    df.sparkSession.catalog.dropTempView(name)
     val q = df.writeStream
       .outputMode(mode)
       .format("memory")

@@ -20,13 +20,19 @@ class EventStreamsSpec extends AnyFunSuite {
     val q = EventStreams.runToMemory(EventStreams.hourlyCounts(streamEvents), "hourly_test")
     q.awaitTermination(120000)
     q.stop()
+    // sum_value is comparable now that hourlyCounts folds through
+    // DECIMAL (raw double summation order would differ between the
+    // streaming partial-agg and this batch recompute)
     val streamed = spark.table("hourly_test")
-      .select($"hour", $"event_type", $"cnt")
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      .select($"hour", $"event_type", $"cnt", $"sum_value")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     val batch = Tables.load(spark, SparkTestSession.sf0001, "events")
       .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
-      .agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      .agg(count(lit(1)).as("cnt"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
@@ -159,6 +165,60 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(u1.length == 2, u1.mkString("; "))
     assert(u1(0).start_ts == ts("2024-01-01 10:45:00").getTime && u1(0).n_events == 1, u1(0))
     assert(u1(1).start_ts == ts("2024-01-01 12:00:00").getTime && u1(1).n_events == 1, u1(1))
+  }
+
+  test("mutually-close stragglers merge into ONE session (batch-form agreement)") {
+    import EventStreams.{Event, Session}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = EventStreams.sessionizeBounded(input.toDS(), gapMinutes = 30, lateness = "4 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_multi_straggler").start()
+    input.addData(Event(1, ts("2024-01-01 12:00:00"), 1, "click", 1.0))
+    q.processAllAvailable() // open session at 12:00; watermark → 08:00
+    // two admissible stragglers, each far older than the open session
+    // but within gap of EACH OTHER: the batch form merges them into one
+    // 2-event session — a per-event fold against only the open session
+    // would emit two singletons
+    input.addData(Event(2, ts("2024-01-01 08:30:00"), 1, "click", 2.0),
+      Event(3, ts("2024-01-01 08:50:00"), 1, "click", 3.0))
+    q.processAllAvailable()
+    input.addData(Event(4, ts("2024-01-01 20:00:00"), 2, "view", 5.0))
+    q.processAllAvailable() // flush user 1's open session
+    q.stop()
+    val u1 = spark.table("sessions_multi_straggler").as[Session].collect()
+      .filter(_.user_id == 1).sortBy(_.start_ts)
+    assert(u1.length == 2, u1.mkString("; "))
+    assert(u1(0).start_ts == ts("2024-01-01 08:30:00").getTime &&
+      u1(0).end_ts == ts("2024-01-01 08:50:00").getTime && u1(0).n_events == 2, u1(0))
+    assert(u1(1).start_ts == ts("2024-01-01 12:00:00").getTime && u1(1).n_events == 1, u1(1))
+  }
+
+  test("a same-batch event chain bridges a straggler up to the open session") {
+    import EventStreams.{Event, Session}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = EventStreams.sessionizeBounded(input.toDS(), gapMinutes = 30, lateness = "4 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_chain_bridge").start()
+    input.addData(Event(1, ts("2024-01-01 12:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // 11:05 is >gap (55m) before 12:00, but 11:35 chains 11:05 → 11:35
+    // → 12:00 (each hop exactly 30m ≤ gap): the batch form makes this
+    // ONE 3-event session
+    input.addData(Event(2, ts("2024-01-01 11:05:00"), 1, "click", 2.0),
+      Event(3, ts("2024-01-01 11:35:00"), 1, "click", 3.0))
+    q.processAllAvailable()
+    input.addData(Event(4, ts("2024-01-01 20:00:00"), 2, "view", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sessions_chain_bridge").as[Session].collect()
+      .filter(_.user_id == 1)
+    assert(u1.length == 1, u1.mkString("; "))
+    assert(u1.head.start_ts == ts("2024-01-01 11:05:00").getTime &&
+      u1.head.end_ts == ts("2024-01-01 12:00:00").getTime && u1.head.n_events == 3, u1.head)
   }
 
   test("batch gaps-and-islands sessions agree with streaming sessionize on real events") {

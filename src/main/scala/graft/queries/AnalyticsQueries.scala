@@ -36,7 +36,11 @@ object AnalyticsQueries {
     "a10_pricing_summary" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem")
-        .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        // TIMESTAMP literal parses in the SESSION TZ (UTC) like the
+        // oracle's naive literal — java.sql.Timestamp.valueOf would
+        // parse in the JVM default TZ, shifting the cutoff on any
+        // host whose user.timezone is not UTC
+        .filter($"l_shipdate" <= expr("TIMESTAMP'1998-09-02 00:00:00'"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           sum(dec($"l_quantity")).cast("double").as("sum_qty"),

@@ -305,7 +305,11 @@ object SqlSurfaceQueries {
         .where($"rn" === 1)
         .select($"user_id", $"event_id", unix_micros($"ts").as("last_us"),
           $"event_type", $"value")
-        .orderBy("user_id")
+        // NULLS LAST pinned: a NULL user_id key (the a51 DQ rule
+        // admits them) compacts to its own row on both engines, but
+        // Spark's default nulls-first vs DuckDB's nulls-last would put
+        // it at opposite ends of the positionally-compared output
+        .orderBy(asc_nulls_last("user_id"))
     }),
     // XML round-trip: serialize two customer columns into an XML
     // fragment, parse it back with Spark 4's native from_xml, and

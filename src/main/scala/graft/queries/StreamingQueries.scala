@@ -131,6 +131,30 @@ object StreamingQueries {
     ck
   }
 
+  /** The s43/s47/s53 trio's shared topology — click → purchase
+    * attribution within 30m for the same user, both sides watermarked
+    * 10m. ONE definition of the interval, watermark, and join
+    * condition, so the inner/left/full variants cannot drift apart;
+    * each query applies its own projection/ordering. */
+  private def clickPurchaseJoin(s: SparkSession, dir: String,
+                                joinType: String): DataFrame = {
+    val clicks = eventStream(s, dir)
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = eventStream(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      joinType)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Watermarked 1h tumbling-window aggregation, actually executed by
     // the streaming engine (stateful agg, watermark tracking, state
@@ -138,14 +162,8 @@ object StreamingQueries {
     // partition-order-independent — same trick as a24, this query's
     // batch twin; `window(ts, '1 hour').start` = `date_trunc('hour')`.
     "s40_stream_hourly" -> ((s, dir) => {
-      val agg = eventStream(s, dir)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-        .select(col("w.start").as("hour"), col("event_type"),
-          col("cnt"), col("sum_value"))
-      runToTable(s, agg, OutputMode.Complete(), "s40_sink")
+      runToTable(s, EventStreams.hourlyCounts(eventStream(s, dir)),
+          OutputMode.Complete(), "s40_sink")
         .orderBy("hour", "event_type")
     }),
     // The s40 topology on the ROCKSDB state store provider — the
@@ -161,14 +179,8 @@ object StreamingQueries {
       s.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val agg = eventStream(s, dir)
-          .withWatermark("ts", "10 minutes")
-          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-          .agg(count(lit(1)).as("cnt"),
-            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-          .select(col("w.start").as("hour"), col("event_type"),
-            col("cnt"), col("sum_value"))
-        runToTable(s, agg, OutputMode.Complete(), "s54_sink")
+        runToTable(s, EventStreams.hourlyCounts(eventStream(s, dir)),
+            OutputMode.Complete(), "s54_sink")
           .orderBy("hour", "event_type")
       } finally prev match {
         case Some(v) => s.conf.set(key, v)
@@ -210,8 +222,12 @@ object StreamingQueries {
       val ded = eventStream(s, dir)
         .select((col("user_id") % 100).as("user_bucket"), col("event_type"))
         .dropDuplicates("user_bucket", "event_type")
+      // NULLS LAST pinned: DuckDB's bare ORDER BY is nulls-last while
+      // Spark's default is nulls-first — a NULL user_id bucket (the
+      // a51 DQ rule admits them) would land at opposite ends of the
+      // positionally-compared output
       runToTable(s, ded, OutputMode.Append(), "s41_sink")
-        .orderBy("user_bucket", "event_type")
+        .orderBy(asc_nulls_last("user_bucket"), col("event_type"))
     }),
     // Session windows on the engine's merging session state store
     // (gap 30m, watermark 10m, append mode). Bounded replay makes the
@@ -231,7 +247,7 @@ object StreamingQueries {
           unix_millis(col("w.end")).as("window_end_ts"),
           col("n_events"), col("total_value"))
       runToTable(s, sess, OutputMode.Append(), "s42_sink")
-        .orderBy("user_id", "start_ts")
+        .orderBy(asc_nulls_last("user_id"), col("start_ts"))  // see s41
     }),
     // Stream-stream interval join (click → purchase attribution within
     // 30m, same user) through the engine's symmetric-hash join state.
@@ -241,20 +257,7 @@ object StreamingQueries {
     // batch 0, so the emitted set is the complete inner join —
     // deterministic, plain-SQL oracle.
     "s43_stream_join" -> ((s, dir) => {
-      val clicks = eventStream(s, dir)
-        .where(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("click_ts"))
-        .withWatermark("click_ts", "10 minutes")
-      val purchases = eventStream(s, dir)
-        .where(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-          col("ts").as("purchase_ts"))
-        .withWatermark("purchase_ts", "10 minutes")
-      val joined = clicks.join(purchases,
-        col("user_id") === col("p_user") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      val joined = clickPurchaseJoin(s, dir, "inner")
         .select(col("click_id"), col("purchase_id"), col("user_id"),
           unix_millis(col("click_ts")).as("click_ms"),
           unix_millis(col("purchase_ts")).as("purchase_ms"))
@@ -272,21 +275,7 @@ object StreamingQueries {
     // technique as s42's session-emission cutoff. This is the state
     // eviction that bounds outer-join state on an unbounded run.
     "s47_stream_left_join" -> ((s, dir) => {
-      val clicks = eventStream(s, dir)
-        .where(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("click_ts"))
-        .withWatermark("click_ts", "10 minutes")
-      val purchases = eventStream(s, dir)
-        .where(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-          col("ts").as("purchase_ts"))
-        .withWatermark("purchase_ts", "10 minutes")
-      val joined = clicks.join(purchases,
-        col("user_id") === col("p_user") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
-        "left_outer")
+      val joined = clickPurchaseJoin(s, dir, "left_outer")
         .select(col("click_id"), col("purchase_id"), col("user_id"),
           unix_millis(col("click_ts")).as("click_ms"),
           unix_millis(col("purchase_ts")).as("purchase_ms"))
@@ -303,21 +292,7 @@ object StreamingQueries {
     // empirically at sf0.001 and sf0.01. Output ordering uses NULLS
     // FIRST on both engines (unmatched purchases carry NULL click_id).
     "s53_stream_full_join" -> ((s, dir) => {
-      val clicks = eventStream(s, dir)
-        .where(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("click_ts"))
-        .withWatermark("click_ts", "10 minutes")
-      val purchases = eventStream(s, dir)
-        .where(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-          col("ts").as("purchase_ts"))
-        .withWatermark("purchase_ts", "10 minutes")
-      val joined = clicks.join(purchases,
-        col("user_id") === col("p_user") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
-        "full_outer")
+      val joined = clickPurchaseJoin(s, dir, "full_outer")
         .select(col("click_id"), col("purchase_id"),
           coalesce(col("user_id"), col("p_user")).as("uid"),
           unix_millis(col("click_ts")).as("click_ms"),
@@ -340,7 +315,12 @@ object StreamingQueries {
     // EventStreamsSpec covers totals instead.
     "s48_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
+      // Event's user_id/value are primitive Long/Double — a NULL row
+      // (admissible per the a51 DQ rule) would crash the deserializer,
+      // so declare the semantics: sessionize IDENTIFIED, valued events
+      // (the oracle filters identically)
       val ev = eventStream(s, dir)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[EventStreams.Event]
@@ -418,7 +398,7 @@ object StreamingQueries {
           unix_millis(col("w.end")).as("window_end_ts"),
           col("n_events"), col("total_value"))
       runToTable(s, sess, OutputMode.Append(), "s52_sink")
-        .orderBy("user_id", "start_ts")
+        .orderBy(asc_nulls_last("user_id"), col("start_ts"))  // see s41
     }),
     // Count-Min frequency sketch maintained AS STREAMING STATE (global
     // stateful agg — state is the fixed 3×512 counter matrix, never the
@@ -525,7 +505,10 @@ object StreamingQueries {
     // (ms-floored max event time − 10m). Same technique as s42, but the
     // eviction arithmetic here is the EventTimeTimeout contract.
     "s48_stream_sessionize" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts)//1000 AS t FROM events),
+      // identified, valued events only — the Spark side's declared
+      // semantics (its Event deserializer carries primitive fields)
+      """WITH e AS (SELECT user_id, epoch_us(ts)//1000 AS t FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
         |m AS (SELECT user_id, t,
         |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
         |        OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000

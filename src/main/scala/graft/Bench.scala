@@ -113,6 +113,13 @@ object Bench {
     val qsMed = sampled.map { case (k, ss) =>
       "\"" + k + "\":" + (if (ss.exists(_ < 0)) -1.0 else median(ss))
     }.mkString("{", ",", "}")
+    // the raw per-query sample lists (first pass + any retry, in run
+    // order, -1 = failure): consumers judge variance directly instead
+    // of trusting a ≤2-sample median — "queries_median" is the midpoint
+    // of both runs whenever a retry happened, the single sample otherwise
+    val qsSamples = sampled.map { case (k, ss) =>
+      "\"" + k + "\":" + ss.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -121,7 +128,7 @@ object Bench {
     // timed s37/s39/s44/s45/s57/d53 number is the warm serving cost —
     // the production treatment of an index artifact, but NOT comparable
     // to a cold train-per-query run.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"errors":$errs,"warm_artifacts":true,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"queries_samples":$qsSamples,"errors":$errs,"warm_artifacts":true,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -174,9 +174,11 @@ object MediaCore {
     // even though the payload is already in memory
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(png))
-    // ImageIO.read(ImageInputStream) closes the stream itself on a
-    // successful decode — close here only for the null/throw paths
-    // (double-close raises "closed")
+    // ImageIO.read(ImageInputStream) closes the stream itself in a
+    // finally on BOTH the success and throw paths; only the
+    // null-return path (no reader claimed the format) leaves it open.
+    // The guarded close below covers that path — and swallows the
+    // "closed" IOException the double-close raises on the others
     val img =
       try javax.imageio.ImageIO.read(iis)
       finally { try iis.close() catch { case _: java.io.IOException => () } }

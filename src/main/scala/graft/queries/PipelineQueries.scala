@@ -118,19 +118,26 @@ object PipelineQueries {
     * — the s60 read path probes it with dynamic partition pruning. */
   def ensureIvfIndexExport(s: SparkSession, sfDir: String): String = {
     val root = ivfIndexRoot(sfDir)
-    val want = RelationalQueries.srcDigest(sfDir, "embeddings")
-    if (RelationalQueries.stale(root, sfDir, "embeddings")) {
-      import s.implicits._
-      val cents = centroids16(s, sfDir)
-      Similarity.ivfAssigned(cents, t(s, sfDir, "embeddings"))
-        .write.mode("overwrite").partitionBy("__cid").parquet(s"$root/index")
-      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cid", "centroid")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$root/centroids")
-      RelationalQueries.markFresh(root, want)
-    }
+    if (RelationalQueries.stale(root, sfDir, "embeddings"))
+      buildIvfIndex(s, sfDir, root)
     root
+  }
+
+  /** Unconditional base-generation build; returns the digest stamped
+    * into the base `_SUCCESS` marker (captured BEFORE the export reads
+    * its source — see [[RelationalQueries.markFresh]]). */
+  private def buildIvfIndex(s: SparkSession, sfDir: String, root: String): String = {
+    val want = RelationalQueries.srcDigest(sfDir, "embeddings")
+    import s.implicits._
+    val cents = centroids16(s, sfDir)
+    Similarity.ivfAssigned(cents, t(s, sfDir, "embeddings"))
+      .write.mode("overwrite").partitionBy("__cid").parquet(s"$root/index")
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/centroids")
+    RelationalQueries.markFresh(root, want)
+    want
   }
 
   /** Ingest-once index DELTA: a batch of new vectors (deterministic
@@ -148,8 +155,14 @@ object PipelineQueries {
     // digest-CHAINED to the base: the delta marker records the base
     // marker's stamp, so the delta is fresh only against the exact
     // base generation whose frozen centroids assigned it — an mtime
-    // pairing would trust any marker-metadata coincidence
-    val baseStamp = new String(java.nio.file.Files.readAllBytes(base), "UTF-8")
+    // pairing would trust any marker-metadata coincidence.
+    // Self-healing: a base marker that vanished between the staleness
+    // check above and this read (a hand-deleted generation) triggers a
+    // rebuild instead of surfacing as a raw NoSuchFileException
+    val baseStamp =
+      if (java.nio.file.Files.exists(base))
+        new String(java.nio.file.Files.readAllBytes(base), "UTF-8")
+      else buildIvfIndex(s, sfDir, root)
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == baseStamp
     if (!fresh) {

@@ -315,12 +315,15 @@ object StreamingQueries {
     // EventStreamsSpec covers totals instead.
     "s48_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
-      // Event's user_id/value are primitive Long/Double — a NULL row
-      // (admissible per the a51 DQ rule) would crash the deserializer,
-      // so declare the semantics: sessionize IDENTIFIED, valued events
-      // (the oracle filters identically)
+      // Event's event_id/user_id/value are primitive Long/Double and
+      // mergeSessions dereferences ts unconditionally — a NULL in ANY
+      // of them (admissible per the a51 DQ rule) would crash the
+      // deserializer or the kernel, so declare the semantics:
+      // sessionize fully-identified, timestamped, valued events (the
+      // oracle filters identically)
       val ev = eventStream(s, dir)
-        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .where(col("event_id").isNotNull && col("ts").isNotNull &&
+          col("user_id").isNotNull && col("value").isNotNull)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[EventStreams.Event]
@@ -505,10 +508,12 @@ object StreamingQueries {
     // (ms-floored max event time − 10m). Same technique as s42, but the
     // eviction arithmetic here is the EventTimeTimeout contract.
     "s48_stream_sessionize" ->
-      // identified, valued events only — the Spark side's declared
-      // semantics (its Event deserializer carries primitive fields)
+      // fully-identified, timestamped, valued events only — the Spark
+      // side's declared semantics (its Event deserializer carries
+      // primitive fields and the kernel dereferences ts)
       """WITH e AS (SELECT user_id, epoch_us(ts)//1000 AS t FROM events
-        |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL AND value IS NOT NULL),
         |m AS (SELECT user_id, t,
         |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
         |        OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000

@@ -609,4 +609,40 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("rank").cast("int").as("rank"))
   }
+
+  /**
+   * Refine / re-rank tier over residual IVF-PQ — the FAISS
+   * `IndexRefineFlat` serving shape: the ADC pass nominates the top
+   * `refine` candidates per query from codes alone (cheap, probed
+   * lists only), then the EXACT vectors of just those candidates are
+   * fetched and re-ranked by true cosine; the final top-k recovers the
+   * recall the m-byte codes gave up. At 100 TB the refine step touches
+   * queries × refine rows, not the corpus: the candidate id set is
+   * broadcast and probed into the corpus scan (the s56 retrieval-join
+   * shape), so its cost is independent of corpus size while the
+   * candidate generation keeps IVF-PQ's ~nprobe/nlist scan of an
+   * m-byte-coded corpus.
+   */
+  def ivfPqResidualRefineTopKWith(cents: Array[Array[Double]],
+                                  books: Array[Array[Array[Double]]],
+                                  corpus: DataFrame, queries: DataFrame, k: Int,
+                                  refine: Int = 32, nprobe: Int = 4,
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding"): DataFrame = {
+    val cand = ivfPqResidualTopKWith(cents, books, corpus, queries, refine,
+        nprobe, idCol, vecCol)
+      .select(col("query_id"), col("nbr_id"))
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qn"))
+    val exact = c.join(broadcast(cand), Seq("nbr_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosinePrenormed(col("qvec"), col("cvec"), col("qn") * col("cn")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank").cast("int").as("rank"))
+  }
 }

@@ -39,6 +39,10 @@ object PipelineQueries {
   /** s57's coarse centroids + RESIDUAL codebooks (own stash). */
   @volatile private var ivfPqResState: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
 
+  /** s62's coarse centroids + residual codebooks (own stash — the
+    * refine tier re-ranks s57's candidate generation). */
+  @volatile private var ivfPqRefineState: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
+
   /** s58's centroids (own stash — see [[ivfCentroids]]'s contract). */
   @volatile private var hardNegCentroids: Option[Array[Array[Double]]] = None
 
@@ -414,6 +418,23 @@ object PipelineQueries {
       val books = residualBooks16(s, dir, cents)
       ivfPqResState = Some((cents, books))
       Similarity.ivfPqResidualTopKWith(cents, books, emb, emb.where($"vec_id" < 5), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    // Refine / re-rank tier: s57's ADC pass nominates the top 32
+    // candidates per query from codes alone, then ONLY those rows'
+    // exact vectors are fetched (broadcast hit-set probe — the s56
+    // retrieval-join shape, cost independent of corpus size) and
+    // re-ranked by true cosine. The production FAISS IndexRefineFlat
+    // serving stack: coarse probe → ADC shortlist → exact re-rank;
+    // recall ≥ the unrefined s57 at equal probe cost (spec-pinned).
+    "s62_ann_refine" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = centroids16(s, dir)
+      val books = residualBooks16(s, dir, cents)
+      ivfPqRefineState = Some((cents, books))
+      Similarity.ivfPqResidualRefineTopKWith(cents, books, emb,
+          emb.where($"vec_id" < 5), k = 10, refine = 32)
         .orderBy("query_id", "rank")
     }),
     // Banded (8 tables × 4 bits) hyperplane-LSH embedding near-dups —
@@ -1022,7 +1043,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle
 
   /** d53's oracle from the stashed centroids (see [[ivfOracle]] for the
     * stash-then-splice contract): assignment (argmax cosine, ties→low
@@ -1165,31 +1186,63 @@ object PipelineQueries {
     * DOUBLE)` inside the shared distance template is a no-op on the
     * already-DOUBLE residuals, so the same building blocks serve both
     * encodings. */
+  /** The shared residual-IVF-PQ CTE prefix ending in `sc` (candidate
+    * ADC distances within the probed lists) — ONE encoding of the
+    * residual encode/probe semantics serving both the s57 final rank
+    * and the s62 refine shortlist, so the two oracles cannot drift. */
+  private def ivfPqResScCtes(cents: Array[Array[Double]],
+                             books: Array[Array[Array[Double]]]): String = {
+    val dim = cents(0).length
+    val (distLists, codeCols, adc) = pqCodeCols(books, vec = "res", qvec = "q.qres")
+    s"""${centroidAssignCtes(cents, "embedding")},
+       |wres AS (SELECT a.vec_id, a.cid,
+       |   list_transform(range(1, ${dim + 1}),
+       |     i -> CAST(a.embedding[i] AS DOUBLE) - c.cv[i]) AS res
+       | FROM assign a JOIN cents c ON a.cid = c.cid),
+       |enc0 AS (SELECT vec_id, cid, $distLists FROM wres),
+       |enc AS (SELECT vec_id, cid, $codeCols FROM enc0),
+       |qprobe AS (SELECT query_id, cid,
+       |  list_transform(range(1, ${dim + 1}),
+       |    i -> CAST(qv[i] AS DOUBLE) - cv[i]) AS qres FROM (
+       |  SELECT s.vec_id AS query_id, s.embedding AS qv, s.cid, c.cv,
+       |   row_number() OVER (PARTITION BY s.vec_id ORDER BY s.s DESC, s.cid DESC) AS rn
+       |  FROM scored s JOIN cents c ON s.cid = c.cid WHERE s.vec_id < 5)
+       | WHERE rn <= 4),
+       |sc AS (SELECT q.query_id, e.vec_id AS nbr_id, $adc AS dist
+       | FROM enc e JOIN qprobe q ON e.cid = q.cid AND e.vec_id <> q.query_id)""".stripMargin
+  }
+
   private def ivfPqResOracle: Map[String, String] = ivfPqResState match {
     case None => Map.empty
     case Some((cents, books)) =>
-      val dim = cents(0).length
-      val (distLists, codeCols, adc) = pqCodeCols(books, vec = "res", qvec = "q.qres")
       Map("s57_ann_ivfpq_res" ->
-        s"""WITH ${centroidAssignCtes(cents, "embedding")},
-           |wres AS (SELECT a.vec_id, a.cid,
-           |   list_transform(range(1, ${dim + 1}),
-           |     i -> CAST(a.embedding[i] AS DOUBLE) - c.cv[i]) AS res
-           | FROM assign a JOIN cents c ON a.cid = c.cid),
-           |enc0 AS (SELECT vec_id, cid, $distLists FROM wres),
-           |enc AS (SELECT vec_id, cid, $codeCols FROM enc0),
-           |qprobe AS (SELECT query_id, cid,
-           |  list_transform(range(1, ${dim + 1}),
-           |    i -> CAST(qv[i] AS DOUBLE) - cv[i]) AS qres FROM (
-           |  SELECT s.vec_id AS query_id, s.embedding AS qv, s.cid, c.cv,
-           |   row_number() OVER (PARTITION BY s.vec_id ORDER BY s.s DESC, s.cid DESC) AS rn
-           |  FROM scored s JOIN cents c ON s.cid = c.cid WHERE s.vec_id < 5)
-           | WHERE rn <= 4),
-           |sc AS (SELECT q.query_id, e.vec_id AS nbr_id, $adc AS dist
-           | FROM enc e JOIN qprobe q ON e.cid = q.cid AND e.vec_id <> q.query_id)
+        s"""WITH ${ivfPqResScCtes(cents, books)}
            |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
            | SELECT query_id, nbr_id,
            |  row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, nbr_id) AS rank FROM sc)
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+  }
+
+  /** s62's oracle: the shared residual CTEs rank-capped at the refine
+    * width (32), then the shortlist joined back to the EXACT vectors
+    * and re-ranked by true cosine — the same composition the Spark
+    * side executes. */
+  private def ivfPqRefineOracle: Map[String, String] = ivfPqRefineState match {
+    case None => Map.empty
+    case Some((cents, books)) =>
+      Map("s62_ann_refine" ->
+        s"""WITH ${ivfPqResScCtes(cents, books)},
+           |cand AS (SELECT query_id, nbr_id FROM (
+           | SELECT query_id, nbr_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, nbr_id) AS rk FROM sc)
+           | WHERE rk <= 32),
+           |ex AS (SELECT c.query_id, c.nbr_id,
+           |   ${duckCosine("q.embedding", "e.embedding")} AS sim
+           | FROM cand c JOIN embeddings e ON e.vec_id = c.nbr_id
+           | JOIN embeddings q ON q.vec_id = c.query_id)
+           |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
+           | SELECT query_id, nbr_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM ex)
            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
   }
 

@@ -204,6 +204,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(agree >= 0.5, s"IVF-PQ agreement with full-scan PQ $agree too low")
   }
 
+  test("refine tier: exact re-rank recovers recall over unrefined residual IVF-PQ") {
+    val queries = emb.where($"vec_id" < 20)
+    val cents = Similarity.kmeansCentroids(emb, nlist = 16, iters = 2)
+    val books = Similarity.pqResidualCodebooks(cents, emb)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth is exact cosine — the metric the refine tier restores
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, k = 10))
+    val plain = pairs(Similarity.ivfPqResidualTopKWith(cents, books, emb, queries, k = 10))
+    val refined = pairs(Similarity.ivfPqResidualRefineTopKWith(
+      cents, books, emb, queries, k = 10, refine = 32))
+    val plainRecall = (exact & plain).size.toDouble / exact.size
+    val refRecall = (exact & refined).size.toDouble / exact.size
+    // equal probe cost (same centroids, books, nprobe): re-ranking the
+    // 32-wide ADC shortlist with exact cosine can only keep or promote
+    // true neighbors the codes mis-ranked — never lose one
+    assert(refRecall >= plainRecall,
+      s"refine recall $refRecall < unrefined $plainRecall at equal probe cost")
+  }
+
   test("persisted index round-trip serves exactly the in-memory IVF answers") {
     // the s60 contract in miniature: write the assigned corpus as a
     // partitionBy(list) layout, read it back (floats/doubles and the

@@ -54,6 +54,12 @@ object PipelineQueries {
   /** s61's centroids (own stash — base+delta serving path). */
   @volatile private var appendedIvfCents: Option[Array[Array[Double]]] = None
 
+  /** s63's centroids (own stash — tombstone anti-join serving path). */
+  @volatile private var tombstoneIvfCents: Option[Array[Array[Double]]] = None
+
+  /** s64's centroids (own stash — compacted-generation serving path). */
+  @volatile private var compactedIvfCents: Option[Array[Array[Double]]] = None
+
   /** Trained-quantizer memo, keyed by corpus dir. The k-means coarse
     * quantizer (s37/d53/s45) and the PQ codebooks (s44/s45) are
     * deterministic functions of the corpus (seeded init, fixed
@@ -183,6 +189,69 @@ object PipelineQueries {
     root
   }
 
+  /** Ingest-once index TOMBSTONES: the retired-vector id set (docs
+    * deleted from the corpus — deterministically, every id ≡ 7 mod 10
+    * across base and delta) as a metadata-sized partition beside the
+    * index. Serving anti-joins it (s63) so deletes take effect without
+    * touching a single index file — the O(deletes) delete path every
+    * production index needs; compaction (s64) later folds them away.
+    * Digest-chained to the base generation exactly as the delta is. */
+  def ensureIvfTombstoneExport(s: SparkSession, sfDir: String): String = {
+    val root = ensureIvfDeltaExport(s, sfDir)
+    val marker = java.nio.file.Paths.get(root, "tombstones", "_SUCCESS")
+    val base = java.nio.file.Paths.get(root, "_SUCCESS")
+    val baseStamp =
+      if (java.nio.file.Files.exists(base))
+        new String(java.nio.file.Files.readAllBytes(base), "UTF-8")
+      else buildIvfIndex(s, sfDir, root) // self-heal, as the delta does
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == baseStamp
+    if (!fresh) {
+      import s.implicits._
+      val emb = t(s, sfDir, "embeddings")
+      emb.select($"vec_id").where($"vec_id" % 10 === 7)
+        .unionByName(emb.where($"vec_id" < 200 && $"vec_id" % 10 === 7)
+          .select(($"vec_id" + 1000000L).as("vec_id")))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/tombstones")
+      RelationalQueries.markFresh(s"$root/tombstones", baseStamp)
+    }
+    root
+  }
+
+  /** Base ∪ delta with the tombstoned ids anti-joined out — the s63
+    * serving frame. The tombstone set is metadata-sized, so the
+    * anti-join is a broadcast probe; at 100 TB no index file is
+    * rewritten to delete a vector. */
+  private def tombstonedServingFrame(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/index")
+      .unionByName(s.read.parquet(s"$root/delta"))
+      .join(broadcast(s.read.parquet(s"$root/tombstones")
+        .withColumnRenamed("vec_id", "nbr_id")), Seq("nbr_id"), "left_anti")
+
+  /** Compaction: fold base + delta − tombstones into a NEW
+    * digest-stamped generation (`gen2`, its own hive-partitioned list
+    * layout). Assignment is per-vector under the FROZEN centroids, so
+    * the compacted index is bit-identical to a from-scratch rebuild on
+    * the surviving corpus — serving flips to one clean scan and the
+    * tombstone anti-join disappears. The gen2 marker records the base
+    * generation's stamp: the whole chain (base → delta → tombstones →
+    * gen2) invalidates together when the corpus regenerates. */
+  def ensureIvfCompaction(s: SparkSession, sfDir: String): String = {
+    val root = ensureIvfTombstoneExport(s, sfDir)
+    val marker = java.nio.file.Paths.get(root, "gen2", "_SUCCESS")
+    val baseStamp = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_SUCCESS")), "UTF-8")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == baseStamp
+    if (!fresh) {
+      tombstonedServingFrame(s, root)
+        .write.mode("overwrite").partitionBy("__cid").parquet(s"$root/gen2/index")
+      RelationalQueries.markFresh(s"$root/gen2", baseStamp)
+    }
+    root
+  }
+
   /** DuckDB: whitespace tokens / 3-word shingles mirroring TextAnalysis/Dedup. */
   private val duckTokens =
     "list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0)"
@@ -302,6 +371,38 @@ object PipelineQueries {
       val assigned = s.read.parquet(s"$root/index")
         .unionByName(s.read.parquet(s"$root/delta"))
       Similarity.ivfTopKOnIndex(cents, assigned,
+          t(s, dir, "embeddings").where($"vec_id" < 5), k = 10)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
+    // Index DELETE path: base ∪ delta served with the tombstoned ids
+    // anti-joined out (broadcast — the tombstone set is metadata-sized,
+    // no index file is touched). With frozen centroids the answer must
+    // equal a from-scratch rebuild on the surviving corpus, which is
+    // exactly what the oracle recomputes.
+    "s63_ann_index_delete" -> ((s, dir) => {
+      import s.implicits._
+      val root = ensureIvfTombstoneExport(s, dir)
+      val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
+        .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+      tombstoneIvfCents = Some(cents)
+      Similarity.ivfTopKOnIndex(cents, tombstonedServingFrame(s, root),
+          t(s, dir, "embeddings").where($"vec_id" < 5), k = 10)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
+    // Compacted-generation serving: the same answer as s63 from ONE
+    // clean hive-partitioned scan — base, delta and tombstones folded
+    // into a new digest-stamped generation, the anti-join gone. The
+    // oracle is the identical surviving-corpus recompute: compaction
+    // must never change an answer.
+    "s64_ann_index_compact" -> ((s, dir) => {
+      import s.implicits._
+      val root = ensureIvfCompaction(s, dir)
+      val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
+        .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+      compactedIvfCents = Some(cents)
+      Similarity.ivfTopKOnIndex(cents, s.read.parquet(s"$root/gen2/index"),
           t(s, dir, "embeddings").where($"vec_id" < 5), k = 10)
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
@@ -1043,7 +1144,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle
 
   /** d53's oracle from the stashed centroids (see [[ivfOracle]] for the
     * stash-then-splice contract): assignment (argmax cosine, ties→low
@@ -1307,6 +1408,25 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT vec_id + 1000000 AS vec_id, list_reverse(embedding) AS embedding
         |  FROM embeddings WHERE vec_id < 200""".stripMargin)).toMap
+
+  /** The SURVIVING corpus (base ∪ delta minus every id ≡ 7 mod 10 —
+    * the shifted delta ids keep their residue, so one predicate covers
+    * both sides). s63 (tombstone anti-join) and s64 (compacted
+    * generation) share this ONE source template: both serving layouts
+    * must answer as a from-scratch rebuild on exactly this corpus. */
+  private val survivingCorpusSql: String =
+    """SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, list_reverse(embedding) AS embedding
+      |  FROM embeddings WHERE vec_id < 200 AND vec_id % 10 <> 7""".stripMargin
+
+  private def tombstoneIvfOracle: Map[String, String] =
+    tombstoneIvfCents.map(c =>
+      "s63_ann_index_delete" -> ivfProbeOracleSql(c, survivingCorpusSql)).toMap
+
+  private def compactedIvfOracle: Map[String, String] =
+    compactedIvfCents.map(c =>
+      "s64_ann_index_compact" -> ivfProbeOracleSql(c, survivingCorpusSql)).toMap
 
   /** s58's oracle from its stashed centroids: IVF candidates (same CTEs
     * as s37, k=8), exact nearest per query (all-pairs, oracle-side

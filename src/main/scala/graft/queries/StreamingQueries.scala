@@ -155,6 +155,21 @@ object StreamingQueries {
       joinType)
   }
 
+  /** The s42/s52/s59 trio's shared session topology — 30m-gap session
+    * windows under a 10m watermark, DECIMAL value fold (order-
+    * independent sums, as a24). ONE definition so the single-batch,
+    * multi-batch and restart-recovery variants cannot drift; all three
+    * share sessionOracleSql. */
+  private def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value, 6) AS DECIMAL(18,6))")).cast("double").as("total_value"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("start_ts"),
+        unix_millis(col("w.end")).as("window_end_ts"),
+        col("n_events"), col("total_value"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Watermarked 1h tumbling-window aggregation, actually executed by
     // the streaming engine (stateful agg, watermark tracking, state
@@ -238,15 +253,7 @@ object StreamingQueries {
     // the batch twin s38 reports last-event end_ts instead. DECIMAL
     // value fold as s38/a24 for order-independent sums.
     "s42_stream_sessions" -> ((s, dir) => {
-      val sess = eventStream(s, dir)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(expr("CAST(round(value, 6) AS DECIMAL(18,6))")).cast("double").as("total_value"))
-        .select(col("user_id"), unix_millis(col("w.start")).as("start_ts"),
-          unix_millis(col("w.end")).as("window_end_ts"),
-          col("n_events"), col("total_value"))
-      runToTable(s, sess, OutputMode.Append(), "s42_sink")
+      runToTable(s, sessionAgg(eventStream(s, dir)), OutputMode.Append(), "s42_sink")
         .orderBy(asc_nulls_last("user_id"), col("start_ts"))  // see s41
     }),
     // Stream-stream interval join (click → purchase attribution within
@@ -392,15 +399,61 @@ object StreamingQueries {
     // and extended by batch 2, and emitted on the final watermark. Same
     // oracle as s42 by construction (see ensureTimeSplitEvents).
     "s52_stream_sessions_batched" -> ((s, dir) => {
-      val sess = splitEventStream(s, dir)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(expr("CAST(round(value, 6) AS DECIMAL(18,6))")).cast("double").as("total_value"))
-        .select(col("user_id"), unix_millis(col("w.start")).as("start_ts"),
-          unix_millis(col("w.end")).as("window_end_ts"),
-          col("n_events"), col("total_value"))
-      runToTable(s, sess, OutputMode.Append(), "s52_sink")
+      runToTable(s, sessionAgg(splitEventStream(s, dir)), OutputMode.Append(), "s52_sink")
+        .orderBy(asc_nulls_last("user_id"), col("start_ts"))  // see s41
+    }),
+    // CHECKPOINT RECOVERY across a restart — the production property
+    // every unbounded deployment assumes and s55's landing path
+    // presupposes: run the session topology over the first time-half
+    // of the corpus, let the query STOP, land the second half, and
+    // restart the identical topology from the SAME checkpoint. The
+    // restart recovers source offsets from the WAL (file a is never
+    // re-read), open-session state from the state store (sessions
+    // spanning the split are merged across the restart boundary), and
+    // the parquet file sink's transaction log keeps landed batches
+    // exactly-once — a re-delivered batch would double sessions and
+    // hash-mismatch. The final landed answer must equal the
+    // uninterrupted run: the oracle is the shared s42/s52 session SQL,
+    // unchanged.
+    "s59_stream_recovery" -> ((s, dir) => {
+      val split = ensureTimeSplitEvents(s, dir)
+      val srcDir = RelationalQueries.dataRoot("ck-recovery", dir, "src")
+      val outDir = RelationalQueries.dataRoot("ck-recovery", dir, "out")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(srcDir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      // deleted ONCE per invocation; both runs below share it — the
+      // second run RESUMING it is the point of the query
+      val ck = freshCheckpointDir(s, "s59_recovery")
+      def land(half: String): Unit =
+        new java.io.File(s"$split/$half").listFiles()
+          .filter(_.getName.startsWith("part-"))
+          .foreach { f =>
+            fs.copyFromLocalFile(new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+              new org.apache.hadoop.fs.Path(s"$srcDir/$half-${f.getName}"))
+          }
+      def runOnce(): Unit = {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          // state width is fixed by the FIRST run's checkpoint; the
+          // restart must ask for the same (see runToTable's rationale)
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+          val sess = sessionAgg(
+            s.readStream.schema(splitEventSchema).parquet(srcDir))
+          val q = sess.writeStream
+            .outputMode(OutputMode.Append())
+            .format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+      land("a"); runOnce() // run 1: first half, then the query stops
+      land("b"); runOnce() // restart: offsets + state recovered, only b read
+      s.read.parquet(outDir)
         .orderBy(asc_nulls_last("user_id"), col("start_ts"))  // see s41
     }),
     // Count-Min frequency sketch maintained AS STREAMING STATE (global
@@ -494,6 +547,10 @@ object StreamingQueries {
     // final watermark is the same) — what changes is only that the
     // engine now proves its cross-batch session-state merge
     "s52_stream_sessions_batched" -> sessionOracleSql,
+    // identical oracle again: a restart from checkpoint must converge
+    // to the uninterrupted answer — offsets (no re-read), state (open
+    // sessions restored), sink (exactly-once landing) all recovered
+    "s59_stream_recovery" -> sessionOracleSql,
     "s43_stream_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
         | epoch_ms(a.ts) AS click_ms, epoch_ms(b.ts) AS purchase_ms

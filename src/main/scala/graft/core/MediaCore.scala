@@ -211,6 +211,121 @@ object MediaCore {
     Array(w.toLong, h.toLong, sum, sig)
   }
 
+  // ---------------------------------------------------------------------
+  // RGB extension of the real-codec boundary: 8-bit three-channel PNGs,
+  // per-channel grid sums + an aHash over integer BT.601 luminance. The
+  // gray path above is untouched (bit-stable); the two share the ONE
+  // grid-sum/threshold kernel (gridSumSig).
+  // ---------------------------------------------------------------------
+
+  /** Per-channel terms of the RGB fixture pattern: channel c of pixel
+    * (x,y) is `(base + add(c) + dx(c)·x + dy(c)·y + bump) mod 251` with
+    * base = floorMod(doc_id·31, 251) and bump = 120·variant at (0,0) on
+    * EVERY channel (so the two variants stay perceptual near-dups in
+    * luminance). Red reuses the gray formula's coefficients exactly.
+    * All terms are non-negative before the final mod — DuckDB's
+    * truncated `%` recomputes the same values. */
+  private val ChanAdd = Array(0L, 89L, 178L)
+  private val ChanDx = Array(7L, 11L, 5L)
+  private val ChanDy = Array(13L, 3L, 17L)
+
+  /** Deterministic RGB pattern for fixture image `imgId` — three
+    * row-major channel planes (r, g, b). */
+  def patternRgb(imgId: Long): Array[Array[Byte]] = {
+    val docId = java.lang.Math.floorDiv(imgId, 2L)
+    val variant = java.lang.Math.floorMod(imgId, 2L)
+    val base = java.lang.Math.floorMod(docId * 31L, 251L)
+    val out = Array.ofDim[Byte](3, PatW * PatH)
+    var c = 0
+    while (c < 3) {
+      var y = 0
+      while (y < PatH) {
+        var x = 0
+        while (x < PatW) {
+          val bump = if (x == 0 && y == 0) 120L * variant else 0L
+          out(c)(y * PatW + x) =
+            ((base + ChanAdd(c) + ChanDx(c) * x + ChanDy(c) * y + bump) % 251L).toByte
+          x += 1
+        }
+        y += 1
+      }
+      c += 1
+    }
+    out
+  }
+
+  /** Real PNG encode of the imgId's RGB fixture pattern (8-bit/chan). */
+  def encodePatternRgbPng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      PatW, PatH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val chans = patternRgb(id)
+    var y = 0
+    while (y < PatH) {
+      var x = 0
+      while (x < PatW) {
+        var c = 0
+        while (c < 3) {
+          img.getRaster.setSample(x, y, c, chans(c)(y * PatW + x) & 0xff)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      "no PNG writer registered in this JVM") // see encodePatternPng
+    bos.toByteArray
+  }
+
+  /**
+   * Real RGB PNG decode → (width, height, r/g/b 8x8-grid sums,
+   * luminance aHash64). Per-channel grid sums reuse the shared
+   * [[gridSumSig]] kernel; the perceptual hash is computed over
+   * integer BT.601 luminance `(299r + 587g + 114b) / 1000` (truncating
+   * division — exactly reproducible in SQL). Validation mirrors
+   * [[pngStats]]: bounded decoder-controlled dimensions, and anything
+   * but 8-bit three-band color is rejected loudly (silently hashing a
+   * gray or 16-bit payload would surface as a distant oracle mismatch).
+   */
+  def pngRgbStats(png: Array[Byte]): Array[Long] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(png)) // memory-cached: see pngStats
+    val img =
+      try javax.imageio.ImageIO.read(iis)
+      finally { try iis.close() catch { case _: java.io.IOException => () } }
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 22),
+      s"image dimensions out of bounds: ${w}x$h")
+    val raster = img.getRaster
+    require(raster.getNumBands == 3 &&
+        (0 until 3).forall(img.getColorModel.getComponentSize(_) == 8),
+      s"expected 8-bit RGB, got ${raster.getNumBands} band(s)")
+    val r = new Array[Byte](w * h)
+    val g = new Array[Byte](w * h)
+    val b = new Array[Byte](w * h)
+    val luma = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        val rv = raster.getSample(x, y, 0)
+        val gv = raster.getSample(x, y, 1)
+        val bv = raster.getSample(x, y, 2)
+        r(i) = rv.toByte; g(i) = gv.toByte; b(i) = bv.toByte
+        luma(i) = ((299 * rv + 587 * gv + 114 * bv) / 1000).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Array(w.toLong, h.toLong,
+      gridSumSig(r, w, h)._1, gridSumSig(g, w, h)._1, gridSumSig(b, w, h)._1,
+      gridSumSig(luma, w, h)._2)
+  }
+
   /**
    * Per-frame checksums: split the payload into `nFrames` contiguous
    * chunks (boundaries `k*len/nFrames`, integer division) and Adler-style

@@ -76,6 +76,15 @@ object Multimodal {
   def png_stats(payload: Column): Column =
     Bridge.column(PngStats(Bridge.expression(payload)))
 
+  /** Real-codec encode of the id's deterministic RGB fixture pattern. */
+  def png_encode_rgb_pattern(id: Column): Column =
+    Bridge.column(PngEncodeRgbPattern(Bridge.expression(id)))
+
+  /** Real-codec RGB decode: PNG payload → [width, height, r/g/b
+    * 8x8-grid sums, luminance aHash64]. */
+  def png_rgb_stats(payload: Column): Column =
+    Bridge.column(PngRgbStats(Bridge.expression(payload)))
+
   /**
    * Perceptual-hash image near-dups: aHash signatures banded and
    * verified exactly like SimHash text near-dups
@@ -192,6 +201,40 @@ case class PngStats(child: Expression) extends UnaryExpression with ExpectsInput
     defineCodeGen(ctx, ev, c =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.MediaCore.pngStats($c))")
   override protected def withNewChildInternal(newChild: Expression): PngStats =
+    copy(child = newChild)
+}
+
+/** `png_encode_rgb_pattern(id)` → binary: REAL PNG encode of the id's
+  * RGB fixture pattern (interpreted-only, as [[PngEncodePattern]] —
+  * fixture-ingest path, the codec call dominates). */
+case class PngEncodeRgbPattern(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "png_encode_rgb_pattern"
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    MediaCore.encodePatternRgbPng(input.asInstanceOf[Long])
+  override protected def withNewChildInternal(newChild: Expression): PngEncodeRgbPattern =
+    copy(child = newChild)
+}
+
+/** `png_rgb_stats(payload)` → array<long> [width, height, r_sum, g_sum,
+  * b_sum, luma aHash]: REAL RGB PNG decode feeding the shared grid
+  * kernel per channel + the integer-BT.601 luminance hash. Codegen'd —
+  * the static call keeps the scan stage in whole-stage codegen. */
+case class PngRgbStats(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "png_rgb_stats"
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MediaCore.pngRgbStats(input.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.MediaCore.pngRgbStats($c))")
+  override protected def withNewChildInternal(newChild: Expression): PngRgbStats =
     copy(child = newChild)
 }
 

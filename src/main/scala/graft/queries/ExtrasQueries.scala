@@ -87,6 +87,28 @@ object ExtrasQueries {
     dir
   }
 
+  /** RGB variant of the fixture set (same id scheme, three-channel
+    * patterns, real JDK PNG encode — see MediaCore.patternRgb). */
+  def rgbPngDir(sfDir: String): String =
+    RelationalQueries.dataRoot("png-rgb", sfDir, "fixtures")
+
+  def ensureRgbPngExport(s: SparkSession, sfDir: String): String = {
+    val dir = rgbPngDir(sfDir)
+    val want = RelationalQueries.srcDigest(sfDir, "documents")
+    if (RelationalQueries.stale(dir, sfDir, "documents")) {
+      t(s, sfDir, "documents")
+        .orderBy("doc_id").limit(100)
+        .select(col("doc_id"), explode(array(lit(0L), lit(1L))).as("variant"))
+        .select((col("doc_id") * 2 + col("variant")).as("img_id"))
+        .select(col("img_id"),
+          Multimodal.png_encode_rgb_pattern(col("img_id")).as("payload"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      RelationalQueries.markFresh(dir, want)
+    }
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // REAL-codec decode (the stub boundary's other side): PNG fixtures
     // are decoded with the JDK's actual PNG codec inside a codegen'd
@@ -122,6 +144,26 @@ object ExtrasQueries {
           element_at(Multimodal.png_stats($"payload"), 4).as("sig"))
       graft.operators.Dedup.hammingPairs(sigs, maxHamming = 3)
         .orderBy("i", "j")
+    }),
+    // RGB extension of the real-codec boundary: three-channel fixtures
+    // decoded with the JDK's actual PNG codec, per-channel 8×8 grid
+    // sums + an aHash over integer BT.601 luminance. The oracle
+    // recomputes every channel from the pattern formula — a decoder
+    // that swapped bands, truncated bit depth, or mis-weighted the
+    // luminance would hash-mismatch. The gray m56 path is untouched.
+    "m58_png_rgb_decode" -> ((s, dir) => {
+      import s.implicits._
+      val path = ensureRgbPngExport(s, dir)
+      s.read.parquet(path)
+        .select($"img_id", Multimodal.png_rgb_stats($"payload").as("st"))
+        .select($"img_id",
+          element_at($"st", 1).as("width"),
+          element_at($"st", 2).as("height"),
+          element_at($"st", 3).as("r_sum"),
+          element_at($"st", 4).as("g_sum"),
+          element_at($"st", 5).as("b_sum"),
+          element_at($"st", 6).as("ahash"))
+        .orderBy("img_id")
     }),
     // Binary payload + typed metadata + native feature expression.
     "m50_media_features" -> ((s, dir) => {
@@ -317,7 +359,42 @@ object ExtrasQueries {
       |           ELSE CAST(0 AS HUGEINT) END) AS su
       | FROM v JOIN s ON v.img_id = s.img_id GROUP BY v.img_id)""".stripMargin
 
+  // RGB fixture oracle CTEs: each channel's grid cell t samples pixel
+  // (3·(t%8), 2·(t//8)), so the per-cell values are base + add(c) +
+  // 3·dx(c)·(t%8) + 2·dy(c)·(t//8) (+ the variant bump at cell 0), all
+  // mod 251; luminance is the same truncating (299r+587g+114b)//1000
+  // the decoder computes. Coefficients: r=(0,7,13), g=(89,11,3),
+  // b=(178,5,17) — see MediaCore.ChanAdd/ChanDx/ChanDy.
+  private val rgbSigCte = {
+    def chan(add: Int, dx: Int, dy: Int) =
+      s"(((doc_id * 31) % 251 + 251) % 251 + $add + (t % 8) * ${3 * dx} + (t // 8) * ${2 * dy}" +
+        " + CASE WHEN t = 0 THEN 120 * variant ELSE 0 END) % 251"
+    s"""ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100),
+       |imgs AS (SELECT doc_id, unnest([0, 1]) AS variant FROM ids),
+       |cells AS (SELECT doc_id * 2 + variant AS img_id, doc_id, variant,
+       |          unnest(range(0, 64)) AS t FROM imgs),
+       |v AS (SELECT img_id, t, ${chan(0, 7, 13)} AS r, ${chan(89, 11, 3)} AS g,
+       |  ${chan(178, 5, 17)} AS b FROM cells),
+       |lv AS (SELECT img_id, t, r, g, b,
+       |  (299 * r + 587 * g + 114 * b) // 1000 AS luma FROM v),
+       |s AS (SELECT img_id, SUM(r) AS rs, SUM(g) AS gs, SUM(b) AS bs,
+       |  SUM(luma) AS ls FROM lv GROUP BY img_id),
+       |sg AS (SELECT lv.img_id,
+       |  SUM(CASE WHEN lv.luma * 64 > s.ls THEN CAST(1 AS HUGEINT) << lv.t
+       |           ELSE CAST(0 AS HUGEINT) END) AS su
+       | FROM lv JOIN s ON lv.img_id = s.img_id GROUP BY lv.img_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "m58_png_rgb_decode" ->
+      s"""WITH $rgbSigCte
+         |SELECT s.img_id, CAST(24 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+         |  CAST(s.rs AS BIGINT) AS r_sum, CAST(s.gs AS BIGINT) AS g_sum,
+         |  CAST(s.bs AS BIGINT) AS b_sum,
+         |  CAST(CASE WHEN sg.su >= CAST('9223372036854775808' AS HUGEINT)
+         |       THEN sg.su - CAST('18446744073709551616' AS HUGEINT)
+         |       ELSE sg.su END AS BIGINT) AS ahash
+         |FROM s JOIN sg ON s.img_id = sg.img_id ORDER BY s.img_id""".stripMargin,
     "m56_png_decode" ->
       s"""WITH $pngSigCte
          |SELECT s.img_id, CAST(24 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,

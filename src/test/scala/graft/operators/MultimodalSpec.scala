@@ -119,6 +119,49 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("RGB round-trip: per-channel grid sums and luma hash match the pattern formula") {
+    Seq(0L, 1L, 7L, 250L, 251L, 123456789L, -3L).foreach { id =>
+      val png = MediaCore.encodePatternRgbPng(id)
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+      val st = MediaCore.pngRgbStats(png)
+      assert(st(0) == MediaCore.PatW && st(1) == MediaCore.PatH)
+      // formula-side recompute: grid cell t samples (3·(t%8), 2·(t//8))
+      val chans = MediaCore.patternRgb(id)
+      def cell(c: Int, t: Int): Int =
+        chans(c)((t / 8 * 2) * MediaCore.PatW + (t % 8) * 3) & 0xff
+      for (c <- 0 until 3)
+        assert(st(2 + c) == (0 until 64).map(cell(c, _)).sum.toLong,
+          s"id=$id channel $c grid sum")
+      val lumas = (0 until 64).map(t =>
+        (299 * cell(0, t) + 587 * cell(1, t) + 114 * cell(2, t)) / 1000)
+      val lsum = lumas.sum
+      val wantSig = (0 until 64).foldLeft(0L) { (acc, t) =>
+        if (lumas(t).toLong * 64L > lsum) acc | (1L << t) else acc
+      }
+      assert(st(5) == wantSig, s"id=$id luma hash")
+    }
+  }
+
+  test("png_rgb_stats rejects grayscale payloads loudly (band mismatch)") {
+    val gray = MediaCore.encodePatternPng(4L)
+    val e = intercept[Exception] { MediaCore.pngRgbStats(gray) }
+    assert(e.getMessage.contains("band"), e.getMessage)
+    // and the gray kernel likewise refuses the RGB payload — the two
+    // boundaries stay loud in both directions
+    val rgb = MediaCore.encodePatternRgbPng(4L)
+    intercept[Exception] { MediaCore.pngStats(rgb) }
+  }
+
+  test("RGB variant twins stay luminance near-duplicates") {
+    val hams = (0L until 20L).map { d =>
+      val s0 = MediaCore.pngRgbStats(MediaCore.encodePatternRgbPng(d * 2))(5)
+      val s1 = MediaCore.pngRgbStats(MediaCore.encodePatternRgbPng(d * 2 + 1))(5)
+      java.lang.Long.bitCount(s0 ^ s1)
+    }
+    assert(hams.forall(_ <= 10), hams.mkString(","))
+    assert(hams.exists(_ <= 3), hams.mkString(","))
+  }
+
   test("batched mapPartitions decode agrees with the expression path") {
     val m = Multimodal.synthesizeMedia(docs)
     val viaExpr = m.select($"doc_id", element_at(Multimodal.media_features($"payload"), 1).as("f0"))

@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, TimestampNTZType}
+
+/**
+ * Deterministic scale-factor data generator for the SCALING.md slope
+ * measurement (VERDICT r7 "next round" item 1).
+ *
+ * The driver ships read-only testdata only up to sf0.1 (TESTDATA.md);
+ * measuring the sf0.1→sf1 slope needs an sf1 corpus with the SAME
+ * distributions. This generator was calibrated against the driver's
+ * sf0.001/0.01/0.1 tables (schemas, cardinality scaling law, value
+ * ranges, planted-duplicate structure — all profiled from the files,
+ * none copied):
+ *
+ *  - rows ∝ sf: customer 150k·10sf, supplier 10k·10sf, part 200k·10sf,
+ *    orders 1.5M·10sf, lineitem ≈4/order (linenumber 1..7), events
+ *    1M·10sf over 15k·10sf users / 30 days of Jan-2024, documents
+ *    max(500, 500k·sf), embeddings max(500, 200k·sf); region/nation
+ *    are fixed 5/25-row dimensions copied from the source dir.
+ *  - every timestamp column is physical TIMESTAMP(MICROS) without
+ *    timezone (TIMESTAMP_NTZ), matching the driver's parquet layout.
+ *  - documents: 10–100-word salads over the 30-word vocab; 5% are
+ *    near-dup family members (shared family salad + 1..3 trailing
+ *    "dup" marker tokens — the driver's planted structure); ~0.17% of
+ *    base docs are exact copies of an earlier doc.
+ *  - embeddings: 64-dim iid N(0,1), L2-normalized, float — the driver
+ *    corpus has no cluster structure (per-label mean-vector norm
+ *    ≈ 1/sqrt(n), max pairwise cosine 0.60 at sf0.1).
+ *
+ * Everything derives from xxhash64 streams keyed on (table-tag, id) —
+ * no RNG state, no driver-side loops, one distributed `range` per
+ * table, so generating sf10 (60M lineitem) is as parallel as a scan.
+ * Each table is written as a single part file to mirror the driver's
+ * one-file-per-table layout (scan-split parity for the slope run).
+ *
+ * Usage: runMain graft.GenData <srcSfDir> <outDir> <sf> [table,table,...]
+ * (the optional 4th arg restricts generation to the named tables —
+ * e.g. a lineitem-only sf10 corpus for the AQE skew-split check)
+ */
+object GenData {
+
+  /** uniform [0,1) from a 64-bit hash of (tag, cols...) */
+  private def u(tag: String, cols: Column*): Column =
+    shiftrightunsigned(xxhash64((lit(tag) +: cols): _*), 11).cast("double") / lit((1L << 53).toDouble)
+
+  /** standard normal via Box–Muller from two independent uniform streams */
+  private def gauss(tag: String, cols: Column*): Column = {
+    val u1 = u(tag + "/g1", cols: _*)
+    val u2 = u(tag + "/g2", cols: _*)
+    sqrt(lit(-2.0) * log(lit(1.0) - u1)) * cos(lit(2.0 * math.Pi) * u2)
+  }
+
+  private def pick(tag: String, id: Column, values: Seq[String]): Column =
+    element_at(array(values.map(lit): _*), (pmod(xxhash64(lit(tag), id), lit(values.size)) + 1).cast(IntegerType))
+
+  /** uniform TIMESTAMP_NTZ in [start, start + spanDays) with µs resolution */
+  private def ntzTs(tag: String, id: Column, start: String, spanDays: Double): Column =
+    timestamp_micros(
+      (lit(java.time.LocalDateTime.parse(start).toEpochSecond(java.time.ZoneOffset.UTC)) * lit(1000000L)
+        + (u(tag, id) * lit(spanDays * 86400e6)).cast("long"))
+    ).cast(TimestampNTZType)
+
+  private val docVocab = Seq("a", "agg", "batch", "big", "column", "customer",
+    "data", "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window")
+  private val partAdj = Seq("blue", "cold", "hot", "large", "new", "old", "red", "small")
+  private val partNoun = Seq("anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget")
+  private val partType = Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+
+  /** 10–100-word salad over the doc vocab, seeded by an arbitrary seed column */
+  private def salad(seed: Column, nWords: Column): Column =
+    array_join(transform(sequence(lit(1), nWords),
+      i => element_at(array(docVocab.map(lit): _*),
+        (pmod(xxhash64(lit("doc/w"), seed, i), lit(docVocab.size)) + 1).cast(IntegerType))), " ")
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, sfStr) = args.take(3)
+    val sf = sfStr.toDouble
+    val only: Set[String] = args.drop(3).headOption.map(_.split(",").toSet).getOrElse(Set.empty)
+    def wanted(name: String): Boolean = only.isEmpty || only(name)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rows(perSf: Long): Long = math.round(perSf * sf)
+    val nCust = rows(1500000)
+    val nSupp = rows(100000)
+    val nPart = rows(2000000)
+    val nOrders = rows(15000000)
+    val nUsers = rows(150000)
+    val nEvents = rows(10000000)
+    val nDocs = math.max(500L, rows(500000))
+    val nVecs = math.max(500L, rows(200000))
+
+    def write(df: => DataFrame, name: String, parts: Int = 1): Unit = if (wanted(name)) {
+      df.coalesce(parts).write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+      println(s"[gendata] wrote $name")
+    }
+
+    // fixed dimensions: identical content at every sf
+    write(spark.read.parquet(s"$srcDir/region.parquet"), "region")
+    write(spark.read.parquet(s"$srcDir/nation.parquet"), "nation")
+
+    lazy val cust = spark.range(nCust).select(
+      col("id").as("c_custkey"),
+      format_string("Customer#%09d", col("id")).as("c_name"),
+      pmod(xxhash64(lit("c/nat"), col("id")), lit(25)).cast(IntegerType).as("c_nationkey"),
+      round(u("c/bal", col("id")) * lit(11000.0) - lit(1000.0), 2).as("c_acctbal"),
+      pick("c/seg", col("id"), Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")).as("c_mktsegment"))
+    write(cust, "customer")
+
+    val supp = spark.range(nSupp).select(
+      col("id").as("s_suppkey"),
+      format_string("Supplier#%09d", col("id")).as("s_name"),
+      pmod(xxhash64(lit("s/nat"), col("id")), lit(25)).cast(IntegerType).as("s_nationkey"),
+      round(u("s/bal", col("id")) * lit(11000.0) - lit(1000.0), 2).as("s_acctbal"))
+    write(supp, "supplier")
+
+    val part = spark.range(nPart).select(
+      col("id").as("p_partkey"),
+      concat(pick("p/adj", col("id"), partAdj), lit(" "), pick("p/noun", col("id"), partNoun)).as("p_name"),
+      concat(lit("Brand#"), (pmod(xxhash64(lit("p/br"), col("id")), lit(25)) + 1).cast("string")).as("p_brand"),
+      pick("p/ty", col("id"), partType).as("p_type"),
+      (pmod(xxhash64(lit("p/sz"), col("id")), lit(50)) + 1).cast(IntegerType).as("p_size"),
+      round(lit(900.0) + u("p/rp", col("id")) * lit(99.9), 2).as("p_retailprice"))
+    write(part, "part")
+
+    val orders = spark.range(nOrders).select(
+      col("id").as("o_orderkey"),
+      pmod(xxhash64(lit("o/cust"), col("id")), lit(nCust)).as("o_custkey"),
+      pick("o/st", col("id"), Seq("F", "O", "P")).as("o_orderstatus"),
+      round(lit(1000.0) + u("o/tp", col("id")) * lit(499000.0), 2).as("o_totalprice"),
+      ntzTs("o/dt", col("id"), "1995-01-01T00:00", 2404.0).as("o_orderdate"),
+      pick("o/pr", col("id"), Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")).as("o_orderpriority"))
+    write(orders, "orders", parts = math.max(1, (sf * 10).toInt / 8))
+
+    // ~4 lines/order (uniform 1..7 — matches the driver's mean and
+    // linenumber range); fan-out via explode keeps generation one pass
+    val li = spark.range(nOrders)
+      .select(col("id").as("l_orderkey"),
+        explode(sequence(lit(1), (pmod(xxhash64(lit("l/k"), col("id")), lit(7)) + 1).cast(IntegerType))).as("l_linenumber"))
+    val lid = Seq(col("l_orderkey"), col("l_linenumber"))
+    val lineitem = li.select(
+      col("l_orderkey"),
+      pmod(xxhash64((lit("l/part") +: lid): _*), lit(nPart)).as("l_partkey"),
+      pmod(xxhash64((lit("l/supp") +: lid): _*), lit(nSupp)).as("l_suppkey"),
+      col("l_linenumber"),
+      (pmod(xxhash64((lit("l/q") +: lid): _*), lit(50)) + 1).cast("double").as("l_quantity"),
+      round(lit(900.0) + u("l/ep", lid: _*) * lit(104100.0), 2).as("l_extendedprice"),
+      (pmod(xxhash64((lit("l/d") +: lid): _*), lit(11)).cast("double") / lit(100.0)).as("l_discount"),
+      (pmod(xxhash64((lit("l/t") +: lid): _*), lit(9)).cast("double") / lit(100.0)).as("l_tax"),
+      pick("l/rf", xxhash64(lid: _*), Seq("A", "N", "R")).as("l_returnflag"),
+      pick("l/ls", xxhash64(lid: _*), Seq("F", "O")).as("l_linestatus"),
+      ntzTs("l/sd", xxhash64(lid: _*), "1995-01-02T00:00", 2498.0).as("l_shipdate"))
+    write(lineitem, "lineitem", parts = math.max(1, (sf * 10).toInt / 2))
+
+    val events = spark.range(nEvents).select(
+      col("id").as("event_id"),
+      ntzTs("e/ts", col("id"), "2024-01-01T00:00", 30.0).as("ts"),
+      pmod(xxhash64(lit("e/u"), col("id")), lit(nUsers)).as("user_id"),
+      pick("e/ty", col("id"), Seq("click", "error", "purchase", "signup", "view")).as("event_type"),
+      round(lit(-50.0) * log(lit(1.0) - u("e/v", col("id"))), 2).as("value"),
+      format_string("{\"k\": %d}", pmod(xxhash64(lit("e/k"), col("id")), lit(100))).as("props"))
+    write(events, "events", parts = math.max(1, (sf * 10).toInt / 8))
+
+    // documents: 95% base salads (a few exact copies of earlier docs),
+    // 5% near-dup family members (family salad + 1..3 trailing "dup")
+    val nFam = math.max(1L, nDocs / 40)
+    val docs = spark.range(nDocs)
+      .withColumn("isFam", pmod(xxhash64(lit("d/fam?"), col("id")), lit(20)) === 0)
+      .withColumn("fam", pmod(xxhash64(lit("d/fam"), col("id")), lit(nFam)))
+      .withColumn("isCopy", !col("isFam") && pmod(xxhash64(lit("d/cp?"), col("id")), lit(594)) === 0 && col("id") > 0)
+      // exact copies reuse an earlier doc's whole text seed
+      .withColumn("seed",
+        when(col("isFam"), -(col("fam") + 1))
+          .when(col("isCopy"), pmod(xxhash64(lit("d/cp"), col("id")), greatest(col("id"), lit(1L))))
+          .otherwise(col("id")))
+      .withColumn("nWords", (pmod(xxhash64(lit("d/nw"), col("seed")), lit(91)) + 10).cast(IntegerType))
+      .withColumn("base", salad(col("seed"), col("nWords")))
+      .withColumn("text",
+        when(col("isFam"),
+          concat(col("base"),
+            array_join(transform(sequence(lit(1), (pmod(xxhash64(lit("d/m"), col("id")), lit(3)) + 1).cast(IntegerType)),
+              _ => lit(" dup")), "")))
+          .otherwise(col("base")))
+      .select(
+        col("id").as("doc_id"),
+        col("text"),
+        // en is ~2× each other language (41/15/15/15/15 observed)
+        pick("d/lang", col("id"), Seq("en", "en", "en", "de", "es", "fr", "zh", "en", "de", "es", "fr", "zh", "en", "en")).as("lang"),
+        concat(lit("src"), pmod(xxhash64(lit("d/src"), col("id")), lit(20)).cast("string")).as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+    write(docs, "documents")
+
+    val vecs = spark.range(nVecs)
+      .withColumn("raw", transform(sequence(lit(0), lit(63)), i => gauss("v/e", col("id"), i)))
+      .withColumn("norm", sqrt(aggregate(col("raw"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(
+        col("id").as("vec_id"),
+        transform(col("raw"), x => x / col("norm")).cast(ArrayType(FloatType, containsNull = true)).as("embedding"),
+        pmod(xxhash64(lit("v/l"), col("id")), lit(10)).cast(IntegerType).as("label"))
+    write(vecs, "embeddings")
+
+    println(s"[gendata] done: sf=$sf at $outDir")
+    spark.stop()
+  }
+}

@@ -15,10 +15,10 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, TimestampN
  * ranges, planted-duplicate structure — all profiled from the files,
  * none copied):
  *
- *  - rows ∝ sf: customer 150k·10sf, supplier 10k·10sf, part 200k·10sf,
- *    orders 1.5M·10sf, lineitem ≈4/order (linenumber 1..7), events
- *    1M·10sf over 15k·10sf users / 30 days of Jan-2024, documents
- *    max(500, 500k·sf), embeddings max(500, 200k·sf); region/nation
+ *  - rows ∝ sf (counts quoted at sf=1): customer 150k, supplier 10k,
+ *    part 200k, orders 1.5M, lineitem ≈4/order (linenumber 1..7),
+ *    events 1M over 15k users / 30 days of Jan-2024, documents
+ *    max(500, 50k·sf), embeddings max(500, 20k·sf); region/nation
  *    are fixed 5/25-row dimensions copied from the source dir.
  *  - every timestamp column is physical TIMESTAMP(MICROS) without
  *    timezone (TIMESTAMP_NTZ), matching the driver's parquet layout.
@@ -33,8 +33,9 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, TimestampN
  * Everything derives from xxhash64 streams keyed on (table-tag, id) —
  * no RNG state, no driver-side loops, one distributed `range` per
  * table, so generating sf10 (60M lineitem) is as parallel as a scan.
- * Each table is written as a single part file to mirror the driver's
- * one-file-per-table layout (scan-split parity for the slope run).
+ * Tables are written with one part file per sf0.1-worth of rows: each
+ * part matches the driver's single-file sf0.1 table size, so scan
+ * split counts grow with the data the way a real ingest layout would.
  *
  * Usage: runMain graft.GenData <srcSfDir> <outDir> <sf> [table,table,...]
  * (the optional 4th arg restricts generation to the named tables —
@@ -91,15 +92,19 @@ object GenData {
     spark.sparkContext.setLogLevel("WARN")
 
     def rows(perSf: Long): Long = math.round(perSf * sf)
-    val nCust = rows(1500000)
-    val nSupp = rows(100000)
-    val nPart = rows(2000000)
-    val nOrders = rows(15000000)
-    val nUsers = rows(150000)
-    val nEvents = rows(10000000)
-    val nDocs = math.max(500L, rows(500000))
-    val nVecs = math.max(500L, rows(200000))
+    val nCust = rows(150000)
+    val nSupp = rows(10000)
+    val nPart = rows(200000)
+    val nOrders = rows(1500000)
+    val nUsers = rows(15000)
+    val nEvents = rows(1000000)
+    val nDocs = math.max(500L, rows(50000))
+    val nVecs = math.max(500L, rows(20000))
 
+    // one part file per sf0.1-worth of rows: each part matches the size
+    // of the driver's single-file sf0.1 table, so scan split counts grow
+    // with the data exactly as a real cluster's ingest layout would
+    val sfParts = math.max(1, math.round(sf * 10).toInt)
     def write(df: => DataFrame, name: String, parts: Int = 1): Unit = if (wanted(name)) {
       df.coalesce(parts).write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
       println(s"[gendata] wrote $name")
@@ -140,7 +145,7 @@ object GenData {
       round(lit(1000.0) + u("o/tp", col("id")) * lit(499000.0), 2).as("o_totalprice"),
       ntzTs("o/dt", col("id"), "1995-01-01T00:00", 2404.0).as("o_orderdate"),
       pick("o/pr", col("id"), Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")).as("o_orderpriority"))
-    write(orders, "orders", parts = math.max(1, (sf * 10).toInt / 8))
+    write(orders, "orders", parts = sfParts)
 
     // ~4 lines/order (uniform 1..7 — matches the driver's mean and
     // linenumber range); fan-out via explode keeps generation one pass
@@ -160,7 +165,7 @@ object GenData {
       pick("l/rf", xxhash64(lid: _*), Seq("A", "N", "R")).as("l_returnflag"),
       pick("l/ls", xxhash64(lid: _*), Seq("F", "O")).as("l_linestatus"),
       ntzTs("l/sd", xxhash64(lid: _*), "1995-01-02T00:00", 2498.0).as("l_shipdate"))
-    write(lineitem, "lineitem", parts = math.max(1, (sf * 10).toInt / 2))
+    write(lineitem, "lineitem", parts = sfParts)
 
     val events = spark.range(nEvents).select(
       col("id").as("event_id"),
@@ -169,7 +174,7 @@ object GenData {
       pick("e/ty", col("id"), Seq("click", "error", "purchase", "signup", "view")).as("event_type"),
       round(lit(-50.0) * log(lit(1.0) - u("e/v", col("id"))), 2).as("value"),
       format_string("{\"k\": %d}", pmod(xxhash64(lit("e/k"), col("id")), lit(100))).as("props"))
-    write(events, "events", parts = math.max(1, (sf * 10).toInt / 8))
+    write(events, "events", parts = sfParts)
 
     // documents: 95% base salads (a few exact copies of earlier docs),
     // 5% near-dup family members (family salad + 1..3 trailing "dup")
@@ -198,7 +203,7 @@ object GenData {
         pick("d/lang", col("id"), Seq("en", "en", "en", "de", "es", "fr", "zh", "en", "de", "es", "fr", "zh", "en", "en")).as("lang"),
         concat(lit("src"), pmod(xxhash64(lit("d/src"), col("id")), lit(20)).cast("string")).as("source"),
         length(col("text")).cast("long").as("n_chars"))
-    write(docs, "documents")
+    write(docs, "documents", parts = sfParts)
 
     val vecs = spark.range(nVecs)
       .withColumn("raw", transform(sequence(lit(0), lit(63)), i => gauss("v/e", col("id"), i)))
@@ -207,7 +212,7 @@ object GenData {
         col("id").as("vec_id"),
         transform(col("raw"), x => x / col("norm")).cast(ArrayType(FloatType, containsNull = true)).as("embedding"),
         pmod(xxhash64(lit("v/l"), col("id")), lit(10)).cast(IntegerType).as("label"))
-    write(vecs, "embeddings")
+    write(vecs, "embeddings", parts = sfParts)
 
     println(s"[gendata] done: sf=$sf at $outDir")
     spark.stop()

@@ -115,6 +115,27 @@ object Similarity {
    * are joined back only for surviving candidate pairs. The single-table
    * variant ([[nearDupPairs]] `useLsh`) is the degenerate L=1 case.
    */
+  /**
+   * Corpus-sized band width: the number of sign-bits per LSH table that
+   * holds expected bucket occupancy near `targetOccupancy` (buckets =
+   * 2^bits, occupancy ≈ n/2^bits). With FIXED bits, per-bucket candidate
+   * pairs grow as (n/2^bits)² — quadratic in corpus size (measured:
+   * 15.7× time at 10× rows, SCALING.md); holding occupancy constant
+   * makes candidate cost L·n·occupancy/2 — linear. The trade is recall:
+   * per-table collision probability p(sim)^bits falls as bits grow, so
+   * a production deployment that must HOLD recall grows the table count
+   * L ∝ p^-bits alongside (the classic LSH exponent — sub-quadratic,
+   * not linear). The declared queries keep L=8 fixed and size only the
+   * bits, documenting recall-for-cost as the chosen trade; the oracle
+   * re-derives candidates with the same (L, bits), so the result is
+   * exact for whatever sizing is in force.
+   */
+  def lshBitsFor(n: Long, targetOccupancy: Int = 125,
+                 minBits: Int = 4, maxBits: Int = 16): Int = {
+    val needed = math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    math.min(maxBits, math.max(minBits, needed))
+  }
+
   def bandedNearDupPairs(df: DataFrame, threshold: Double,
                          tables: Int = 8, bitsPerTable: Int = 4, dim: Int = 64,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

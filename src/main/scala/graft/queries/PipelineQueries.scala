@@ -60,6 +60,15 @@ object PipelineQueries {
   /** s64's centroids (own stash — compacted-generation serving path). */
   @volatile private var compactedIvfCents: Option[Array[Array[Double]]] = None
 
+  /** s65's centroids (own stash — metadata-filtered serving path). */
+  @volatile private var filteredIvfCents: Option[Array[Array[Double]]] = None
+
+  /** d36/d56's corpus-sized LSH band widths (bits per table), stashed
+    * when the query runs so the oracle re-derives signatures at the
+    * SAME width (the ANN splice pattern: oracle exists only post-run). */
+  @volatile private var d36Bits: Option[Int] = None
+  @volatile private var d56Bits: Option[Int] = None
+
   /** Trained-quantizer memo, keyed by corpus dir. The k-means coarse
     * quantizer (s37/d53/s45) and the PQ codebooks (s44/s45) are
     * deterministic functions of the corpus (seeded init, fixed
@@ -290,6 +299,19 @@ object PipelineQueries {
         .select($"i", $"j", $"inter", $"uni")
         .orderBy("i", "j")
     }),
+    // Repeated-span exact-substring dedup (the Lee-et-al suffix-array
+    // pass as a linear postings semi-join — see Dedup.repeatedSpans):
+    // every maximal ≥8-token span that appears verbatim in ≥2 docs,
+    // with 0-based inclusive token indices. Spark keys the shuffles on
+    // 64-bit span fingerprints (the 100 TB shape); the oracle re-derives
+    // the same spans from the literal 8-gram STRINGS, so a fingerprint
+    // collision or an unfaithful island merge hash-mismatches.
+    "d64_repeated_spans" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .select($"id".as("doc_id"), $"span_start", $"span_end", $"span_tokens")
+        .orderBy("doc_id", "span_start")
+    }),
     // Embedding cosine near-dup pairs (exact; LSH variant tested in spec).
     "d34_embed_neardup" -> ((s, dir) => {
       import s.implicits._
@@ -416,6 +438,26 @@ object PipelineQueries {
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
     }),
+    // Metadata-FILTERED ANN — the production serving shape where a
+    // predicate rides along with the vector search ("nearest neighbors
+    // among label-even vectors"). The filter is applied to the corpus
+    // side BEFORE probe/rank (filter-during-search), not to the final
+    // top-k (post-filter, which silently returns < k and loses recall).
+    // Per-vector centroid assignment is independent of the filter, so
+    // the quantizer is the shared full-corpus one (index built once,
+    // filters vary per query) and the predicate reaches the parquet
+    // scan as a pushed filter — at 100 TB the probe reads
+    // ~nprobe/nlist of the corpus AND skips non-matching row groups.
+    "s65_ann_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = centroids16(s, dir)
+      filteredIvfCents = Some(cents)
+      Similarity.ivfTopKWith(cents, emb.where($"label".isin(0, 2, 4, 6, 8)),
+          emb.where($"vec_id" < 5), k = 10)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
     // Hard-negative mining — the contrastive-retrieval training-data
     // construction step: for each query, the positive is its exact
     // nearest neighbor (one linear corpus pass — ground truth, tiny
@@ -538,13 +580,19 @@ object PipelineQueries {
           emb.where($"vec_id" < 5), k = 10, refine = 32)
         .orderBy("query_id", "rank")
     }),
-    // Banded (8 tables × 4 bits) hyperplane-LSH embedding near-dups —
-    // the sub-quadratic production path; d34 stays as the exact ground
-    // truth. The oracle re-derives every table signature from the same
-    // seeded hyperplanes and applies the same any-table-match pruning.
+    // Banded hyperplane-LSH embedding near-dups — the sub-quadratic
+    // production path; d34 stays as the exact ground truth. Band width
+    // is CORPUS-SIZED (Similarity.lshBitsFor — bucket occupancy held
+    // ~constant so candidate cost stays linear in n; 4 bits at the
+    // gate/bench scales, growing with the corpus). The oracle
+    // re-derives every table signature from the same seeded hyperplanes
+    // at the same width and applies the same any-table-match pruning.
     "d36_embed_neardup_lsh" -> ((s, dir) => {
       import s.implicits._
-      Similarity.bandedNearDupPairs(t(s, dir, "embeddings"), threshold = 0.5)
+      val emb = t(s, dir, "embeddings")
+      val bits = Similarity.lshBitsFor(emb.count())
+      d36Bits = Some(bits)
+      Similarity.bandedNearDupPairs(emb, threshold = 0.5, bitsPerTable = bits)
         .select($"i", $"j", round($"sim", 6).as("sim"))
         .orderBy("i", "j")
     }),
@@ -1043,10 +1091,14 @@ object PipelineQueries {
         .select($"i", $"j")
         .orderBy("i", "j")
     }),
-    // d36's banded-LSH production path over the same sub-corpus.
+    // d36's banded-LSH production path over the same sub-corpus (band
+    // width corpus-sized from the SAMPLED count, like the full query).
     "d56_lsh_neardup_sampled" -> ((s, dir) => {
       import s.implicits._
-      Similarity.bandedNearDupPairs(sampledEmb(s, dir), threshold = EmbTwinThreshold)
+      val emb = sampledEmb(s, dir)
+      val bits = Similarity.lshBitsFor(emb.count())
+      d56Bits = Some(bits)
+      Similarity.bandedNearDupPairs(emb, threshold = EmbTwinThreshold, bitsPerTable = bits)
         .select($"i", $"j", round($"sim", 6).as("sim"))
         .orderBy("i", "j")
     }),
@@ -1144,7 +1196,14 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle
+
+  /** d36/d56 oracles from the stashed corpus-sized band widths (ANN
+    * splice pattern: present only after the query ran this JVM). */
+  private def bandedLshOracle: Map[String, String] =
+    d36Bits.map(b => "d36_embed_neardup_lsh" -> d36Oracle(bits = b)).toMap ++
+      d56Bits.map(b => "d56_lsh_neardup_sampled" ->
+        d36Oracle(sampledEmbSql, EmbTwinThreshold, bits = b)).toMap
 
   /** d53's oracle from the stashed centroids (see [[ivfOracle]] for the
     * stash-then-splice contract): assignment (argmax cosine, ties→low
@@ -1379,7 +1438,8 @@ object PipelineQueries {
     * s37 (in-memory assignment) and s60 (persisted index): the answer
     * must not depend on where the assigned corpus lives. */
   private def ivfProbeOracleSql(cents: Array[Array[Double]],
-      src: String = "SELECT vec_id, embedding FROM embeddings"): String =
+      src: String = "SELECT vec_id, embedding FROM embeddings",
+      candPred: String = ""): String =
     s"""WITH ${centroidAssignCtes(cents, "embedding", src)},
        |qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
        |  SELECT vec_id, embedding, cid,
@@ -1387,7 +1447,7 @@ object PipelineQueries {
        |  FROM scored WHERE vec_id < 5) WHERE rn <= 4),
        |cand AS (SELECT q.query_id, a.vec_id AS nbr_id,
        |   ${duckCosine("q.qv", "a.embedding")} AS sim
-       | FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id)
+       | FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id$candPred)
        |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
        | SELECT query_id, nbr_id,
        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM cand)
@@ -1395,6 +1455,15 @@ object PipelineQueries {
 
   private def ivfOracle: Map[String, String] =
     ivfCentroids.map(c => "s37_ann_ivf" -> ivfProbeOracleSql(c)).toMap
+
+  /** s65's oracle: the same probe/rank SQL with the metadata predicate
+    * applied to the CANDIDATE side only (queries stay unfiltered) —
+    * assignment is per-vector, so filtering the full-corpus assignment
+    * equals assigning the filtered corpus, which is what Spark runs. */
+  private def filteredIvfOracle: Map[String, String] =
+    filteredIvfCents.map(c => "s65_ann_filtered" -> ivfProbeOracleSql(c,
+      candPred = """
+        | AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (0,2,4,6,8))""".stripMargin)).toMap
 
   private def persistedIvfOracle: Map[String, String] =
     persistedIvfCents.map(c => "s60_ann_ivf_persisted" -> ivfProbeOracleSql(c)).toMap
@@ -1535,13 +1604,35 @@ object PipelineQueries {
          |ORDER BY i, j""".stripMargin
     },
     "d33_ngram_jaccard" -> jaccardOracle(0.5),
+    // Repeated spans from the literal 8-gram strings (Spark side keys on
+    // xxhash64 fingerprints; string equality is the ground truth) + the
+    // same running-max gaps-and-islands merge, positions 0-based.
+    "d64_repeated_spans" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tl
+        |  FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS pos, array_to_string(tl[i:i+7], ' ') AS g
+        |  FROM w, unnest(generate_series(1, greatest(len(tl) - 7, 0))) AS u(i)),
+        |dup AS (SELECT g FROM p GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT p.doc_id, p.pos, p.pos + 7 AS e FROM p JOIN dup USING (g)),
+        |iv AS (SELECT doc_id, pos, e,
+        |  CASE WHEN pos <= max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |    THEN 0 ELSE 1 END AS brk FROM m),
+        |isl AS (SELECT doc_id, pos, e,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM iv)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(e) AS BIGINT) AS span_end,
+        |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
     // d31 (minhash) must equal d33 modulo the jaccard column — same oracle
     "d31_dedup_minhash" -> (
       s"""SELECT i, j, round(inter * 1.0 / uni, 6) AS jaccard
          |FROM (${jaccardOracle(0.5).replace("ORDER BY i, j", "")}) ORDER BY i, j""".stripMargin),
     "d34_embed_neardup" -> d34Oracle(),
     "d55_neardup_sampled" -> d34Oracle(sampledEmbSql, EmbTwinThreshold),
-    "d56_lsh_neardup_sampled" -> d36Oracle(sampledEmbSql, EmbTwinThreshold),
+    // d56's oracle is state-spliced (band width depends on the sampled
+    // corpus count) — see bandedLshOracle.
     "d57_semantic_dedup_sampled" -> d46Oracle(sampledEmbSql, EmbTwinThreshold),
     "d58_clusters_sampled" -> d35Oracle(sampledDocsSql),
     "d63_cluster_reps_sampled" -> d62Oracle(sampledDocsSql),
@@ -1745,19 +1836,21 @@ object PipelineQueries {
        |WHERE ${duckCosine("a.embedding", "b.embedding")} >= $threshold
        |ORDER BY i, j""".stripMargin
 
-  /** d36's full banded-LSH recompute over any embeddings source: all 32
-    * seeded hyperplanes (8 tables × 4 sign-bits) re-derived as literals
-    * — exact dyadic doubles, same as s36 — candidates = agreement on ANY
-    * table's full signature, then the exact cosine threshold. */
-  private def d36Oracle(src: String = "embeddings", threshold: Double = 0.5): String = {
-    val planes = Similarity.hyperplanes(32, 64)
+  /** d36's full banded-LSH recompute over any embeddings source: all
+    * 8·bits seeded hyperplanes re-derived as literals — exact dyadic
+    * doubles, same as s36 — candidates = agreement on ANY table's full
+    * signature, then the exact cosine threshold. `bits` must be the
+    * width the Spark query chose (corpus-sized via lshBitsFor). */
+  private def d36Oracle(src: String = "embeddings", threshold: Double = 0.5,
+                        bits: Int = 4): String = {
+    val planes = Similarity.hyperplanes(8 * bits, 64)
     def dotPlane(vec: String, p: Array[Double]): String = {
       val lits = p.map(_.toString).mkString("[", ",", "]")
       s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
         s"i -> CAST($vec[i] AS DOUBLE) * ($lits)[i])), (acc, v) -> acc + v)"
     }
-    def sigExpr(tbl: Int): String = (0 until 4).map { k =>
-      s"(CASE WHEN ${dotPlane("embedding", planes(tbl * 4 + k))} >= 0.0 THEN ${1L << k} ELSE 0 END)"
+    def sigExpr(tbl: Int): String = (0 until bits).map { k =>
+      s"(CASE WHEN ${dotPlane("embedding", planes(tbl * bits + k))} >= 0.0 THEN ${1L << k} ELSE 0 END)"
     }.mkString(" + ")
     val sigCols = (0 until 8).map(tbl => s"${sigExpr(tbl)} AS sig$tbl").mkString(", ")
     val anyTable = (0 until 8).map(tbl => s"a.sig$tbl = b.sig$tbl").mkString(" OR ")
@@ -1927,7 +2020,8 @@ object PipelineQueries {
     // (8 tables × 4 sign-bits) re-derived as literals — exact dyadic
     // doubles, same as s36 — candidates = agreement on ANY table's full
     // signature, then the exact cosine threshold.
-    "d36_embed_neardup_lsh" -> d36Oracle(),
+    // d36's oracle is state-spliced (band width depends on the corpus
+    // count) — see bandedLshOracle.
     // Repetition signals recomputed with unnest+GROUP BY mode counts
     // (a structurally different computation from the Spark side's
     // per-row array fold — a stronger oracle than a literal transcription).

@@ -147,6 +147,17 @@ class PlanChecksSpec extends AnyFunSuite {
       s"WindowGroupLimit lines: ${wgl.mkString("; ")}\n${p.take(1500)}")
   }
 
+  test("s65: the metadata filter is pushed into the corpus parquet scan (filter-during-probe)") {
+    val p = plan("s65_ann_filtered")
+    assert(p.contains("In(label"), s"label IN filter not pushed: ${p.take(3000)}")
+  }
+
+  test("d64: repeated-span dedup plans no pairwise join (postings semi-join on the fingerprint)") {
+    val p = plan("d64_repeated_spans")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("LeftSemi"), s"expected a semi-join against the dup-fingerprint set: ${p.take(2000)}")
+  }
+
   test("d45: temperature thresholds are broadcast onto the scan (corpus never shuffled pre-filter)") {
     val p = plan("d45_temperature_sample")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

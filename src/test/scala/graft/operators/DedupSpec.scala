@@ -227,6 +227,30 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.collect { case (1L, 2L, n) => n }.head == want)
   }
 
+  test("repeated spans: cross-doc only, overlap+adjacency merge, maximal extents") {
+    // docs 1/2 share tokens 0..9 verbatim (11 windows of 3 → one merged
+    // span 0..9); doc 1 additionally shares its TAIL (20..27) with doc 3
+    // — a second, separate span; doc 4 repeats a 3-gram only WITHIN
+    // itself (must not be marked — the threshold is distinct docs);
+    // doc 5 has no repeats.
+    val shared = (0 to 9).map(i => s"s$i").mkString(" ")
+    val tail = (0 to 7).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 $tail"),
+      (2L, s"$shared v0 v1 v2"),
+      (3L, s"w0 w1 w2 $tail"),
+      (4L, "x0 x1 x2 q q q x0 x1 x2"),
+      (5L, "p0 p1 p2 p3 p4 p5")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 9L, 10L),   // merged maximal span over 8 overlapping windows
+      (1L, 20L, 27L, 8L),  // disjoint second span, 0-based positions
+      (2L, 0L, 9L, 10L),
+      (3L, 3L, 10L, 8L)))
+  }
+
   test("duplicate-shingle fraction counts cross-doc shingles, not within-doc repeats") {
     // doc 1 and 2 share "a b c"/"b c d" (their only shingles overlap);
     // doc 3 is all-unique; doc 4 repeats its own shingle (distinct set,

@@ -117,6 +117,17 @@ class SimilaritySpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("lshBitsFor holds bucket occupancy: floor at small n, log growth, hard cap") {
+    assert(Similarity.lshBitsFor(500) == 4)   // gate scale — unchanged
+    assert(Similarity.lshBitsFor(2000) == 4)  // bench scale — unchanged
+    assert(Similarity.lshBitsFor(20000) == 8) // sf1: 256 buckets, occ ~78
+    assert(Similarity.lshBitsFor(200000) == 11)
+    assert(Similarity.lshBitsFor(Long.MaxValue) == 16)
+    // monotone non-decreasing over a sweep
+    val sweep = Seq(1L, 100L, 1000L, 10000L, 100000L, 1000000L).map(Similarity.lshBitsFor(_))
+    assert(sweep == sweep.sorted, sweep.toString)
+  }
+
   test("int8 quantization: integer values in [-127,127], max magnitude hits 127") {
     val rows = emb.limit(50)
       .select($"vec_id", Similarity.quantizeInt8($"embedding").as("q")).collect()

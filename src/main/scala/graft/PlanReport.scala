@@ -84,7 +84,7 @@ object PlanReport {
     "a73_latest_per_key" ->
       "changelog compaction: Partial+Final WindowGroupLimit forwards ONE row per key into the shuffle instead of sorting whole groups through it",
     "a74_skew_join_aqe" ->
-      "AQE-native skew join: per-order pre-agg feeds a deliberately skewed SMJ; under bench thresholds AQE splits the straggler partition at map-output granularity (SortMergeJoin(skew=true), pinned in PlanChecksSpec)",
+      "AQE-native skew join: per-order pre-agg feeds a deliberately skewed SMJ; under bench thresholds AQE splits the straggler partition at map-output granularity (SortMergeJoin(skew=true), pinned in PlanChecksSpec). Validated at scale under STOCK AQE confs (r8, SCALING.md): at a generated sf20 (30M orders, ~24M rows on the hot key) the executed plan reads 'AQEShuffleRead coalesced and skewed' with SortMergeJoin(skew=true) and no threshold overrides; at sf1-sf10 the hot partition's compressed map-output size stays under the 256MB default threshold and the split correctly does not engage",
     "m56_png_decode" ->
       "REAL-codec decode: JDK PNG decode + resize + aHash fused into the scan stage as one codegen'd expression over the fixture parquet",
     "m57_png_neardup" ->
@@ -95,6 +95,10 @@ object PlanReport {
       "persisted IVF index: hive-partitioned inverted lists; the broadcast probe join on the partition column triggers dynamic partition pruning — only probed lists' directories are read",
     "s61_ann_index_append" ->
       "incremental index update: delta batch assigned with the frozen persisted centroids into its own partition layout; base UNION delta served with both scans pruned to the probed lists",
+    "s65_ann_filtered" ->
+      "metadata-filtered ANN: the label predicate rides the corpus side BEFORE probe/rank (filter-during-search) and reaches the parquet scan as PushedFilters In(label, ...) — row groups skip AND only probed lists scan",
+    "d64_repeated_spans" ->
+      "repeated-span exact-substring dedup: postings on 64-bit window fingerprints, map-combined df count, LeftSemi back-join (linear — no pair space), per-doc running-max interval merge over only the marked positions",
   )
 
   def main(args: Array[String]): Unit = {

@@ -105,17 +105,6 @@ object Similarity {
   }
 
   /**
-   * Banded (OR-construction) hyperplane LSH near-dup pairs: `tables`
-   * independent hash tables of `bitsPerTable` sign-bits each; two docs
-   * become candidates when they agree on ALL bits of ANY table, then an
-   * exact cosine verify applies `threshold`. Recall = 1-(1-p^b)^L with
-   * p = 1-θ/π — tune (L, b) to the threshold. This is the production
-   * near-dup path at 100 TB: candidates come from L equi-joins on
-   * (table, signature) — no O(n²) pair scan anywhere — and the vectors
-   * are joined back only for surviving candidate pairs. The single-table
-   * variant ([[nearDupPairs]] `useLsh`) is the degenerate L=1 case.
-   */
-  /**
    * Corpus-sized band width: the number of sign-bits per LSH table that
    * holds expected bucket occupancy near `targetOccupancy` (buckets =
    * 2^bits, occupancy ≈ n/2^bits). With FIXED bits, per-bucket candidate
@@ -136,6 +125,17 @@ object Similarity {
     math.min(maxBits, math.max(minBits, needed))
   }
 
+  /**
+   * Banded (OR-construction) hyperplane LSH near-dup pairs: `tables`
+   * independent hash tables of `bitsPerTable` sign-bits each; two docs
+   * become candidates when they agree on ALL bits of ANY table, then an
+   * exact cosine verify applies `threshold`. Recall = 1-(1-p^b)^L with
+   * p = 1-θ/π — tune (L, b) to the threshold. This is the production
+   * near-dup path at 100 TB: candidates come from L equi-joins on
+   * (table, signature) — no O(n²) pair scan anywhere — and the vectors
+   * are joined back only for surviving candidate pairs. The single-table
+   * variant ([[nearDupPairs]] `useLsh`) is the degenerate L=1 case.
+   */
   def bandedNearDupPairs(df: DataFrame, threshold: Double,
                          tables: Int = 8, bitsPerTable: Int = 4, dim: Int = 64,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -665,5 +665,142 @@ object Similarity {
     exact.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("rank").cast("int").as("rank"))
+  }
+
+  // -------------------------------------------------------------------- PCA
+
+  /**
+   * Deterministic PCA model over an embedding corpus: (mean vector,
+   * top-k principal components) — the embedding-compression /
+   * rotation step a training pipeline runs before storing or indexing
+   * vectors (dim-reduced ANN, whitening, matryoshka-style truncation).
+   *
+   * Training is a pure function of the corpus CONTENT, independent of
+   * partitioning and row order: the first and second moments are
+   * summed in DECIMAL(38,24) (exact, commutative — the same device the
+   * oracle arithmetic uses), and the dim×dim symmetric eigenproblem
+   * runs a FIXED number of cyclic-Jacobi sweeps on the driver. Only
+   * metadata ever reaches the driver: dim(dim+1)/2 + dim moment cells
+   * (2 144 doubles at dim=64), same footprint class as the k-means/PQ
+   * trainers. Components are ordered by eigenvalue descending (index
+   * ascending on ties) and sign-fixed so each component's
+   * largest-magnitude entry (first index on ties) is positive.
+   *
+   * At 100 TB: the moment pass is one explode + map-side-combined
+   * aggregation over dim(dim+3)/2 cells per row — a single shuffle of
+   * a vocabulary-sized (2 144-row) result; the eigensolve is O(dim³)
+   * driver work, independent of corpus size.
+   */
+  def pcaModel(corpus: DataFrame, k: Int = 8, dim: Int = 64,
+               vecCol: String = "embedding"): (Array[Double], Array[Array[Double]]) = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = col(vecCol)
+    // flat cell scheme: i*dim+j for upper-triangle second moments
+    // (i <= j), dim*dim+i for first moments
+    val ut = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct((i * lit(dim) + j).as("idx"),
+          (element_at(x, i + 1).cast("double") * element_at(x, j + 1)).as("v")))))
+    val m1 = transform(sequence(lit(0), lit(dim - 1)), i =>
+      struct((lit(dim * dim) + i).as("idx"), element_at(x, i + 1).cast("double").as("v")))
+    val n = corpus.count().toDouble
+    val cells = corpus
+      .select(explode(concat(ut, m1)).as("e"))
+      .groupBy(col("e.idx").as("idx"))
+      // scale 24 keeps 14 integer digits of headroom (sums of |v| <= 1
+      // terms stay exact up to ~10^14 rows) while rounding each term
+      // far past double's 16 significant digits
+      .agg(sum(col("e.v").cast(DecimalType(38, 24))).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+    val mean = Array.tabulate(dim)(i => cells(dim * dim + i) / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      cells(a * dim + b) / n - mean(i) * mean(j)
+    }
+    val (evals, evecs) = jacobiEigen(cov, sweeps = 12)
+    val order = evals.indices.sortBy(i => (-evals(i), i)).take(k)
+    val comps = order.map { ci =>
+      val w = Array.tabulate(dim)(r => evecs(r)(ci))
+      val pivot = w.indices.maxBy(i => (math.abs(w(i)), -i))
+      if (w(pivot) < 0) w.map(-_) else w
+    }.toArray
+    (mean, comps)
+  }
+
+  /** Fixed-sweep cyclic Jacobi for a symmetric matrix: returns
+    * (eigenvalues, eigenvector COLUMNS). Deterministic: fixed sweep
+    * count, fixed (p, q) visit order, no data-dependent convergence
+    * test. 12 sweeps drives a 64×64 off-diagonal below 1e-12·trace —
+    * far past the 6-decimal rounding the projections publish. */
+  private def jacobiEigen(a0: Array[Array[Double]],
+                          sweeps: Int): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = Array.tabulate(n, n)((i, j) => a0(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var s = 0
+    while (s < sweeps) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var i = 0
+            while (i < n) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - sn * aiq
+              a(i)(q) = sn * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - sn * aqi
+              a(q)(i) = sn * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - sn * viq
+              v(i)(q) = sn * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      s += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /**
+   * Project vectors onto a trained PCA model: pc_c = Σ_i (x_i − μ_i)·w_ci,
+   * published rounded to 6 decimals. The per-component sum is built as a
+   * left-associated 64-term addition, so the oracle's left-fold
+   * `list_reduce` reproduces it bit-for-bit (the duckCosine device).
+   * Scan-local — no shuffle; the model rides along as literals inside
+   * the projection's codegen stage.
+   */
+  def pcaProject(df: DataFrame, mean: Array[Double], comps: Array[Array[Double]],
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val x = col(vecCol)
+    val pcs = comps.zipWithIndex.map { case (w, c) =>
+      // seed the fold with 0.0 so the first term lands as (0.0 + t0),
+      // exactly like the oracle's list_prepend(0.0, ...) left fold —
+      // keeps a -0.0 first term from surviving to the published value
+      round((lit(0.0) +: w.indices.map(i =>
+        (element_at(x, i + 1).cast("double") - lit(mean(i))) * lit(w(i))))
+        .reduce(_ + _), 6).as(s"pc$c")
+    }
+    df.select((col(idCol) +: pcs.toIndexedSeq): _*)
   }
 }

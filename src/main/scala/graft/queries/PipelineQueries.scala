@@ -69,6 +69,9 @@ object PipelineQueries {
   @volatile private var d36Bits: Option[Int] = None
   @volatile private var d56Bits: Option[Int] = None
 
+  /** s66's trained PCA model (mean, components) for oracle splicing. */
+  @volatile private var pcaState: Option[(Array[Double], Array[Array[Double]])] = None
+
   /** Trained-quantizer memo, keyed by corpus dir. The k-means coarse
     * quantizer (s37/d53/s45) and the PQ codebooks (s44/s45) are
     * deterministic functions of the corpus (seeded init, fixed
@@ -112,6 +115,16 @@ object PipelineQueries {
     pqCache.getOrElseUpdate(key,
       Similarity.pqCodebooks(t(s, dir, "embeddings")))
   }
+  private val pcaCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Array[Double], Array[Array[Double]])]
+  /** PCA model memo — same train-once contract as the quantizers (the
+    * DECIMAL-summed moments make it a pure function of the corpus). */
+  private def pca8(s: SparkSession, dir: String): (Array[Double], Array[Array[Double]]) = {
+    val key = corpusKey(dir)
+    evictStale(pcaCache, dir, key)
+    pcaCache.getOrElseUpdate(key, Similarity.pcaModel(t(s, dir, "embeddings")))
+  }
+
   private val pqResCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
   /** Residual codebooks are a deterministic function of (corpus,
@@ -437,6 +450,22 @@ object PipelineQueries {
       Similarity.ivfTopKWith(cents, emb, emb.where($"vec_id" < 5), k = 10)
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
+    }),
+    // PCA embedding projection — the compression/rotation step a
+    // pipeline runs before storing or indexing vectors: project every
+    // embedding onto the corpus's top-8 principal axes. Training is
+    // one explode + map-combined DECIMAL-exact moment aggregation
+    // (order-independent → memoizable, oracle-spliceable) + a fixed
+    // cyclic-Jacobi eigensolve of the 64×64 covariance on the driver;
+    // projection is scan-local with the model riding as literals in
+    // codegen. The oracle re-derives every coordinate from the spliced
+    // (mean, components) literals with the same left-fold order —
+    // bit-identical doubles, rounded 6dp on both sides.
+    "s66_pca_embed" -> ((s, dir) => {
+      val model = pca8(s, dir)
+      pcaState = Some(model)
+      Similarity.pcaProject(t(s, dir, "embeddings"), model._1, model._2)
+        .orderBy("vec_id")
     }),
     // Metadata-FILTERED ANN — the production serving shape where a
     // predicate rides along with the vector search ("nearest neighbors
@@ -1196,7 +1225,22 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle
+
+  /** s66's oracle from the stashed PCA model: every projection
+    * recomputed from (mean, components) literals with the same
+    * 0.0-seeded left fold the Spark side evaluates. */
+  private def pcaOracle: Map[String, String] = pcaState match {
+    case None => Map.empty
+    case Some((mean, comps)) =>
+      val mu = mean.map(_.toString).mkString("[", ",", "]")
+      val pcCols = comps.zipWithIndex.map { case (w, c) =>
+        val wl = w.map(_.toString).mkString("[", ",", "]")
+        s"round(list_reduce(list_prepend(0.0, list_transform(range(1, ${mean.length + 1}), " +
+          s"i -> (CAST(embedding[i] AS DOUBLE) - ($mu)[i]) * ($wl)[i])), (acc, v) -> acc + v), 6) AS pc$c"
+      }.mkString(", ")
+      Map("s66_pca_embed" -> s"SELECT vec_id, $pcCols FROM embeddings ORDER BY vec_id")
+  }
 
   /** d36/d56 oracles from the stashed corpus-sized band widths (ANN
     * splice pattern: present only after the query ran this JVM). */

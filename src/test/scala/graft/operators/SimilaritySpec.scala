@@ -128,6 +128,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sweep == sweep.sorted, sweep.toString)
   }
 
+  test("PCA model: orthonormal components, descending variance, deterministic, sign-fixed") {
+    val emb0 = spark.read.parquet(s"${graft.SparkTestSession.sf0001}/embeddings.parquet")
+    val (mean, comps) = Similarity.pcaModel(emb0, k = 8)
+    assert(mean.length == 64 && comps.length == 8)
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    for (i <- comps.indices; j <- i until comps.length) {
+      val d = dot(comps(i), comps(j))
+      if (i == j) assert(math.abs(d - 1.0) < 1e-9, s"|pc$i| = $d")
+      else assert(math.abs(d) < 1e-9, s"pc$i . pc$j = $d")
+    }
+    // sign convention: each component's largest-|entry| is positive
+    comps.foreach { w =>
+      assert(w(w.indices.maxBy(i => (math.abs(w(i)), -i))) > 0.0)
+    }
+    // projected variance is the eigenvalue -> must be non-increasing
+    val proj = Similarity.pcaProject(emb0, mean, comps).drop("vec_id").collect()
+    val vars = (0 until 8).map { c =>
+      val xs = proj.map(_.getDouble(c)); val m = xs.sum / xs.length
+      xs.map(v => (v - m) * (v - m)).sum / xs.length
+    }
+    assert(vars == vars.sortBy(-_), s"variance not descending: $vars")
+    assert(vars.head > vars.last, "top component should explain more variance than the 8th")
+    // training is a pure function of the corpus: retrain == first train
+    val (mean2, comps2) = Similarity.pcaModel(emb0.repartition(7), k = 8)
+    assert(mean.sameElements(mean2))
+    assert(comps.zip(comps2).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("int8 quantization: integer values in [-127,127], max magnitude hits 127") {
     val rows = emb.limit(50)
       .select($"vec_id", Similarity.quantizeInt8($"embedding").as("q")).collect()

@@ -727,6 +727,57 @@ object Similarity {
     (mean, comps)
   }
 
+  /** Unrounded PCA coordinate array (array<double>, one entry per
+    * component) — the reduced-space representation [[pcaRefineTopK]]
+    * searches. Same 0.0-seeded left fold as [[pcaProject]] so the
+    * oracle's list_reduce reproduces every coordinate bit-for-bit. */
+  def pcaCoords(x: Column, mean: Array[Double], comps: Array[Array[Double]]): Column =
+    array(comps.map { w =>
+      (lit(0.0) +: w.indices.map(i =>
+        (element_at(x, i + 1).cast("double") - lit(mean(i))) * lit(w(i)))).reduce(_ + _)
+    }.toIndexedSeq: _*)
+
+  /**
+   * PCA-shortlist ANN: candidates ranked by cosine in the reduced
+   * space (k' doubles per vector instead of dim floats — at 100 TB the
+   * reduced corpus is ~dim/k' smaller, so the candidate scan stays
+   * memory-resident long after the raw corpus cannot), then the top
+   * `shortlist` candidates re-ranked by exact full-vector cosine (the
+   * s62 refine composition: broadcast hit set, no corpus shuffle).
+   * Recall depends on how much of the corpus's variance the top-k'
+   * axes capture — high for real embedding corpora (low-rank
+   * structure), modest for isotropic noise; the companion spec pins
+   * the measured floor against brute force.
+   */
+  def pcaRefineTopK(mean: Array[Double], comps: Array[Array[Double]],
+                    corpus: DataFrame, queries: DataFrame, k: Int,
+                    shortlist: Int = 32,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      pcaCoords(col(vecCol), mean, comps).as("cr"))
+    val q = queries.select(col(idCol).as("query_id"),
+      pcaCoords(col(vecCol), mean, comps).as("qr"))
+    val w1 = Window.partitionBy("query_id").orderBy(col("rsim").desc, col("nbr_id"))
+    val cand = c.crossJoin(broadcast(q))
+      .where(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"), cosine(col("qr"), col("cr")).as("rsim"))
+      .withColumn("rk", row_number().over(w1))
+      .where(col("rk") <= shortlist)
+      .select("query_id", "nbr_id")
+    val cf = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cn"))
+    val qf = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qn"))
+    val exact = cf.join(broadcast(cand), Seq("nbr_id"))
+      .join(broadcast(qf), Seq("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosinePrenormed(col("qvec"), col("cvec"), col("qn") * col("cn")).as("sim"))
+    val w2 = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
+    exact.withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank").cast("int").as("rank"))
+  }
+
   /** Fixed-sweep cyclic Jacobi for a symmetric matrix: returns
     * (eigenvalues, eigenvector COLUMNS). Deterministic: fixed sweep
     * count, fixed (p, q) visit order, no data-dependent convergence

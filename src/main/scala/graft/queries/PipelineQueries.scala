@@ -72,6 +72,9 @@ object PipelineQueries {
   /** s66's trained PCA model (mean, components) for oracle splicing. */
   @volatile private var pcaState: Option[(Array[Double], Array[Array[Double]])] = None
 
+  /** s67's PCA model (own stash — reduced-space ANN serving path). */
+  @volatile private var pcaAnnState: Option[(Array[Double], Array[Array[Double]])] = None
+
   /** Trained-quantizer memo, keyed by corpus dir. The k-means coarse
     * quantizer (s37/d53/s45) and the PQ codebooks (s44/s45) are
     * deterministic functions of the corpus (seeded init, fixed
@@ -466,6 +469,21 @@ object PipelineQueries {
       pcaState = Some(model)
       Similarity.pcaProject(t(s, dir, "embeddings"), model._1, model._2)
         .orderBy("vec_id")
+    }),
+    // PCA-shortlist ANN — s66's payoff query: candidates ranked by
+    // cosine over the 8-double reduced coordinates (the scan that
+    // stays memory-resident at 100 TB), top-32 re-ranked by exact
+    // full-vector cosine (the s62 refine composition). The oracle
+    // re-derives the reduced coordinates from the spliced model,
+    // re-runs the shortlist AND the re-rank in SQL.
+    "s67_ann_pca" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val model = pca8(s, dir)
+      pcaAnnState = Some(model)
+      Similarity.pcaRefineTopK(model._1, model._2, emb, emb.where($"vec_id" < 5), k = 10)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
     }),
     // Metadata-FILTERED ANN — the production serving shape where a
     // predicate rides along with the vector search ("nearest neighbors
@@ -1225,7 +1243,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -1240,6 +1258,36 @@ object PipelineQueries {
           s"i -> (CAST(embedding[i] AS DOUBLE) - ($mu)[i]) * ($wl)[i])), (acc, v) -> acc + v), 6) AS pc$c"
       }.mkString(", ")
       Map("s66_pca_embed" -> s"SELECT vec_id, $pcCols FROM embeddings ORDER BY vec_id")
+  }
+
+  /** s67's oracle: reduced coordinates from the spliced model (same
+    * folds as s66, unrounded), cosine shortlist in the reduced space,
+    * exact full-vector re-rank — the whole serving path re-derived. */
+  private def pcaAnnOracle: Map[String, String] = pcaAnnState match {
+    case None => Map.empty
+    case Some((mean, comps)) =>
+      val mu = mean.map(_.toString).mkString("[", ",", "]")
+      val folds = comps.map { w =>
+        val wl = w.map(_.toString).mkString("[", ",", "]")
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, ${mean.length + 1}), " +
+          s"i -> (CAST(embedding[i] AS DOUBLE) - ($mu)[i]) * ($wl)[i])), (acc, v) -> acc + v)"
+      }.mkString("[", ", ", "]")
+      Map("s67_ann_pca" ->
+        s"""WITH red AS (SELECT vec_id, $folds AS r FROM embeddings),
+           |cand AS (SELECT query_id, nbr_id FROM (
+           | SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+           |  row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY ${duckCosine("c.r", "q.r")} DESC, c.vec_id) AS rk
+           | FROM red c JOIN red q ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+           | WHERE rk <= 32),
+           |ex AS (SELECT c.query_id, c.nbr_id,
+           |   ${duckCosine("q.embedding", "e.embedding")} AS sim
+           | FROM cand c JOIN embeddings e ON e.vec_id = c.nbr_id
+           | JOIN embeddings q ON q.vec_id = c.query_id)
+           |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
+           | SELECT query_id, nbr_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM ex)
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
   }
 
   /** d36/d56 oracles from the stashed corpus-sized band widths (ANN

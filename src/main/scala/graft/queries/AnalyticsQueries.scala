@@ -707,9 +707,47 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("cnt"), sum($"value").as("sum_v"))
         .orderBy("event_type", "prop_key")
     }),
+    // Deterministic sampled quantiles — the scalable quantile estimator:
+    // a 2% slot-hash sample of lineitem (scan-local CRC selection, the
+    // d41 mechanism — engine-portable, append-stable, no shuffle),
+    // then EXACT interpolated percentiles of the sample per group. At
+    // 100 TB the sample is what a quantile sketch buys: a bounded
+    // fraction flows into a tiny per-group sort; the estimate's error
+    // is ~1/√(group sample size), pinned against the exact full-corpus
+    // quantiles in spec. Round 6dp on both sides absorbs the
+    // interpolation-formula ulp between engines.
+    "a75_sample_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val smp = graft.operators.Sampling.hashSample(
+        t(s, dir, "lineitem"),
+        concat(lit("li:"), $"l_orderkey", lit(":"), $"l_linenumber"), 0.02)
+      smp.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_sample"),
+          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").as("qs"))
+        .select($"l_returnflag", $"n_sample",
+          round(element_at($"qs", 1), 6).as("q25"),
+          round(element_at($"qs", 2), 6).as("q50"),
+          round(element_at($"qs", 3), 6).as("q75"),
+          round(element_at($"qs", 4), 6).as("q95"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   val oracles3: Map[String, String] = Map(
+    // same CRC slot selection as d41's oracle, then DuckDB's own
+    // continuous-quantile interpolation over the identical sample
+    "a75_sample_quantiles" -> {
+      val inner = graft.oracle.DuckSql.withSlotNode(
+        "SELECT l_returnflag, l_extendedprice, 'li:' || l_orderkey || ':' || l_linenumber AS key FROM lineitem",
+        Seq("l_returnflag", "l_extendedprice"), Some("slot"), None)
+      s"""SELECT l_returnflag, count(*) AS n_sample,
+         | round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+         | round(quantile_cont(l_extendedprice, 0.50), 6) AS q50,
+         | round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,
+         | round(quantile_cont(l_extendedprice, 0.95), 6) AS q95
+         |FROM ($inner) WHERE slot < ${(0.02 * 16384).toInt}
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
     // the plain join over the same synthesized skew key — AQE's runtime
     // partition split must be invisible in the values
     "a74_skew_join_aqe" ->

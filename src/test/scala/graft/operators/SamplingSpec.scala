@@ -102,4 +102,24 @@ class SamplingSpec extends AnyFunSuite {
       assert(sp == expect, s"doc $id slot $slot: $sp != $expect")
     }
   }
+
+  test("sampled quantiles track the exact full-corpus quantiles") {
+    val li = spark.read.parquet(s"${SparkTestSession.sf001}/lineitem.parquet")
+    val key = concat(lit("li:"), $"l_orderkey", lit(":"), $"l_linenumber")
+    def qs(df: org.apache.spark.sql.DataFrame): Array[Double] =
+      df.select(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))"))
+        .collect()(0).getSeq[Double](0).toArray
+    val exact = qs(li)
+    val est = qs(Sampling.hashSample(li, key, 0.02))
+    val range = li.agg(max($"l_extendedprice") - min($"l_extendedprice"))
+      .collect()(0).getDouble(0)
+    exact.zip(est).zipWithIndex.foreach { case ((e, a), i) =>
+      val err = math.abs(a - e) / range
+      info(f"q$i: exact $e%.1f est $a%.1f relerr $err%.3f")
+      // ~120-row sample at sf0.001 → DKW-style bound ~1.36/sqrt(n) on the
+      // CDF; against a uniform-ish value distribution that is ~0.12 of
+      // the range (measured well under at pin time)
+      assert(err <= 0.15, f"quantile $i off by $err%.3f of range")
+    }
+  }
 }

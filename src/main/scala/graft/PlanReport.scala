@@ -99,6 +99,12 @@ object PlanReport {
       "metadata-filtered ANN: the label predicate rides the corpus side BEFORE probe/rank (filter-during-search) and reaches the parquet scan as PushedFilters In(label, ...) — row groups skip AND only probed lists scan",
     "d64_repeated_spans" ->
       "repeated-span exact-substring dedup: postings on 64-bit window fingerprints, map-combined df count, LeftSemi back-join (linear — no pair space), per-doc running-max interval merge over only the marked positions",
+    "s66_pca_embed" ->
+      "PCA projection: DECIMAL-exact moment aggregation (one explode + map-combined shuffle of 2144 cells), driver-side fixed-sweep Jacobi eigensolve, scan-local projection with the model as codegen literals",
+    "s67_ann_pca" ->
+      "PCA-shortlist ANN: reduced 8-double coordinates scanned for the cosine shortlist (corpus ~8x smaller than raw vectors), exact full-vector re-rank over the broadcast hit set — no corpus shuffle",
+    "a75_sample_quantiles" ->
+      "sampled quantiles: scan-local CRC slot selection (2% sample, no shuffle), exact interpolated percentiles of the sample per group — the bounded-flow quantile estimator",
   )
 
   def main(args: Array[String]): Unit = {

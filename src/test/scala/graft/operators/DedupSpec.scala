@@ -251,6 +251,42 @@ class DedupSpec extends AnyFunSuite {
       (3L, 3L, 10L, 8L)))
   }
 
+  test("repeated spans match a brute-force reference on random corpora") {
+    // reference: literal n-gram occurrence map → marked windows →
+    // interval merge, all in plain Scala over the token sequences
+    def reference(corpus: Seq[(Long, Seq[String])], n: Int): Set[(Long, Long, Long, Long)] = {
+      val byGram = corpus.flatMap { case (id, tk) =>
+        tk.sliding(n).zipWithIndex.filter(_._1.length == n)
+          .map { case (g, pos) => (g.mkString(" "), id, pos) }
+      }.groupBy(_._1)
+      val dup = byGram.filter(_._2.map(_._2).distinct.length >= 2).keySet
+      corpus.flatMap { case (id, tk) =>
+        val marked = tk.sliding(n).zipWithIndex
+          .filter { case (g, _) => g.length == n && dup(g.mkString(" ")) }
+          .map(_._2).toList
+        val spans = marked.foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e0) :: rest, pos) if pos <= e0 + 1 => (s0, math.max(e0, pos + n - 1)) :: rest
+          case (acc, pos) => (pos, pos + n - 1) :: acc
+        }.reverse
+        spans.map { case (s0, e0) => (id, s0.toLong, e0.toLong, (e0 - s0 + 1).toLong) }
+      }.toSet
+    }
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    (1 to 15).foreach { trial =>
+      // tiny vocab + short docs force plenty of chance n-gram repeats,
+      // including adjacent/overlapping marks and within-doc-only ones
+      val corpus = (0L until (3 + rnd.nextInt(5)).toLong).map { id =>
+        id -> Seq.fill(3 + rnd.nextInt(18))(vocab(rnd.nextInt(vocab.length)))
+      }
+      val df = corpus.map { case (id, tk) => (id, tk.mkString(" ")) }.toDF("doc_id", "text")
+      val got = Dedup.repeatedSpans(df, "doc_id", "text", n = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = reference(corpus, 3)
+      assert(got == want, s"trial $trial: got ${got -- want} extra, missed ${want -- got}\\ncorpus: $corpus")
+    }
+  }
+
   test("duplicate-shingle fraction counts cross-doc shingles, not within-doc repeats") {
     // doc 1 and 2 share "a b c"/"b c d" (their only shingles overlap);
     // doc 3 is all-unique; doc 4 repeats its own shingle (distinct set,

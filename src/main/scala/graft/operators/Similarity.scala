@@ -731,11 +731,14 @@ object Similarity {
     * component) — the reduced-space representation [[pcaRefineTopK]]
     * searches. Same 0.0-seeded left fold as [[pcaProject]] so the
     * oracle's list_reduce reproduces every coordinate bit-for-bit. */
-  def pcaCoords(x: Column, mean: Array[Double], comps: Array[Array[Double]]): Column =
-    array(comps.map { w =>
-      (lit(0.0) +: w.indices.map(i =>
-        (element_at(x, i + 1).cast("double") - lit(mean(i))) * lit(w(i)))).reduce(_ + _)
-    }.toIndexedSeq: _*)
+  def pcaCoords(x: Column, mean: Array[Double], comps: Array[Array[Double]]): Column = {
+    val cx = centeredVec(x, mean)
+    array(comps.map(w => dot(cx, array(w.toIndexedSeq.map(lit): _*))).toIndexedSeq: _*)
+  }
+
+  /** x − μ as array<double> (the shared input of every PCA fold). */
+  private def centeredVec(x: Column, mean: Array[Double]): Column =
+    zip_with(x, array(mean.toIndexedSeq.map(lit): _*), (a, b) => a.cast("double") - b)
 
   /**
    * PCA-shortlist ANN: candidates ranked by cosine in the reduced
@@ -844,13 +847,13 @@ object Similarity {
   def pcaProject(df: DataFrame, mean: Array[Double], comps: Array[Array[Double]],
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val x = col(vecCol)
+    // the fused VecDot kernel accumulates from 0.0 in index order —
+    // exactly the oracle's list_prepend(0.0, ...) left fold, so every
+    // published coordinate is bit-identical to the SQL recompute (and
+    // the 0.0 seed keeps a -0.0 first term from surviving)
+    val cx = centeredVec(x, mean)
     val pcs = comps.zipWithIndex.map { case (w, c) =>
-      // seed the fold with 0.0 so the first term lands as (0.0 + t0),
-      // exactly like the oracle's list_prepend(0.0, ...) left fold —
-      // keeps a -0.0 first term from surviving to the published value
-      round((lit(0.0) +: w.indices.map(i =>
-        (element_at(x, i + 1).cast("double") - lit(mean(i))) * lit(w(i))))
-        .reduce(_ + _), 6).as(s"pc$c")
+      round(dot(cx, array(w.toIndexedSeq.map(lit): _*)), 6).as(s"pc$c")
     }
     df.select((col(idCol) +: pcs.toIndexedSeq): _*)
   }

@@ -280,6 +280,27 @@ object PipelineQueries {
   /** DuckDB: whitespace tokens / 3-word shingles mirroring TextAnalysis/Dedup. */
   private val duckTokens =
     "list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0)"
+  /** d64/d65's shared span-derivation CTE chain (tokens → positioned
+    * 8-grams → cross-doc dup grams → marked windows → gaps-and-islands
+    * merge → `spans(doc_id, span_start, span_end)`), 0-based inclusive
+    * token positions. ONE encoding so the two oracles cannot drift. */
+  private val repeatedSpanCtes: String =
+    """w AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tl
+      |  FROM documents),
+      |p AS (SELECT doc_id, i - 1 AS pos, array_to_string(tl[i:i+7], ' ') AS g
+      |  FROM w, unnest(generate_series(1, greatest(len(tl) - 7, 0))) AS u(i)),
+      |dup AS (SELECT g FROM p GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      |m AS (SELECT p.doc_id, p.pos, p.pos + 7 AS e FROM p JOIN dup USING (g)),
+      |iv AS (SELECT doc_id, pos, e,
+      |  CASE WHEN pos <= max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+      |    THEN 0 ELSE 1 END AS brk FROM m),
+      |isl AS (SELECT doc_id, pos, e,
+      |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM iv),
+      |spans AS (SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+      |  FROM isl GROUP BY doc_id, grp)""".stripMargin
+
   private def duckShingles(wordsExpr: String, n: Int = 3): String =
     s"list_distinct(list_transform(range(1, greatest(len($wordsExpr)-$n,0)+2), " +
       s"i -> array_to_string($wordsExpr[i:i+${n - 1}], ' ')))"
@@ -327,6 +348,15 @@ object PipelineQueries {
       Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 8)
         .select($"id".as("doc_id"), $"span_start", $"span_end", $"span_tokens")
         .orderBy("doc_id", "span_start")
+    }),
+    // d64's redaction step: affected docs re-emitted with the
+    // duplicated token positions removed (exact (id, pos) anti-join —
+    // never a range probe) and the survivors rejoined in order.
+    "d65_span_redact" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.redactRepeatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .select($"id".as("doc_id"), $"n_removed", $"clean_text")
+        .orderBy("doc_id")
     }),
     // Embedding cosine near-dup pairs (exact; LSH variant tested in spec).
     "d34_embed_neardup" -> ((s, dir) => {
@@ -1700,23 +1730,30 @@ object PipelineQueries {
     // xxhash64 fingerprints; string equality is the ground truth) + the
     // same running-max gaps-and-islands merge, positions 0-based.
     "d64_repeated_spans" ->
-      """WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tl
-        |  FROM documents),
-        |p AS (SELECT doc_id, i - 1 AS pos, array_to_string(tl[i:i+7], ' ') AS g
-        |  FROM w, unnest(generate_series(1, greatest(len(tl) - 7, 0))) AS u(i)),
-        |dup AS (SELECT g FROM p GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
-        |m AS (SELECT p.doc_id, p.pos, p.pos + 7 AS e FROM p JOIN dup USING (g)),
-        |iv AS (SELECT doc_id, pos, e,
-        |  CASE WHEN pos <= max(e) OVER (PARTITION BY doc_id ORDER BY pos
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
-        |    THEN 0 ELSE 1 END AS brk FROM m),
-        |isl AS (SELECT doc_id, pos, e,
-        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM iv)
-        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-        |  CAST(max(e) AS BIGINT) AS span_end,
-        |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens
-        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+      s"""WITH $repeatedSpanCtes
+        |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+        |  CAST(span_end AS BIGINT) AS span_end,
+        |  CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+    // d65: the same span chain, then removal positions exploded and
+    // anti-joined out; clean_text is the surviving tokens rejoined in
+    // position order (token-normalized on BOTH sides).
+    "d65_span_redact" ->
+      s"""WITH $repeatedSpanCtes,
+        |rem AS (SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos
+        |  FROM spans),
+        |nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        |  FROM rem GROUP BY doc_id),
+        |tp AS (SELECT w.doc_id, i - 1 AS pos, tl[i] AS tok
+        |  FROM w, unnest(generate_series(1, len(tl))) AS u(i)),
+        |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+        |  JOIN nrem ON nrem.doc_id = tp.doc_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM rem r
+        |    WHERE r.doc_id = tp.doc_id AND r.pos = tp.pos)),
+        |cleaned AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_removed, COALESCE(c.clean_text, '') AS clean_text
+        |FROM nrem n LEFT JOIN cleaned c USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     // d31 (minhash) must equal d33 modulo the jaccard column — same oracle
     "d31_dedup_minhash" -> (
       s"""SELECT i, j, round(inter * 1.0 / uni, 6) AS jaccard

@@ -251,6 +251,22 @@ class DedupSpec extends AnyFunSuite {
       (3L, 3L, 10L, 8L)))
   }
 
+  test("span redaction: removes exactly the spans, keeps order, empties fully-duplicated docs") {
+    val shared = (0 to 9).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared v0 v1 v2"),  // head duplicated -> tail survives
+      (2L, s"w0 w1 $shared"),     // tail duplicated -> head survives
+      (3L, shared),               // ENTIRE doc duplicated -> empty clean_text
+      (4L, "p0 p1 p2 p3 p4 p5")   // untouched -> not emitted at all
+    ).toDF("doc_id", "text")
+    val got = Dedup.redactRepeatedSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == Map(
+      1L -> ((10L, "v0 v1 v2")),
+      2L -> ((10L, "w0 w1")),
+      3L -> ((10L, ""))))
+  }
+
   test("repeated spans match a brute-force reference on random corpora") {
     // reference: literal n-gram occurrence map → marked windows →
     // interval merge, all in plain Scala over the token sequences

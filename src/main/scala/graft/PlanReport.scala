@@ -105,6 +105,8 @@ object PlanReport {
       "PCA-shortlist ANN: reduced 8-double coordinates scanned for the cosine shortlist (corpus ~8x smaller than raw vectors), exact full-vector re-rank over the broadcast hit set — no corpus shuffle",
     "a75_sample_quantiles" ->
       "sampled quantiles: scan-local CRC slot selection (2% sample, no shuffle), exact interpolated percentiles of the sample per group — the bounded-flow quantile estimator",
+    "d65_span_redact" ->
+      "span redaction: removal positions exploded from the (output-sensitive) span set, exact (id,pos) LeftAnti equi-join — never a range/NLJ probe; reassembly groups only the AFFECTED docs' surviving tokens",
   )
 
   def main(args: Array[String]): Unit = {

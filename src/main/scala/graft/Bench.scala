@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.SparkSession
 
 /**
@@ -33,8 +35,10 @@ object Bench {
     // timings measure execution, not first-call JIT + planning overhead;
     // one-time ingest (bucketed layout, CSV export) also happens here so
     // timed bodies measure the query, not setup cost paid once per corpus
+    // NonFatal: warm-up errors are deliberately masked (they surface in
+    // the timed pass), but fatal JVM errors (OOM, linkage) must not be
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    catch { case NonFatal(_) => () }
     // EVERY query once, untimed, at the TIMED scale factor. An sf0.001
     // warm-up (rounds 3's design) compiles most stages, but AQE picks
     // different physical strategies at sf0.1 (broadcast↔SMJ, coalesced
@@ -46,7 +50,7 @@ object Bench {
     // execution, full stop. JIT tiering of the kernels rides along.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case NonFatal(_) => () }
       SessionHygiene.sweep(spark)
     }
     try graft.queries.ExtrasQueries.ensureSlotBucketedTables(spark, sfDir)

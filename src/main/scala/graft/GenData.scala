@@ -24,8 +24,12 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, TimestampN
  *    timezone (TIMESTAMP_NTZ), matching the driver's parquet layout.
  *  - documents: 10–100-word salads over the 30-word vocab; 5% are
  *    near-dup family members (shared family salad + 1..3 trailing
- *    "dup" marker tokens — the driver's planted structure); ~0.17% of
- *    base docs are exact copies of an earlier doc.
+ *    "dup" marker tokens — the driver's planted structure);
+ *    approximately 0.17% of base docs are exact copies of an earlier
+ *    doc (approximate because the copy target is drawn over [0, id)
+ *    without excluding family/copy docs — when the target is itself
+ *    one of those, the copied SEED does not reproduce its text, so the
+ *    realized exact-copy rate is slightly below the draw rate).
  *  - embeddings: 64-dim iid N(0,1), L2-normalized, float — the driver
  *    corpus has no cluster structure (per-label mean-vector norm
  *    ≈ 1/sqrt(n), max pairwise cosine 0.60 at sf0.1).

@@ -9,20 +9,33 @@ import org.apache.spark.sql.SparkSession
  * phase removes); read run 2-3 for steady-state numbers.
  *
  * Usage: runMain graft.Profile <sfDir> <query>[,<query>...] [--explain] [--runs N]
+ *
+ * Env: SPARK_GRAFT_CPUS (local[N], default 32);
+ * SPARK_GRAFT_PARTITIONS (spark.sql.shuffle.partitions, default = CPUS —
+ * override to measure partition-count effects at a fixed core count,
+ * e.g. the SCALING.md sf10 partition-scaled runs).
  */
 object Profile {
+  private val Usage =
+    "usage: runMain graft.Profile <sfDir> <query>[,<query>...] [--explain] [--runs N]"
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) { System.err.println(Usage); sys.exit(2) }
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
     val explain = args.contains("--explain")
     val runs = args.indexOf("--runs") match {
       case -1 => 3
-      case i  => args(i + 1).toInt
+      case i  =>
+        if (i + 1 >= args.length) { System.err.println(s"--runs needs a number\n$Usage"); sys.exit(2); 0 }
+        else args(i + 1).toIntOption.getOrElse {
+          System.err.println(s"--runs needs a number, got '${args(i + 1)}'\n$Usage"); sys.exit(2); 0
+        }
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -681,8 +681,8 @@ object Similarity {
    * oracle arithmetic uses), and the dim×dim symmetric eigenproblem
    * runs a FIXED number of cyclic-Jacobi sweeps on the driver. Only
    * metadata ever reaches the driver: dim(dim+1)/2 + dim moment cells
-   * (2 144 doubles at dim=64), same footprint class as the k-means/PQ
-   * trainers. Components are ordered by eigenvalue descending (index
+   * plus one count cell (2 145 doubles at dim=64), same footprint
+   * class as the k-means/PQ trainers. Components are ordered by eigenvalue descending (index
    * ascending on ties) and sign-fixed so each component's
    * largest-magnitude entry (first index on ties) is positive.
    *
@@ -703,15 +703,20 @@ object Similarity {
           (element_at(x, i + 1).cast("double") * element_at(x, j + 1)).as("v")))))
     val m1 = transform(sequence(lit(0), lit(dim - 1)), i =>
       struct((lit(dim * dim) + i).as("idx"), element_at(x, i + 1).cast("double").as("v")))
-    val n = corpus.count().toDouble
+    // the row count rides the SAME aggregation as one more cell (sum of
+    // exact 1.0 terms — the DECIMAL sum is exactly n, and n < 2^53
+    // round-trips through double), so training is ONE corpus pass, not
+    // a count scan followed by the moment scan
+    val cnt = array(struct(lit(dim * dim + dim).as("idx"), lit(1.0).as("v")))
     val cells = corpus
-      .select(explode(concat(ut, m1)).as("e"))
+      .select(explode(concat(ut, m1, cnt)).as("e"))
       .groupBy(col("e.idx").as("idx"))
       // scale 24 keeps 14 integer digits of headroom (sums of |v| <= 1
       // terms stay exact up to ~10^14 rows) while rounding each term
       // far past double's 16 significant digits
       .agg(sum(col("e.v").cast(DecimalType(38, 24))).as("s"))
       .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+    val n = cells(dim * dim + dim)
     val mean = Array.tabulate(dim)(i => cells(dim * dim + i) / n)
     val cov = Array.tabulate(dim, dim) { (i, j) =>
       val (a, b) = if (i <= j) (i, j) else (j, i)

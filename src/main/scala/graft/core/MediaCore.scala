@@ -192,6 +192,11 @@ object MediaCore {
     // surface as a distant oracle mismatch instead of failing here
     require(w > 0 && h > 0 && w.toLong * h <= (1L << 22),
       s"image dimensions out of bounds: ${w}x$h")
+    // an indexed image also presents 1 band of 8-bit samples — but they
+    // are palette INDICES, not gray values; hashing them here would be
+    // a silent wrong answer, so route it to pngPaletteStats loudly
+    require(!img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel],
+      "payload is an indexed (palette) image — use png_palette_stats")
     require(img.getRaster.getNumBands == 1 &&
         img.getColorModel.getComponentSize(0) == 8,
       s"expected 8-bit grayscale, got ${img.getRaster.getNumBands} band(s) " +
@@ -322,6 +327,114 @@ object MediaCore {
       y += 1
     }
     Array(w.toLong, h.toLong,
+      gridSumSig(r, w, h)._1, gridSumSig(g, w, h)._1, gridSumSig(b, w, h)._1,
+      gridSumSig(luma, w, h)._2)
+  }
+
+  // ---------------------------------------------------------------------
+  // PALETTE (indexed-colour) extension of the real-codec boundary: PNG
+  // colour type 3 — pixels are 8-bit indices into a 256-entry PLTE
+  // chunk. Decoding therefore has an extra step the gray/RGB paths do
+  // not: expanding indices through the palette. A decoder that handed
+  // raw indices back as gray values, or used a wrong/truncated palette,
+  // produces different channel sums — and the oracle knows only the
+  // index-pattern and palette formulas, so it would hash-mismatch.
+  // The gray and RGB paths are untouched (bit-stable); all three share
+  // the ONE grid-sum/threshold kernel (gridSumSig).
+  // ---------------------------------------------------------------------
+
+  /** Deterministic 256-entry fixture palette: entry i = ((73i+11)%256,
+    * (101i+29)%256, (137i+43)%256). Multipliers are odd and coprime to
+    * 256, so each channel permutes the byte range — every palette slot
+    * is distinct and the mapping is trivially SQL-reproducible. */
+  final val PaletteSize = 256
+  def paletteR(i: Int): Int = (i * 73 + 11) % 256
+  def paletteG(i: Int): Int = (i * 101 + 29) % 256
+  def paletteB(i: Int): Int = (i * 137 + 43) % 256
+
+  /** Real indexed-PNG encode: the imgId's gray fixture pattern REUSED
+    * as the palette-index plane (values < 251 < 256, so every pixel is
+    * a valid index), written as an actual colour-type-3 PNG with the
+    * deterministic 256-entry palette. Verified: the JDK codec writes
+    * the full PLTE and round-trips both indices and palette exactly. */
+  def encodePatternPalettePng(id: Long): Array[Byte] = {
+    val r = new Array[Byte](PaletteSize)
+    val g = new Array[Byte](PaletteSize)
+    val b = new Array[Byte](PaletteSize)
+    var i = 0
+    while (i < PaletteSize) {
+      r(i) = paletteR(i).toByte; g(i) = paletteG(i).toByte; b(i) = paletteB(i).toByte
+      i += 1
+    }
+    val cm = new java.awt.image.IndexColorModel(8, PaletteSize, r, g, b)
+    val img = new java.awt.image.BufferedImage(
+      PatW, PatH, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val idx = patternGray(id)
+    var y = 0
+    while (y < PatH) {
+      var x = 0
+      while (x < PatW) {
+        img.getRaster.setSample(x, y, 0, idx(y * PatW + x) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      "no PNG writer registered in this JVM") // see encodePatternPng
+    bos.toByteArray
+  }
+
+  /**
+   * Real palette-PNG decode → (width, height, palette size, r/g/b
+   * 8x8-grid sums, luminance aHash64). The decoder hands back 8-bit
+   * palette INDICES plus an IndexColorModel; this kernel performs the
+   * palette expansion itself (index → PLTE entry per channel), then
+   * feeds the same per-channel grid sums + integer-BT.601 luminance
+   * hash as [[pngRgbStats]]. Validation mirrors the other decode
+   * kernels: bounded decoder-controlled dimensions, and anything but
+   * an 8-bit single-band indexed image is rejected loudly.
+   */
+  def pngPaletteStats(png: Array[Byte]): Array[Long] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(png)) // memory-cached: see pngStats
+    val img =
+      try javax.imageio.ImageIO.read(iis)
+      finally { try iis.close() catch { case _: java.io.IOException => () } }
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 22),
+      s"image dimensions out of bounds: ${w}x$h")
+    val icm = img.getColorModel match {
+      case m: java.awt.image.IndexColorModel if m.getPixelSize == 8 => m
+      case m => throw new IllegalArgumentException(
+        s"expected an 8-bit indexed (palette) image, got ${m.getClass.getSimpleName} " +
+          s"with ${img.getRaster.getNumBands} band(s)")
+    }
+    require(img.getRaster.getNumBands == 1,
+      s"expected 1 index band, got ${img.getRaster.getNumBands}")
+    val raster = img.getRaster
+    val r = new Array[Byte](w * h)
+    val g = new Array[Byte](w * h)
+    val b = new Array[Byte](w * h)
+    val luma = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        val idx = raster.getSample(x, y, 0)
+        val rv = icm.getRed(idx)
+        val gv = icm.getGreen(idx)
+        val bv = icm.getBlue(idx)
+        r(i) = rv.toByte; g(i) = gv.toByte; b(i) = bv.toByte
+        luma(i) = ((299 * rv + 587 * gv + 114 * bv) / 1000).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Array(w.toLong, h.toLong, icm.getMapSize.toLong,
       gridSumSig(r, w, h)._1, gridSumSig(g, w, h)._1, gridSumSig(b, w, h)._1,
       gridSumSig(luma, w, h)._2)
   }

@@ -85,6 +85,17 @@ object Multimodal {
   def png_rgb_stats(payload: Column): Column =
     Bridge.column(PngRgbStats(Bridge.expression(payload)))
 
+  /** Real-codec encode of the id's fixture pattern as an INDEXED
+    * (palette, PNG colour type 3) image. */
+  def png_encode_palette_pattern(id: Column): Column =
+    Bridge.column(PngEncodePalettePattern(Bridge.expression(id)))
+
+  /** Real-codec palette decode: indexed-PNG payload → [width, height,
+    * palette size, r/g/b grid sums, luminance aHash64] — the kernel
+    * expands indices through the PLTE itself. */
+  def png_palette_stats(payload: Column): Column =
+    Bridge.column(PngPaletteStats(Bridge.expression(payload)))
+
   /**
    * Perceptual-hash image near-dups: aHash signatures banded and
    * verified exactly like SimHash text near-dups
@@ -235,6 +246,40 @@ case class PngRgbStats(child: Expression) extends UnaryExpression with ExpectsIn
     defineCodeGen(ctx, ev, c =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.MediaCore.pngRgbStats($c))")
   override protected def withNewChildInternal(newChild: Expression): PngRgbStats =
+    copy(child = newChild)
+}
+
+/** `png_encode_palette_pattern(id)` → binary: REAL indexed-PNG encode
+  * of the id's fixture pattern (interpreted-only, as
+  * [[PngEncodePattern]] — fixture-ingest path). */
+case class PngEncodePalettePattern(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "png_encode_palette_pattern"
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    MediaCore.encodePatternPalettePng(input.asInstanceOf[Long])
+  override protected def withNewChildInternal(newChild: Expression): PngEncodePalettePattern =
+    copy(child = newChild)
+}
+
+/** `png_palette_stats(payload)` → array<long> [width, height, palette
+  * size, r_sum, g_sum, b_sum, luma aHash]: REAL indexed-PNG decode +
+  * palette expansion feeding the shared grid kernel. Codegen'd — the
+  * static call keeps the scan stage in whole-stage codegen. */
+case class PngPaletteStats(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "png_palette_stats"
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MediaCore.pngPaletteStats(input.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.MediaCore.pngPaletteStats($c))")
+  override protected def withNewChildInternal(newChild: Expression): PngPaletteStats =
     copy(child = newChild)
 }
 

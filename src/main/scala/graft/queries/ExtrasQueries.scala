@@ -109,6 +109,29 @@ object ExtrasQueries {
     dir
   }
 
+  /** Indexed-colour (palette) variant of the fixture set — PNG colour
+    * type 3, same id scheme; the gray pattern plane becomes the
+    * palette-index plane (see MediaCore.encodePatternPalettePng). */
+  def palettePngDir(sfDir: String): String =
+    RelationalQueries.dataRoot("png-pal", sfDir, "fixtures")
+
+  def ensurePalettePngExport(s: SparkSession, sfDir: String): String = {
+    val dir = palettePngDir(sfDir)
+    val want = RelationalQueries.srcDigest(sfDir, "documents")
+    if (RelationalQueries.stale(dir, sfDir, "documents")) {
+      t(s, sfDir, "documents")
+        .orderBy("doc_id").limit(100)
+        .select(col("doc_id"), explode(array(lit(0L), lit(1L))).as("variant"))
+        .select((col("doc_id") * 2 + col("variant")).as("img_id"))
+        .select(col("img_id"),
+          Multimodal.png_encode_palette_pattern(col("img_id")).as("payload"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      RelationalQueries.markFresh(dir, want)
+    }
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // REAL-codec decode (the stub boundary's other side): PNG fixtures
     // are decoded with the JDK's actual PNG codec inside a codegen'd
@@ -163,6 +186,29 @@ object ExtrasQueries {
           element_at($"st", 4).as("g_sum"),
           element_at($"st", 5).as("b_sum"),
           element_at($"st", 6).as("ahash"))
+        .orderBy("img_id")
+    }),
+    // Palette (indexed-colour) extension of the real-codec boundary:
+    // colour-type-3 PNGs whose pixels are indices into a 256-entry
+    // PLTE. The decode kernel must do the step gray/RGB never needed —
+    // expand indices through the palette — before the per-channel grid
+    // sums and luminance aHash. The oracle recomputes everything from
+    // the index-pattern and palette FORMULAS, so a decoder that
+    // returned raw indices as gray, truncated the palette, or mapped a
+    // wrong entry would hash-mismatch. Gray/RGB paths untouched.
+    "m59_png_palette_decode" -> ((s, dir) => {
+      import s.implicits._
+      val path = ensurePalettePngExport(s, dir)
+      s.read.parquet(path)
+        .select($"img_id", Multimodal.png_palette_stats($"payload").as("st"))
+        .select($"img_id",
+          element_at($"st", 1).as("width"),
+          element_at($"st", 2).as("height"),
+          element_at($"st", 3).as("palette_size"),
+          element_at($"st", 4).as("r_sum"),
+          element_at($"st", 5).as("g_sum"),
+          element_at($"st", 6).as("b_sum"),
+          element_at($"st", 7).as("ahash"))
         .orderBy("img_id")
     }),
     // Binary payload + typed metadata + native feature expression.
@@ -385,7 +431,36 @@ object ExtrasQueries {
        | FROM lv JOIN s ON lv.img_id = s.img_id GROUP BY lv.img_id)""".stripMargin
   }
 
+  // Palette fixture oracle CTEs: the gray pattern's cell value (v.g in
+  // pngSigCte) IS the palette index, so the expected channels are the
+  // palette formulas applied to it — (73i+11)%256, (101i+29)%256,
+  // (137i+43)%256 — and luminance is the same truncating BT.601 fold
+  // as the RGB oracle. Builds on pngSigCte (its gray s/sg CTEs are
+  // simply unused here).
+  private val paletteSigCte =
+    s"""$pngSigCte,
+       |pv AS (SELECT img_id, t, (g * 73 + 11) % 256 AS pr,
+       |  (g * 101 + 29) % 256 AS pg, (g * 137 + 43) % 256 AS pb FROM v),
+       |plv AS (SELECT img_id, t, pr, pg, pb,
+       |  (299 * pr + 587 * pg + 114 * pb) // 1000 AS luma FROM pv),
+       |ps AS (SELECT img_id, SUM(pr) AS rs, SUM(pg) AS gs, SUM(pb) AS bs,
+       |  SUM(luma) AS ls FROM plv GROUP BY img_id),
+       |psg AS (SELECT plv.img_id,
+       |  SUM(CASE WHEN plv.luma * 64 > ps.ls THEN CAST(1 AS HUGEINT) << plv.t
+       |           ELSE CAST(0 AS HUGEINT) END) AS su
+       | FROM plv JOIN ps ON plv.img_id = ps.img_id GROUP BY plv.img_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "m59_png_palette_decode" ->
+      s"""WITH $paletteSigCte
+         |SELECT ps.img_id, CAST(24 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+         |  CAST(256 AS BIGINT) AS palette_size,
+         |  CAST(ps.rs AS BIGINT) AS r_sum, CAST(ps.gs AS BIGINT) AS g_sum,
+         |  CAST(ps.bs AS BIGINT) AS b_sum,
+         |  CAST(CASE WHEN psg.su >= CAST('9223372036854775808' AS HUGEINT)
+         |       THEN psg.su - CAST('18446744073709551616' AS HUGEINT)
+         |       ELSE psg.su END AS BIGINT) AS ahash
+         |FROM ps JOIN psg ON ps.img_id = psg.img_id ORDER BY ps.img_id""".stripMargin,
     "m58_png_rgb_decode" ->
       s"""WITH $rgbSigCte
          |SELECT s.img_id, CAST(24 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,

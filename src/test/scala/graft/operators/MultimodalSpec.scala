@@ -152,6 +152,48 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[Exception] { MediaCore.pngStats(rgb) }
   }
 
+  test("palette round-trip: index expansion through the PLTE matches the formulas") {
+    Seq(0L, 1L, 7L, 250L, 251L, 123456789L, -3L).foreach { id =>
+      val png = MediaCore.encodePatternPalettePng(id)
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+      // genuinely colour type 3 (palette) — byte 25 of the IHDR
+      assert((png(25) & 0xff) == 3, s"id=$id: colour type ${png(25) & 0xff}")
+      val st = MediaCore.pngPaletteStats(png)
+      assert(st(0) == MediaCore.PatW && st(1) == MediaCore.PatH)
+      assert(st(2) == MediaCore.PaletteSize.toLong)
+      // formula-side recompute: grid cell t samples index pattern at
+      // (3·(t%8), 2·(t//8)), channels via the palette formulas
+      val idxPlane = MediaCore.patternGray(id)
+      def idx(t: Int): Int = idxPlane((t / 8 * 2) * MediaCore.PatW + (t % 8) * 3) & 0xff
+      val chans: Seq[Int => Int] =
+        Seq(MediaCore.paletteR _, MediaCore.paletteG _, MediaCore.paletteB _)
+      for (c <- 0 until 3)
+        assert(st(3 + c) == (0 until 64).map(t => chans(c)(idx(t))).sum.toLong,
+          s"id=$id channel $c grid sum")
+      val lumas = (0 until 64).map { t =>
+        val i = idx(t)
+        (299 * MediaCore.paletteR(i) + 587 * MediaCore.paletteG(i) +
+          114 * MediaCore.paletteB(i)) / 1000
+      }
+      val lsum = lumas.sum
+      val wantSig = (0 until 64).foldLeft(0L) { (acc, t) =>
+        if (lumas(t).toLong * 64L > lsum) acc | (1L << t) else acc
+      }
+      assert(st(6) == wantSig, s"id=$id luma hash")
+    }
+  }
+
+  test("png_palette_stats rejects gray and RGB payloads loudly (no silent index pass-through)") {
+    val e1 = intercept[Exception] { MediaCore.pngPaletteStats(MediaCore.encodePatternPng(4L)) }
+    assert(e1.getMessage.contains("palette") || e1.getMessage.contains("indexed"), e1.getMessage)
+    val e2 = intercept[Exception] { MediaCore.pngPaletteStats(MediaCore.encodePatternRgbPng(4L)) }
+    assert(e2.getMessage.contains("palette") || e2.getMessage.contains("indexed"), e2.getMessage)
+    // and the gray/RGB kernels refuse the palette payload in return
+    val pal = MediaCore.encodePatternPalettePng(4L)
+    intercept[Exception] { MediaCore.pngStats(pal) }
+    intercept[Exception] { MediaCore.pngRgbStats(pal) }
+  }
+
   test("RGB variant twins stay luminance near-duplicates") {
     val hams = (0L until 20L).map { d =>
       val s0 = MediaCore.pngRgbStats(MediaCore.encodePatternRgbPng(d * 2))(5)

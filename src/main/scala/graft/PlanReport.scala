@@ -91,6 +91,12 @@ object PlanReport {
       "m53's banding machinery over REAL decoded bytes: 4x16-bit pigeonhole bands on PNG-decoded signatures, chunk-bucket equi-joins, never a pair scan",
     "d62_cluster_reps" ->
       "keep-best duplicate-cluster representative: map-side-combinable max(struct(quality, -id)) argmax per cluster — no corpus Window sort",
+    "d66_dedup_digest" ->
+      "production exact dedup: md5 digest + length computed scan-side, so the grouping exchange carries ~40-byte rows instead of document bodies (the d30 ground-truth form shuffles full text — measured slope 18.7 at sf10)",
+    "d67_cluster_reps_minhash" ->
+      "production keep-best twin: the same component resolution + max-struct argmax as d62 fed by MinHash-LSH candidates (band-bucket equi-joins) instead of the exact-Jaccard Sigma-df2 candidate stage",
+    "m59_png_palette_decode" ->
+      "palette real-codec decode: indexed-PNG decode + PLTE expansion + per-channel grid sums + luminance aHash fused into the scan stage as one codegen'd expression",
     "s60_ann_ivf_persisted" ->
       "persisted IVF index: hive-partitioned inverted lists; the broadcast probe join on the partition column triggers dynamic partition pruning — only probed lists' directories are read",
     "s61_ann_index_append" ->
@@ -98,7 +104,7 @@ object PlanReport {
     "s65_ann_filtered" ->
       "metadata-filtered ANN: the label predicate rides the corpus side BEFORE probe/rank (filter-during-search) and reaches the parquet scan as PushedFilters In(label, ...) — row groups skip AND only probed lists scan",
     "d64_repeated_spans" ->
-      "repeated-span exact-substring dedup: postings on 64-bit window fingerprints, map-combined df count, LeftSemi back-join (linear — no pair space), per-doc running-max interval merge over only the marked positions",
+      "repeated-span exact-substring dedup: postings on 64-bit window fingerprints cross ONE exchange — cross-doc-ness decided in a single window pass (min(id) != max(id) per fingerprint group, spill-safe), then the per-doc running-max interval merge over only the marked positions; no pair space anywhere",
     "s66_pca_embed" ->
       "PCA projection: DECIMAL-exact moment aggregation (one explode + map-combined shuffle of 2144 cells), driver-side fixed-sweep Jacobi eigensolve, scan-local projection with the model as codegen literals",
     "s67_ann_pca" ->

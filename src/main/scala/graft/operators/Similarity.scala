@@ -687,9 +687,10 @@ object Similarity {
    * runs a FIXED number of cyclic-Jacobi sweeps on the driver. Only
    * metadata ever reaches the driver: dim(dim+1)/2 + dim moment cells
    * plus one count cell (2 145 doubles at dim=64), same footprint
-   * class as the k-means/PQ trainers. Components are ordered by eigenvalue descending (index
-   * ascending on ties) and sign-fixed so each component's
-   * largest-magnitude entry (first index on ties) is positive.
+   * class as the k-means/PQ trainers. Components are ordered by
+   * eigenvalue descending (index ascending on ties) and sign-fixed so
+   * each component's largest-magnitude entry (first index on ties) is
+   * positive.
    *
    * At 100 TB: the moment pass is one explode + map-side-combined
    * aggregation over dim(dim+3)/2 cells per row — a single shuffle of

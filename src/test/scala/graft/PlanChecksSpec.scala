@@ -152,10 +152,15 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(p.contains("In(label"), s"label IN filter not pushed: ${p.take(3000)}")
   }
 
-  test("d64: repeated-span dedup plans no pairwise join (postings semi-join on the fingerprint)") {
+  test("d64: repeated-span dedup plans no pairwise join; postings cross ONE exchange") {
     val p = plan("d64_repeated_spans")
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
-    assert(p.contains("LeftSemi"), s"expected a semi-join against the dup-fingerprint set: ${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+    // cross-doc-ness is decided inside one window pass over the
+    // fingerprint groups (min(id) != max(id)) — the earlier
+    // countDistinct + LeftSemi form shuffled the postings twice
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("LeftSemi"),
+      s"postings must not be re-shuffled through a semi-join: ${p.take(2000)}")
   }
 
   test("d45: temperature thresholds are broadcast onto the scan (corpus never shuffled pre-filter)") {
@@ -345,6 +350,19 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(2000))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(2000))
+  }
+
+  test("d67: MinHash keep-best twin keeps the argmax shape and adds no pair scan") {
+    val p = plan("d67_cluster_reps_minhash")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("d66: digest dedup exchanges (digest, length) keys, never document bodies") {
+    val p = plan("d66_dedup_digest")
+    assert(p.contains("hashpartitioning(digest"),
+      s"grouping exchange must key on the digest: ${p.take(2000)}")
   }
 
   test("p19: ANALYZE stats feed the optimizer (CBO estimates filtered cardinality from column stats)") {

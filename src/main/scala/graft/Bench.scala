@@ -19,6 +19,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // opt-in wide shuffle planning (AQE coalesces small ones back).
+      // Measured both ways at sf10 (SCALING.md r9): decisive for big
+      // one-shot shuffles (d36 steady 60-180 s → 30 s) but the
+      // per-round replan overhead HURTS iterative floors at every
+      // scale (a42 31.6 → 35.9 s, a49 7.1 → 10.7 s at sf10; +1.2-1.6 s
+      // each at bench scale) — so it stays a per-workload deployment
+      // knob, not a default
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -33,9 +33,15 @@ object Profile {
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cpus)
+    // AQE's coalesce path plans shuffles WIDE and merges small
+    // partitions back at runtime, so a high initial width costs small
+    // queries nothing while keeping big shuffles parallel — the
+    // "partitions ∝ data" knob the SCALING.md sf10 measurements turn
+    val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", parts)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

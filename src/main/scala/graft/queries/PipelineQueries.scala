@@ -778,6 +778,18 @@ object PipelineQueries {
       val docs = t(s, dir, "documents")
       trainingCorpusDf(docs.where($"doc_id" < 5), docs.where($"doc_id" >= 5))
     }),
+    // The capstone's PRODUCTION twin: the same seven-stage pipeline
+    // with the component stage fed by MinHash-LSH candidates (d67's
+    // mechanism) instead of the exact-Jaccard Σdf² stage — the form a
+    // 100 TB corpus actually runs (the exact capstone is disk-infeasible
+    // at sf10 on one box: SCALING.md r9). Same exact-chain oracle as
+    // d48, so any LSH recall loss hash-fails.
+    "d68_training_minhash" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      trainingCorpusDf(docs.where($"doc_id" < 5), docs.where($"doc_id" >= 5),
+        d => Dedup.minhashNearDups(d, "doc_id", "text", 0.5).select($"i", $"j"))
+    }),
     // Winnowed copy detection: doc pairs sharing ≥4 mod-sampled 16-byte
     // rolling fingerprints (character-level substring duplication).
     "d47_winnow_pairs" -> ((s, dir) => {
@@ -1163,19 +1175,23 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  /** d48's capstone body over any (benchmark, corpus) pair (shared with
-    * d60's twin): quality filter → exact dedup → near-dup component
-    * removal → benchmark decontamination → temperature rebalancing →
-    * sliding chunking, checkpointed once at the dedup boundary. */
-  private def trainingCorpusDf(bench: DataFrame, corpus: DataFrame): DataFrame = {
+  /** d48's capstone body over any (benchmark, corpus) pair (shared
+    * with d60's twin and d68's MinHash production twin): quality
+    * filter → exact dedup → near-dup component removal → benchmark
+    * decontamination → temperature rebalancing → sliding chunking,
+    * checkpointed once at the dedup boundary. `nearDupPairs` chooses
+    * the candidate mechanism for the component stage (exact-Jaccard
+    * ground truth by default; MinHash-LSH for the scale path). */
+  private def trainingCorpusDf(bench: DataFrame, corpus: DataFrame,
+      nearDupPairs: DataFrame => DataFrame =
+        d => Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.5)): DataFrame = {
     import corpus.sparkSession.implicits._
     val stats = TextAnalysis.analyze(corpus)
       .select($"doc_id", $"lang", $"text", $"n_tokens",
         round($"quality", 6).as("quality"))
       .where($"quality" >= 0.5)
     val exact = Dedup.exactDedup(stats, "doc_id", "text").localCheckpoint(true)
-    val losers = Dedup.clusterLosers(
-        Dedup.ngramJaccardPairs(exact, "doc_id", "text", 0.5))
+    val losers = Dedup.clusterLosers(nearDupPairs(exact))
       .select($"id".as("doc_id"))
     val clean = exact.join(losers, Seq("doc_id"), "left_anti")
     val contaminated = Dedup.contaminatedDocs(clean, bench, "doc_id", "text",
@@ -1925,6 +1941,10 @@ object PipelineQueries {
     // benchmark shingle intersect, d45's sqrt thresholds over the
     // DECONTAMINATED counts, the d41 slot fold, t46's chunk expansion.
     "d48_training_corpus" -> d48Oracle(),
+    // d68 must reproduce the exact-pair capstone bit-for-bit (the
+    // MinHash candidates are a production shortcut, not a semantics
+    // change) — deliberately the same oracle as d48
+    "d68_training_minhash" -> d48Oracle(),
   )
 
   /** d48's oracle over any corpus source (the benchmark side — docs

@@ -63,7 +63,7 @@ object Bench {
       SessionHygiene.sweep(spark)
     }
     try graft.queries.ExtrasQueries.ensureSlotBucketedTables(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] bucketed ingest failed: ${e.getMessage}") }
+    catch { case NonFatal(e) => System.err.println(s"[bench] bucketed ingest failed: ${e.getMessage}") }
     try {
       graft.queries.RelationalQueries.ensureCsvExport(spark, sfDir)
       graft.queries.RelationalQueries.ensureJsonExport(spark, sfDir)
@@ -71,17 +71,21 @@ object Bench {
       graft.queries.RelationalQueries.ensurePartitionedExport(spark, sfDir)
       graft.queries.RelationalQueries.ensureGenerationExport(spark, sfDir)
       graft.queries.RelationalQueries.ensureTextExport(spark, sfDir)
-    } catch { case e: Throwable => System.err.println(s"[bench] format export failed: ${e.getMessage}") }
+    } catch { case NonFatal(e) => System.err.println(s"[bench] format export failed: ${e.getMessage}") }
     // shed the setup phase's heap debt (bucketed ingest + the format
     // exports churn GBs) so the first timed queries don't pay its GC
     System.gc()
     // a failed query is recorded as -1 (never mistakable for a fast
-    // success) and listed in "errors" — the total covers successes only
+    // success) and listed in "errors" — the total covers successes only.
+    // NonFatal: a task-level failure (incl. executor OOM) surfaces as a
+    // SparkException and is recorded; a DRIVER-fatal error aborts the
+    // bench loudly instead of timing 180 queries on a dying JVM and
+    // publishing contaminated numbers
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
+        catch { case NonFatal(e) =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       val sec = (System.nanoTime() - t0) / 1e9

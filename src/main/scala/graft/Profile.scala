@@ -27,8 +27,8 @@ object Profile {
       case -1 => 3
       case i  =>
         if (i + 1 >= args.length) { System.err.println(s"--runs needs a number\n$Usage"); sys.exit(2); 0 }
-        else args(i + 1).toIntOption.getOrElse {
-          System.err.println(s"--runs needs a number, got '${args(i + 1)}'\n$Usage"); sys.exit(2); 0
+        else args(i + 1).toIntOption.filter(_ >= 1).getOrElse {
+          System.err.println(s"--runs needs a positive number, got '${args(i + 1)}'\n$Usage"); sys.exit(2); 0
         }
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

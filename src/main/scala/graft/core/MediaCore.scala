@@ -415,6 +415,7 @@ object MediaCore {
     require(img.getRaster.getNumBands == 1,
       s"expected 1 index band, got ${img.getRaster.getNumBands}")
     val raster = img.getRaster
+    val mapSize = icm.getMapSize
     val r = new Array[Byte](w * h)
     val g = new Array[Byte](w * h)
     val b = new Array[Byte](w * h)
@@ -425,6 +426,12 @@ object MediaCore {
       while (x < w) {
         val i = y * w + x
         val idx = raster.getSample(x, y, 0)
+        // an 8-bit sample can legally exceed a short PLTE (the JDK
+        // reader sizes the color model to the PLTE and does not
+        // validate samples) — fail with a diagnosable message instead
+        // of an out-of-context ArrayIndexOutOfBounds from getRed
+        require(idx >= 0 && idx < mapSize,
+          s"palette index $idx out of range (PLTE has $mapSize entries)")
         val rv = icm.getRed(idx)
         val gv = icm.getGreen(idx)
         val bv = icm.getBlue(idx)

@@ -717,8 +717,9 @@ object AnalyticsQueries {
     // quantiles in spec. Round 4dp on both sides: Spark and DuckDB
     // both linearly interpolate but evaluate the formula in different
     // operation orders, so the engines can differ in the last few ulps
-    // — 4 decimals on ~1e5-scale prices leaves ~11 orders of magnitude
-    // of slack while still checking every meaningful digit.
+    // — at ~1e5-scale prices a double's absolute ulp is ~3e-11, so a
+    // 1e-4 rounding grid leaves ~6-7 orders of magnitude of slack
+    // while still checking every meaningful digit.
     "a75_sample_quantiles" -> ((s, dir) => {
       import s.implicits._
       val smp = graft.operators.Sampling.hashSample(

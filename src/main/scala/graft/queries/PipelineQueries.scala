@@ -269,8 +269,17 @@ object PipelineQueries {
     val baseStamp =
       if (java.nio.file.Files.exists(base))
         new String(java.nio.file.Files.readAllBytes(base), "UTF-8")
-      else buildIvfIndex(s, sfDir, root) // self-heal, as the delta/tombstones do
-
+      else {
+        // self-heal — but healing the BASE invalidates the delta and
+        // tombstone generations chained to the old stamp, and
+        // compaction is the chain's TERMINAL link: nothing downstream
+        // would ever re-validate a gen2 stamped against a healed base
+        // over a stale delta. Re-run the chain ensure (it rebuilds
+        // delta + tombstones against the new stamp) before compacting.
+        val healed = buildIvfIndex(s, sfDir, root)
+        ensureIvfTombstoneExport(s, sfDir)
+        healed
+      }
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == baseStamp
     if (!fresh) {

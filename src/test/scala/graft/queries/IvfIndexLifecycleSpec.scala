@@ -47,6 +47,27 @@ class IvfIndexLifecycleSpec extends AnyFunSuite {
       "the delta must be re-chained to the healed base generation")
   }
 
+  test("a hand-deleted base _SUCCESS before compaction re-validates the WHOLE chain") {
+    // compaction is the chain's terminal link: a self-heal that only
+    // rebuilt the base would stamp gen2 against a healed base over a
+    // STALE delta/tombstones and nothing downstream would ever catch
+    // it. The compaction ensure must re-run the chain after healing.
+    val dir = freshCorpus()
+    val root = PipelineQueries.ensureIvfCompaction(spark, dir)
+    val base = Paths.get(root, "_SUCCESS")
+    val stampBefore = new String(Files.readAllBytes(base), "UTF-8")
+    Files.delete(base)
+    val root2 = PipelineQueries.ensureIvfCompaction(spark, dir)
+    assert(root2 === root)
+    assert(Files.exists(base), "the base generation must have been rebuilt")
+    val stampAfter = new String(Files.readAllBytes(base), "UTF-8")
+    assert(stampAfter === stampBefore,
+      "same corpus → same digest stamp after the self-heal rebuild")
+    for (leaf <- Seq("delta", "tombstones", "gen2"))
+      assert(new String(Files.readAllBytes(Paths.get(root, leaf, "_SUCCESS")), "UTF-8")
+        === stampAfter, s"$leaf must re-chain to the healed base generation")
+  }
+
   test("tombstone serving == from-scratch rebuild on the surviving corpus == compacted gen") {
     val dir = freshCorpus()
     val root = PipelineQueries.ensureIvfCompaction(spark, dir)

@@ -1254,6 +1254,20 @@ object PipelineQueries {
     // d62's keep-best cluster representatives over the sub-corpus.
     "d63_cluster_reps_sampled" -> ((s, dir) =>
       clusterRepsDf(sampledDocs(s, dir))),
+    // d67's MinHash keep-best over the SAME sub-corpus — value-verifies
+    // the production twin at 10× the gate scale (its full-corpus oracle
+    // is the quadratic d62 chain, infeasible oracle-side at sf0.1).
+    "d69_reps_minhash_sampled" -> ((s, dir) =>
+      clusterRepsMinhashDf(sampledDocs(s, dir))),
+    // d68's MinHash training capstone over the sub-corpus (benchmark
+    // side stays FULL, as d60 does).
+    "d70_training_minhash_sampled" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      trainingCorpusDf(docs.where($"doc_id" < 5),
+        sampledDocs(s, dir).where($"doc_id" >= 5),
+        d => Dedup.minhashNearDups(d, "doc_id", "text", 0.5).select($"i", $"j"))
+    }),
     // d48's capstone training-corpus pipeline: corpus side sampled, the
     // benchmark (docs 0-4) stays FULL so decontamination stays live.
     "d60_training_sampled" -> ((s, dir) => {
@@ -1829,6 +1843,9 @@ object PipelineQueries {
     "d57_semantic_dedup_sampled" -> d46Oracle(sampledEmbSql, EmbTwinThreshold),
     "d58_clusters_sampled" -> d35Oracle(sampledDocsSql),
     "d63_cluster_reps_sampled" -> d62Oracle(sampledDocsSql),
+    // the MinHash twins must equal the exact chains on their corpora
+    "d69_reps_minhash_sampled" -> d62Oracle(sampledDocsSql),
+    "d70_training_minhash_sampled" -> d48Oracle(sampledDocsSql),
     "d59_corpus_clean_sampled" -> d39Oracle(sampledDocsSql),
     "d60_training_sampled" -> d48Oracle(sampledDocsSql),
     "d61_incremental_sampled" -> d44Oracle(sampledDocsSql),

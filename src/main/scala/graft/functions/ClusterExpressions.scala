@@ -128,6 +128,8 @@ object ClusterHashFunctions {
       org.apache.spark.sql.functions.udaf(SlotBitmapAgg))
     spark.udf.register("kmv_distinct",
       org.apache.spark.sql.functions.udaf(new KmvSketchAgg(256)))
+    spark.udf.register("hll_distinct",
+      org.apache.spark.sql.functions.udaf(new HllSketchAgg(6)))
     // sketch family + grouped top-k at FIXED shapes (typed params
     // aren't expressible through the udf registry; the Column API
     // keeps the knobs). bloom_build matches Dedup.bloomPrefilter's

@@ -861,6 +861,26 @@ object PipelineQueries {
           graft.functions.KmvSketchAgg.kmv_distinct($"h", 256)
             .as("est_distinct"))
     }),
+    // Raw HyperLogLog distinct sketch — a31's builtin HLL with the
+    // asterisk removed: over a SQL-recomputable hash, the bucket split,
+    // rank geometry, and raw estimator are all deterministic and
+    // DuckDB-expressible, so the grouped APPROXIMATE counts hash-match
+    // the oracle exactly (a40's KMV argument applied to HLL itself; see
+    // HllSketchAgg for the exact-integer harmonic-sum evaluation).
+    // Same table/grouping as a31 so the pair reads side-by-side; exact
+    // countDistinct rides along to show the estimator error.
+    "a76_hll_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select($"l_returnflag",
+          graft.functions.TextFunctions
+            .fnv1a64_mix(concat(lit("part:"), $"l_partkey")).as("h"),
+          $"l_partkey")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("exact_parts"),
+          graft.functions.HllSketchAgg.hll_distinct($"h", 6).as("est_parts"))
+        .orderBy("l_returnflag")
+    }),
     // Greedy sequence packing: documents → fixed-token-budget training
     // batches, sequential per language shard, parallel across shards
     // (secondary-sort mapPartitions; see Packing scaladoc for why no
@@ -2328,6 +2348,51 @@ object PipelineQueries {
          |  THEN CAST((SELECT count(*) FROM f5) AS DOUBLE)
          |  ELSE 255.0 * 18446744073709551616.0 /
          |    CAST((SELECT h FROM kth) AS DOUBLE) END AS est_distinct""".stripMargin
+    },
+    // Full raw-HLL recompute: the a40 fmix64 chain with the group key
+    // threaded through, then bucket = top 6 hash bits, rank = leading
+    // zeros of the 58-bit remainder + 1 (via a monotone bitlength scan
+    // — every power of two is an exact BIGINT, no float compare), max
+    // rank per bucket over a 64-bucket spine (empty register = 0), and
+    // the raw estimator on the exact integer harmonic sum
+    // Σ 2^(59−reg): SUM(BIGINT) is HUGEINT so the ≤ 2^65 total never
+    // wraps, CAST AS DOUBLE is correctly rounded, and the final
+    // multiply chain matches HllSketchAgg.finish token-for-token.
+    "a76_hll_distinct" -> {
+      val fnv = "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+        "list_transform(range(1, length(key)+1), i -> ord(substr(key, i, 1)))), " +
+        "(acc, b) -> (xor(acc, CAST(b AS HUGEINT)) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT))"
+      // (x * c) mod 2^64 in 32-bit limbs — same derivation as the a40
+      // oracle (a full 64×64 product overflows signed int128 HUGEINT)
+      def mulmod64(x: String, c: Long): String = {
+        val c1 = (c >>> 32) & 0xffffffffL
+        val c0 = c & 0xffffffffL
+        s"((($x % 4294967296) * $c0 + (((($x // 4294967296) * $c0 + ($x % 4294967296) * $c1)" +
+          s" % 4294967296) * 4294967296)) % CAST(18446744073709551616 AS HUGEINT))"
+      }
+      s"""WITH k AS (SELECT DISTINCT l_returnflag AS rf, 'part:' || l_partkey AS key FROM lineitem),
+         |f0 AS (SELECT rf, $fnv AS h FROM k),
+         |f1 AS (SELECT rf, xor(h, h // 8589934592) AS h FROM f0),
+         |f2 AS (SELECT rf, ${mulmod64("h", 0xff51afd7ed558ccdL)} AS h FROM f1),
+         |f3 AS (SELECT rf, xor(h, h // 8589934592) AS h FROM f2),
+         |f4 AS (SELECT rf, ${mulmod64("h", 0xc4ceb9fe1a85ec53L)} AS h FROM f3),
+         |f5 AS (SELECT rf, xor(h, h // 8589934592) AS h FROM f4),
+         |br AS (SELECT rf, CAST(h // 288230376151711744 AS INTEGER) AS bucket,
+         |  CAST(h % 288230376151711744 AS BIGINT) AS rem FROM f5),
+         |rk AS (SELECT rf, bucket,
+         |  59 - len(list_filter(range(0, 58), j -> rem >= (CAST(1 AS BIGINT) << j))) AS r
+         | FROM br),
+         |regs AS (SELECT rf, bucket, max(r) AS reg FROM rk GROUP BY rf, bucket),
+         |spine AS (SELECT rf, unnest(range(0, 64)) AS bucket FROM (SELECT DISTINCT rf FROM k)),
+         |fullr AS (SELECT spine.rf, spine.bucket, coalesce(regs.reg, 0) AS reg
+         | FROM spine LEFT JOIN regs ON spine.rf = regs.rf AND spine.bucket = regs.bucket),
+         |ssum AS (SELECT rf, SUM(CAST(1 AS BIGINT) << (59 - reg)) AS s FROM fullr GROUP BY rf),
+         |ex AS (SELECT l_returnflag AS rf, count(DISTINCT l_partkey) AS exact_parts
+         | FROM lineitem GROUP BY 1)
+         |SELECT ex.rf AS l_returnflag, ex.exact_parts,
+         | 0.709 * (64.0 * 64.0) * 576460752303423488.0 / CAST(ssum.s AS DOUBLE) AS est_parts
+         |FROM ex JOIN ssum ON ex.rf = ssum.rf
+         |ORDER BY l_returnflag""".stripMargin
     },
     "t44_vocab" ->
       s"""SELECT w, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq

@@ -307,6 +307,21 @@ object StreamingQueries {
       runToTable(s, joined, OutputMode.Append(), "s53_sink")
         .orderBy(asc_nulls_first("click_id"), asc_nulls_first("purchase_id"))
     }),
+    // Stream-stream LEFT SEMI interval join — completes the join family
+    // (s43 inner, s47 left outer, s53 full outer): clicks that HAVE a
+    // purchase in their 30m horizon, emitted at most once, no purchase
+    // columns. Unlike the outer variants there is no eviction-cutoff
+    // arithmetic to reproduce: a matched click emits as soon as its
+    // first match arrives (then drops from state); an unmatched click
+    // is evicted silently. On bounded replay the emitted set is exactly
+    // the EXISTS semi join — plain-SQL oracle.
+    "s69_stream_semi_join" -> ((s, dir) => {
+      val matched = clickPurchaseJoin(s, dir, "left_semi")
+        .select(col("click_id"), col("user_id"),
+          unix_millis(col("click_ts")).as("click_ms"))
+      runToTable(s, matched, OutputMode.Append(), "s69_sink")
+        .orderBy("click_id")
+    }),
     // Bounded-state sessionization through flatMapGroupsWithState — the
     // custom-state API (EventTimeTimeout), as opposed to s42's built-in
     // session_window state store. On bounded replay every event lands in
@@ -338,6 +353,43 @@ object StreamingQueries {
       runToTable(s, sess, OutputMode.Append(), "s48_sink")
         .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"))
         .orderBy("user_id", "start_ts")
+    }),
+    // Spark 4 transformWithState — the arbitrary-state successor of
+    // flatMapGroupsWithState (named typed state variables + TTL +
+    // timers, RocksDB provider REQUIRED — the conf wrap is the s54
+    // pattern). Kernel: per-user last-event ValueState bridges
+    // micro-batches; each batch emits DELTA transition counts, so the
+    // summed matrix is batch-boundary-independent — and the two-batch
+    // time-split source (s52's mechanism) makes the cross-batch bridge
+    // REAL: a transition spanning the median split is counted from
+    // state, not same-batch adjacency. Oracle = the batch lag() chain
+    // (a46's mechanism) aggregated to the same matrix over the same
+    // null-complete rows (typed Event fields are primitive — the s48
+    // null contract).
+    "s68_stream_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = splitEventStream(s, dir)
+          .where(col("event_id").isNotNull && col("ts").isNotNull &&
+            col("user_id").isNotNull && col("value").isNotNull &&
+            col("event_type").isNotNull)
+          .as[EventStreams.Event]
+        val deltas = ev.groupByKey(_.user_id)
+          .transformWithState(new EventStreams.TransitionCounter,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+        runToTable(s, deltas.toDF(), OutputMode.Update(), "s68_sink")
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(sum(col("n")).as("transitions"))
+          .orderBy("from_type", "to_type")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     }),
     // Approximate distinct users per event type maintained AS STREAMING
     // STATE: the KMV sketch aggregator runs inside the engine's stateful
@@ -558,6 +610,28 @@ object StreamingQueries {
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // the semi join needs no cutoff arithmetic: matched-only emission
+    "s69_stream_semi_join" ->
+      """SELECT a.event_id AS click_id, a.user_id, epoch_ms(a.ts) AS click_ms
+        |FROM events a
+        |WHERE a.event_type = 'click' AND EXISTS (
+        |  SELECT 1 FROM events b
+        |  WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
+        |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE)
+        |ORDER BY click_id""".stripMargin,
+    // the batch lag() chain over the same null-complete rows: time-
+    // ordered batches + the per-user last-event state bridge make the
+    // streaming delta sum equal per-user adjacency counting exactly
+    "s68_stream_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
+        | WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |   AND ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL),
+        |o AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM e)
+        |SELECT prev AS from_type, event_type AS to_type, count(*) AS transitions
+        |FROM o WHERE prev IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
     // Gaps-and-islands in milliseconds (the unit the custom kernel's
     // state logic uses), then the timeout-flush cutoff: every session
     // closed by an in-batch gap is emitted; a user's FINAL session only

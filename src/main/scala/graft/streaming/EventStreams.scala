@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /**
@@ -98,6 +98,54 @@ object EventStreams {
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long, total: Double)
   case class Session(user_id: Long, start_ts: Long, end_ts: Long,
                      n_events: Long, total_value: Double)
+
+  case class Transition(user_id: Long, from_type: String, to_type: String, n: Long)
+  case class LastSeenEvent(ts_us: Long, event_id: Long, event_type: String)
+
+  /** Full-microsecond epoch value of a Timestamp — `getTime` alone
+    * truncates to milliseconds, which would break (ts, event_id)
+    * tie-breaks against the batch twin's micro-exact ORDER BY. */
+  private def epochMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
+  /**
+   * `transformWithState` kernel — Spark 4's arbitrary-state API, the
+   * successor of `flatMapGroupsWithState` (named typed state variables,
+   * TTL, timers; RocksDB provider required). Per-user event-type
+   * transition counting: state is ONE tiny ValueState record — the last
+   * event in the (ts, event_id) total order — bridging consecutive
+   * micro-batches, so a transition spanning a batch boundary is counted
+   * from state exactly as the batch `lag()` chain (a46's mechanism)
+   * counts it from adjacency. Each batch emits per-user DELTA counts
+   * (never cumulative), so the summed output is independent of batch
+   * boundaries. Correctness against the batch twin needs batches
+   * time-ordered per user — which the time-split source guarantees —
+   * the same contract every streaming transition counter has for late
+   * data (a watermarked variant would drop, not reorder).
+   */
+  class TransitionCounter extends StatefulProcessor[Long, Event, Transition] {
+    @transient private var last: ValueState[LastSeenEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastSeenEvent]("last",
+        org.apache.spark.sql.Encoders.product[LastSeenEvent], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[Transition] = {
+      val sorted = rows.toArray.sortBy(e => (epochMicros(e.ts), e.event_id))
+      var prev: LastSeenEvent = if (last.exists()) last.get() else null
+      val counts = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
+      sorted.foreach { e =>
+        if (prev != null) {
+          val k = (prev.event_type, e.event_type)
+          counts.update(k, counts.getOrElse(k, 0L) + 1L)
+        }
+        prev = LastSeenEvent(epochMicros(e.ts), e.event_id, e.event_type)
+      }
+      if (prev != null) last.update(prev)
+      counts.iterator.map { case ((f, to), n) => Transition(user, f, to, n) }
+    }
+  }
 
   /**
    * Stateful sessionization: per-user sessions closed when a later event

@@ -95,4 +95,71 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(phase2New.exists(_._2 <= maxA),
       s"no emitted session carried state across the restart (maxA=$maxA)")
   }
+
+  /** s68's claim is "the last-event ValueState bridges micro-batches".
+    * Arithmetic pin: over null-complete rows every user with k events
+    * contributes exactly k−1 transitions, so the matrix total must be
+    * n − users — which streaming only reaches if the state bridge
+    * counts the cross-batch pair for every user spanning the median
+    * split (per-batch adjacency alone would lose one per such user).
+    * Also pins that spanning users exist (else the bridge is untested)
+    * and that the RocksDB provider conf is restored. */
+  test("s68 transformWithState bridges transitions across micro-batches") {
+    val sf = SparkTestSession.sf001
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val res = StreamingQueries.queries("s68_stream_transitions")(spark, sf).collect()
+    assert(spark.conf.getOption(key) == before, "provider conf not restored")
+    val total = res.map(_.getLong(2)).sum
+    val complete = graft.sources.Tables.load(spark, sf, "events")
+      .where(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+    val n = complete.count()
+    val users = complete.select("user_id").distinct().count()
+    assert(total == n - users,
+      s"matrix total $total != n - users = ${n - users}: a cross-batch bridge was lost")
+    val splitDir = StreamingQueries.ensureTimeSplitEvents(spark, sf)
+    val spanning = spark.read.parquet(s"$splitDir/a").select("user_id")
+      .intersect(spark.read.parquet(s"$splitDir/b").select("user_id")).count()
+    assert(spanning > 0, "no user spans the split — the bridge went untested")
+  }
+
+  /** s69's at-most-once contract on a click with MULTIPLE in-horizon
+    * purchases (the gate corpus happens to be 1:1, so the dedup path
+    * would otherwise go unexercised): the semi join must emit the click
+    * once, not per match — the distinction from the s43 inner join. */
+  test("s69 semi join emits a multi-matched click exactly once") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val rows = Seq(
+      (1L, new Timestamp(t0), 7L, "click", 1.0),
+      (2L, new Timestamp(t0 + 5 * 60000), 7L, "purchase", 2.0),
+      (3L, new Timestamp(t0 + 10 * 60000), 7L, "purchase", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-s69").toString
+    rows.coalesce(1).write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(StreamingQueries.splitEventSchema).parquet(dir)
+    val clicks = src.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val semi = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_semi")
+    spark.catalog.dropTempView("s69_probe")
+    val q = semi.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("s69_probe")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("s69_probe").collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L,
+      s"expected the click once, got ${out.toSeq}")
+  }
 }

@@ -322,6 +322,39 @@ object StreamingQueries {
       runToTable(s, matched, OutputMode.Append(), "s69_sink")
         .orderBy("click_id")
     }),
+    // Bounded-state sessionization on transformWithState with
+    // EVENT-TIME TIMERS — s48's EventTimeTimeout contract on the
+    // successor API (s68 exercised the state variables; this exercises
+    // the timer half: registerTimer/deleteTimer/handleExpiredTimer).
+    // Runs over the two-batch time-split source, so sessions genuinely
+    // merge across micro-batches before the final timer flush; the
+    // oracle is s48's, unchanged — the API changed, the event-time
+    // contract didn't. total_value deliberately unprojected (s48's
+    // same-ms fold-order caveat; EventStreamsSpec covers totals).
+    "s70_stream_sessionize_timers" -> ((s, dir) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = splitEventStream(s, dir)
+          .where(col("event_id").isNotNull && col("ts").isNotNull &&
+            col("user_id").isNotNull && col("value").isNotNull)
+          .as[EventStreams.Event]
+        val sess = ev.withWatermark("ts", "10 minutes")
+          .groupByKey(_.user_id)
+          .transformWithState(new EventStreams.SessionProcessor(30 * 60000L),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            OutputMode.Append())
+        runToTable(s, sess.toDF(), OutputMode.Append(), "s70_sink")
+          .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"))
+          .orderBy("user_id", "start_ts")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }),
     // Bounded-state sessionization through flatMapGroupsWithState — the
     // custom-state API (EventTimeTimeout), as opposed to s42's built-in
     // session_window state store. On bounded replay every event lands in
@@ -564,6 +597,41 @@ object StreamingQueries {
       |FROM sess, wm WHERE end_us + 1800000000 <= wm_us
       |ORDER BY user_id, start_ts""".stripMargin
 
+  /** The s48/s70 pair's shared oracle — gaps-and-islands in
+    * milliseconds (the unit both custom kernels' state logic uses),
+    * then the timeout-flush cutoff: every session closed by an
+    * in-batch gap is emitted; a user's FINAL session only if its
+    * timeout (end + gap) is past the final watermark (ms-floored max
+    * event time − 10m) under `cmp` — "<" for s48 (GroupState's
+    * EventTimeTimeout fires strictly past the watermark) and "<=" for
+    * s70 (a transformWithState timer fires when the watermark REACHES
+    * its expiry); both comparators pinned empirically at the exact
+    * boundary in EventStreamsSpec. Same technique as s42, but the
+    * eviction arithmetic here is the timeout/timer contract.
+    * Fully-identified, timestamped, valued events only — the Spark
+    * side's declared semantics (its Event deserializer carries
+    * primitive fields and the kernels dereference ts). */
+  private def sessionizeKernelOracleSql(cmp: String): String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts)//1000 AS t FROM events
+      |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
+      |    AND user_id IS NOT NULL AND value IS NOT NULL),
+      |m AS (SELECT user_id, t,
+      |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |        OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000
+      |       THEN 1 ELSE 0 END AS brk FROM e),
+      |g AS (SELECT user_id, t,
+      |  SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m),
+      |sess AS (SELECT user_id, sid, min(t) AS start_ts, max(t) AS end_ts,
+      |   CAST(count(*) AS BIGINT) AS n_events
+      | FROM g GROUP BY user_id, sid),
+      |wm AS (SELECT (max(t) - 600000) AS wm_ms FROM e)
+      |SELECT user_id, start_ts, end_ts, n_events
+      |FROM sess, wm
+      |WHERE sid < (SELECT max(s2.sid) FROM sess s2 WHERE s2.user_id = sess.user_id)
+      |   OR end_ts + 1800000 $cmp wm_ms
+      |ORDER BY user_id, start_ts""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "s40_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt,
@@ -638,29 +706,16 @@ object StreamingQueries {
     // if its timeout (end + gap) is strictly before the final watermark
     // (ms-floored max event time − 10m). Same technique as s42, but the
     // eviction arithmetic here is the EventTimeTimeout contract.
-    "s48_stream_sessionize" ->
-      // fully-identified, timestamped, valued events only — the Spark
-      // side's declared semantics (its Event deserializer carries
-      // primitive fields and the kernel dereferences ts)
-      """WITH e AS (SELECT user_id, epoch_us(ts)//1000 AS t FROM events
-        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
-        |    AND user_id IS NOT NULL AND value IS NOT NULL),
-        |m AS (SELECT user_id, t,
-        |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
-        |        OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000
-        |       THEN 1 ELSE 0 END AS brk FROM e),
-        |g AS (SELECT user_id, t,
-        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY t
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m),
-        |sess AS (SELECT user_id, sid, min(t) AS start_ts, max(t) AS end_ts,
-        |   CAST(count(*) AS BIGINT) AS n_events
-        | FROM g GROUP BY user_id, sid),
-        |wm AS (SELECT (max(t) - 600000) AS wm_ms FROM e)
-        |SELECT user_id, start_ts, end_ts, n_events
-        |FROM sess, wm
-        |WHERE sid < (SELECT max(s2.sid) FROM sess s2 WHERE s2.user_id = sess.user_id)
-        |   OR end_ts + 1800000 < wm_ms
-        |ORDER BY user_id, start_ts""".stripMargin,
+    "s48_stream_sessionize" -> sessionizeKernelOracleSql("<"),
+    // same sessions, same watermark — ONE comparator apart: a
+    // transformWithState timer fires when the watermark REACHES its
+    // expiry (<=), where GroupState's EventTimeTimeout fires only
+    // strictly past it (<) — both pinned empirically at the exact
+    // boundary in EventStreamsSpec. The intermediate batch-1 firing
+    // can only emit sessions the final cutoff also admits (the
+    // watermark never regresses), so the multi-batch replay converges
+    // to the single cutoff rule.
+    "s70_stream_sessionize_timers" -> sessionizeKernelOracleSql("<="),
     // Inner matches (complete on bounded replay, as s43) plus the
     // null-extended clicks the engine's state eviction released: the
     // global watermark is the MIN across both input watermarks, each

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /**
@@ -144,6 +144,66 @@ object EventStreams {
       }
       if (prev != null) last.update(prev)
       counts.iterator.map { case ((f, to), n) => Transition(user, f, to, n) }
+    }
+  }
+
+  /**
+   * Bounded-state sessionization on `transformWithState` with
+   * EVENT-TIME TIMERS — the same contract as [[sessionizeBounded]]'s
+   * `EventTimeTimeout`, re-expressed on the successor API (s68's
+   * kernel exercised state variables; this one exercises the timer
+   * half). Same [[mergeSessions]] gaps-and-islands kernel, same
+   * admissibility filter, same flush rule: when the event-time
+   * watermark reaches a user's `lastSeen + gap`, the timer fires and
+   * the open session is emitted with its state dropped. ONE contract
+   * difference from GroupState, verified empirically in
+   * EventStreamsSpec: a transformWithState timer fires when the
+   * watermark REACHES its expiry (<=), whereas an EventTimeTimeout
+   * fires only strictly past it (<) — so the s70 oracle's final-
+   * session cutoff is `end + gap <= wm` where s48's is `<`.
+   *
+   * One discipline difference from GroupState's single timeout slot:
+   * transformWithState timers ACCUMULATE per key, so the kernel
+   * deletes the stale timer before registering the moved-out expiry —
+   * otherwise an orphaned early timer would flush a still-growing
+   * session the moment the watermark passed the OLD expiry.
+   */
+  class SessionProcessor(gapMs: Long) extends StatefulProcessor[Long, Event, Session] {
+    @transient private var open: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessionState]("open",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[Session] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      // events older than the watermark are inadmissible — their session
+      // may already have been flushed by a timer (same rule as
+      // sessionizeBounded; spurious one-event sessions otherwise)
+      val admissible = rows.filter(_.ts.getTime >= wm).toSeq
+      val prevOpen = if (open.exists()) Some(open.get()) else None
+      val (closed, nowOpen) = mergeSessions(prevOpen, admissible, gapMs)
+      nowOpen.foreach { s =>
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        open.update(s)
+        // must be strictly ahead of the current watermark
+        getHandle.registerTimer(math.max(s.lastSeen + gapMs, wm + 1))
+      }
+      closed.iterator.map(s => Session(user, s.start, s.lastSeen, s.nEvents, s.total))
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[Session] = {
+      // watermark passed lastSeen + gap with no further events: flush
+      // the idle session and drop the state
+      val out =
+        if (open.exists()) {
+          val s = open.get()
+          Iterator.single(Session(user, s.start, s.lastSeen, s.nEvents, s.total))
+        } else Iterator.empty
+      open.clear()
+      out
     }
   }
 

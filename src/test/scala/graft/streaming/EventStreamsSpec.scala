@@ -284,4 +284,97 @@ class EventStreamsSpec extends AnyFunSuite {
     // only CLOSED sessions are emitted mid-stream: user 1's first session
     assert(sessions.exists(s => s.user_id == 1 && s.n_events == 2 && s.total_value == 3.0))
   }
+
+  /** Drive the transformWithState SessionProcessor over a MemoryStream
+    * (RocksDB provider required by the operator; conf restored). */
+  private def runSessionProcessor(name: String)(feed: (
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event],
+      org.apache.spark.sql.streaming.StreamingQuery) => Unit): Array[EventStreams.Session] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event]
+      spark.catalog.dropTempView(name)
+      val q = input.toDS().withWatermark("ts", "10 minutes")
+        .groupByKey(_.user_id)
+        .transformWithState(new EventStreams.SessionProcessor(30 * 60000L),
+          TimeMode.EventTime(), OutputMode.Append())
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      feed(input, q)
+      q.stop()
+      spark.table(name).as[EventStreams.Session].collect()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** The comparator the s70 oracle's cutoff encodes — and the contract
+    * DIFFERENCE from GroupState: an EventTimeTimeout fires iff
+    * timeout < watermark (strict — s48's empirically-verified rule),
+    * but a transformWithState timer fires when the watermark REACHES
+    * its expiry (<=). Built so the watermark lands one ms below user
+    * 1's 10:30:00.000 expiry (held), then exactly on it (flushed). */
+  test("SessionProcessor timers fire AT the watermark (<=, unlike GroupState's strict <)") {
+    import EventStreams.Event
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val sessions = runSessionProcessor("tws_boundary_test") { (input, q) =>
+      input.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // wm → 10:29:59.999, one ms short of the expiry; the extra batch
+      // gives the engine every chance to fire early
+      input.addData(Event(2, new java.sql.Timestamp(
+        ts("2024-01-01 10:40:00").getTime - 1), 2, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(3, new java.sql.Timestamp(
+        ts("2024-01-01 10:40:00").getTime - 1), 2, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("tws_boundary_test").isEmpty,
+        "timer fired BELOW its expiry")
+      // wm → exactly 10:30:00.000 == expiry: must fire now (<=)
+      input.addData(Event(4, ts("2024-01-01 10:40:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts("2024-01-01 10:40:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+    }
+    val u1 = sessions.filter(_.user_id == 1)
+    assert(u1.length == 1 && u1.head.n_events == 1
+      && u1.head.start_ts == ts("2024-01-01 10:00:00").getTime, u1.mkString("; "))
+  }
+
+  /** The accumulate-vs-move discipline the kernel's scaladoc claims: a
+    * session extended by a later batch must DELETE its stale timer —
+    * otherwise the orphaned 10:30 expiry flushes the still-growing
+    * session once the watermark passes it. */
+  test("SessionProcessor moves (not accumulates) the timer when a session extends") {
+    import EventStreams.Event
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val sessions = runSessionProcessor("tws_move_test") { (input, q) =>
+      input.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable() // timer @ 10:30
+      input.addData(Event(2, ts("2024-01-01 10:20:00"), 1, "click", 2.0))
+      q.processAllAvailable() // session extends; timer must MOVE to 10:50
+      // wm → 10:36, past the stale 10:30 expiry but short of 10:50
+      input.addData(Event(3, ts("2024-01-01 10:46:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts("2024-01-01 10:46:30"), 2, "view", 1.0))
+      q.processAllAvailable()
+      assert(!spark.table("tws_move_test").as[EventStreams.Session].collect()
+        .exists(_.user_id == 1),
+        "a stale timer flushed a still-growing session")
+      // wm → 11:50, past the moved 10:50 expiry: flush with BOTH events
+      input.addData(Event(5, ts("2024-01-01 12:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(6, ts("2024-01-01 12:01:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+    }
+    val u1 = sessions.filter(_.user_id == 1)
+    assert(u1.length == 1 && u1.head.n_events == 2
+      && u1.head.start_ts == ts("2024-01-01 10:00:00").getTime
+      && u1.head.end_ts == ts("2024-01-01 10:20:00").getTime, u1.mkString("; "))
+  }
 }

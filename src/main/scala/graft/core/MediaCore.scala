@@ -446,6 +446,116 @@ object MediaCore {
       gridSumSig(luma, w, h)._2)
   }
 
+  // ---------------------------------------------------------------------
+  // Audio extension of the real-codec boundary: RIFF/WAVE 16-bit PCM
+  // through the JDK's ACTUAL audio codec (javax.sound.sampled — the
+  // ImageIO analogue: AudioSystem.write builds the RIFF container,
+  // getAudioInputStream walks its chunks and parses the fmt header).
+  // The image paths above are untouched.
+  // ---------------------------------------------------------------------
+
+  /** Fixture sample rate (Hz). */
+  val WavRate = 8000
+
+  /** Deterministic 16-bit PCM fixture waveform for `audio_id`:
+    * s(i) = ((base + 17·i) mod 4001) − 2000 with
+    * base = floorMod(id·31, 4001), over n = 800 + (id mod 7)·160
+    * samples — a full-range ±2000 sawtooth whose phase and length vary
+    * by id, so peak/energy/zero-crossing features separate ids. All
+    * terms are non-negative before the mod, so DuckDB's truncated `%`
+    * recomputes the same values; every feature is exact integer
+    * arithmetic (energy ≤ 1760·2000² ≈ 7·10⁹ — fits BIGINT). */
+  def patternPcm(audioId: Long): Array[Short] = {
+    val n = (800 + java.lang.Math.floorMod(audioId, 7L) * 160).toInt
+    val base = java.lang.Math.floorMod(audioId * 31L, 4001L)
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (((base + i * 17L) % 4001L) - 2000L).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** Real WAV encode of the id's fixture waveform: 16-bit little-endian
+    * signed mono PCM at [[WavRate]], containerized by the JDK's RIFF
+    * writer (AudioSystem.write). */
+  def encodePatternWav(audioId: Long): Array[Byte] = {
+    val pcm = patternPcm(audioId)
+    val bytes = new Array[Byte](pcm.length * 2)
+    var i = 0
+    while (i < pcm.length) {
+      bytes(2 * i) = (pcm(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((pcm(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(WavRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, pcm.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    val written = javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    require(written > 0, "no WAVE writer registered in this JVM")
+    bos.toByteArray
+  }
+
+  /**
+   * Real WAV decode → [n_samples, sample_rate, peak, sum_abs, energy,
+   * zero_crossings]: the JDK audio codec walks the RIFF chunks and
+   * parses the fmt header; the decoded little-endian PCM samples feed
+   * exact integer features (peak |s|, Σ|s|, Σs², sign-change count with
+   * 0 counted non-negative). Throws on undecodable or non-16-bit-mono-
+   * PCM payloads — a silent fallback would defeat the fixture's purpose
+   * (proving the codec reproduced the encoded samples), and truncating
+   * 24-bit or averaging stereo here would surface as a distant oracle
+   * mismatch instead of failing loudly.
+   */
+  def wavStats(wav: Array[Byte]): Array[Long] = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            "payload is not a decodable RIFF/WAVE stream", e)
+      }
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"expected PCM_SIGNED samples, got ${fmt.getEncoding}")
+      require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"expected 16-bit little-endian mono PCM, got ${fmt.getChannels} channel(s) " +
+          s"of ${fmt.getSampleSizeInBits} bits" +
+          (if (fmt.isBigEndian) " (big-endian)" else ""))
+      // decoder-controlled length: bound before allocating (as pngStats
+      // bounds decoder-controlled dimensions)
+      val frames = ais.getFrameLength
+      require(frames > 0 && frames <= (1L << 22), s"frame count out of bounds: $frames")
+      val n = frames.toInt
+      val data = ais.readNBytes(n * 2)
+      require(data.length == n * 2,
+        s"truncated PCM payload: ${data.length} of ${n * 2} bytes")
+      var peak = 0L
+      var sumAbs = 0L
+      var energy = 0L
+      var zc = 0L
+      var prevNeg = false
+      var i = 0
+      while (i < n) {
+        val v = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        sumAbs += a
+        energy += v * v
+        val neg = v < 0
+        if (i > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        i += 1
+      }
+      Array(n.toLong, fmt.getSampleRate.toLong, peak, sumAbs, energy, zc)
+    } finally ais.close()
+  }
+
   /**
    * Per-frame checksums: split the payload into `nFrames` contiguous
    * chunks (boundaries `k*len/nFrames`, integer division) and Adler-style

@@ -96,6 +96,18 @@ object Multimodal {
   def png_palette_stats(payload: Column): Column =
     Bridge.column(PngPaletteStats(Bridge.expression(payload)))
 
+  /** Real-codec audio encode: the id's deterministic PCM waveform as an
+    * actual RIFF/WAVE container (JDK javax.sound —
+    * [[MediaCore.encodePatternWav]]). */
+  def wav_encode_pattern(id: Column): Column =
+    Bridge.column(WavEncodePattern(Bridge.expression(id)))
+
+  /** Real-codec audio decode: WAV payload → [n_samples, sample_rate,
+    * peak, sum_abs, energy, zero_crossings] via the JDK's actual
+    * RIFF/fmt parser. */
+  def wav_stats(payload: Column): Column =
+    Bridge.column(WavStats(Bridge.expression(payload)))
+
   /**
    * Perceptual-hash image near-dups: aHash signatures banded and
    * verified exactly like SimHash text near-dups
@@ -280,6 +292,41 @@ case class PngPaletteStats(child: Expression) extends UnaryExpression with Expec
     defineCodeGen(ctx, ev, c =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.MediaCore.pngPaletteStats($c))")
   override protected def withNewChildInternal(newChild: Expression): PngPaletteStats =
+    copy(child = newChild)
+}
+
+/** `wav_encode_pattern(id)` → binary: REAL WAV encode (JDK
+  * javax.sound RIFF writer) of the id's deterministic PCM fixture
+  * waveform (interpreted-only, as [[PngEncodePattern]] —
+  * fixture-ingest path, the codec call dominates). */
+case class WavEncodePattern(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "wav_encode_pattern"
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    MediaCore.encodePatternWav(input.asInstanceOf[Long])
+  override protected def withNewChildInternal(newChild: Expression): WavEncodePattern =
+    copy(child = newChild)
+}
+
+/** `wav_stats(payload)` → array<long> [n_samples, sample_rate, peak,
+  * sum_abs, energy, zero_crossings]: REAL WAV decode (JDK javax.sound
+  * RIFF/fmt parser) feeding exact integer audio features. Codegen'd —
+  * the static call keeps the scan stage in whole-stage codegen. */
+case class WavStats(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "wav_stats"
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MediaCore.wavStats(input.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.MediaCore.wavStats($c))")
+  override protected def withNewChildInternal(newChild: Expression): WavStats =
     copy(child = newChild)
 }
 

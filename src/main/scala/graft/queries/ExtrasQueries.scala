@@ -132,7 +132,54 @@ object ExtrasQueries {
     dir
   }
 
+  /** WAV fixture export root (audio sibling of [[pngDir]]). */
+  def wavDir(sfDir: String): String =
+    RelationalQueries.dataRoot("wav", sfDir, "fixtures")
+
+  /** Ingest-once REAL-codec audio fixture set: the first 100 docs' ids,
+    * each rendered as a deterministic 16-bit PCM waveform and
+    * containerized by the JDK's actual RIFF/WAVE writer
+    * (MediaCore.encodePatternWav), stored as an opaque binary column.
+    * The m60 read path must genuinely parse the container and decode
+    * the samples — the oracle knows only the waveform formula. */
+  def ensureWavExport(s: SparkSession, sfDir: String): String = {
+    val dir = wavDir(sfDir)
+    val want = RelationalQueries.srcDigest(sfDir, "documents")
+    if (RelationalQueries.stale(dir, sfDir, "documents")) {
+      t(s, sfDir, "documents")
+        .orderBy("doc_id").limit(100)
+        .select(col("doc_id").as("audio_id"))
+        .select(col("audio_id"),
+          Multimodal.wav_encode_pattern(col("audio_id")).as("payload"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      RelationalQueries.markFresh(dir, want)
+    }
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Audio extension of the real-codec boundary: RIFF/WAVE 16-bit PCM
+    // fixtures decoded with the JDK's actual audio codec (javax.sound —
+    // the ImageIO analogue) inside a codegen'd scan expression, feeding
+    // exact integer features (peak, Σ|s|, Σs², sign-change count). The
+    // oracle recomputes every feature purely from the waveform formula —
+    // a parser that mis-walked the RIFF chunks, byte-swapped the PCM,
+    // or truncated samples would hash-mismatch. Image paths untouched.
+    "m60_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val path = ensureWavExport(s, dir)
+      s.read.parquet(path)
+        .select($"audio_id", Multimodal.wav_stats($"payload").as("st"))
+        .select($"audio_id",
+          element_at($"st", 1).as("n_samples"),
+          element_at($"st", 2).as("sample_rate"),
+          element_at($"st", 3).as("peak"),
+          element_at($"st", 4).as("sum_abs"),
+          element_at($"st", 5).as("energy"),
+          element_at($"st", 6).as("zero_crossings"))
+        .orderBy("audio_id")
+    }),
     // REAL-codec decode (the stub boundary's other side): PNG fixtures
     // are decoded with the JDK's actual PNG codec inside a codegen'd
     // scan expression, then fed to the same resize + average-hash
@@ -451,6 +498,28 @@ object ExtrasQueries {
        | FROM plv JOIN ps ON plv.img_id = ps.img_id GROUP BY plv.img_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Every feature recomputed purely from the waveform formula
+    // (MediaCore.patternPcm): n = 800 + (id mod 7)·160 samples of
+    // s(i) = ((id·31 mod 4001) + 17·i) mod 4001 − 2000. Exact integer
+    // arithmetic end-to-end; zero crossings pair s(i−1)/s(i) via
+    // DuckDB's 1-based list slots, with 0 counted non-negative on both
+    // sides.
+    "m60_wav_decode" ->
+      """WITH ids AS (SELECT doc_id AS audio_id FROM documents ORDER BY doc_id LIMIT 100),
+        |p AS (SELECT audio_id, 800 + (audio_id % 7) * 160 AS n,
+        |        (audio_id * 31) % 4001 AS base FROM ids),
+        |w AS (SELECT audio_id, n,
+        |        list_transform(range(0, n), i -> (base + i * 17) % 4001 - 2000) AS sm
+        |      FROM p)
+        |SELECT audio_id,
+        | CAST(n AS BIGINT) AS n_samples,
+        | CAST(8000 AS BIGINT) AS sample_rate,
+        | CAST(list_max(list_transform(sm, v -> abs(v))) AS BIGINT) AS peak,
+        | CAST(list_sum(list_transform(sm, v -> abs(v))) AS BIGINT) AS sum_abs,
+        | CAST(list_sum(list_transform(sm, v -> v * v)) AS BIGINT) AS energy,
+        | CAST(len(list_filter(range(1, n), i -> (sm[i] < 0) != (sm[i+1] < 0))) AS BIGINT)
+        |   AS zero_crossings
+        |FROM w ORDER BY audio_id""".stripMargin,
     "m59_png_palette_decode" ->
       s"""WITH $paletteSigCte
          |SELECT ps.img_id, CAST(24 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,

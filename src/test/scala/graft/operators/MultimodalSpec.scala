@@ -212,4 +212,52 @@ class MultimodalSpec extends AnyFunSuite {
       .select($"doc_id", $"f0").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(viaBatch == viaExpr)
   }
+
+  test("WAV round-trip: decoded features match the waveform formula exactly") {
+    Seq(0L, 1L, 6L, 7L, 129L, 4000L, 123456789L).foreach { id =>
+      val wav = MediaCore.encodePatternWav(id)
+      // a real RIFF container, not bare PCM
+      assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F')
+      val st = MediaCore.wavStats(wav)
+      val pcm = MediaCore.patternPcm(id)
+      assert(st(0) == pcm.length && st(1) == MediaCore.WavRate)
+      assert(st(2) == pcm.map(v => math.abs(v.toLong)).max)
+      assert(st(3) == pcm.map(v => math.abs(v.toLong)).sum)
+      assert(st(4) == pcm.map(v => v.toLong * v).sum)
+      val zc = pcm.toSeq.sliding(2).count { case Seq(a, b) => (a < 0) != (b < 0) }
+      assert(st(5) == zc, s"id=$id zero crossings ${st(5)} != $zc")
+    }
+  }
+
+  test("wav_stats rejects non-WAV and non-16-bit-mono payloads loudly") {
+    intercept[Exception] {
+      MediaCore.wavStats("definitely not a wav".getBytes("UTF-8"))
+    }
+    // a PNG is not an audio stream either
+    intercept[Exception] {
+      MediaCore.wavStats(MediaCore.encodePatternPng(1L))
+    }
+    // stereo 16-bit: container valid, shape contract violated
+    def wavOf(fmt: javax.sound.sampled.AudioFormat, frames: Int): Array[Byte] = {
+      val bytes = new Array[Byte](frames * fmt.getFrameSize)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val stereo = intercept[IllegalArgumentException] {
+      MediaCore.wavStats(wavOf(
+        new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false), 16))
+    }
+    assert(stereo.getMessage.contains("channel"), stereo.getMessage)
+    // 8-bit WAV is canonically UNSIGNED in the container, so the JDK
+    // round-trips it as PCM_UNSIGNED and the encoding check fires first
+    val eightBit = intercept[IllegalArgumentException] {
+      MediaCore.wavStats(wavOf(
+        new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false), 16))
+    }
+    assert(eightBit.getMessage.contains("PCM_SIGNED"), eightBit.getMessage)
+  }
 }

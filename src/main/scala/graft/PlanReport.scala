@@ -113,6 +113,10 @@ object PlanReport {
       "sampled quantiles: scan-local CRC slot selection (2% sample, no shuffle), exact interpolated percentiles of the sample per group — the bounded-flow quantile estimator",
     "d65_span_redact" ->
       "span redaction: removal positions exploded from the (output-sensitive) span set, exact (id,pos) LeftAnti equi-join — never a range/NLJ probe; reassembly groups only the AFFECTED docs' surviving tokens",
+    "a76_hll_distinct" ->
+      "full-oracle HLL: the hash evaluates in the scan stage; the 64-byte register sketch partial-aggregates map-side (ObjectHashAggregate), so the sketch's shuffle volume is constant per group at ANY corpus size — the exact-countDistinct rider contributes the distinct-rewrite's two exchanges",
+    "m60_wav_decode" ->
+      "REAL-codec audio decode: JDK RIFF/fmt parse + exact integer PCM features fused into the scan stage as one codegen'd expression over the fixture parquet",
   )
 
   def main(args: Array[String]): Unit = {

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /**
@@ -123,6 +123,26 @@ object EventStreams {
    * the same contract every streaming transition counter has for late
    * data (a watermarked variant would drop, not reorder).
    */
+  /** The shared transition step: sort the batch in the (ts, event_id)
+    * total order, count adjacency pairs bridging from the stored last
+    * event, move the state forward. ONE definition so the plain (s68)
+    * and warm-start (s71) processors cannot drift. */
+  private def transitionStep(user: Long, rows: Iterator[Event],
+                             last: ValueState[LastSeenEvent]): Iterator[Transition] = {
+    val sorted = rows.toArray.sortBy(e => (epochMicros(e.ts), e.event_id))
+    var prev: LastSeenEvent = if (last.exists()) last.get() else null
+    val counts = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
+    sorted.foreach { e =>
+      if (prev != null) {
+        val k = (prev.event_type, e.event_type)
+        counts.update(k, counts.getOrElse(k, 0L) + 1L)
+      }
+      prev = LastSeenEvent(epochMicros(e.ts), e.event_id, e.event_type)
+    }
+    if (prev != null) last.update(prev)
+    counts.iterator.map { case ((f, to), n) => Transition(user, f, to, n) }
+  }
+
   class TransitionCounter extends StatefulProcessor[Long, Event, Transition] {
     @transient private var last: ValueState[LastSeenEvent] = _
 
@@ -131,20 +151,35 @@ object EventStreams {
         org.apache.spark.sql.Encoders.product[LastSeenEvent], TTLConfig.NONE)
 
     override def handleInputRows(user: Long, rows: Iterator[Event],
-                                 tv: TimerValues): Iterator[Transition] = {
-      val sorted = rows.toArray.sortBy(e => (epochMicros(e.ts), e.event_id))
-      var prev: LastSeenEvent = if (last.exists()) last.get() else null
-      val counts = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
-      sorted.foreach { e =>
-        if (prev != null) {
-          val k = (prev.event_type, e.event_type)
-          counts.update(k, counts.getOrElse(k, 0L) + 1L)
-        }
-        prev = LastSeenEvent(epochMicros(e.ts), e.event_id, e.event_type)
-      }
-      if (prev != null) last.update(prev)
-      counts.iterator.map { case ((f, to), n) => Transition(user, f, to, n) }
-    }
+                                 tv: TimerValues): Iterator[Transition] =
+      transitionStep(user, rows, last)
+  }
+
+  /**
+   * Warm-start variant ([[StatefulProcessorWithInitialState]]): the
+   * state store is SEEDED from a batch dataset before the first
+   * micro-batch — the backfill→streaming migration pattern (a batch
+   * job computes history once; the stream continues from its frontier
+   * instead of replaying it). `handleInitialState` runs per key at
+   * query start; the transition step itself is [[transitionStep]],
+   * shared with [[TransitionCounter]], so the bridge from the seeded
+   * last event is counted exactly as a cross-batch bridge would be.
+   */
+  class TransitionCounterWithInit
+    extends StatefulProcessorWithInitialState[Long, Event, Transition, LastSeenEvent] {
+    @transient private var last: ValueState[LastSeenEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastSeenEvent]("last",
+        org.apache.spark.sql.Encoders.product[LastSeenEvent], TTLConfig.NONE)
+
+    override def handleInitialState(user: Long, initial: LastSeenEvent,
+                                    tv: TimerValues): Unit =
+      last.update(initial)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[Transition] =
+      transitionStep(user, rows, last)
   }
 
   /**

@@ -92,7 +92,7 @@ object PlanReport {
     "d62_cluster_reps" ->
       "keep-best duplicate-cluster representative: map-side-combinable max(struct(quality, -id)) argmax per cluster — no corpus Window sort",
     "d66_dedup_digest" ->
-      "production exact dedup: md5 digest + length computed scan-side, so the grouping exchange carries ~40-byte rows instead of document bodies (the d30 ground-truth form shuffles full text — ~150 MB of strings through one exchange at sf10; same-session pairs measure the digest form ~30% faster even on this corpus's short docs, with volume bounded by construction at any document length — SCALING.md r9)",
+      "production exact dedup: sha-256 digest + length computed scan-side, so the grouping exchange carries ~72-byte rows instead of document bodies (the d30 ground-truth form shuffles full text — ~150 MB of strings through one exchange at sf10; same-session pairs measure the digest form ~30% faster even on this corpus's short docs, with volume bounded by construction at any document length — SCALING.md r9)",
     "d67_cluster_reps_minhash" ->
       "production keep-best twin: the same component resolution + max-struct argmax as d62 fed by MinHash-LSH candidates (band-bucket equi-joins) instead of the exact-Jaccard Sigma-df2 candidate stage",
     "m59_png_palette_decode" ->

@@ -329,12 +329,14 @@ object PipelineQueries {
         .select($"keeper", $"copies", length($"text").cast("long").as("n_chars"))
         .orderBy("keeper")
     }),
-    // Production-shape exact dedup: the exchange carries (md5 digest,
-    // length) ~40-byte rows instead of full bodies (d30's measured
-    // sf10 slope 18.7 was the body-payload shuffle — SCALING.md). The
-    // oracle RE-DERIVES the digest: DuckDB's md5() emits the identical
-    // lowercase hex, so a digest mismatch (or any grouping drift)
-    // hash-fails.
+    // Production-shape exact dedup: the exchange carries (sha-256
+    // digest, length) ~72-byte rows instead of full bodies (d30's
+    // measured sf10 slope 18.7 was the body-payload shuffle —
+    // SCALING.md). Crypto-strength digest because curation corpora are
+    // adversarial (md5 chosen-prefix collisions are constructible). The
+    // oracle RE-DERIVES the digest: DuckDB's sha256() emits the
+    // identical lowercase hex, so a digest mismatch (or any grouping
+    // drift) hash-fails.
     "d66_dedup_digest" -> ((s, dir) => {
       import s.implicits._
       Dedup.exactGroupsByDigest(t(s, dir, "documents"), "doc_id", "text")
@@ -1790,12 +1792,12 @@ object PipelineQueries {
       """SELECT min(doc_id) AS keeper, count(*) AS copies,
         | CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents GROUP BY text ORDER BY keeper""".stripMargin,
-    // d66: same groups as d30 keyed by (md5, length) — the digest is
-    // independently recomputed, never spliced
+    // d66: same groups as d30 keyed by (sha256, length) — the digest
+    // is independently recomputed, never spliced
     "d66_dedup_digest" ->
-      """SELECT md5(text) AS digest, min(doc_id) AS keeper,
+      """SELECT sha256(text) AS digest, min(doc_id) AS keeper,
         | count(*) AS copies, CAST(length(text) AS BIGINT) AS n_chars
-        |FROM documents GROUP BY md5(text), length(text) ORDER BY keeper""".stripMargin,
+        |FROM documents GROUP BY sha256(text), length(text) ORDER BY keeper""".stripMargin,
     // Full independent SimHash recompute: per-token FNV-1a64 (HUGEINT
     // fold with wraparound multiply mod 2^64 — DuckDB BIGINT arithmetic
     // traps on overflow), per-bit majority vote, pairwise Hamming ≤ 3.

@@ -424,6 +424,58 @@ object StreamingQueries {
         case None    => s.conf.unset(key)
       }
     }),
+    // Warm-start transition counting (StatefulProcessorWithInitialState)
+    // — the backfill→streaming migration pattern: a BATCH job reads the
+    // first time-half and computes each user's frontier (last event in
+    // the (ts, event_id) total order, one map-side-combinable
+    // max(struct) aggregation — never a replay); the STREAM processes
+    // only the second half, seeded with that frontier via
+    // handleInitialState, so the transition spanning the halves is
+    // counted from SEEDED state rather than replayed history. Oracle =
+    // the full-corpus lag() chain keeping only transitions whose LATER
+    // event is above the median split — exactly the bridge + in-stream
+    // pairs the warm-started stream must produce; a missed or doubled
+    // bridge hash-fails.
+    "s71_stream_transitions_warmstart" -> ((s, dir) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val root = ensureTimeSplitEvents(s, dir)
+        val nullOk = col("event_id").isNotNull && col("ts").isNotNull &&
+          col("user_id").isNotNull && col("value").isNotNull &&
+          col("event_type").isNotNull
+        val seed = s.read.schema(splitEventSchema).parquet(s"$root/a")
+          .where(nullOk)
+          .groupBy(col("user_id"))
+          .agg(max(struct(expr("unix_micros(ts)").as("ts_us"),
+            col("event_id"), col("event_type"))).as("m"))
+          .select($"user_id", $"m.ts_us", $"m.event_id", $"m.event_type")
+          .as[(Long, Long, Long, String)]
+          .map { case (u, tsUs, id, et) =>
+            (u, EventStreams.LastSeenEvent(tsUs, id, et)) }
+          .groupByKey(_._1).mapValues(_._2)
+        val ev = s.readStream.schema(splitEventSchema)
+          .parquet(s"$root/b/part*")
+          .where(nullOk)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[EventStreams.Event]
+        val deltas = ev.groupByKey(_.user_id)
+          .transformWithState(new EventStreams.TransitionCounterWithInit,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update(), seed)
+        runToTable(s, deltas.toDF(), OutputMode.Update(), "s71_sink")
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(sum(col("n")).as("transitions"))
+          .orderBy("from_type", "to_type")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }),
     // Approximate distinct users per event type maintained AS STREAMING
     // STATE: the KMV sketch aggregator runs inside the engine's stateful
     // aggregation (Complete mode), its buffer merging across batches in
@@ -699,6 +751,25 @@ object StreamingQueries {
         | FROM e)
         |SELECT prev AS from_type, event_type AS to_type, count(*) AS transitions
         |FROM o WHERE prev IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    // warm start: the same lag() chain, keeping only transitions whose
+    // LATER event sits above the median split (the streamed half) — the
+    // half-bridging transition is admitted (its earlier event is the
+    // seeded frontier), purely-historical ones are not. The split point
+    // re-derives Spark's CAST(percentile(...,0.5) AS BIGINT): floor()
+    // because DuckDB's double→BIGINT cast rounds where Spark truncates.
+    "s71_stream_transitions_warmstart" ->
+      """WITH med AS (
+        |  SELECT CAST(floor(quantile_cont(epoch_us(ts), 0.5)) AS BIGINT) AS m
+        |  FROM events),
+        |e AS (SELECT user_id, event_id, ts, event_type FROM events
+        | WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |   AND ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL),
+        |o AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM e)
+        |SELECT prev AS from_type, event_type AS to_type, count(*) AS transitions
+        |FROM o, med WHERE prev IS NOT NULL AND us > med.m
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
     // Gaps-and-islands in milliseconds (the unit the custom kernel's
     // state logic uses), then the timeout-flush cutoff: every session

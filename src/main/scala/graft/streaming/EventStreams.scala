@@ -219,13 +219,28 @@ object EventStreams {
       val admissible = rows.filter(_.ts.getTime >= wm).toSeq
       val prevOpen = if (open.exists()) Some(open.get()) else None
       val (closed, nowOpen) = mergeSessions(prevOpen, admissible, gapMs)
-      nowOpen.foreach { s =>
+      // An open session already past its natural expiry (lastSeen+gap
+      // <= wm, the timer's own <= rule) flushes NOW. This happens when
+      // a batch delivers ONLY inadmissible (below-watermark) events for
+      // a user whose timer was due this same batch: the input phase
+      // runs first, and re-registering at wm+1 would orphan the session
+      // forever if the stream ends without the watermark advancing —
+      // diverging from the oracle's end+gap <= wm cutoff.
+      val (expired, stillOpen) = nowOpen match {
+        case Some(s) if s.lastSeen + gapMs <= wm => (Seq(s), None)
+        case other => (Nil, other)
+      }
+      stillOpen.foreach { s =>
         getHandle.listTimers().foreach(getHandle.deleteTimer)
         open.update(s)
-        // must be strictly ahead of the current watermark
-        getHandle.registerTimer(math.max(s.lastSeen + gapMs, wm + 1))
+        getHandle.registerTimer(s.lastSeen + gapMs) // > wm by the split above
       }
-      closed.iterator.map(s => Session(user, s.start, s.lastSeen, s.nEvents, s.total))
+      if (expired.nonEmpty) {
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        open.clear()
+      }
+      (closed ++ expired).iterator
+        .map(s => Session(user, s.start, s.lastSeen, s.nEvents, s.total))
     }
 
     override def handleExpiredTimer(user: Long, tv: TimerValues,
@@ -326,12 +341,25 @@ object EventStreams {
             val wm = state.getCurrentWatermarkMs()
             val admissible = batch.toSeq.filter(_.ts.getTime >= wm)
             val (closed, open) = mergeSessions(state.getOption, admissible, gapMs)
-            open.foreach { s =>
+            // Same expired-open-session rule as the transformWithState
+            // kernel, at GroupState's STRICT comparator: a timeout fires
+            // only when wm passes lastSeen+gap (<), so a session with
+            // lastSeen+gap < wm whose user received only inadmissible
+            // events this batch (input phase preempts the timeout call)
+            // flushes directly instead of having its timeout pushed to
+            // wm+1 — which would orphan it if the watermark stalls.
+            val (expired, stillOpen) = open match {
+              case Some(s) if s.lastSeen + gapMs < wm => (Seq(s), None)
+              case other => (Nil, other)
+            }
+            stillOpen.foreach { s =>
               state.update(s)
-              // must be strictly ahead of the current watermark
+              // timeout must not be behind the watermark; == wm is the
+              // one boundary case left (fires once wm moves past it)
               state.setTimeoutTimestamp(math.max(s.lastSeen + gapMs, wm + 1))
             }
-            closed.iterator
+            if (expired.nonEmpty) state.remove()
+            (closed ++ expired).iterator
               .map(s => Session(userId, s.start, s.lastSeen, s.nEvents, s.total))
           }
         })

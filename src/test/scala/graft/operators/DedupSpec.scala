@@ -32,10 +32,10 @@ class DedupSpec extends AnyFunSuite {
       .select($"keeper", $"copies").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byDigest == byText)
-    // the digest is the portable md5 hex (32 lowercase hex chars)
+    // the digest is the portable sha-256 hex (64 lowercase hex chars)
     val d = Dedup.exactGroupsByDigest(withDups, "doc_id", "text")
       .select($"digest").head().getString(0)
-    assert(d.matches("[0-9a-f]{32}"))
+    assert(d.matches("[0-9a-f]{64}"))
   }
 
   test("minhash-LSH near-dups equal exact n-gram jaccard ground truth") {

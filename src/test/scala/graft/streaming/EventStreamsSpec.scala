@@ -377,4 +377,118 @@ class EventStreamsSpec extends AnyFunSuite {
       && u1.head.start_ts == ts("2024-01-01 10:00:00").getTime
       && u1.head.end_ts == ts("2024-01-01 10:20:00").getTime, u1.mkString("; "))
   }
+
+  /** Run `body` with no-data micro-batches disabled (and restored).
+    * Disabling them makes the input-preempts-timeout ordering
+    * DETERMINISTIC: normally the engine's post-watermark-advance
+    * no-data batch fires a due timer before the next data batch can
+    * deliver input for the same key; with it off, a batch carrying
+    * only below-watermark events for an already-expired session is
+    * exactly the race the kernels' expired-open-session rule handles —
+    * and a production stream may legitimately run with this conf off,
+    * so the kernel must be correct either way. */
+  private def withoutNoDataBatches[T](body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("GroupState: an inadmissible-only batch flushes an already-expired session") {
+    import EventStreams.{Event, Session}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    withoutNoDataBatches {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+      val q = EventStreams.sessionizeBounded(input.toDS(), gapMinutes = 30)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sessions_expired_flush_test").start()
+      input.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable() // user 1 opens; expiry 10:30; wm → 9:50
+      input.addData(Event(2, ts("2024-01-01 11:30:00"), 2, "view", 1.0))
+      q.processAllAvailable() // wm during: 9:50 (timeout not due); after → 11:20
+      // the race: user 1's expiry (10:30) is now < wm (11:20), but this
+      // batch delivers user 1 ONLY an inadmissible event — the input
+      // call preempts the timed-out call, so pushing the timeout to
+      // wm+1 would orphan the session if the watermark never advances
+      // again. The kernel must flush it directly.
+      input.addData(Event(3, ts("2024-01-01 10:05:00"), 1, "click", 9.0))
+      q.processAllAvailable()
+      q.stop()
+      val u1 = spark.table("sessions_expired_flush_test").as[Session]
+        .collect().filter(_.user_id == 1)
+      assert(u1.length == 1 && u1.head.n_events == 1
+        && u1.head.start_ts == ts("2024-01-01 10:00:00").getTime
+        && u1.head.end_ts == ts("2024-01-01 10:00:00").getTime, u1.mkString("; "))
+    }
+  }
+
+  test("SessionProcessor: an inadmissible-only batch flushes an already-expired session") {
+    import EventStreams.Event
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val sessions = withoutNoDataBatches {
+      runSessionProcessor("tws_expired_flush_test") { (input, q) =>
+        input.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+        q.processAllAvailable() // timer @ 10:30; wm → 9:50
+        input.addData(Event(2, ts("2024-01-01 11:30:00"), 2, "view", 1.0))
+        q.processAllAvailable() // wm during: 9:50; after → 11:20
+        // same race as the GroupState twin, at the <= comparator: the
+        // input phase deletes/moves the due timer, so only a direct
+        // flush keeps the session from being orphaned
+        input.addData(Event(3, ts("2024-01-01 10:05:00"), 1, "click", 9.0))
+        q.processAllAvailable()
+      }
+    }
+    val u1 = sessions.filter(_.user_id == 1)
+    assert(u1.length == 1 && u1.head.n_events == 1
+      && u1.head.start_ts == ts("2024-01-01 10:00:00").getTime, u1.mkString("; "))
+  }
+
+  /** The warm-start processor (s71): the state store is seeded from a
+    * batch dataset, so the first streamed event bridges FROM the seed —
+    * counted exactly as a cross-batch transition — while an unseeded
+    * key starts cold (its first event bridges nothing). */
+  test("TransitionCounterWithInit counts the bridge from seeded initial state") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import EventStreams.{Event, LastSeenEvent, Transition}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // user 1's history frontier: a click at 09:00 (event 100)
+      val seed = spark.createDataset(Seq(
+          (1L, LastSeenEvent(ts("2024-01-01 09:00:00").getTime * 1000L, 100L, "click"))))
+        .groupByKey(_._1).mapValues(_._2)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+      spark.catalog.dropTempView("tws_warmstart_test")
+      val q = input.toDS()
+        .groupByKey(_.user_id)
+        .transformWithState(new EventStreams.TransitionCounterWithInit,
+          TimeMode.None(), OutputMode.Update(), seed)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("tws_warmstart_test").start()
+      // user 1: one streamed event — its ONLY transition is the bridge
+      // from the seed; user 2: unseeded, so view→click only
+      input.addData(
+        Event(200, ts("2024-01-01 10:00:00"), 1, "purchase", 1.0),
+        Event(201, ts("2024-01-01 10:00:00"), 2, "view", 1.0),
+        Event(202, ts("2024-01-01 10:01:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("tws_warmstart_test").as[Transition].collect()
+      assert(out.toSet == Set(
+        Transition(1, "click", "purchase", 1),
+        Transition(2, "view", "click", 1)), out.mkString("; "))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }

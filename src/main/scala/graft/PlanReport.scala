@@ -117,6 +117,23 @@ object PlanReport {
       "full-oracle HLL: the hash evaluates in the scan stage; the 64-byte register sketch partial-aggregates map-side (ObjectHashAggregate), so the sketch's shuffle volume is constant per group at ANY corpus size — the exact-countDistinct rider contributes the distinct-rewrite's two exchanges",
     "m60_wav_decode" ->
       "REAL-codec audio decode: JDK RIFF/fmt parse + exact integer PCM features fused into the scan stage as one codegen'd expression over the fixture parquet",
+    "d68_training_minhash" ->
+      "production training capstone: d48's seven stages with the component stage's candidates from the MinHash (band, bucket) equi-join instead of the sf10-infeasible exact Sigma-df2 stage; the visible plan is the post-checkpoint decontamination/rebalance/chunk chain — its one BroadcastNestedLoopJoin is the broadcast ONE-ROW temperature threshold (a50's mechanism), never a pair scan (candidate-join shape pinned separately in PlanChecksSpec)",
+  )
+
+  /** Streaming queries: the memory-sink DataFrame the query map returns
+    * shows only the sink scan, so these render the stream's OWN executed
+    * plan (IncrementalExecution), captured by runToTable at run time —
+    * (query, sink, note). */
+  val streamingSections: Seq[(String, String, String)] = Seq(
+    ("s68_stream_transitions", "s68_sink",
+      "transformWithState delta transition counting: TransformWithStateExec over the RocksDB provider; per-user last-event ValueState bridges micro-batches, each batch emits delta counts"),
+    ("s69_stream_semi_join", "s69_sink",
+      "stream-stream LEFT SEMI: StreamingSymmetricHashJoin — each side buffers keyed state bounded by its watermark; clicks emit once on first proof of a matching purchase"),
+    ("s70_stream_sessionize_timers", "s70_sink",
+      "timer-driven sessionization: TransformWithStateExec in event-time mode — per-user open-session ValueState plus ONE registered timer (deleted before each move); the watermark fires expiries at <="),
+    ("s71_stream_transitions_warmstart", "s71_sink",
+      "warm-start transitions: TransformWithStateExec seeded via handleInitialState from the batch frontier aggregation — the stream continues from history's frontier instead of replaying it"),
   )
 
   def main(args: Array[String]): Unit = {
@@ -139,8 +156,20 @@ object PlanReport {
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## $name\n\n_${note}_\n\n```\n$formatted```\n")
     }
+    streamingSections.foreach { case (name, sink, note) =>
+      SparkEntry.queries(name)(spark, sf) // runs the real stream
+      val p = graft.queries.StreamingQueries.capturedPlan(sink)
+        .getOrElse(sys.error(s"no captured streaming plan for $sink"))
+      val ops = graft.queries.StreamingQueries.capturedStateOperators(sink)
+        .map { case (op, metrics) =>
+          val rocksdb = if (metrics.exists(_.toLowerCase.contains("rocksdb")))
+            " [RocksDB provider]" else ""
+          s"$op$rocksdb" }.distinct.mkString(", ")
+      sb.append(s"\n## $name (streaming)\n\n_${note}_\n\n")
+      sb.append(s"State operators: $ops\n\n```\n$p\n```\n")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"wrote PLANS.md (${sections.size} plans)")
+    println(s"wrote PLANS.md (${sections.size + streamingSections.size} plans)")
     spark.stop()
   }
 }

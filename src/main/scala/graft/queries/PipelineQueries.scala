@@ -1192,7 +1192,13 @@ object PipelineQueries {
     * instead of letting every consumer replan it from the scan. At
     * 100 TB this is the "write the cleaned corpus, then cluster it"
     * step; here a local checkpoint plays that role (Bench/Verify sweep
-    * the blocks after the query is consumed). */
+    * the blocks after the query is consumed).
+    *
+    * GROUND-TRUTH ROLE: the component stage below is the exact-Jaccard
+    * `ngramJaccardPairs` — sf10-infeasible by its Σdf² candidate stage
+    * (SCALING.md). A production deployment swaps in d68's mechanism
+    * (`Dedup.minhashNearDups` via trainingCorpusDf's `nearDupPairs`
+    * override); do not copy this default into a declared scale path. */
   private def corpusCleanDf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val stats = TextAnalysis.analyze(docs)
@@ -1211,8 +1217,13 @@ object PipelineQueries {
     * filter → exact dedup → near-dup component removal → benchmark
     * decontamination → temperature rebalancing → sliding chunking,
     * checkpointed once at the dedup boundary. `nearDupPairs` chooses
-    * the candidate mechanism for the component stage (exact-Jaccard
-    * ground truth by default; MinHash-LSH for the scale path). */
+    * the candidate mechanism for the component stage: the DEFAULT is
+    * the exact-Jaccard GROUND TRUTH (sf10-infeasible — ~240 GB of Σdf²
+    * pair spill, SCALING.md), kept for the d48/d60 oracle roles; the
+    * PRODUCTION form is d68's override
+    * `d => Dedup.minhashNearDups(d, "doc_id", "text", 0.5)` — measured
+    * sub-quadratic across two decades. New pipeline stages should pass
+    * the MinHash override unless they are explicitly a ground truth. */
   private def trainingCorpusDf(bench: DataFrame, corpus: DataFrame,
       nearDupPairs: DataFrame => DataFrame =
         d => Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.5)): DataFrame = {

@@ -108,8 +108,45 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      capture(name, q)
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
+  }
+
+  /** Captured EXECUTED streaming plan + state-operator progress of the
+    * last run per sink name — the streaming counterpart of
+    * `queryExecution.executedPlan` for plan pinning (PlanChecksSpec)
+    * and PLANS.md. A batch `DataFrame` handed back from `runToTable`
+    * only shows the memory-sink scan; the stateful operators live in
+    * the stream's own `IncrementalExecution`, reachable through
+    * `StreamingQueryWrapper.streamingQuery.lastExecution` — bytecode-
+    * public but `private[sql]` to scalac, hence the reflective hop.
+    * State-operator rows are (operatorName, customMetric keys): the
+    * metric keys prove which state-store PROVIDER actually ran (the
+    * RocksDB provider publishes rocksdb* metrics; HDFS-backed stores
+    * publish none). */
+  @volatile private var capturedPlans: Map[String, String] = Map.empty
+  @volatile private var capturedOps: Map[String, Seq[(String, Set[String])]] = Map.empty
+  def capturedPlan(sink: String): Option[String] = capturedPlans.get(sink)
+  def capturedStateOperators(sink: String): Seq[(String, Set[String])] =
+    capturedOps.getOrElse(sink, Nil)
+
+  private def capture(name: String,
+                      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    try {
+      val sq = q.getClass.getMethod("streamingQuery").invoke(q)
+      val le = sq.getClass.getMethod("lastExecution").invoke(sq)
+      if (le != null) {
+        val plan = le.getClass.getMethod("executedPlan").invoke(le).toString
+        capturedPlans += name -> plan
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    try {
+      import scala.jdk.CollectionConverters._
+      val ops = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+        .map(op => op.operatorName -> op.customMetrics.keySet.asScala.toSet)
+      if (ops.nonEmpty) capturedOps += name -> ops
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Ephemeral per-run checkpoint dir on RAM-backed tmpfs when the host

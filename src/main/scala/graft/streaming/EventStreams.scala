@@ -215,7 +215,11 @@ object EventStreams {
       val wm = tv.getCurrentWatermarkInMs()
       // events older than the watermark are inadmissible — their session
       // may already have been flushed by a timer (same rule as
-      // sessionizeBounded; spurious one-event sessions otherwise)
+      // sessionizeBounded; spurious one-event sessions otherwise).
+      // The .toSeq is the one eager buffer in these kernels: it holds
+      // ONE user's events for ONE micro-batch (the merge must sort
+      // them), so memory is bounded by per-user-per-batch volume —
+      // trigger-interval-sized, not corpus- or state-sized.
       val admissible = rows.filter(_.ts.getTime >= wm).toSeq
       val prevOpen = if (open.exists()) Some(open.get()) else None
       val (closed, nowOpen) = mergeSessions(prevOpen, admissible, gapMs)

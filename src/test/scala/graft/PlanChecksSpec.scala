@@ -393,6 +393,84 @@ class PlanChecksSpec extends AnyFunSuite {
     }
   }
 
+  test("d68: capstone twin plans no pair scan; candidates are the LSH band-bucket equi-join") {
+    // the visible plan (post-checkpoint joins + chunking) must stay
+    // pair-scan-free like d67's. The temperature-rebalancing stage
+    // broadcasts its GLOBAL one-row threshold aggregate onto the corpus
+    // (a50's mechanism) — that BroadcastNestedLoopJoin is a broadcast
+    // of ONE row, not a pair scan, and is the only one allowed.
+    val p = plan("d68_training_minhash")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.size <= 1 && bnlj.forall(_.contains("Cross")),
+      s"unexpected BNLJ shape: ${bnlj.mkString("; ")}")
+    // the component stage's candidate mechanism runs eagerly inside the
+    // connected-components loop, so pin its plan directly: candidates
+    // must come from the (band, bucket) equi-join — the shuffle keys on
+    // the band columns, never a pair scan
+    try {
+      val docs = graft.sources.Tables.load(spark, sf, "documents")
+      val pairs = graft.operators.Dedup.minhashNearDups(docs, "doc_id", "text", 0.5)
+      val pp = pairs.queryExecution.executedPlan.toString
+      assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"),
+        pp.take(2000))
+      // the candidate join must be an EQUI-join keyed on (band, bucket)
+      // — broadcast at test scale, shuffled-on-those-keys at 100×; the
+      // key list is what guarantees no pair scan either way
+      assert(pp.linesIterator.exists(l =>
+          (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+          l.contains("[band#") && l.contains("bucket#")),
+        s"no (band, bucket) equi-join found: ${pp.take(3000)}")
+    } finally spark.catalog.clearCache() // lshCandidates persists its banded rows
+  }
+
+  test("a76: the HLL sketch partial-aggregates map-side (constant shuffle bytes per group)") {
+    val p = plan("a76_hll_distinct")
+    // the sketch aggregator must appear in BOTH partial (below its
+    // exchange) and final mode — the 64-byte registers merge map-side,
+    // so the shuffle carries one sketch per partition per group
+    val oha = p.linesIterator.filter(_.contains("ObjectHashAggregate")).toSeq
+    assert(oha.size >= 2, s"want partial+final ObjectHashAggregate:\n${p.take(3000)}")
+  }
+
+  test("m60: wav feature extraction is fused into the scan's codegen stage") {
+    val df = SparkEntry.queries("m60_wav_decode")(spark, sf)
+    df.collect() // under AQE the starred final plan exists only after execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("wav_stats"), p.take(2000))
+    assert(p.linesIterator.exists(l => l.contains("wav_stats") && l.contains("*(")),
+      s"wav_stats not inside a WholeStageCodegen span:\n${p.take(2000)}")
+  }
+
+  test("s68/s70/s71: the engine executes TransformWithStateExec on the RocksDB provider") {
+    Seq("s68_stream_transitions" -> "s68_sink",
+        "s70_stream_sessionize_timers" -> "s70_sink",
+        "s71_stream_transitions_warmstart" -> "s71_sink").foreach { case (name, sink) =>
+      SparkEntry.queries(name)(spark, sf).collect() // runs the real stream
+      val p = graft.queries.StreamingQueries.capturedPlan(sink)
+      assert(p.exists(_.contains("TransformWithState")),
+        s"$name: no TransformWithStateExec in captured plan:\n${p.getOrElse("<none>").take(2000)}")
+      val ops = graft.queries.StreamingQueries.capturedStateOperators(sink)
+      assert(ops.exists(_._1.toLowerCase.contains("transformwithstate")),
+        s"$name state operators: $ops")
+      // the RocksDB provider publishes rocksdb* custom metrics; the
+      // default HDFS-backed store publishes none — this proves which
+      // provider actually ran
+      assert(ops.exists(_._2.exists(_.toLowerCase.contains("rocksdb"))),
+        s"$name: no rocksdb metrics — wrong state-store provider? $ops")
+    }
+  }
+
+  test("s69: stream-stream LEFT SEMI executes the symmetric hash join") {
+    SparkEntry.queries("s69_stream_semi_join")(spark, sf).collect()
+    val p = graft.queries.StreamingQueries.capturedPlan("s69_sink")
+    assert(p.exists(_.contains("StreamingSymmetricHashJoin")),
+      s"captured plan:\n${p.getOrElse("<none>").take(2000)}")
+    val ops = graft.queries.StreamingQueries.capturedStateOperators("s69_sink")
+    assert(ops.exists(_._1.toLowerCase.contains("symmetrichashjoin")),
+      s"state operators: $ops")
+  }
+
   test("cluster expressions fold into scan-stage codegen") {
     // run first: under AQE the codegen-starred final plan exists only
     // after execution

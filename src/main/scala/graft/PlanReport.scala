@@ -117,6 +117,8 @@ object PlanReport {
       "full-oracle HLL: the hash evaluates in the scan stage; the 64-byte register sketch partial-aggregates map-side (ObjectHashAggregate), so the sketch's shuffle volume is constant per group at ANY corpus size — the exact-countDistinct rider contributes the distinct-rewrite's two exchanges",
     "m60_wav_decode" ->
       "REAL-codec audio decode: JDK RIFF/fmt parse + exact integer PCM features fused into the scan stage as one codegen'd expression over the fixture parquet",
+    "m61_jpeg_decode" ->
+      "LOSSY real-codec decode: JDK baseline-JPEG (DCT) decode + per-8x8-block integer sums fused into the scan stage as one codegen'd expression; the tolerance-band comparison against the pattern formula evaluates beside it in the same stage (the oracle asserts the bands hold — exact sums are impossible by construction)",
     "d68_training_minhash" ->
       "production training capstone: d48's seven stages with the component stage's candidates from the MinHash (band, bucket) equi-join instead of the sf10-infeasible exact Sigma-df2 stage; the visible plan is the post-checkpoint decontamination/rebalance/chunk chain — its one BroadcastNestedLoopJoin is the broadcast ONE-ROW temperature threshold (a50's mechanism), never a pair scan (candidate-join shape pinned separately in PlanChecksSpec)",
   )

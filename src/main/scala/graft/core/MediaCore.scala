@@ -556,6 +556,107 @@ object MediaCore {
     } finally ais.close()
   }
 
+  // ---------------------------------------------------------------------
+  // LOSSY extension of the real-codec boundary: baseline JPEG through
+  // the JDK's actual DCT codec (com.sun.imageio JPEG plugin via
+  // ImageIO). Unlike every PNG/WAV path above, decode is NOT
+  // bit-faithful — quantized AC coefficients ring at the pattern's
+  // mod-251 wrap edges (measured per-PIXEL error up to 34 levels) — so
+  // the oracle contract changes shape: features are asserted within a
+  // DOCUMENTED TOLERANCE BAND rather than recomputed exactly.
+  //
+  // Band: |decoded 8×8-block sample sum − pattern block sum| ≤
+  // [[JpegBlockSumTol]] = 128 (an average of 2 gray levels per pixel).
+  // Measured worst case over the full 200-image fixture set with the
+  // JDK encoder at default quality: 56. The band is load-bearing —
+  // MultimodalSpec pins BOTH that every block lands inside it AND that
+  // at least one block decodes inexactly (if decode were exact, the
+  // fixture would silently stop exercising the lossy boundary).
+  // ---------------------------------------------------------------------
+
+  /** Per-block tolerance on the 64-sample sum (see section comment). */
+  final val JpegBlockSumTol = 128L
+
+  /** Real baseline-JPEG encode of the imgId's gray fixture pattern
+    * (the SAME [[patternGray]] plane the PNG fixtures encode — the
+    * mod-251 sawtooth's wrap edges give the DCT genuine AC content,
+    * so the codec is exercised in its lossy regime). Default encoder
+    * quality; the band above was measured against exactly this call. */
+  def encodePatternJpeg(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      PatW, PatH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = patternGray(id)
+    var y = 0
+    while (y < PatH) {
+      var x = 0
+      while (x < PatW) {
+        img.getRaster.setSample(x, y, 0, g(y * PatW + x) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpg", bos),
+      "no JPEG writer registered in this JVM") // see encodePatternPng
+    bos.toByteArray
+  }
+
+  /**
+   * Real JPEG decode → [width, height, blocks_x, blocks_y,
+   * block-sum(0,0), block-sum(1,0), ...] — the exact integer sum of the
+   * decoded samples of each full 8×8 block, row-major. Block sums (not
+   * per-pixel values) are the right lossy-codec feature: the DC
+   * coefficient dominates them, so they are stable within a small band
+   * while individual pixels ring by dozens of levels. The caller
+   * compares them against the pattern formula within
+   * [[JpegBlockSumTol]]; this kernel itself never sees the expected
+   * values. Validation mirrors [[pngStats]] — bounded
+   * decoder-controlled dimensions, loud rejection of anything but
+   * 8-bit single-band gray — plus a JPEG SOI-marker check up front:
+   * ImageIO.read sniffs formats, so without it a PNG payload would
+   * silently decode here and defeat the fixture's purpose.
+   */
+  def jpegBlockStats(jpeg: Array[Byte]): Array[Long] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+      "payload is not a JPEG stream (missing SOI marker)")
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(jpeg)) // memory-cached: see pngStats
+    val img =
+      try javax.imageio.ImageIO.read(iis)
+      finally { try iis.close() catch { case _: java.io.IOException => () } }
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 8 && h >= 8 && w.toLong * h <= (1L << 22),
+      s"image dimensions out of bounds: ${w}x$h")
+    require(img.getRaster.getNumBands == 1 &&
+        img.getColorModel.getComponentSize(0) == 8,
+      s"expected 8-bit grayscale, got ${img.getRaster.getNumBands} band(s) " +
+        s"of ${img.getColorModel.getComponentSize(0)} bits")
+    val raster = img.getRaster
+    val nbx = w / 8
+    val nby = h / 8
+    val out = new Array[Long](4 + nbx * nby)
+    out(0) = w.toLong; out(1) = h.toLong; out(2) = nbx.toLong; out(3) = nby.toLong
+    var by = 0
+    while (by < nby) {
+      var bx = 0
+      while (bx < nbx) {
+        var sum = 0L
+        var y = by * 8
+        while (y < by * 8 + 8) {
+          var x = bx * 8
+          while (x < bx * 8 + 8) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        out(4 + by * nbx + bx) = sum
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
   /**
    * Per-frame checksums: split the payload into `nFrames` contiguous
    * chunks (boundaries `k*len/nFrames`, integer division) and Adler-style

@@ -108,6 +108,19 @@ object Multimodal {
   def wav_stats(payload: Column): Column =
     Bridge.column(WavStats(Bridge.expression(payload)))
 
+  /** LOSSY real-codec encode: the id's gray fixture pattern as actual
+    * baseline-JPEG bytes (JDK DCT codec —
+    * [[MediaCore.encodePatternJpeg]]). */
+  def jpeg_encode_pattern(id: Column): Column =
+    Bridge.column(JpegEncodePattern(Bridge.expression(id)))
+
+  /** LOSSY real-codec decode: JPEG payload → [width, height, blocks_x,
+    * blocks_y, per-8×8-block decoded sample sums...]. Callers compare
+    * the block sums against the pattern formula within
+    * [[MediaCore.JpegBlockSumTol]] — never exactly. */
+  def jpeg_block_stats(payload: Column): Column =
+    Bridge.column(JpegBlockStats(Bridge.expression(payload)))
+
   /**
    * Perceptual-hash image near-dups: aHash signatures banded and
    * verified exactly like SimHash text near-dups
@@ -327,6 +340,42 @@ case class WavStats(child: Expression) extends UnaryExpression with ExpectsInput
     defineCodeGen(ctx, ev, c =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.MediaCore.wavStats($c))")
   override protected def withNewChildInternal(newChild: Expression): WavStats =
+    copy(child = newChild)
+}
+
+/** `jpeg_encode_pattern(id)` → binary: REAL baseline-JPEG encode (JDK
+  * DCT codec) of the id's gray fixture pattern (interpreted-only, as
+  * [[PngEncodePattern]] — fixture-ingest path). */
+case class JpegEncodePattern(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "jpeg_encode_pattern"
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    MediaCore.encodePatternJpeg(input.asInstanceOf[Long])
+  override protected def withNewChildInternal(newChild: Expression): JpegEncodePattern =
+    copy(child = newChild)
+}
+
+/** `jpeg_block_stats(payload)` → array<long> [width, height, blocks_x,
+  * blocks_y, block sums...]: REAL (lossy) JPEG decode feeding exact
+  * integer per-8×8-block sample sums — the tolerance comparison
+  * against the pattern formula happens in the query, never here.
+  * Codegen'd — the static call keeps the scan stage in whole-stage
+  * codegen. */
+case class JpegBlockStats(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "jpeg_block_stats"
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MediaCore.jpegBlockStats(input.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.MediaCore.jpegBlockStats($c))")
+  override protected def withNewChildInternal(newChild: Expression): JpegBlockStats =
     copy(child = newChild)
 }
 

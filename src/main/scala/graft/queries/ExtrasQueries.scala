@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Multimodal, SlotPartitioning}
@@ -132,6 +132,33 @@ object ExtrasQueries {
     dir
   }
 
+  /** JPEG fixture export root (lossy sibling of [[pngDir]]). */
+  def jpegDir(sfDir: String): String =
+    RelationalQueries.dataRoot("jpeg", sfDir, "fixtures")
+
+  /** Ingest-once LOSSY real-codec fixture set: the same id scheme and
+    * gray pattern as [[ensurePngExport]], but encoded with the JDK's
+    * actual baseline-JPEG (DCT) codec. Decode is NOT bit-faithful —
+    * the m61 read path asserts per-block sums within
+    * [[graft.core.MediaCore.JpegBlockSumTol]] of the pattern formula,
+    * never exact equality. */
+  def ensureJpegExport(s: SparkSession, sfDir: String): String = {
+    val dir = jpegDir(sfDir)
+    val want = RelationalQueries.srcDigest(sfDir, "documents")
+    if (RelationalQueries.stale(dir, sfDir, "documents")) {
+      t(s, sfDir, "documents")
+        .orderBy("doc_id").limit(100)
+        .select(col("doc_id"), explode(array(lit(0L), lit(1L))).as("variant"))
+        .select((col("doc_id") * 2 + col("variant")).as("img_id"))
+        .select(col("img_id"),
+          Multimodal.jpeg_encode_pattern(col("img_id")).as("payload"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      RelationalQueries.markFresh(dir, want)
+    }
+    dir
+  }
+
   /** WAV fixture export root (audio sibling of [[pngDir]]). */
   def wavDir(sfDir: String): String =
     RelationalQueries.dataRoot("wav", sfDir, "fixtures")
@@ -179,6 +206,51 @@ object ExtrasQueries {
           element_at($"st", 5).as("energy"),
           element_at($"st", 6).as("zero_crossings"))
         .orderBy("audio_id")
+    }),
+    // LOSSY real-codec decode — the boundary's remaining side: every
+    // PNG/WAV path decodes bit-faithfully, so their oracles recompute
+    // features EXACTLY; baseline JPEG does not (quantized AC
+    // coefficients ring at the pattern's mod-251 wrap edges — measured
+    // per-pixel error up to 34 levels), so the oracle contract changes
+    // shape. The kernel returns exact integer per-8×8-block sums of
+    // the DECODED samples; the QUERY recomputes the expected block
+    // sums from the pattern formula in SQL and asserts each within the
+    // documented band (±128 per 64-sample block ≈ 2 levels/pixel;
+    // measured worst 56 over all 200 fixtures), plus the whole-image
+    // total within 6×128. The oracle re-derives the formula's exact
+    // total and expects every band check TRUE — a decoder drifting
+    // out of band, wrong dimensions, or a wrong fixture set
+    // hash-fails; exact-sum matching is impossible BY CONSTRUCTION
+    // and deliberately not claimed (MultimodalSpec pins that at least
+    // one block really is inexact, so the band stays load-bearing).
+    "m61_jpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      val path = ensureJpegExport(s, dir)
+      val tol = graft.core.MediaCore.JpegBlockSumTol
+      // expected 8×8-block sample sum from the pattern formula,
+      // computed in SQL — the same arithmetic the oracle runs
+      def expSum(bx: Int, by: Int): Column = expr(
+        s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> acc +
+           |  (CAST((img_id div 2) * 31 % 251 AS BIGINT)
+           |   + 7 * ($bx * 8 + i % 8) + 13 * ($by * 8 + i div 8)
+           |   + CASE WHEN $bx * 8 + i % 8 = 0 AND $by * 8 + i div 8 = 0
+           |          THEN 120 * (img_id % 2) ELSE 0 END) % 251)""".stripMargin)
+      val blocks = (0 until 6).map(k => (k % 3, k / 3))
+      val inTol = blocks.zipWithIndex.map { case ((bx, by), k) =>
+        when(abs(element_at($"st", k + 5) - expSum(bx, by)) <= tol, 1L).otherwise(0L)
+      }.reduce(_ + _)
+      val decodedTotal = (0 until 6).map(k => element_at($"st", k + 5)).reduce(_ + _)
+      val expTotal = blocks.map { case (bx, by) => expSum(bx, by) }.reduce(_ + _)
+      s.read.parquet(path)
+        .select($"img_id", Multimodal.jpeg_block_stats($"payload").as("st"))
+        .select($"img_id",
+          element_at($"st", 1).as("width"),
+          element_at($"st", 2).as("height"),
+          (element_at($"st", 3) * element_at($"st", 4)).as("n_blocks"),
+          inTol.as("blocks_in_tol"),
+          expTotal.as("exp_total"),
+          (abs(decodedTotal - expTotal) <= lit(6 * tol)).as("total_in_tol"))
+        .orderBy("img_id")
     }),
     // REAL-codec decode (the stub boundary's other side): PNG fixtures
     // are decoded with the JDK's actual PNG codec inside a codegen'd
@@ -504,6 +576,24 @@ object ExtrasQueries {
     // arithmetic end-to-end; zero crossings pair s(i−1)/s(i) via
     // DuckDB's 1-based list slots, with 0 counted non-negative on both
     // sides.
+    // lossy-codec oracle: width/height/block count and the pattern
+    // formula's exact pixel total are re-derived independently; the
+    // band checks are asserted TRUE — the one contract a lossy decode
+    // can honor (exact sums are impossible BY CONSTRUCTION; the band
+    // is ±128 per 64-sample block, measured worst 56)
+    "m61_jpeg_decode" ->
+      """WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100),
+        |imgs AS (SELECT doc_id * 2 + v AS img_id
+        |         FROM ids CROSS JOIN (VALUES (0), (1)) t(v)),
+        |e AS (SELECT img_id,
+        |  list_sum(list_transform(range(0, 384), i ->
+        |    ((img_id // 2) * 31 % 251 + 7 * (i % 24) + 13 * (i // 24)
+        |     + CASE WHEN i = 0 THEN 120 * (img_id % 2) ELSE 0 END) % 251)) AS et
+        | FROM imgs)
+        |SELECT img_id, CAST(24 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        | CAST(6 AS BIGINT) AS n_blocks, CAST(6 AS BIGINT) AS blocks_in_tol,
+        | CAST(et AS BIGINT) AS exp_total, TRUE AS total_in_tol
+        |FROM e ORDER BY img_id""".stripMargin,
     "m60_wav_decode" ->
       """WITH ids AS (SELECT doc_id AS audio_id FROM documents ORDER BY doc_id LIMIT 100),
         |p AS (SELECT audio_id, 800 + (audio_id % 7) * 160 AS n,

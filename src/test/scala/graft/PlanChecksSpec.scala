@@ -442,6 +442,15 @@ class PlanChecksSpec extends AnyFunSuite {
       s"wav_stats not inside a WholeStageCodegen span:\n${p.take(2000)}")
   }
 
+  test("m61: lossy JPEG block extraction is fused into the scan's codegen stage") {
+    val df = SparkEntry.queries("m61_jpeg_decode")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("jpeg_block_stats"), p.take(2000))
+    assert(p.linesIterator.exists(l => l.contains("jpeg_block_stats") && l.contains("*(")),
+      s"jpeg_block_stats not inside a WholeStageCodegen span:\n${p.take(2000)}")
+  }
+
   test("s68/s70/s71: the engine executes TransformWithStateExec on the RocksDB provider") {
     Seq("s68_stream_transitions" -> "s68_sink",
         "s70_stream_sessionize_timers" -> "s70_sink",

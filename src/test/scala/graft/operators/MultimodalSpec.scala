@@ -260,4 +260,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(eightBit.getMessage.contains("PCM_SIGNED"), eightBit.getMessage)
   }
+
+  /** The lossy-codec contract: every decoded 8×8-block sum lands within
+    * the documented band of the pattern formula, AND at least one block
+    * decodes inexactly — if the codec ever became bit-faithful on these
+    * fixtures, the band would be vacuous and this spec flags it. */
+  test("JPEG round-trip: block sums within the band; decode genuinely lossy") {
+    var sawLoss = false
+    (0L until 200L).foreach { id =>
+      val jpg = MediaCore.encodePatternJpeg(id)
+      assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8, "missing SOI")
+      val st = MediaCore.jpegBlockStats(jpg)
+      assert(st(0) == MediaCore.PatW && st(1) == MediaCore.PatH)
+      assert(st(2) == 3 && st(3) == 2)
+      val pat = MediaCore.patternGray(id)
+      for (by <- 0 until 2; bx <- 0 until 3) {
+        var exp = 0L
+        for (dy <- 0 until 8; dx <- 0 until 8)
+          exp += pat((by * 8 + dy) * MediaCore.PatW + bx * 8 + dx) & 0xff
+        val err = math.abs(st(4 + by * 3 + bx) - exp)
+        assert(err <= MediaCore.JpegBlockSumTol,
+          s"id=$id block ($bx,$by) err $err exceeds band ${MediaCore.JpegBlockSumTol}")
+        if (err > 0) sawLoss = true
+      }
+    }
+    assert(sawLoss,
+      "JPEG decode was bit-exact on every fixture — the tolerance band is vacuous")
+  }
+
+  test("jpeg_block_stats rejects non-JPEG payloads loudly (no format sniffing)") {
+    // ImageIO.read would happily sniff and decode a PNG; the SOI check
+    // must refuse it before that can silently succeed
+    val png = intercept[IllegalArgumentException] {
+      MediaCore.jpegBlockStats(MediaCore.encodePatternPng(1L))
+    }
+    assert(png.getMessage.contains("SOI"), png.getMessage)
+    intercept[Exception] {
+      MediaCore.jpegBlockStats("not an image".getBytes("UTF-8"))
+    }
+  }
 }

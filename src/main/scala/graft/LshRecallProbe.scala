@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Sampling, Similarity}
+
+/**
+ * SCALING.md probe: the d36 PRODUCTION configuration — partitions ∝ data
+ * (`SPARK_GRAFT_PARTITIONS`) × the recall-holding table count
+ * L = ⌈8·p(θ)^−(b−4)⌉ at the corpus-sized band width b = lshBitsFor(n) —
+ * measured TOGETHER, with recall checked against an exact ground truth
+ * at the SAME scale via pair sampling: exact cosine pairs are computed
+ * over a deterministic hash-sample S of the corpus (quadratic only in
+ * |S|), and each LSH config's recall is measured on the pairs with both
+ * endpoints in S. The LSH itself runs over the FULL corpus, so bucket
+ * occupancy and collision behavior are the at-scale behavior; the
+ * in-sample restriction only subsamples which ground-truth pairs are
+ * scored, it does not change their collision odds.
+ *
+ * Timing note: each config is run ONCE per `runs` with its (small —
+ * θ-surviving pairs only) output written to parquet, then recall is
+ * computed from the written output — the expensive candidate stage is
+ * never re-executed for the recall read.
+ *
+ * Usage: runMain graft.LshRecallProbe <sfDir> [runs]
+ * Env (as Profile): SPARK_GRAFT_CPUS, SPARK_GRAFT_PARTITIONS,
+ *   SPARK_GRAFT_INIT_PARTS. Plus SPARK_GRAFT_BROADCAST_MB (default 128):
+ *   the verify joins must BROADCAST the vector side at sf10 — the
+ *   recall-holding candidate stream is ~1e9 rows, and shuffling it
+ *   through two SortMergeJoins would spill ~50 GB locally; raising the
+ *   broadcast threshold for a metadata-sized build side (51 MB of
+ *   vectors at sf10) is exactly the knob a cluster deployment sets.
+ */
+object LshRecallProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: runMain graft.LshRecallProbe <sfDir> [runs]")
+    val sfDir = args(0)
+    val runs = if (args.length > 1) args(1).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cpus)
+    val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", parts)
+    val bcastMb = sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MB", "128").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initParts)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", s"${bcastMb * 1024L * 1024L}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val theta = 0.5
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val n = emb.count()
+    val b = Similarity.lshBitsFor(n)
+    val p = 1.0 - math.acos(theta) / math.Pi
+    val lHold = math.ceil(8 * math.pow(p, -(b - 4))).toInt
+    println(f"[lshprobe] n=$n b=$b p=$p%.4f L_hold=$lHold parts=$parts initParts=$initParts bcastMb=$bcastMb")
+
+    // deterministic ground-truth sample: ~6000 vectors, exact pairs
+    val rate = math.min(1.0, 6000.0 / n)
+    val sample = Sampling.hashSample(emb, concat(lit("vec:"), col("vec_id")), rate)
+      .localCheckpoint(true)
+    val sn = sample.count()
+    val t0 = System.nanoTime()
+    val exact = Similarity.nearDupPairs(sample, theta)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(f"[lshprobe] sample=$sn exact_pairs=${exact.size} exact_time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val sids = sample.select(col("vec_id")).as[Long].collect().toSet
+    val sidsB = spark.sparkContext.broadcast(sids)
+
+    def measure(label: String, tables: Int): Unit = {
+      val out = s"/tmp/lshprobe_${label}"
+      (1 to runs).foreach { i =>
+        val t = System.nanoTime()
+        Similarity.bandedNearDupPairs(emb, theta, tables = tables, bitsPerTable = b)
+          .write.mode("overwrite").parquet(out)
+        val sec = (System.nanoTime() - t) / 1e9
+        SessionHygiene.sweep(spark)
+        println(f"[lshprobe] $label (L=$tables, b=$b) run$i: $sec%.1f s")
+      }
+      val found = spark.read.parquet(out)
+        .filter(r => sidsB.value.contains(r.getLong(0)) && sidsB.value.contains(r.getLong(1)))
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hit = (found intersect exact).size
+      val total = spark.read.parquet(out).count()
+      println(f"[lshprobe] $label recall=${if (exact.isEmpty) -1.0 else hit.toDouble / exact.size}%.3f " +
+        f"($hit/${exact.size} in-sample) total_pairs=$total")
+    }
+
+    measure("shipped", 8)      // the declared d36 sizing (L fixed, b corpus-sized)
+    measure("recall_hold", lHold) // the production recall-holding product
+    spark.stop()
+  }
+}

@@ -117,6 +117,8 @@ object PlanReport {
       "full-oracle HLL: the hash evaluates in the scan stage; the 64-byte register sketch partial-aggregates map-side (ObjectHashAggregate), so the sketch's shuffle volume is constant per group at ANY corpus size — the exact-countDistinct rider contributes the distinct-rewrite's two exchanges",
     "m60_wav_decode" ->
       "REAL-codec audio decode: JDK RIFF/fmt parse + exact integer PCM features fused into the scan stage as one codegen'd expression over the fixture parquet",
+    "s72_curate_index_serve" ->
+      "the composed LLM-data arc — curate -> index -> serve: d68's seven-stage MinHash curation feeds the one-pass hashing-trick featurizer; the surviving chunk vectors are k-means-trained and persisted as a hive-partitioned IVF index digest-chained to the curation input (s60's export machinery over the curation OUTPUT); serving probes the first docs' surviving chunks with dynamic partition pruning skipping every unprobed list directory",
     "m61_jpeg_decode" ->
       "LOSSY real-codec decode: JDK baseline-JPEG (DCT) decode + per-8x8-block integer sums fused into the scan stage as one codegen'd expression; the tolerance-band comparison against the pattern formula evaluates beside it in the same stage (the oracle asserts the bands hold — exact sums are impossible by construction)",
     "d68_training_minhash" ->

@@ -190,6 +190,23 @@ object TextHash {
     h ^ (h >>> 33)
   }
 
+  /** Hashing-trick count vector (one pass): bucket `floorMod(fnv1a64(t),
+    * dim)` per token, counts as doubles. The deterministic text→vector
+    * featurizer behind the curated-corpus index (s72) — every count is
+    * a small integer, so an independent SQL recompute (per-token FNV
+    * fold mod dim; 2^64 ≡ 0 mod any power-of-two dim, so unsigned-vs-
+    * signed mod agree) reproduces the vector bit-for-bit. */
+  def hashedCounts(tokens: Array[AnyRef], dim: Int): Array[Double] = {
+    val out = new Array[Double](dim)
+    var t = 0
+    while (t < tokens.length) {
+      val b = java.lang.Math.floorMod(fnv1a64(tokens(t).toString), dim.toLong).toInt
+      out(b) += 1.0
+      t += 1
+    }
+    out
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes (public-domain hash). */
   def fnv1a64(s: String): Long =
     fnv1a64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -3,9 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.TextHash
@@ -69,6 +69,26 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
     TextHash.simHash64(arr.asInstanceOf[Array[AnyRef]])
   }
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `hashed_count_vector(tokens, dim)` → array<double>: hashing-trick
+  * count vector, ONE pass over the tokens (16 filter ops per token
+  * would be the HOF alternative). CodegenFallback as [[SimHash64]]:
+  * array unpacking dominates. */
+case class HashedCountVector(child: Expression, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "hashed_count_vector"
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData].toObjectArray(StringType)
+      .filter(_ != null) // null elements carry no token signal (as SimHash64)
+    new GenericArrayData(TextHash.hashedCounts(arr.asInstanceOf[Array[AnyRef]], dim))
+  }
+  override protected def withNewChildInternal(newChild: Expression): HashedCountVector =
     copy(child = newChild)
 }
 
@@ -168,6 +188,8 @@ object TextFunctions {
     Bridge.column(FingerprintSet(Bridge.expression(text), window, modP))
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+  def hashed_count_vector(tokens: Column, dim: Int): Column =
+    Bridge.column(HashedCountVector(Bridge.expression(tokens), dim))
   def shingle_hashes(text: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text), n))
   def fnv1a64(text: Column): Column =

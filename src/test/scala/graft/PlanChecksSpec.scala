@@ -442,6 +442,15 @@ class PlanChecksSpec extends AnyFunSuite {
       s"wav_stats not inside a WholeStageCodegen span:\n${p.take(2000)}")
   }
 
+  test("s72: curated-index serving dynamically prunes the on-disk list partitions") {
+    val p = plan("s72_curate_index_serve")
+    assert(p.contains("dynamicpruningexpression"), p.take(3000))
+    val scan = p.linesIterator.find(l =>
+      l.contains("ivf-curated") && l.contains("PartitionFilters"))
+    assert(scan.isDefined && scan.get.contains("__cid"),
+      s"curated index scan: $scan\n${p.take(2000)}")
+  }
+
   test("m61: lossy JPEG block extraction is fused into the scan's codegen stage") {
     val df = SparkEntry.queries("m61_jpeg_decode")(spark, sf)
     df.collect()

@@ -57,4 +57,14 @@ class TextStatsRepetitionSpec extends AnyFunSuite {
         TextStatsCore.repetition(text.getBytes("UTF-8"))(0)
     })
   }
+
+  test("hashed count vector: one-pass kernel equals per-bucket filtering; totals preserved") {
+    checkProp(Prop.forAll(doc) { text =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val v = TextHash.hashedCounts(toks.toArray[AnyRef], 16)
+      val ref = Array.tabulate(16)(j =>
+        toks.count(t => java.lang.Math.floorMod(TextHash.fnv1a64(t), 16L) == j).toDouble)
+      v.sameElements(ref) && v.sum == toks.length.toDouble
+    })
+  }
 }

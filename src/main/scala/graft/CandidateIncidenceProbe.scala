@@ -41,7 +41,8 @@ object CandidateIncidenceProbe {
       val t0 = System.nanoTime()
       val row = inv.groupBy("k").agg(count(lit(1)).as("df"))
         .agg(
-          sum(when(col("df") <= cap, col("df") * (col("df") - 1) / 2).otherwise(0L)).as("pairs"),
+          sum(when(col("df") <= cap,
+            (col("df") * (col("df") - 1) / 2).cast("long")).otherwise(0L)).as("pairs"),
           sum(when(col("df") <= cap, 1L).otherwise(0L)).as("light_keys"),
           sum(when(col("df") > cap, 1L).otherwise(0L)).as("heavy_keys"),
           max(col("df")).as("max_df"))

@@ -38,7 +38,7 @@ object Profile {
     // queries nothing while keeping big shuffles parallel — the
     // "partitions ∝ data" knob the SCALING.md sf10 measurements turn
     val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", parts)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initParts)
@@ -46,7 +46,16 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .getOrCreate()
+    // SPARK_GRAFT_STATE_PROVIDER=rocksdb switches the session-default
+    // state store (the heap-vs-RocksDB knob for streaming queries that
+    // do not force a provider themselves, e.g. s48's GroupState kernel
+    // — the SCALING.md sf10 state-growth comparison)
+    val spark = (sys.env.get("SPARK_GRAFT_STATE_PROVIDER") match {
+      case Some("rocksdb") => builder.config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case _ => builder
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       val fn = SparkEntry.queries(n)

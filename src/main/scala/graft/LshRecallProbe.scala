@@ -73,11 +73,12 @@ object LshRecallProbe {
     val sids = sample.select(col("vec_id")).as[Long].collect().toSet
     val sidsB = spark.sparkContext.broadcast(sids)
 
-    def measure(label: String, tables: Int): Unit = {
+    def measure(label: String, tables: Int, verifyThenDistinct: Boolean = false): Unit = {
       val out = s"/tmp/lshprobe_${label}"
       (1 to runs).foreach { i =>
         val t = System.nanoTime()
-        Similarity.bandedNearDupPairs(emb, theta, tables = tables, bitsPerTable = b)
+        Similarity.bandedNearDupPairs(emb, theta, tables = tables, bitsPerTable = b,
+            verifyThenDistinct = verifyThenDistinct)
           .write.mode("overwrite").parquet(out)
         val sec = (System.nanoTime() - t) / 1e9
         SessionHygiene.sweep(spark)
@@ -94,6 +95,9 @@ object LshRecallProbe {
 
     measure("shipped", 8)      // the declared d36 sizing (L fixed, b corpus-sized)
     measure("recall_hold", lHold) // the production recall-holding product
+    // the broadcast-regime variant: dedupe AFTER the map-side verify,
+    // so the full candidate stream never shuffles (SCALING.md r10)
+    measure("recall_hold_vtd", lHold, verifyThenDistinct = true)
     spark.stop()
   }
 }

@@ -141,9 +141,22 @@ object Similarity {
    * are joined back only for surviving candidate pairs. The single-table
    * variant ([[nearDupPairs]] `useLsh`) is the degenerate L=1 case.
    */
+  /** `verifyThenDistinct`: dedupe candidate pairs AFTER the cosine
+    * verify instead of before. Tried-and-rejected in the SHUFFLED-
+    * verify regime (SCALING.md r8: the pre-verify distinct's job is
+    * shrinking the input to the vector-payload joins), but when the
+    * vector side BROADCASTS (metadata-sized corpus vectors — the
+    * recall-holding deployment raises the threshold for exactly this)
+    * the verify is map-side and the pre-verify distinct is the only
+    * remaining full-candidate-stream shuffle; moving it after the
+    * verify shrinks that shuffle to the θ-survivors (SCALING.md r10
+    * measures the pair). Results are identical either way — duplicate
+    * candidates carry identical sims — so the default stays the
+    * shuffle-safe pre-verify form. */
   def bandedNearDupPairs(df: DataFrame, threshold: Double,
                          tables: Int = 8, bitsPerTable: Int = 4, dim: Int = 64,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         verifyThenDistinct: Boolean = false): DataFrame = {
     val planes = hyperplanes(tables * bitsPerTable, dim)
     def tableSig(vec: Column, t: Int): Column =
       (0 until bitsPerTable).map { k =>
@@ -164,16 +177,20 @@ object Similarity {
         struct(lit(t).as("tbl"), tableSig(col(vecCol), t).as("sig"))): _*)).as("ts"))
       .select(col("id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
       .persist()
-    val cands = banded.toDF("i", "tbl", "sig")
+    val candsRaw = banded.toDF("i", "tbl", "sig")
       .join(banded.toDF("j", "tbl", "sig"), Seq("tbl", "sig"))
       .where(col("i") < col("j"))
-      .select("i", "j").distinct()
+      .select("i", "j")
+    val cands = if (verifyThenDistinct) candsRaw else candsRaw.distinct()
     val va = df.select(col(idCol).as("i"), col(vecCol).as("v_i"), norm(col(vecCol)).as("n_i"))
     val vb = df.select(col(idCol).as("j"), col(vecCol).as("v_j"), norm(col(vecCol)).as("n_j"))
-    cands.join(va, "i").join(vb, "j")
+    val verified = cands.join(va, "i").join(vb, "j")
       .select(col("i"), col("j"),
         cosinePrenormed(col("v_i"), col("v_j"), col("n_i") * col("n_j")).as("sim"))
       .where(col("sim") >= threshold)
+    // post-verify dedupe: duplicate (i, j) candidates carry identical
+    // sims, so any representative is THE answer
+    if (verifyThenDistinct) verified.dropDuplicates("i", "j") else verified
   }
 
   /**

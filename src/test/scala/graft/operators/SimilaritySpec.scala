@@ -335,4 +335,21 @@ class SimilaritySpec extends AnyFunSuite {
     val disk = rows(Similarity.ivfTopKOnIndex(cents, spark.read.parquet(dir), queries, k = 10))
     assert(mem == disk, s"diverged: mem-only=${(mem -- disk).take(3)} disk-only=${(disk -- mem).take(3)}")
   }
+
+  /** The broadcast-regime shuffle trade (SCALING.md r10: 376 → 115 s
+    * at sf10/L=137) is only legal because the two distinct placements
+    * are EQUIVALENT — duplicate candidates carry identical sims. Pin
+    * the equivalence, (i, j, sim) exact. */
+  test("verify-then-distinct produces exactly the pre-verify-distinct answer") {
+    val emb = spark.read.parquet(s"${graft.SparkTestSession.sf01}/embeddings.parquet")
+    def pairs(vtd: Boolean) =
+      Similarity.bandedNearDupPairs(emb, 0.35, tables = 8, bitsPerTable = 4,
+          verifyThenDistinct = vtd)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = pairs(vtd = false)
+    val after = pairs(vtd = true)
+    assert(before.nonEmpty)
+    assert(before == after,
+      s"diverged: pre-only=${(before -- after).take(3)} post-only=${(after -- before).take(3)}")
+  }
 }

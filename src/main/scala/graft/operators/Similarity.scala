@@ -313,6 +313,35 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ivfRank(assigned, centroids, queries, k, nprobe, idCol, vecCol)
 
+  /**
+   * Driver-side probe selection for LITERAL queries (the serving-layer
+   * shape: query vectors come from a user request, not a table, so
+   * their nprobe nearest centroid ids are known before planning).
+   * Replicates [[ivfRank]]'s probe tie-break exactly — cosine
+   * descending, then centroid id descending — so a scan restricted to
+   * these lists is a superset of everything the probe join touches.
+   * The caller pushes the result as a STATIC `__cid IN (...)` filter
+   * onto the index scan: partition pruning at PLANNING time, with no
+   * DPP machinery needed (DPP cannot fire from a LocalRelation probe
+   * side — there is no scan on the build side to size the benefit
+   * against).
+   */
+  def literalProbeCids(centroids: Array[Array[Double]],
+                       queries: Seq[Array[Double]], nprobe: Int = 4): Seq[Int] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val n = math.sqrt(na) * math.sqrt(nb)
+      if (n == 0.0) 0.0 else dot / n
+    }
+    queries.flatMap { q =>
+      centroids.zipWithIndex
+        .map { case (c, i) => (cos(q, c), i) }
+        .sortBy { case (s, i) => (-s, -i) }
+        .take(nprobe).map(_._2)
+    }.distinct
+  }
+
   private def ivfRank(c: DataFrame, centroids: Array[Array[Double]],
                       queries: DataFrame, k: Int, nprobe: Int,
                       idCol: String, vecCol: String): DataFrame = {

@@ -67,6 +67,10 @@ object PipelineQueries {
     * stash — the curate→index→serve composition's serving path). */
   @volatile private var curatedIvfCents: Option[Array[Array[Double]]] = None
 
+  /** s73's centroids (own stash — the text-query search path over the
+    * same curated index). */
+  @volatile private var curatedSearchCents: Option[Array[Array[Double]]] = None
+
   /** d36/d56's corpus-sized LSH band widths (bits per table), stashed
     * when the query runs so the oracle re-derives signatures at the
     * SAME width (the ANN splice pattern: oracle exists only post-run). */
@@ -585,6 +589,42 @@ object PipelineQueries {
       // the unprobed list directories (a LIMIT would not qualify)
       val probes = index.where($"nbr_id" < 12000)
         .select($"nbr_id".as("vec_id"), $"cvec".as("embedding"))
+      Similarity.ivfTopKOnIndex(cents, index, probes, k = 5)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
+    // The serving API a user actually calls — TEXT query in, curated
+    // chunks out: the literal query strings are featurized with the
+    // SAME hashing-trick vectorizer the index was built with, then
+    // probe the persisted curated index (IVF probe + DPP, as s72).
+    // The oracle re-derives the query vectors from the literal strings
+    // (per-token FNV fold in SQL) on top of the full composed chain —
+    // an asymmetric featurizer (query side drifting from index side)
+    // hash-fails immediately.
+    "s73_curated_text_search" -> ((s, dir) => {
+      import s.implicits._
+      val root = ensureCuratedIndexExport(s, dir)
+      val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
+        .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+      curatedSearchCents = Some(cents)
+      // literal queries → driver-side probe selection → STATIC
+      // `__cid IN (...)` on the index scan (planning-time partition
+      // pruning; DPP cannot fire from a LocalRelation probe side).
+      // The driver-side featurize/cosine replicate the expression
+      // path's arithmetic exactly (in-order folds), so the restricted
+      // scan is a superset of everything the probe join touches.
+      val qvecs = curatedSearchQueries.map { case (_, text) =>
+        graft.core.TextHash.hashedCounts(
+          text.split("\\s+").filter(_.nonEmpty).toArray[AnyRef], 16)
+      }
+      val cids = Similarity.literalProbeCids(cents, qvecs)
+      val index = s.read.parquet(s"$root/index")
+        .where($"__cid".isin(cids.map(Integer.valueOf): _*))
+      val probes = curatedSearchQueries.toDF("vec_id", "qtext")
+        .select($"vec_id",
+          graft.functions.TextFunctions
+            .hashed_count_vector(TextAnalysis.tokens($"qtext"), 16)
+            .cast("array<float>").as("embedding"))
       Similarity.ivfTopKOnIndex(cents, index, probes, k = 5)
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
@@ -1465,7 +1505,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -1782,6 +1822,67 @@ object PipelineQueries {
   private def persistedIvfOracle: Map[String, String] =
     persistedIvfCents.map(c => "s60_ann_ivf_persisted" -> ivfProbeOracleSql(c)).toMap
 
+  /** The fixed text queries served against the curated index (s73) —
+    * vocabulary words only, ids disjoint from the chunk vec_id space
+    * (which starts at 5000). ONE definition feeds both the Spark query
+    * and the oracle's VALUES literal. */
+  private val curatedSearchQueries: Seq[(Long, String)] = Seq(
+    (1L, "query join hash table scan"),
+    (2L, "stream window batch data column"),
+    (3L, "vector sort merge key value"))
+
+  /** The shared curated-corpus vector CTE chain (d48 chunks →
+    * per-token FNV featurizer → `vecs(vec_id, embedding)`) — one
+    * derivation for the s72 and s73 oracles. */
+  private def curatedVecsCtes: String =
+    s"""${d48ChainCtes("documents")},
+       |ctoks AS (SELECT doc_id*1000 + ci AS vec_id,
+       |   tk[ci*80+1 : ci*80+100] AS toks FROM chx),
+       |hvs AS (SELECT vec_id,
+       |   list_transform(toks, t -> CAST(${duckFnv("t")} % 16 AS BIGINT)) AS bs
+       | FROM ctoks),
+       |vecs AS (SELECT vec_id, list_transform(range(0, 16),
+       |   j -> CAST(len(list_filter(bs, bk -> bk = j)) AS DOUBLE)) AS embedding
+       | FROM hvs)""".stripMargin
+
+  /** s73's oracle: the composed chain (as s72) plus query vectors
+    * re-derived from the LITERAL strings — whitespace tokens, the same
+    * per-token FNV fold mod 16 — probed/ranked with the spliced
+    * centroids. */
+  private def curatedSearchOracle: Map[String, String] =
+    curatedSearchCents.map { c =>
+      val qvals = curatedSearchQueries
+        .map { case (id, s) => s"($id, '$s')" }.mkString(", ")
+      "s73_curated_text_search" ->
+        s"""WITH RECURSIVE ${curatedVecsCtes},
+           |${centroidAssignCtes(c, "embedding", "SELECT vec_id, embedding FROM vecs")},
+           |qraw AS (SELECT * FROM (VALUES $qvals) q(query_id, qtext)),
+           |qtoks AS (SELECT query_id,
+           |   list_filter(string_split_regex(qtext, '\\s+'), w -> length(w) > 0) AS toks
+           | FROM qraw),
+           |qhs AS (SELECT query_id,
+           |   list_transform(toks, t -> CAST(${duckFnv("t")} % 16 AS BIGINT)) AS bs
+           | FROM qtoks),
+           |qvecs AS (SELECT query_id, list_transform(range(0, 16),
+           |   j -> CAST(len(list_filter(bs, bk -> bk = j)) AS DOUBLE)) AS qv
+           | FROM qhs),
+           |qscored AS (SELECT q.query_id, q.qv, c.cid,
+           |   ${duckCosine("q.qv", "c.cv")} AS s
+           | FROM qvecs q CROSS JOIN cents c),
+           |qprobe AS (SELECT query_id, qv, cid FROM (
+           |  SELECT query_id, qv, cid,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cid DESC) AS rn
+           |  FROM qscored) WHERE rn <= 4),
+           |cand AS (SELECT q.query_id, a.vec_id AS nbr_id,
+           |   ${duckCosine("q.qv", "a.embedding")} AS sim
+           | FROM qprobe q JOIN assign a ON a.cid = q.cid)
+           |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
+           | SELECT query_id, nbr_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+           | FROM cand)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }.toMap
+
   /** s72's oracle — the curate→index→serve COMPOSITION: the d48 chunk
     * chain re-derived end-to-end, the hashing-trick featurizer
     * recomputed per token (FNV fold mod 16; 2^64 ≡ 0 mod 16, so the
@@ -1793,15 +1894,7 @@ object PipelineQueries {
   private def curatedServeOracle: Map[String, String] =
     curatedIvfCents.map { c =>
       "s72_curate_index_serve" ->
-        s"""WITH RECURSIVE ${d48ChainCtes("documents")},
-           |ctoks AS (SELECT doc_id*1000 + ci AS vec_id,
-           |   tk[ci*80+1 : ci*80+100] AS toks FROM chx),
-           |hvs AS (SELECT vec_id,
-           |   list_transform(toks, t -> CAST(${duckFnv("t")} % 16 AS BIGINT)) AS bs
-           | FROM ctoks),
-           |vecs AS (SELECT vec_id, list_transform(range(0, 16),
-           |   j -> CAST(len(list_filter(bs, bk -> bk = j)) AS DOUBLE)) AS embedding
-           | FROM hvs),
+        s"""WITH RECURSIVE ${curatedVecsCtes},
            |${centroidAssignCtes(c, "embedding", "SELECT vec_id, embedding FROM vecs")},
            |qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
            |  SELECT vec_id, embedding, cid,

@@ -451,6 +451,17 @@ class PlanChecksSpec extends AnyFunSuite {
       s"curated index scan: $scan\n${p.take(2000)}")
   }
 
+  test("s73: literal-query serving statically prunes the index partitions (no DPP needed)") {
+    val p = plan("s73_curated_text_search")
+    // driver-side probe selection pushes `__cid IN (...)` at PLANNING
+    // time — the scan's PartitionFilters carry a static In, which is
+    // strictly better than DPP (no runtime subquery at all)
+    val scan = p.linesIterator.find(l =>
+      l.contains("ivf-curated") && l.contains("PartitionFilters"))
+    assert(scan.isDefined && scan.get.contains("__cid") && scan.get.contains(" IN ("),
+      s"no static __cid IN partition filter: $scan\n${p.take(2000)}")
+  }
+
   test("m61: lossy JPEG block extraction is fused into the scan's codegen stage") {
     val df = SparkEntry.queries("m61_jpeg_decode")(spark, sf)
     df.collect()

@@ -119,6 +119,8 @@ object PlanReport {
       "REAL-codec audio decode: JDK RIFF/fmt parse + exact integer PCM features fused into the scan stage as one codegen'd expression over the fixture parquet",
     "s72_curate_index_serve" ->
       "the composed LLM-data arc — curate -> index -> serve: d68's seven-stage MinHash curation feeds the one-pass hashing-trick featurizer; the surviving chunk vectors are k-means-trained and persisted as a hive-partitioned IVF index digest-chained to the curation input (s60's export machinery over the curation OUTPUT); serving probes the first docs' surviving chunks with dynamic partition pruning skipping every unprobed list directory",
+    "d72_embed_decontam" ->
+      "embedding-space benchmark decontamination (the semantic sibling of the shingle-overlap form): the metadata-sized benchmark broadcasts into an ANTI nested-loop probe over ONE corpus scan — no shuffle, no pair materialization; corpus rows stream through their own mappers at any scale",
     "s73_curated_text_search" ->
       "the serving API's user-facing shape — TEXT query in, curated chunks out: literal query strings featurized with the index's own hashing-trick vectorizer; probe centroids selected DRIVER-side (the vectors come from a request, not a table) and pushed as a STATIC __cid IN (...) partition filter — planning-time pruning, no DPP machinery (which cannot fire from a LocalRelation probe side)",
     "m61_jpeg_decode" ->

@@ -380,6 +380,28 @@ object Similarity {
    * quantization step (measured in spec); exact re-rank of the top
    * candidates restores full precision when needed.
    */
+  /**
+   * Embedding-space benchmark decontamination: drop every corpus
+   * vector within cosine `threshold` of ANY benchmark vector — the
+   * semantic sibling of the shingle-overlap `Dedup.contaminatedDocs`
+   * (real pipelines run both: n-gram overlap catches verbatim leaks,
+   * embedding similarity catches paraphrased ones). The benchmark side
+   * is metadata-sized by definition, so it BROADCASTS and the whole
+   * operator is ONE corpus scan with a broadcast anti nested-loop
+   * probe — at 100 TB no shuffle, no pair materialization; corpus
+   * rows stream through their own mappers. Norms are precomputed per
+   * side (once per row, not once per pair).
+   */
+  def embedDecontaminate(corpus: DataFrame, bench: DataFrame, threshold: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = broadcast(bench.select(col(vecCol).as("__bv"), norm(col(vecCol)).as("__bn")))
+    corpus.withColumn("__cn", norm(col(vecCol)))
+      .join(b,
+        cosinePrenormed(col(vecCol), col("__bv"), col("__cn") * col("__bn")) >= threshold,
+        "left_anti")
+      .drop("__cn")
+  }
+
   def quantizeInt8(vec: Column): Column = {
     val mx = array_max(transform(vec, x => abs(x.cast("double"))))
     val scale = when(mx === 0.0, lit(0.0)).otherwise(lit(127.0) / mx)

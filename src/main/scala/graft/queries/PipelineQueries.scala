@@ -941,6 +941,22 @@ object PipelineQueries {
     // At 100 TB the pair source flips to the banded-LSH path (d36) —
     // identical downstream component/keeper machinery.
     "d46_semantic_dedup" -> ((s, dir) => semanticDedupDf(t(s, dir, "embeddings"))),
+    // Embedding-space benchmark decontamination — the semantic sibling
+    // of d43's shingle-overlap form (pipelines run both: n-gram overlap
+    // catches verbatim leaks, embedding cosine catches paraphrases).
+    // Benchmark = the first 20 vectors (metadata-sized → broadcast);
+    // ONE corpus scan with a broadcast anti probe, no shuffle, no pair
+    // materialization. Oracle = NOT EXISTS over the exact cross of
+    // corpus × benchmark — recall-1 ground truth (the benchmark side
+    // being small makes the exact form THE production form here).
+    "d72_embed_decontam" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.embedDecontaminate(
+          emb.where($"vec_id" >= 20), emb.where($"vec_id" < 20), threshold = 0.35)
+        .select($"vec_id", $"label")
+        .orderBy("vec_id")
+    }),
     // Temperature-flattened language rebalancing (α = 0.5): keep rate
     // √(n_min/n_l) per language, deterministic slot-hash selection.
     "d45_temperature_sample" -> ((s, dir) => {
@@ -2429,6 +2445,15 @@ object PipelineQueries {
     // Transitive closure over fold-exact cosine pairs; survivors are
     // non-members plus component representatives, sized by component.
     "d46_semantic_dedup" -> d46Oracle(),
+    // exact NOT-EXISTS cross of corpus × benchmark — recall-1 ground
+    // truth AND the production shape (the benchmark side is small)
+    "d72_embed_decontam" ->
+      s"""WITH b AS (SELECT embedding AS bv FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 20)
+         |SELECT c.vec_id, c.label FROM c
+         |WHERE NOT EXISTS (SELECT 1 FROM b
+         |  WHERE ${duckCosine("c.embedding", "b.bv")} >= 0.35)
+         |ORDER BY c.vec_id""".stripMargin,
     // Same slot-hash selection as d41; thresholds recomputed from the
     // language counts with the identical IEEE arithmetic (sqrt + one
     // double division + power-of-two scale — no libm pow anywhere).

@@ -451,6 +451,16 @@ class PlanChecksSpec extends AnyFunSuite {
       s"curated index scan: $scan\n${p.take(2000)}")
   }
 
+  test("d72: embedding decontamination is one corpus scan with a broadcast anti probe") {
+    val p = plan("d72_embed_decontam")
+    // the benchmark side must be the broadcast build of an ANTI
+    // nested-loop probe (non-equi cosine predicate; bench is
+    // metadata-sized) — never a shuffle, never a pair materialization
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.nonEmpty && bnlj.forall(_.contains("LeftAnti")), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("s73: literal-query serving statically prunes the index partitions (no DPP needed)") {
     val p = plan("s73_curated_text_search")
     // driver-side probe selection pushes `__cid IN (...)` at PLANNING

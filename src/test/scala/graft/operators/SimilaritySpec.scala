@@ -336,6 +336,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mem == disk, s"diverged: mem-only=${(mem -- disk).take(3)} disk-only=${(disk -- mem).take(3)}")
   }
 
+  test("embedDecontaminate drops exactly the brute-force over-threshold set") {
+    val emb = spark.read.parquet(s"${graft.SparkTestSession.sf0001}/embeddings.parquet")
+    val bench = emb.where(col("vec_id") < 20)
+    val corpus = emb.where(col("vec_id") >= 20)
+    val kept = Similarity.embedDecontaminate(corpus, bench, 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // brute-force reference: max cosine against the benchmark per row
+    val bvs = bench.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val n = math.sqrt(na) * math.sqrt(nb); if (n == 0) 0.0 else d / n
+    }
+    val ref = corpus.select("vec_id", "embedding").collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
+    }.filter { case (_, v) => !bvs.exists(b => cos(v, b) >= 0.35) }.map(_._1).toSet
+    assert(kept == ref, s"kept-only=${(kept -- ref).take(5)} ref-only=${(ref -- kept).take(5)}")
+    assert(corpus.count() > kept.size, "threshold should decontaminate something at sf0.001")
+  }
+
   /** The broadcast-regime shuffle trade (SCALING.md r10: 376 → 115 s
     * at sf10/L=137) is only legal because the two distinct placements
     * are EQUIVALENT — duplicate candidates carry identical sims. Pin

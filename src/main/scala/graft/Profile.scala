@@ -50,11 +50,15 @@ object Profile {
     // state store (the heap-vs-RocksDB knob for streaming queries that
     // do not force a provider themselves, e.g. s48's GroupState kernel
     // — the SCALING.md sf10 state-growth comparison)
-    val spark = (sys.env.get("SPARK_GRAFT_STATE_PROVIDER") match {
+    val spark = (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").map(_.toLowerCase) match {
       case Some("rocksdb") => builder.config(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      case _ => builder
+      case Some("heap") | Some("default") | None => builder
+      // fail LOUDLY: a typo silently measuring the heap store as
+      // "RocksDB" would poison a SCALING.md comparison
+      case Some(other) => sys.error(
+        s"SPARK_GRAFT_STATE_PROVIDER='$other' not recognized (rocksdb|heap|default)")
     }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>

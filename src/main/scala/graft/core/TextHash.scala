@@ -197,6 +197,7 @@ object TextHash {
     * fold mod dim; 2^64 ≡ 0 mod any power-of-two dim, so unsigned-vs-
     * signed mod agree) reproduces the vector bit-for-bit. */
   def hashedCounts(tokens: Array[AnyRef], dim: Int): Array[Double] = {
+    require(dim > 0, s"hashed count vector dim must be positive, got $dim")
     val out = new Array[Double](dim)
     var t = 0
     while (t < tokens.length) {

@@ -79,6 +79,7 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
 case class HashedCountVector(child: Expression, dim: Int)
     extends UnaryExpression with ExpectsInputTypes
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(dim > 0, s"hashed_count_vector dim must be positive, got $dim")
   override def prettyName: String = "hashed_count_vector"
   override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)

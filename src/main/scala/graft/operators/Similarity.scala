@@ -140,19 +140,20 @@ object Similarity {
    * (table, signature) — no O(n²) pair scan anywhere — and the vectors
    * are joined back only for surviving candidate pairs. The single-table
    * variant ([[nearDupPairs]] `useLsh`) is the degenerate L=1 case.
+   *
+   * `verifyThenDistinct`: dedupe candidate pairs AFTER the cosine
+   * verify instead of before. Tried-and-rejected in the SHUFFLED-
+   * verify regime (SCALING.md r8: the pre-verify distinct's job is
+   * shrinking the input to the vector-payload joins), but when the
+   * vector side BROADCASTS (metadata-sized corpus vectors — the
+   * recall-holding deployment raises the threshold for exactly this)
+   * the verify is map-side and the pre-verify distinct is the only
+   * remaining full-candidate-stream shuffle; moving it after the
+   * verify shrinks that shuffle to the θ-survivors (SCALING.md r10
+   * measures the pair). Results are identical either way — duplicate
+   * candidates carry identical sims — so the default stays the
+   * shuffle-safe pre-verify form.
    */
-  /** `verifyThenDistinct`: dedupe candidate pairs AFTER the cosine
-    * verify instead of before. Tried-and-rejected in the SHUFFLED-
-    * verify regime (SCALING.md r8: the pre-verify distinct's job is
-    * shrinking the input to the vector-payload joins), but when the
-    * vector side BROADCASTS (metadata-sized corpus vectors — the
-    * recall-holding deployment raises the threshold for exactly this)
-    * the verify is map-side and the pre-verify distinct is the only
-    * remaining full-candidate-stream shuffle; moving it after the
-    * verify shrinks that shuffle to the θ-survivors (SCALING.md r10
-    * measures the pair). Results are identical either way — duplicate
-    * candidates carry identical sims — so the default stays the
-    * shuffle-safe pre-verify form. */
   def bandedNearDupPairs(df: DataFrame, threshold: Double,
                          tables: Int = 8, bitsPerTable: Int = 4, dim: Int = 64,
                          idCol: String = "vec_id", vecCol: String = "embedding",
@@ -380,6 +381,14 @@ object Similarity {
    * quantization step (measured in spec); exact re-rank of the top
    * candidates restores full precision when needed.
    */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = when(mx === 0.0, lit(0.0)).otherwise(lit(127.0) / mx)
+    // Spark's floor yields LONG; carry DOUBLE so the fused dot kernel
+    // applies (the values are exact small integers either way)
+    transform(vec, x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
+  }
+
   /**
    * Embedding-space benchmark decontamination: drop every corpus
    * vector within cosine `threshold` of ANY benchmark vector — the
@@ -400,14 +409,6 @@ object Similarity {
         cosinePrenormed(col(vecCol), col("__bv"), col("__cn") * col("__bn")) >= threshold,
         "left_anti")
       .drop("__cn")
-  }
-
-  def quantizeInt8(vec: Column): Column = {
-    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
-    val scale = when(mx === 0.0, lit(0.0)).otherwise(lit(127.0) / mx)
-    // Spark's floor yields LONG; carry DOUBLE so the fused dot kernel
-    // applies (the values are exact small integers either way)
-    transform(vec, x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
   }
 
   /**

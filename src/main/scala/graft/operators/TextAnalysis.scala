@@ -239,4 +239,55 @@ object TextAnalysis {
       .withColumn("lang_pred", argmaxLang(langs.map(l => l -> hit(l))))
       .drop("__st", "__b1")
   }
+
+  /**
+   * CCNet-style language-model quality scoring: per-document
+   * cross-entropy (bits/token) under the corpus's OWN unigram and
+   * bigram MLE models — the classic "perplexity filter" curation
+   * signal (documents far from the corpus distribution are template
+   * junk or the wrong register; CCNet buckets by exactly this score).
+   *
+   * Scale shape: both model tables are VOCABULARY-sized (unigrams,
+   * observed bigrams) — metadata next to the corpus, so the per-doc
+   * scoring joins broadcast and the whole operator is the token
+   * explode + two map-side joins + one per-doc aggregation; the model
+   * build itself is two map-combined counts. At 100 TB the models are
+   * built once and reused, exactly like the quantizer artifacts.
+   *
+   * Determinism: per-token log₂ terms are rounded to 9 dp and summed
+   * as DECIMAL(28,9) — EXACT, order-independent addition — then the
+   * per-doc mean is rounded to 6 dp, so an independent SQL recompute
+   * hash-matches despite Spark's arbitrary aggregation order.
+   * `h_bigram` is NULL for single-token documents (no bigrams).
+   */
+  def lmCrossEntropy(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("tk"))
+    val tok = toks.select(col("__id"), explode(col("tk")).as("w"))
+    val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum($"c").cast("double").as("t"))
+    val term9 = (c: Column, d: Column) =>
+      round(log2(c.cast("double") / d), 9).cast("decimal(28,9)")
+    val hu = tok.join(broadcast(uni), "w")
+      .join(broadcast(total))
+      .groupBy($"__id")
+      .agg(sum(term9($"c", $"t")).as("s"), count(lit(1)).as("n"))
+    val bge = toks.where(size($"tk") >= 2)
+      .select($"__id", explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("z"))
+      .select($"__id", $"z.w1", $"z.w2")
+    val bc = bge.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val pc = bc.groupBy("w1").agg(sum($"cb").cast("double").as("cp"))
+    val hb = bge.join(broadcast(bc), Seq("w1", "w2"))
+      .join(broadcast(pc), Seq("w1"))
+      .groupBy($"__id")
+      .agg(sum(term9($"cb", $"cp")).as("s2"), count(lit(1)).as("m"))
+    hu.join(hb, Seq("__id"), "left_outer")
+      .select($"__id".as(idCol),
+        $"n".as("n_tokens"),
+        round(-$"s".cast("double") / $"n", 6).as("h_unigram"),
+        round(-$"s2".cast("double") / $"m", 6).as("h_bigram"))
+  }
 }

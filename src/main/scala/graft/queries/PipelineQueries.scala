@@ -968,6 +968,16 @@ object PipelineQueries {
     }),
     // Gopher/C4-style repetition quality signals (type-token ratio,
     // top-word and top-bigram fractions) — scan-local, zero shuffles.
+    // CCNet-style perplexity filter: per-doc unigram/bigram
+    // cross-entropy under the corpus's own MLE models. Oracle rebuilds
+    // both models and every per-token log term from scratch; the
+    // DECIMAL(28,9) term summation makes the mean order-independent,
+    // so the recompute hash-matches exactly.
+    "t51_lm_perplexity" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.lmCrossEntropy(t(s, dir, "documents"))
+        .orderBy("doc_id")
+    }),
     "t43_repetition" -> ((s, dir) => {
       import s.implicits._
       TextAnalysis.repetitionStats(t(s, dir, "documents"))
@@ -2523,6 +2533,27 @@ object PipelineQueries {
     // Repetition signals recomputed with unnest+GROUP BY mode counts
     // (a structurally different computation from the Spark side's
     // per-row array fold — a stronger oracle than a literal transcription).
+    "t51_lm_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+         |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+         |hu AS (SELECT doc_id,
+         |   sum(CAST(round(log2(CAST(c AS DOUBLE) / t), 9) AS DECIMAL(28,9))) AS s,
+         |   count(*) AS n
+         | FROM tok JOIN uni USING (w) CROSS JOIN tot GROUP BY doc_id),
+         |bge AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+         | FROM toks, unnest(range(1, len(tk))) r(i) WHERE len(tk) >= 2),
+         |bc AS (SELECT w1, w2, count(*) AS cb FROM bge GROUP BY w1, w2),
+         |pc AS (SELECT w1, CAST(sum(cb) AS DOUBLE) AS cp FROM bc GROUP BY w1),
+         |hb AS (SELECT doc_id,
+         |   sum(CAST(round(log2(CAST(cb AS DOUBLE) / cp), 9) AS DECIMAL(28,9))) AS s2,
+         |   count(*) AS m
+         | FROM bge JOIN bc USING (w1, w2) JOIN pc USING (w1) GROUP BY doc_id)
+         |SELECT hu.doc_id, CAST(hu.n AS BIGINT) AS n_tokens,
+         | round(-CAST(hu.s AS DOUBLE) / hu.n, 6) AS h_unigram,
+         | round(-CAST(hb.s2 AS DOUBLE) / hb.m, 6) AS h_bigram
+         |FROM hu LEFT JOIN hb USING (doc_id) ORDER BY hu.doc_id""".stripMargin,
     "t43_repetition" ->
       s"""WITH b AS (SELECT doc_id, $duckTokens AS toks FROM documents),
          |big AS (SELECT doc_id,

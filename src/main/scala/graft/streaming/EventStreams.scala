@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /**
@@ -180,6 +180,41 @@ object EventStreams {
     override def handleInputRows(user: Long, rows: Iterator[Event],
                                  tv: TimerValues): Iterator[Transition] =
       transitionStep(user, rows, last)
+  }
+
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /**
+   * Per-user per-event-type running counts on `transformWithState`
+   * MAP STATE — the state-variable family's remaining member
+   * (ValueState: s68/s71; timers: s70; MapState: this, s74). The point
+   * of MapState over ValueState[Map] is PER-ENTRY access: each batch
+   * touches only the types it saw (`containsKey`/`getValue`/
+   * `updateValue`), never deserializing or rewriting the user's whole
+   * map — at scale a user's map can hold thousands of entries and a
+   * batch touches a handful. Emits the RUNNING total for each
+   * (user, type) the batch touched; totals are monotonic, so the final
+   * count per key is the max over emitted rows — batch-boundary-
+   * independent, which is what the oracle checks.
+   */
+  class TypeCountProcessor extends StatefulProcessor[Long, Event, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[TypeCount] = {
+      val batch = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach(e => batch.update(e.event_type, batch.getOrElse(e.event_type, 0L) + 1L))
+      batch.iterator.map { case (t, n) =>
+        val total = (if (counts.containsKey(t)) counts.getValue(t) else 0L) + n
+        counts.updateValue(t, total)
+        TypeCount(user, t, total)
+      }
+    }
   }
 
   /**

@@ -448,6 +448,50 @@ class EventStreamsSpec extends AnyFunSuite {
       && u1.head.start_ts == ts("2024-01-01 10:00:00").getTime, u1.mkString("; "))
   }
 
+  /** MapState semantics (s74): per-entry accumulation across batches —
+    * a type seen in both batches totals up; a type seen only in batch
+    * 1 keeps its entry untouched by batch 2 (per-entry access, not a
+    * whole-map rewrite). */
+  test("TypeCountProcessor accumulates per-type MapState entries across batches") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import EventStreams.{Event, TypeCount}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+      spark.catalog.dropTempView("tws_mapstate_test")
+      val q = input.toDS().groupByKey(_.user_id)
+        .transformWithState(new EventStreams.TypeCountProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .writeStream.outputMode("update").format("memory")
+        .queryName("tws_mapstate_test").start()
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:01:00"), 1, "click", 1.0),
+        Event(3, ts("2024-01-01 10:02:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(4, ts("2024-01-01 10:03:00"), 1, "click", 1.0),
+        Event(5, ts("2024-01-01 10:04:00"), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("tws_mapstate_test").as[TypeCount].collect()
+      val finalCounts = out.groupBy(r => (r.user_id, r.event_type))
+        .map { case (k, rs) => k -> rs.map(_.n).max }
+      assert(finalCounts == Map(
+        (1L, "click") -> 3L, (1L, "view") -> 1L, (1L, "purchase") -> 1L), out.mkString("; "))
+      // batch 2 emitted only the entries it touched — view stayed silent
+      assert(!out.exists(r => r.event_type == "view" && r.n != 1L), out.mkString("; "))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** The warm-start processor (s71): the state store is seeded from a
     * batch dataset, so the first streamed event bridges FROM the seed —
     * counted exactly as a cross-batch transition — while an unseeded

@@ -146,6 +146,8 @@ object PlanReport {
       "warm-start transitions: TransformWithStateExec seeded via handleInitialState from the batch frontier aggregation — the stream continues from history's frontier instead of replaying it"),
     ("s74_stream_type_counts", "s74_sink",
       "MapState running counts: TransformWithStateExec with PER-ENTRY map access (containsKey/getValue/updateValue) — each batch touches only the type entries it saw, never rewriting the user's whole map; RocksDB provider"),
+    ("s75_stream_recent_events", "s75_sink",
+      "ListState last-k recent events (the feature-store lookup shape): TWO composed state variables — the bounded list (at most k entries per user, ever) + a monotonic ValueState counter selecting each user's final emission; RocksDB provider"),
   )
 
   def main(args: Array[String]): Unit = {

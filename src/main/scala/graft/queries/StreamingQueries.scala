@@ -550,6 +550,45 @@ object StreamingQueries {
         case None    => s.conf.unset(key)
       }
     }),
+    // transformWithState LIST STATE — the final state variable (s68/s71
+    // ValueState, s70 timers, s74 MapState): per-user last-5 recent
+    // events, the feature-store lookup shape, with TWO composed state
+    // variables (the bounded list + a monotonic ValueState counter).
+    // The counter lets the batch-agnostic final answer be selected
+    // from the update-mode sink: each user's final emission is the one
+    // carrying its max seen-count. Oracle = the batch top-5 per user
+    // in (ts, event_id) DESC order.
+    "s75_stream_recent_events" -> ((s, dir) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = splitEventStream(s, dir)
+          .where(col("event_id").isNotNull && col("ts").isNotNull &&
+            col("user_id").isNotNull && col("value").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[EventStreams.Event]
+        val recent = ev.groupByKey(_.user_id)
+          .transformWithState(new EventStreams.RecentEventsProcessor(5),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+        val sink = runToTable(s, recent.toDF(), OutputMode.Update(), "s75_sink")
+        // per-user final emission via a window (a sink self-join would
+        // hit MemoryPlan's conflicting attribute references)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        sink.withColumn("__mx", max(col("seen")).over(w))
+          .where(col("seen") === col("__mx"))
+          .select(col("user_id"), col("rank"), col("event_id"))
+          .orderBy("user_id", "rank")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }),
     // Approximate distinct users per event type maintained AS STREAMING
     // STATE: the KMV sketch aggregator runs inside the engine's stateful
     // aggregation (Complete mode), its buffer merging across batches in
@@ -852,6 +891,18 @@ object StreamingQueries {
         |WHERE user_id IS NOT NULL AND event_id IS NOT NULL
         |  AND ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // each user's final last-5 must equal the batch top-5 in the
+    // (ts, event_id) total order, newest first
+    "s75_stream_recent_events" ->
+      """WITH e AS (SELECT user_id, event_id, ts FROM events
+        | WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |   AND ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT user_id, event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+        |    AS rank
+        | FROM e)
+        |SELECT user_id, CAST(rank AS INTEGER) AS rank, event_id
+        |FROM r WHERE rank <= 5 ORDER BY user_id, rank""".stripMargin,
     // Gaps-and-islands in milliseconds (the unit the custom kernel's
     // state logic uses), then the timeout-flush cutoff: every session
     // closed by an in-batch gap is emitted; a user's FINAL session only

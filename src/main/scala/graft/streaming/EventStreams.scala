@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /**
@@ -214,6 +214,46 @@ object EventStreams {
         counts.updateValue(t, total)
         TypeCount(user, t, total)
       }
+    }
+  }
+
+  case class RecentEvent(user_id: Long, rank: Int, event_id: Long, seen: Long)
+
+  /**
+   * Per-user LAST-k recent events on `transformWithState` LIST STATE —
+   * the feature-store pattern (a model server asks "this user's last 5
+   * events" at request time), and the final tws state variable
+   * (ValueState s68/s71, timers s70, MapState s74, ListState here).
+   * TWO state variables compose in one processor: the bounded recent
+   * list plus a ValueState event counter whose monotonic value lets
+   * the sink select each user's FINAL emission (rows where seen =
+   * max(seen) per user) — batch-boundary-independent, which is what
+   * the batch top-k oracle checks. State per user is bounded at k
+   * list entries + one long, regardless of event volume.
+   */
+  class RecentEventsProcessor(k: Int = 5)
+    extends StatefulProcessor[Long, Event, RecentEvent] {
+    @transient private var recent: ListState[LastSeenEvent] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState[LastSeenEvent]("recent",
+        org.apache.spark.sql.Encoders.product[LastSeenEvent], TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[RecentEvent] = {
+      val batch = rows.toArray
+      val merged = (recent.get().toArray ++
+          batch.map(e => LastSeenEvent(epochMicros(e.ts), e.event_id, e.event_type)))
+        .sortBy(e => (-e.ts_us, -e.event_id)).take(k)
+      recent.put(merged) // bounded rewrite: at most k entries ever stored
+      val total = (if (seen.exists()) seen.get() else 0L) + batch.length
+      seen.update(total)
+      merged.iterator.zipWithIndex
+        .map { case (e, i) => RecentEvent(user, i + 1, e.event_id, total) }
     }
   }
 

@@ -490,11 +490,12 @@ class PlanChecksSpec extends AnyFunSuite {
       s"jpeg_block_stats not inside a WholeStageCodegen span:\n${p.take(2000)}")
   }
 
-  test("s68/s70/s71/s74: the engine executes TransformWithStateExec on the RocksDB provider") {
+  test("s68/s70/s71/s74/s75: the engine executes TransformWithStateExec on the RocksDB provider") {
     Seq("s68_stream_transitions" -> "s68_sink",
         "s70_stream_sessionize_timers" -> "s70_sink",
         "s71_stream_transitions_warmstart" -> "s71_sink",
-        "s74_stream_type_counts" -> "s74_sink").foreach { case (name, sink) =>
+        "s74_stream_type_counts" -> "s74_sink",
+        "s75_stream_recent_events" -> "s75_sink").foreach { case (name, sink) =>
       SparkEntry.queries(name)(spark, sf).collect() // runs the real stream
       val p = graft.queries.StreamingQueries.capturedPlan(sink)
       assert(p.exists(_.contains("TransformWithState")),

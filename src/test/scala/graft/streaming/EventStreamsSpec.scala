@@ -492,6 +492,48 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  /** ListState semantics (s75): the bounded recent list truncates at k
+    * across batches (an old event falls off when newer ones arrive),
+    * and the composed ValueState counter is monotonic so the final
+    * emission is selectable per user. */
+  test("RecentEventsProcessor keeps a bounded last-k list across batches") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import EventStreams.{Event, RecentEvent}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+      spark.catalog.dropTempView("tws_liststate_test")
+      val q = input.toDS().groupByKey(_.user_id)
+        .transformWithState(new EventStreams.RecentEventsProcessor(3),
+          TimeMode.None(), OutputMode.Update())
+        .writeStream.outputMode("update").format("memory")
+        .queryName("tws_liststate_test").start()
+      input.addData(
+        Event(10, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(11, ts("2024-01-01 10:01:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(12, ts("2024-01-01 10:02:00"), 1, "click", 1.0),
+        Event(13, ts("2024-01-01 10:03:00"), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("tws_liststate_test").as[RecentEvent].collect()
+      val maxSeen = out.map(_.seen).max
+      assert(maxSeen == 4L, out.mkString("; "))
+      val fin = out.filter(_.seen == maxSeen).sortBy(_.rank)
+      // k=3: event 10 fell off; newest-first order from cross-batch state
+      assert(fin.map(_.event_id).toSeq == Seq(13L, 12L, 11L), fin.mkString("; "))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** The warm-start processor (s71): the state store is seeded from a
     * batch dataset, so the first streamed event bridges FROM the seed —
     * counted exactly as a cross-batch transition — while an unseeded

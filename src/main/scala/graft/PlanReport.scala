@@ -120,7 +120,7 @@ object PlanReport {
     "s72_curate_index_serve" ->
       "the composed LLM-data arc — curate -> index -> serve: d68's seven-stage MinHash curation feeds the one-pass hashing-trick featurizer; the surviving chunk vectors are k-means-trained and persisted as a hive-partitioned IVF index digest-chained to the curation input (s60's export machinery over the curation OUTPUT); serving probes the first docs' surviving chunks with dynamic partition pruning skipping every unprobed list directory",
     "t51_lm_perplexity" ->
-      "CCNet-style LM perplexity scoring: both MLE model tables (unigrams, observed bigrams, bigram-prefix totals) are vocabulary-sized and BROADCAST beside the token explode; per-token log2 terms round to 9 dp and sum as DECIMAL(28,9), so the per-doc mean is order-independent and the oracle's from-scratch model rebuild hash-matches",
+      "CCNet-style LM perplexity scoring: the unigram table is vocabulary-sized and broadcasts; the observed-bigram table grows with corpus content and joins as the planner chooses (broadcast here, a model-keyed hash join at 100 TB — never pair-keyed); per-token log2 terms round to 9 dp and sum as DECIMAL(28,9), so the per-doc mean is order-independent and the oracle's from-scratch model rebuild hash-matches",
     "d72_embed_decontam" ->
       "embedding-space benchmark decontamination (the semantic sibling of the shingle-overlap form): the metadata-sized benchmark broadcasts into an ANTI nested-loop probe over ONE corpus scan — no shuffle, no pair materialization; corpus rows stream through their own mappers at any scale",
     "s73_curated_text_search" ->

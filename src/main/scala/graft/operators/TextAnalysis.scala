@@ -247,12 +247,19 @@ object TextAnalysis {
    * signal (documents far from the corpus distribution are template
    * junk or the wrong register; CCNet buckets by exactly this score).
    *
-   * Scale shape: both model tables are VOCABULARY-sized (unigrams,
-   * observed bigrams) — metadata next to the corpus, so the per-doc
-   * scoring joins broadcast and the whole operator is the token
-   * explode + two map-side joins + one per-doc aggregation; the model
-   * build itself is two map-combined counts. At 100 TB the models are
-   * built once and reused, exactly like the quantizer artifacts.
+   * Scale shape, honestly: the UNIGRAM table is vocabulary-sized
+   * (broadcastable); the OBSERVED-BIGRAM table grows with corpus
+   * content (bounded by vocab², not vocab) — at bench scale the
+   * planner broadcasts it, at 100 TB it joins as a hash join on
+   * (w1, w2), which is still a model-keyed (not pair-keyed) exchange.
+   * The hu⋈hb combine is one row per doc per side (a59's aggregated-
+   * sides shape). Model tables are PERSISTED so each is computed once
+   * (the corpus is tokenized once per model build + once per scoring
+   * pass — four passes total; caching the exploded tokens themselves
+   * would cost more memory than it saves, the d33 trade); the
+   * per-query sweep releases them. A production run trains the model
+   * tables once and reuses them across scoring batches, like the
+   * quantizer artifacts.
    *
    * Determinism: per-token log₂ terms are rounded to 9 dp and summed
    * as DECIMAL(28,9) — EXACT, order-independent addition — then the
@@ -266,22 +273,28 @@ object TextAnalysis {
     import spark.implicits._
     val toks = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("tk"))
     val tok = toks.select(col("__id"), explode(col("tk")).as("w"))
-    val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    // model tables persisted: each is consumed twice (its derived total
+    // and the scoring probe) — without the cache every consumer would
+    // replay the corpus tokenization. Released by the per-query sweep.
+    val uni = tok.groupBy("w").agg(count(lit(1)).as("c")).persist()
     val total = uni.agg(sum($"c").cast("double").as("t"))
     val term9 = (c: Column, d: Column) =>
       round(log2(c.cast("double") / d), 9).cast("decimal(28,9)")
-    val hu = tok.join(broadcast(uni), "w")
-      .join(broadcast(total))
+    // no broadcast hints on the model joins: the planner broadcasts the
+    // small tables at bench scale; at 100 TB the bigram table joins as
+    // a hash join on its own keys (see scaladoc)
+    val hu = tok.join(uni, "w")
+      .join(broadcast(total)) // genuinely one row
       .groupBy($"__id")
       .agg(sum(term9($"c", $"t")).as("s"), count(lit(1)).as("n"))
     val bge = toks.where(size($"tk") >= 2)
       .select($"__id", explode(expr(
         "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("z"))
       .select($"__id", $"z.w1", $"z.w2")
-    val bc = bge.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val bc = bge.groupBy("w1", "w2").agg(count(lit(1)).as("cb")).persist()
     val pc = bc.groupBy("w1").agg(sum($"cb").cast("double").as("cp"))
-    val hb = bge.join(broadcast(bc), Seq("w1", "w2"))
-      .join(broadcast(pc), Seq("w1"))
+    val hb = bge.join(bc, Seq("w1", "w2"))
+      .join(pc, Seq("w1"))
       .groupBy($"__id")
       .agg(sum(term9($"cb", $"cp")).as("s2"), count(lit(1)).as("m"))
     hu.join(hb, Seq("__id"), "left_outer")

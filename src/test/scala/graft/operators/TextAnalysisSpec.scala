@@ -144,8 +144,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     val out = TextAnalysis.lmCrossEntropy(docs)
     val stats = out.agg(min($"h_unigram"), max($"h_unigram"), count(lit(1))).head()
     assert(stats.getLong(2) == docs.count())
-    assert(stats.getDouble(0) > 0.0 && stats.getDouble(1) < 10.0,
-      s"unigram H outside a plausible band: $stats")
+    // principled bound, not a fixture-coupled constant: per-token
+    // surprisal is at most log2(total/min_count) ≤ log2(total tokens)
+    val totalTokens = docs
+      .select(sum(TextAnalysis.tokenCount($"text"))).head().getLong(0)
+    val hMax = math.log(totalTokens.toDouble) / math.log(2.0)
+    assert(stats.getDouble(0) > 0.0 && stats.getDouble(1) <= hMax + 1e-9,
+      s"unigram H outside [0, log2($totalTokens)]: $stats")
     val again = TextAnalysis.lmCrossEntropy(docs)
     assert(out.orderBy("doc_id").collect().toSeq ==
       again.orderBy("doc_id").collect().toSeq, "non-deterministic scores")

@@ -68,4 +68,25 @@ class CuratedIndexLifecycleSpec extends AnyFunSuite {
     assert(indexed2 > indexed1,
       s"the rebuilt index must cover the grown corpus ($indexed1 -> $indexed2)")
   }
+
+  test("curated index: the trained centroids are a pure function of the corpus") {
+    // the same determinism contract the PCA model pins (s66): identical
+    // corpus → bit-identical trained artifact, so the oracle's spliced
+    // centroids are reproducible and serving answers cannot drift
+    // between builds
+    def build(): Array[Array[Double]] = {
+      val d = Files.createTempDirectory("graft-curated-det")
+      d.toFile.deleteOnExit()
+      writeDocs(d.toString, 0 until 40, "overwrite")
+      val root = PipelineQueries.ensureCuratedIndexExport(spark, d.toString)
+      spark.read.parquet(s"$root/centroids").orderBy("cid").collect()
+        .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    }
+    val a = build()
+    val b = build()
+    assert(a.length == b.length && a.length == 8)
+    a.zip(b).zipWithIndex.foreach { case ((ca, cb), i) =>
+      assert(ca.sameElements(cb), s"centroid $i differs between identical-corpus builds")
+    }
+  }
 }

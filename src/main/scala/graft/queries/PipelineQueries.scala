@@ -331,7 +331,11 @@ object PipelineQueries {
     * the raw embeddings table. Digest-chained to the curation input:
     * the marker records the documents digest (captured BEFORE the
     * pipeline reads it), so regenerating the corpus invalidates the
-    * index with it. */
+    * index with it. nlist is FIXED at 8 for the gate corpus; a
+    * production build sizes nlist with the corpus (occupancy-held,
+    * the lshBitsFor logic) — the machinery is size-agnostic since the
+    * centroids artifact carries its own cardinality and the oracle
+    * splices whatever was trained. */
   def ensureCuratedIndexExport(s: SparkSession, sfDir: String): String = {
     val root = curatedIndexRoot(sfDir)
     if (RelationalQueries.stale(root, sfDir, "documents")) {

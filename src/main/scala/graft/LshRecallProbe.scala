@@ -37,6 +37,9 @@ object LshRecallProbe {
     require(args.nonEmpty, "usage: runMain graft.LshRecallProbe <sfDir> [runs]")
     val sfDir = args(0)
     val runs = if (args.length > 1) args(1).toInt else 1
+    require(runs >= 1, s"runs must be >= 1 (got $runs) — a zero-run " +
+      "invocation would score stale parquet from a prior run as this " +
+      "config's recall")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cpus)
     val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", parts)
@@ -56,10 +59,15 @@ object LshRecallProbe {
     val theta = 0.5
     val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
     val n = emb.count()
-    val b = Similarity.lshBitsFor(n)
-    val p = 1.0 - math.acos(theta) / math.Pi
-    val lHold = math.ceil(8 * math.pow(p, -(b - 4))).toInt
-    println(f"[lshprobe] n=$n b=$b p=$p%.4f L_hold=$lHold parts=$parts initParts=$initParts bcastMb=$bcastMb")
+    // the production configuration is now a first-class derivation —
+    // the probe measures exactly what recallHeldNearDupPairs would run
+    // (r10 hand-computed L = ⌈8·p^−(b−4)⌉ from SCALING.md instead)
+    val cfg = Similarity.recallHeldConfig(emb, theta, corpusSize = Some(n))
+    val b = cfg.bits
+    val lHold = cfg.tables
+    val p = Similarity.collisionProb(theta)
+    println(f"[lshprobe] n=$n b=$b p=$p%.4f L_hold=$lHold (tablesForRecall 0.85) " +
+      f"vtd_regime=${cfg.verifyThenDistinct} parts=$parts initParts=$initParts bcastMb=$bcastMb")
 
     // deterministic ground-truth sample: ~6000 vectors, exact pairs
     val rate = math.min(1.0, 6000.0 / n)
@@ -74,7 +82,12 @@ object LshRecallProbe {
     val sidsB = spark.sparkContext.broadcast(sids)
 
     def measure(label: String, tables: Int, verifyThenDistinct: Boolean = false): Unit = {
-      val out = s"/tmp/lshprobe_${label}"
+      // keyed by sf so a leftover directory from a DIFFERENT scale's
+      // invocation can never be scored as this one's recall; deleted
+      // up front so a run that dies mid-write fails the read loudly
+      // instead of silently scoring the prior invocation's output
+      val out = s"/tmp/lshprobe_${new java.io.File(sfDir).getName}_$label"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
       (1 to runs).foreach { i =>
         val t = System.nanoTime()
         Similarity.bandedNearDupPairs(emb, theta, tables = tables, bitsPerTable = b,

@@ -194,10 +194,16 @@ object TextHash {
     * dim)` per token, counts as doubles. The deterministic text→vector
     * featurizer behind the curated-corpus index (s72) — every count is
     * a small integer, so an independent SQL recompute (per-token FNV
-    * fold mod dim; 2^64 ≡ 0 mod any power-of-two dim, so unsigned-vs-
-    * signed mod agree) reproduces the vector bit-for-bit. */
+    * fold mod dim) reproduces the vector bit-for-bit. `dim` MUST be a
+    * power of two: the oracle-reproducibility argument is that signed
+    * floorMod equals the SQL's unsigned mod because 2^64 ≡ 0 (mod dim),
+    * which holds ONLY for power-of-two dims — a dim like 10 would
+    * silently diverge from a DuckDB recompute on tokens whose FNV hash
+    * is negative, so it is rejected here rather than documented away. */
   def hashedCounts(tokens: Array[AnyRef], dim: Int): Array[Double] = {
-    require(dim > 0, s"hashed count vector dim must be positive, got $dim")
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"hashed count vector dim must be a power of two (unsigned-mod " +
+        s"reproducibility needs 2^64 ≡ 0 mod dim), got $dim")
     val out = new Array[Double](dim)
     var t = 0
     while (t < tokens.length) {

@@ -79,7 +79,10 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
 case class HashedCountVector(child: Expression, dim: Int)
     extends UnaryExpression with ExpectsInputTypes
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-  require(dim > 0, s"hashed_count_vector dim must be positive, got $dim")
+  // power of two only: the featurizer's oracle-reproducibility contract
+  // (signed floorMod == unsigned SQL mod) needs 2^64 ≡ 0 (mod dim)
+  require(dim > 0 && (dim & (dim - 1)) == 0,
+    s"hashed_count_vector dim must be a power of two, got $dim")
   override def prettyName: String = "hashed_count_vector"
   override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)

@@ -130,6 +130,112 @@ object Similarity {
     math.min(maxBits, math.max(minBits, needed))
   }
 
+  /** Hyperplane-LSH collision probability for a pair AT the verify
+    * threshold: p = 1 − acos(θ)/π (one random hyperplane separates two
+    * vectors with probability angle/π). The quantity every (b, L)
+    * sizing rule in this file is computed from. */
+  def collisionProb(threshold: Double): Double = {
+    require(threshold > -1.0 && threshold < 1.0,
+      s"cosine threshold must be in (-1, 1), got $threshold")
+    1.0 - math.acos(threshold) / math.Pi
+  }
+
+  /**
+   * Table count L that HOLDS recall at band width `bits`: the OR-
+   * construction's recall for a pair at the threshold is 1−(1−p^b)^L,
+   * so the smallest L meeting `targetRecall` is
+   * L = ⌈ln(1−r) / ln(1−p^b)⌉. This is the missing half of
+   * [[lshBitsFor]]: occupancy-held band widths keep candidate cost
+   * linear in the corpus but drop per-table collision odds to p^b, so
+   * a deployment that must HOLD recall grows L alongside — the classic
+   * sub-quadratic-but-not-linear LSH exponent. Measured at three
+   * scales (SCALING.md r10): at sf10/b=11 the fixed shipped L=8
+   * collapses to recall 0.061 while the held count restores 0.854 ≈
+   * the sf0.1 baseline. Pairs ABOVE the threshold collide more often
+   * (p rises with similarity), so the target is a floor for exactly-at-
+   * threshold pairs and conservative for everything a dedup actually
+   * keeps.
+   */
+  def tablesForRecall(threshold: Double, bits: Int, targetRecall: Double = 0.85): Int = {
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    require(bits >= 1, s"bits must be >= 1, got $bits")
+    val pb = math.pow(collisionProb(threshold), bits)
+    math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pb)).toInt)
+  }
+
+  /** The three knobs SCALING.md r10 measured must move TOGETHER for the
+    * production near-dup deployment: table count, band width, distinct
+    * placement. [[recallHeldConfig]] derives them; the d73 oracle
+    * splices `tables`/`bits` to recompute candidates independently. */
+  case class LshConfig(tables: Int, bits: Int, verifyThenDistinct: Boolean)
+
+  /**
+   * Whether the verify stage's vector build side will BROADCAST under
+   * the session's CURRENT autoBroadcastJoinThreshold — the regime
+   * signal that decides distinct placement. Uses the optimizer's own
+   * size estimate of exactly the projection [[bandedNearDupPairs]]
+   * builds for the verify join, so the decision mirrors the planner's
+   * broadcast choice instead of guessing at it.
+   *
+   * Why the regime decides (both directions MEASURED, SCALING.md):
+   *  - shuffled-verify regime (vectors too big to broadcast): the
+   *    pre-verify distinct's job is shrinking the input to two
+   *    SortMergeJoins — moving it after the verify measured WORSE,
+   *    80 → 103 s (r8, sf10 partition-scaled d36).
+   *  - broadcast regime (metadata-sized vectors — the recall-holding
+   *    deployment raises the threshold for exactly this): the verify
+   *    is map-side, the pre-verify distinct is the only remaining
+   *    full-candidate-stream shuffle, and moving the dedupe after the
+   *    verify shrinks that shuffle to the θ-survivors — 376 → 115 s
+   *    with bit-identical output (r10, sf10/L=137, ~17 GB disk
+   *    transient eliminated).
+   */
+  def vectorSideBroadcasts(df: DataFrame,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): Boolean = {
+    val side = df.select(col(idCol), col(vecCol), norm(col(vecCol)))
+    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    threshold > 0 &&
+      side.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)
+  }
+
+  /**
+   * The PRODUCTION near-dup configuration as one derivation — corpus-
+   * sized band width ([[lshBitsFor]]), recall-holding table count
+   * ([[tablesForRecall]]), regime-derived distinct placement
+   * ([[vectorSideBroadcasts]]). Until round 11 the measured-good sf10
+   * configuration (recall 0.854, 115 s) was reachable only by reading
+   * SCALING.md and hand-computing L; this makes it callable.
+   * `corpusSize` skips the count pass when the caller already knows n
+   * (at 100 TB the count is parquet-footer metadata either way).
+   */
+  def recallHeldConfig(df: DataFrame, threshold: Double,
+                       targetRecall: Double = 0.85,
+                       corpusSize: Option[Long] = None,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): LshConfig = {
+    val n = corpusSize.getOrElse(df.count())
+    val bits = lshBitsFor(n)
+    LshConfig(tablesForRecall(threshold, bits, targetRecall), bits,
+      vectorSideBroadcasts(df, idCol, vecCol))
+  }
+
+  /** One-call production preset: [[recallHeldConfig]] fed into
+    * [[bandedNearDupPairs]]. Pass a precomputed `config` to splice the
+    * same knobs elsewhere (the d73 oracle re-derives candidates from
+    * them). Output is placement-independent (spec-pinned identical);
+    * only the shuffle shape differs by regime. */
+  def recallHeldNearDupPairs(df: DataFrame, threshold: Double,
+                             targetRecall: Double = 0.85, dim: Int = 64,
+                             idCol: String = "vec_id", vecCol: String = "embedding",
+                             config: Option[LshConfig] = None): DataFrame = {
+    val cfg = config.getOrElse(
+      recallHeldConfig(df, threshold, targetRecall, None, idCol, vecCol))
+    bandedNearDupPairs(df, threshold, cfg.tables, cfg.bits, dim,
+      idCol, vecCol, cfg.verifyThenDistinct)
+  }
+
   /**
    * Banded (OR-construction) hyperplane LSH near-dup pairs: `tables`
    * independent hash tables of `bitsPerTable` sign-bits each; two docs

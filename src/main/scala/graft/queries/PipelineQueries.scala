@@ -77,6 +77,13 @@ object PipelineQueries {
   @volatile private var d36Bits: Option[Int] = None
   @volatile private var d56Bits: Option[Int] = None
 
+  /** d73's full production LSH configuration (tables, bits, distinct
+    * placement) as derived by Similarity.recallHeldConfig — stashed so
+    * the oracle re-derives candidates with the SAME (L, b). Placement
+    * never affects the output (spec-pinned identical), so the oracle
+    * only consumes tables/bits. */
+  @volatile private var d73Config: Option[Similarity.LshConfig] = None
+
   /** s66's trained PCA model (mean, components) for oracle splicing. */
   @volatile private var pcaState: Option[(Array[Double], Array[Array[Double]])] = None
 
@@ -828,6 +835,24 @@ object PipelineQueries {
       val bits = Similarity.lshBitsFor(emb.count())
       d36Bits = Some(bits)
       Similarity.bandedNearDupPairs(emb, threshold = 0.5, bitsPerTable = bits)
+        .select($"i", $"j", round($"sim", 6).as("sim"))
+        .orderBy("i", "j")
+    }),
+    // d36's RECALL-HELD production preset — the full three-knob
+    // configuration (corpus-sized b, recall-holding L = tablesForRecall,
+    // regime-derived distinct placement) as ONE first-class call.
+    // d36 keeps L fixed at 8 and documents recall-for-cost; this is
+    // what a deployment that must HOLD recall runs (at sf10 the fixed-L
+    // shape measures recall 0.061 where this one measures 0.854 —
+    // SCALING.md r10/r11). The oracle re-derives every table signature
+    // at the stashed (L, b), so the derived table count is itself
+    // correctness-checked, not just exercised.
+    "d73_neardup_recall_held" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cfg = Similarity.recallHeldConfig(emb, threshold = 0.5)
+      d73Config = Some(cfg)
+      Similarity.recallHeldNearDupPairs(emb, threshold = 0.5, config = Some(cfg))
         .select($"i", $"j", round($"sim", 6).as("sim"))
         .orderBy("i", "j")
     }),
@@ -1587,7 +1612,9 @@ object PipelineQueries {
   private def bandedLshOracle: Map[String, String] =
     d36Bits.map(b => "d36_embed_neardup_lsh" -> d36Oracle(bits = b)).toMap ++
       d56Bits.map(b => "d56_lsh_neardup_sampled" ->
-        d36Oracle(sampledEmbSql, EmbTwinThreshold, bits = b)).toMap
+        d36Oracle(sampledEmbSql, EmbTwinThreshold, bits = b)).toMap ++
+      d73Config.map(c => "d73_neardup_recall_held" ->
+        d36Oracle(bits = c.bits, tables = c.tables)).toMap
 
   /** d53's oracle from the stashed centroids (see [[ivfOracle]] for the
     * stash-then-splice contract): assignment (argmax cosine, ties→low
@@ -2335,14 +2362,16 @@ object PipelineQueries {
        |WHERE ${duckCosine("a.embedding", "b.embedding")} >= $threshold
        |ORDER BY i, j""".stripMargin
 
-  /** d36's full banded-LSH recompute over any embeddings source: all
-    * 8·bits seeded hyperplanes re-derived as literals — exact dyadic
-    * doubles, same as s36 — candidates = agreement on ANY table's full
-    * signature, then the exact cosine threshold. `bits` must be the
-    * width the Spark query chose (corpus-sized via lshBitsFor). */
+  /** d36/d73's full banded-LSH recompute over any embeddings source:
+    * all tables·bits seeded hyperplanes re-derived as literals — exact
+    * dyadic doubles, same as s36 — candidates = agreement on ANY
+    * table's full signature, then the exact cosine threshold.
+    * `bits`/`tables` must be what the Spark query chose (corpus-sized
+    * lshBitsFor; fixed L=8 for d36, recall-held tablesForRecall for
+    * d73). */
   private def d36Oracle(src: String = "embeddings", threshold: Double = 0.5,
-                        bits: Int = 4): String = {
-    val planes = Similarity.hyperplanes(8 * bits, 64)
+                        bits: Int = 4, tables: Int = 8): String = {
+    val planes = Similarity.hyperplanes(tables * bits, 64)
     def dotPlane(vec: String, p: Array[Double]): String = {
       val lits = p.map(_.toString).mkString("[", ",", "]")
       s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
@@ -2351,8 +2380,8 @@ object PipelineQueries {
     def sigExpr(tbl: Int): String = (0 until bits).map { k =>
       s"(CASE WHEN ${dotPlane("embedding", planes(tbl * bits + k))} >= 0.0 THEN ${1L << k} ELSE 0 END)"
     }.mkString(" + ")
-    val sigCols = (0 until 8).map(tbl => s"${sigExpr(tbl)} AS sig$tbl").mkString(", ")
-    val anyTable = (0 until 8).map(tbl => s"a.sig$tbl = b.sig$tbl").mkString(" OR ")
+    val sigCols = (0 until tables).map(tbl => s"${sigExpr(tbl)} AS sig$tbl").mkString(", ")
+    val anyTable = (0 until tables).map(tbl => s"a.sig$tbl = b.sig$tbl").mkString(" OR ")
     s"""WITH s AS (SELECT vec_id, embedding, $sigCols FROM $src)
        |SELECT a.vec_id AS i, b.vec_id AS j,
        | round(${duckCosine("a.embedding", "b.embedding")}, 6) AS sim

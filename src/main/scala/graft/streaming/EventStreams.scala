@@ -209,11 +209,16 @@ object EventStreams {
                                  tv: TimerValues): Iterator[TypeCount] = {
       val batch = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       rows.foreach(e => batch.update(e.event_type, batch.getOrElse(e.event_type, 0L) + 1L))
+      // state updates applied EAGERLY while building the output (a Seq,
+      // not a view over the map): correctness must not depend on a
+      // downstream operator draining the returned iterator — a
+      // short-circuiting consumer over a lazy map would silently skip
+      // updateValue calls
       batch.iterator.map { case (t, n) =>
         val total = (if (counts.containsKey(t)) counts.getValue(t) else 0L) + n
         counts.updateValue(t, total)
         TypeCount(user, t, total)
-      }
+      }.toSeq.iterator
     }
   }
 

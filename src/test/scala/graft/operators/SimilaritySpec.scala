@@ -152,15 +152,73 @@ class SimilaritySpec extends AnyFunSuite {
       keyset(Similarity.bandedNearDupPairs(emb1, threshold, tables, bits)).size.toDouble / exact.size
     val rBase = recall(8, 4)
     val rDrop = recall(8, 8)
-    val p = 1.0 - math.acos(threshold) / math.Pi
-    val lHold = math.ceil(8 * math.pow(p, -(8 - 4))).toInt
+    // the FIRST-CLASS derivation (r11): hold the THEORY recall of the
+    // (b=4, L=8) baseline at b=8 through tablesForRecall — the exact
+    // log-ratio form of the r9/r10 hand formula ⌈8·p^−Δb⌉ (61 vs that
+    // approximation's 57: ⌈L·ln(1−p^b1)/ln(1−p^b2)⌉ vs L·p^−Δb)
+    val p = Similarity.collisionProb(threshold)
+    val baselineRecall = 1.0 - math.pow(1.0 - math.pow(p, 4), 8)
+    val lHold = Similarity.tablesForRecall(threshold, bits = 8,
+      targetRecall = baselineRecall)
     val rHold = recall(lHold, 8)
     info(f"ground truth ${exact.size} pairs; recall b4/L8=$rBase%.3f b8/L8=$rDrop%.3f b8/L$lHold=$rHold%.3f")
-    assert(lHold == 57, s"L formula drifted: $lHold")
+    assert(lHold == 61, s"tablesForRecall derivation drifted: $lHold")
     assert(rDrop < rBase - 0.3,
       f"b=8 at fixed L should collapse recall ($rDrop%.3f vs $rBase%.3f)")
     assert(rHold >= rBase - 0.05,
       f"L=$lHold should restore the b=4 baseline ($rHold%.3f vs $rBase%.3f)")
+  }
+
+  test("tablesForRecall: minimal L meeting the target, pinned at the measured scales") {
+    // pins at the scales SCALING.md measures: the sf10 production corpus
+    // (b=11) needs 164 tables for target 0.85 (r10's hand-computed 137
+    // was the ⌈8·p^−Δb⌉ baseline-holding approximation and measured
+    // 0.854 — the exact 0.85-target form is slightly larger), sf1 (b=8)
+    // 48, gate/bench corpora (b=4) 9
+    assert(Similarity.tablesForRecall(0.5, 11) == 164)
+    assert(Similarity.tablesForRecall(0.5, 8) == 48)
+    assert(Similarity.tablesForRecall(0.5, 4) == 9)
+    // the guarantee and MINIMALITY: theoretical recall 1−(1−p^b)^L meets
+    // the target at L and misses it at L−1
+    for (bits <- Seq(4, 8, 11); target <- Seq(0.5, 0.85, 0.99)) {
+      val l = Similarity.tablesForRecall(0.5, bits, target)
+      def rec(x: Int) =
+        1.0 - math.pow(1.0 - math.pow(Similarity.collisionProb(0.5), bits), x)
+      assert(rec(l) >= target, s"bits=$bits target=$target L=$l under-delivers")
+      assert(l == 1 || rec(l - 1) < target, s"bits=$bits target=$target L=$l not minimal")
+    }
+    // monotone in band width (finer bands need more tables) and target
+    assert(Similarity.tablesForRecall(0.5, 11) > Similarity.tablesForRecall(0.5, 8))
+    assert(Similarity.tablesForRecall(0.5, 8, 0.99) > Similarity.tablesForRecall(0.5, 8, 0.85))
+  }
+
+  test("recallHeldConfig: three knobs derived together, placement follows the regime") {
+    val emb = spark.read.parquet(s"${graft.SparkTestSession.sf01}/embeddings.parquet")
+    val n = emb.count()
+    val cfg = Similarity.recallHeldConfig(emb, threshold = 0.5)
+    assert(cfg.bits == Similarity.lshBitsFor(n))
+    assert(cfg.tables == Similarity.tablesForRecall(0.5, cfg.bits))
+    // this corpus's vector side is far under the default 10 MB broadcast
+    // threshold → broadcast regime → verify-then-distinct (the r10
+    // 376→115 s measurement's side of the trade)
+    assert(cfg.verifyThenDistinct, "sf0.1 vectors should sit in the broadcast regime")
+    // the regime FLIPS with the session threshold: broadcast disabled →
+    // shuffled-verify regime → pre-verify distinct (the r8 80→103 s
+    // measurement's side)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      assert(!Similarity.recallHeldConfig(emb, 0.5, corpusSize = Some(n)).verifyThenDistinct,
+        "disabled broadcast must select the shuffle-safe placement")
+    } finally spark.conf.set(key, old)
+    // the one-call preset returns exactly the banded call at the derived
+    // knobs (placement equivalence is pinned separately below)
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaPreset = keyset(Similarity.recallHeldNearDupPairs(emb, 0.5, config = Some(cfg)))
+    val direct = keyset(Similarity.bandedNearDupPairs(emb, 0.5, cfg.tables, cfg.bits))
+    assert(viaPreset.nonEmpty && viaPreset == direct)
   }
 
   test("PCA model: orthonormal components, descending variance, deterministic, sign-fixed") {

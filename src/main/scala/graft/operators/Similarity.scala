@@ -130,6 +130,26 @@ object Similarity {
     math.min(maxBits, math.max(minBits, needed))
   }
 
+  /**
+   * Occupancy-held IVF list count — the coarse-quantizer sibling of
+   * [[lshBitsFor]] (and implemented THROUGH it): lists =
+   * 2^clamp(⌈log2(n/targetOccupancy)⌉, minBits, maxBits), clamped to n
+   * so a corpus smaller than the floor still trains one centroid per
+   * vector at most. Holding per-list occupancy keeps a query's probe
+   * cost (~nprobe/nlist of the corpus) constant as the corpus grows.
+   * The maxBits cap is an ENGINEERING bound of this serving stack, not
+   * of the math: centroids ride into the probe/assignment expressions
+   * (and the verification oracles) as literals, so nlist is bounded by
+   * what a single codegen'd projection / SQL text comfortably holds
+   * (32 × 64 doubles at the default cap). A deployment with a centroid
+   * TABLE join instead of literals raises maxBits freely — the index
+   * layout, probe selection, and oracle splice are all size-agnostic.
+   */
+  def ivfListsFor(n: Long, targetOccupancy: Int = 16,
+                  minBits: Int = 4, maxBits: Int = 5): Int =
+    math.min(math.max(1L, n),
+      1L << lshBitsFor(n, targetOccupancy, minBits, maxBits)).toInt
+
   /** Hyperplane-LSH collision probability for a pair AT the verify
     * threshold: p = 1 − acos(θ)/π (one random hyperplane separates two
     * vectors with probability angle/π). The quantity every (b, L)
@@ -403,12 +423,16 @@ object Similarity {
   /** The assigned-corpus shape both IVF serving paths consume:
     * (nbr_id, cvec, cn, __cid) — vector, precomputed norm, owning
     * list. [[ivfTopKWith]] computes it inline; [[ivfTopKOnIndex]]
-    * reads it back from a persisted index layout. */
+    * reads it back from a persisted index layout. `payloadCols` are
+    * carried through verbatim — the production index-with-payload
+    * layout (a refine tier re-ranks against the stored source text /
+    * full-precision vectors without a second corpus join). */
   def ivfAssigned(centroids: Array[Array[Double]], corpus: DataFrame,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  payloadCols: Seq[String] = Nil): DataFrame =
     assignToCentroids(corpus, centroids, idCol, vecCol)
-      .select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"),
-        norm(col(vecCol)).as("cn"), col("__cid"))
+      .select(Seq(col(idCol).as("nbr_id"), col(vecCol).as("cvec"),
+        norm(col(vecCol)).as("cn"), col("__cid")) ++ payloadCols.map(col): _*)
 
   /** IVF probe/rank over an ALREADY-ASSIGNED corpus in the
     * [[ivfAssigned]] shape. When that frame is a scan of a

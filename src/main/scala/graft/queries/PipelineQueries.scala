@@ -71,6 +71,10 @@ object PipelineQueries {
     * same curated index). */
   @volatile private var curatedSearchCents: Option[Array[Array[Double]]] = None
 
+  /** s76's centroids (own stash — the refine-tier serving path over
+    * the same curated index). */
+  @volatile private var curatedRefineCents: Option[Array[Array[Double]]] = None
+
   /** d36/d56's corpus-sized LSH band widths (bits per table), stashed
     * when the query runs so the oracle re-derives signatures at the
     * SAME width (the ANN splice pattern: oracle exists only post-run). */
@@ -323,7 +327,10 @@ object PipelineQueries {
       .select(($"doc_id" * 1000 + $"chunk_idx").as("vec_id"),
         graft.functions.TextFunctions
           .hashed_count_vector(TextAnalysis.tokens($"chunk_text"), 16)
-          .cast("array<float>").as("embedding"))
+          .cast("array<float>").as("embedding"),
+        // the payload the refine tier (s76) re-ranks against — stored
+        // IN the index so serving never joins back to the raw corpus
+        $"chunk_text")
   }
 
   /** Curated-corpus index root (per-sf; sibling of [[ivfIndexRoot]]). */
@@ -337,23 +344,29 @@ object PipelineQueries {
     * exact s60 export machinery over the curation OUTPUT instead of
     * the raw embeddings table. Digest-chained to the curation input:
     * the marker records the documents digest (captured BEFORE the
-    * pipeline reads it), so regenerating the corpus invalidates the
-    * index with it. nlist is FIXED at 8 for the gate corpus; a
-    * production build sizes nlist with the corpus (occupancy-held,
-    * the lshBitsFor logic) — the machinery is size-agnostic since the
-    * centroids artifact carries its own cardinality and the oracle
-    * splices whatever was trained. */
+    * pipeline reads it) plus a layout-version salt, so regenerating
+    * the corpus — or changing the index layout across engine versions
+    * — invalidates the index. nlist is OCCUPANCY-HELD with the corpus
+    * (Similarity.ivfListsFor — 16 lists at the sf0.01 gate corpus's
+    * 237 chunks, 32 from the sf0.1 bench corpus up): the centroids
+    * artifact carries its own cardinality and the oracles splice
+    * whatever was trained, so serving and verification are
+    * size-agnostic. Each partition row also stores the chunk TEXT —
+    * the payload the refine tier (s76) re-ranks against. */
   def ensureCuratedIndexExport(s: SparkSession, sfDir: String): String = {
     val root = curatedIndexRoot(sfDir)
-    if (RelationalQueries.stale(root, sfDir, "documents")) {
-      val want = RelationalQueries.srcDigest(sfDir, "documents")
+    // digest captured BEFORE the pipeline reads the source; the layout
+    // version invalidates pre-r11 exports (nlist=8, no payload column)
+    val want = RelationalQueries.srcDigest(sfDir, "documents") + ":curated-v2"
+    if (RelationalQueries.staleDigest(root, want)) {
       import s.implicits._
       // checkpointed once: k-means iterates over it and the index
       // write consumes it again — without this every pass replays the
       // full seven-stage curation (Bench/Verify sweep the blocks)
       val vecs = curatedChunkVectors(s, sfDir).localCheckpoint(true)
-      val cents = Similarity.kmeansCentroids(vecs, nlist = 8, iters = 2)
-      Similarity.ivfAssigned(cents, vecs)
+      val nlist = Similarity.ivfListsFor(vecs.count())
+      val cents = Similarity.kmeansCentroids(vecs, nlist = nlist, iters = 2)
+      Similarity.ivfAssigned(cents, vecs, payloadCols = Seq("chunk_text"))
         .write.mode("overwrite").partitionBy("__cid").parquet(s"$root/index")
       cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cid", "centroid")
@@ -638,6 +651,56 @@ object PipelineQueries {
             .cast("array<float>").as("embedding"))
       Similarity.ivfTopKOnIndex(cents, index, probes, k = 5)
         .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
+    // Two-stage serving over the curated index — the production
+    // retrieve-then-rerank shape (FAISS IndexRefineFlat, s62's refine
+    // mechanism composed onto s73): the coarse probe (static-IN pruned
+    // IVF scan over 16-bucket vectors) nominates a 20-deep shortlist
+    // per query, then the REFINE tier re-ranks those rows by a 4×
+    // finer featurizer (64 buckets) computed from the chunk TEXT
+    // stored in the index partitions — answer quality recovers what
+    // the coarse representation gave up, at shortlist cost (queries ×
+    // 20 rows, broadcast back into the SAME pruned scan), never corpus
+    // cost. The oracle recomputes BOTH featurizers from the literal
+    // query strings and the full composed curation chain.
+    "s76_curated_search_refined" -> ((s, dir) => {
+      import s.implicits._
+      val root = ensureCuratedIndexExport(s, dir)
+      val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
+        .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+      curatedRefineCents = Some(cents)
+      val qvecs = curatedSearchQueries.map { case (_, text) =>
+        graft.core.TextHash.hashedCounts(
+          text.split("\\s+").filter(_.nonEmpty).toArray[AnyRef], 16)
+      }
+      val cids = Similarity.literalProbeCids(cents, qvecs)
+      val index = s.read.parquet(s"$root/index")
+        .where($"__cid".isin(cids.map(Integer.valueOf): _*))
+      val probes = curatedSearchQueries.toDF("vec_id", "qtext")
+        .select($"vec_id",
+          graft.functions.TextFunctions
+            .hashed_count_vector(TextAnalysis.tokens($"qtext"), 16)
+            .cast("array<float>").as("embedding"))
+      val shortlist = Similarity.ivfTopKOnIndex(cents, index, probes, k = 20)
+        .select($"query_id", $"nbr_id")
+      val fine = index
+        .join(broadcast(shortlist), Seq("nbr_id"))
+        .select($"query_id", $"nbr_id",
+          graft.functions.TextFunctions
+            .hashed_count_vector(TextAnalysis.tokens($"chunk_text"), 64).as("cfine"))
+      val qfine = curatedSearchQueries.toDF("query_id", "qtext")
+        .select($"query_id",
+          graft.functions.TextFunctions
+            .hashed_count_vector(TextAnalysis.tokens($"qtext"), 64).as("qfine"))
+      val reranked = fine.join(broadcast(qfine), Seq("query_id"))
+        .select($"query_id", $"nbr_id",
+          Similarity.cosine($"qfine", $"cfine").as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy($"sim".desc, $"nbr_id")
+      reranked.withColumn("rank", row_number().over(w))
+        .where($"rank" <= 5)
+        .select($"query_id", $"nbr_id", $"rank".cast("int").as("rank"))
         .orderBy("query_id", "rank")
     }),
     "s37_ann_ivf" -> ((s, dir) => {
@@ -1560,7 +1623,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -1902,41 +1965,83 @@ object PipelineQueries {
        |   j -> CAST(len(list_filter(bs, bk -> bk = j)) AS DOUBLE)) AS embedding
        | FROM hvs)""".stripMargin
 
-  /** s73's oracle: the composed chain (as s72) plus query vectors
-    * re-derived from the LITERAL strings — whitespace tokens, the same
-    * per-token FNV fold mod 16 — probed/ranked with the spliced
-    * centroids. */
+  /** The s73/s76 oracles' shared COARSE stage: the composed chain (as
+    * s72) plus query vectors re-derived from the LITERAL strings —
+    * whitespace tokens, the same per-token FNV fold mod 16 —
+    * probed/scored with the spliced centroids, ending at
+    * `cand(query_id, nbr_id, sim)`. `ctoks`/`qtoks` stay visible for
+    * the fine featurizer downstream. */
+  private def curatedCoarseCtes(c: Array[Array[Double]]): String = {
+    val qvals = curatedSearchQueries
+      .map { case (id, s) => s"($id, '$s')" }.mkString(", ")
+    s"""WITH RECURSIVE ${curatedVecsCtes},
+       |${centroidAssignCtes(c, "embedding", "SELECT vec_id, embedding FROM vecs")},
+       |qraw AS (SELECT * FROM (VALUES $qvals) q(query_id, qtext)),
+       |qtoks AS (SELECT query_id,
+       |   list_filter(string_split_regex(qtext, '\\s+'), w -> length(w) > 0) AS toks
+       | FROM qraw),
+       |qhs AS (SELECT query_id,
+       |   list_transform(toks, t -> CAST(${duckFnv("t")} % 16 AS BIGINT)) AS bs
+       | FROM qtoks),
+       |qvecs AS (SELECT query_id, list_transform(range(0, 16),
+       |   j -> CAST(len(list_filter(bs, bk -> bk = j)) AS DOUBLE)) AS qv
+       | FROM qhs),
+       |qscored AS (SELECT q.query_id, q.qv, c.cid,
+       |   ${duckCosine("q.qv", "c.cv")} AS s
+       | FROM qvecs q CROSS JOIN cents c),
+       |qprobe AS (SELECT query_id, qv, cid FROM (
+       |  SELECT query_id, qv, cid,
+       |   row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cid DESC) AS rn
+       |  FROM qscored) WHERE rn <= 4),
+       |cand AS (SELECT q.query_id, a.vec_id AS nbr_id,
+       |   ${duckCosine("q.qv", "a.embedding")} AS sim
+       | FROM qprobe q JOIN assign a ON a.cid = q.cid)""".stripMargin
+  }
+
   private def curatedSearchOracle: Map[String, String] =
     curatedSearchCents.map { c =>
-      val qvals = curatedSearchQueries
-        .map { case (id, s) => s"($id, '$s')" }.mkString(", ")
       "s73_curated_text_search" ->
-        s"""WITH RECURSIVE ${curatedVecsCtes},
-           |${centroidAssignCtes(c, "embedding", "SELECT vec_id, embedding FROM vecs")},
-           |qraw AS (SELECT * FROM (VALUES $qvals) q(query_id, qtext)),
-           |qtoks AS (SELECT query_id,
-           |   list_filter(string_split_regex(qtext, '\\s+'), w -> length(w) > 0) AS toks
-           | FROM qraw),
-           |qhs AS (SELECT query_id,
-           |   list_transform(toks, t -> CAST(${duckFnv("t")} % 16 AS BIGINT)) AS bs
-           | FROM qtoks),
-           |qvecs AS (SELECT query_id, list_transform(range(0, 16),
-           |   j -> CAST(len(list_filter(bs, bk -> bk = j)) AS DOUBLE)) AS qv
-           | FROM qhs),
-           |qscored AS (SELECT q.query_id, q.qv, c.cid,
-           |   ${duckCosine("q.qv", "c.cv")} AS s
-           | FROM qvecs q CROSS JOIN cents c),
-           |qprobe AS (SELECT query_id, qv, cid FROM (
-           |  SELECT query_id, qv, cid,
-           |   row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cid DESC) AS rn
-           |  FROM qscored) WHERE rn <= 4),
-           |cand AS (SELECT q.query_id, a.vec_id AS nbr_id,
-           |   ${duckCosine("q.qv", "a.embedding")} AS sim
-           | FROM qprobe q JOIN assign a ON a.cid = q.cid)
+        s"""${curatedCoarseCtes(c)}
            |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
            | SELECT query_id, nbr_id,
            |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
            | FROM cand)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }.toMap
+
+  /** s76's oracle: the coarse chain's rank ≤ 20 shortlist, then BOTH
+    * fine featurizers (chunk side from the chain's own `ctoks`, query
+    * side from `qtoks` — per-token FNV fold mod 64, same unsigned-mod
+    * equivalence as mod 16) and the exact cosine re-rank. */
+  private def curatedRefineOracle: Map[String, String] =
+    curatedRefineCents.map { c =>
+      "s76_curated_search_refined" ->
+        s"""${curatedCoarseCtes(c)},
+           |short AS (SELECT query_id, nbr_id FROM (
+           |  SELECT query_id, nbr_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rk
+           |  FROM cand) WHERE rk <= 20),
+           |ffhs AS (SELECT vec_id,
+           |   list_transform(toks, t -> CAST(${duckFnv("t")} % 64 AS BIGINT)) AS bs
+           | FROM ctoks),
+           |ffv AS (SELECT vec_id, list_transform(range(0, 64),
+           |   j -> CAST(len(list_filter(bs, bk -> bk = j)) AS DOUBLE)) AS fv
+           | FROM ffhs),
+           |qfhs AS (SELECT query_id,
+           |   list_transform(toks, t -> CAST(${duckFnv("t")} % 64 AS BIGINT)) AS bs
+           | FROM qtoks),
+           |qfv AS (SELECT query_id, list_transform(range(0, 64),
+           |   j -> CAST(len(list_filter(bs, bk -> bk = j)) AS DOUBLE)) AS fv
+           | FROM qfhs),
+           |rer AS (SELECT s.query_id, s.nbr_id,
+           |   ${duckCosine("q.fv", "f.fv")} AS sim
+           | FROM short s
+           | JOIN ffv f ON f.vec_id = s.nbr_id
+           | JOIN qfv q ON q.query_id = s.query_id)
+           |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
+           | SELECT query_id, nbr_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+           | FROM rer)
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     }.toMap
 

@@ -79,6 +79,17 @@ object RelationalQueries {
       new String(Files.readAllBytes(marker), "UTF-8") != srcDigest(sfDir, table)
   }
 
+  /** Staleness against an EXPLICIT expected marker value — for exports
+    * whose identity is the source digest plus a LAYOUT VERSION (bumping
+    * the version invalidates exports written by older code even when
+    * the source is unchanged — e.g. the curated index gaining its
+    * payload column and occupancy-held nlist in round 11). */
+  private[queries] def staleDigest(dir: String, want: String): Boolean = {
+    val marker = Paths.get(dir, "_SUCCESS")
+    !Files.exists(marker) ||
+      new String(Files.readAllBytes(marker), "UTF-8") != want
+  }
+
   /** Stamp an export fresh with a digest CAPTURED BEFORE the export
     * job read its source (overwriting the empty _SUCCESS Spark writes,
     * where one exists). Stamping a freshly-computed digest instead

@@ -483,15 +483,48 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  /** Per curated-index scan: the element count of its STATIC `__cid`
+    * In/InSet partition filter (0 when absent). Programmatic — the
+    * rendered PartitionFilters string truncates long INSET lists. */
+  private def curatedScanStaticInSizes(name: String): Seq[Int] =
+    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("ivf-curated")) =>
+        f.partitionFilters.collectFirst {
+          case i: org.apache.spark.sql.catalyst.expressions.InSet => i.hset.size
+          case i: org.apache.spark.sql.catalyst.expressions.In => i.list.size
+        }.getOrElse(0)
+    }
+
   test("s73: literal-query serving statically prunes the index partitions (no DPP needed)") {
-    val p = plan("s73_curated_text_search")
     // driver-side probe selection pushes `__cid IN (...)` at PLANNING
-    // time — the scan's PartitionFilters carry a static In, which is
-    // strictly better than DPP (no runtime subquery at all)
-    val scan = p.linesIterator.find(l =>
-      l.contains("ivf-curated") && l.contains("PartitionFilters"))
-    assert(scan.isDefined && scan.get.contains("__cid") && scan.get.contains(" IN ("),
-      s"no static __cid IN partition filter: $scan\n${p.take(2000)}")
+    // time — the scan's PartitionFilters carry a static In/InSet, which
+    // is strictly better than DPP (no runtime subquery at all).
+    // NON-VACUOUS (r11): the set must enumerate FEWER lists than the
+    // index holds — at the pre-r11 fixed nlist=8 it listed all eight
+    // partitions, so the old pin passed while pruning nothing.
+    val root = graft.queries.PipelineQueries.ensureCuratedIndexExport(spark, sf)
+    val nlist = spark.read.parquet(s"$root/centroids").count()
+    val sizes = curatedScanStaticInSizes("s73_curated_text_search")
+    assert(sizes.nonEmpty, "no curated-index scan in the s73 plan")
+    assert(sizes.forall(s => s > 0 && s < nlist),
+      s"static pruning is vacuous: IN sizes $sizes of $nlist partitions")
+  }
+
+  test("s76: refine tier keeps the pruned scans and broadcasts the shortlist") {
+    // both stages (coarse probe AND text re-rank) read ONLY the
+    // statically probed lists
+    val root = graft.queries.PipelineQueries.ensureCuratedIndexExport(spark, sf)
+    val nlist = spark.read.parquet(s"$root/centroids").count()
+    val sizes = curatedScanStaticInSizes("s76_curated_search_refined")
+    assert(sizes.size >= 2, s"expected coarse + refine curated scans, got $sizes")
+    assert(sizes.forall(s => s > 0 && s < nlist),
+      s"a refine-tier scan lost static pruning: IN sizes $sizes of $nlist partitions")
+    // the shortlist (queries × 20) and query-vector sides broadcast —
+    // the corpus is never shuffled for the re-rank
+    val p = plan("s76_curated_search_refined")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), s"refine shuffled the corpus:\n${p.take(2000)}")
   }
 
   test("m61: lossy JPEG block extraction is fused into the scan's codegen stage") {

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.queries.StreamingQueries
+
+/**
+ * SCALING.md probe: streaming state-store metrics OBSERVED from
+ * `StreamingQueryProgress.stateOperators` (numRowsTotal, numRowsUpdated,
+ * memoryUsedBytes) beside steady wall-clock, for the four state-shape
+ * representatives — s40 (domain-bounded window state), s48 (GroupState
+ * record/user), s68 (tws ValueState/user), s70 (tws ValueState +
+ * timer/user) — so the "state = bytes/key" claims are measurements,
+ * not wall-clock inference. Also runs the s70 topology at BOTH timer
+ * write disciplines in the same JVM (the r11 fix's A/B): identical
+ * output is spec-pinned; this measures the commit-volume difference.
+ *
+ * Usage: runMain graft.StreamStateProbe <sfDir> [runs] [s70ab]
+ * `s70ab` runs ONLY the two s70 timer disciplines, INTERLEAVED
+ * (disc, naive, disc, naive, …) so neither variant systematically
+ * pays the colder cache/compaction state — the same-session pairing
+ * discipline SCALING.md requires; read the per-variant MIN.
+ * Env (as Profile): SPARK_GRAFT_CPUS, SPARK_GRAFT_PARTITIONS,
+ *   SPARK_GRAFT_STATE_PROVIDER (s48/s40 honor the session default;
+ *   s68/s70 force RocksDB as the operator requires).
+ */
+object StreamStateProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: runMain graft.StreamStateProbe <sfDir> [runs] [s70ab]")
+    val sfDir = args(0)
+    val runs = if (args.length > 1) args(1).toInt else 2
+    require(runs >= 1, s"runs must be >= 1, got $runs")
+    val abOnly = args.contains("s70ab")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cpus)
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    val spark = (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").map(_.toLowerCase) match {
+      case Some("rocksdb") => builder.config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case Some("heap") | Some("default") | None => builder
+      case Some(other) => sys.error(s"unknown SPARK_GRAFT_STATE_PROVIDER '$other'")
+    }).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cases: Seq[(String, String, () => Unit)] = Seq(
+      ("s40_hourly", "s40_sink",
+        () => SparkEntry.queries("s40_stream_hourly")(spark, sfDir).collect()),
+      ("s48_groupstate_sessions", "s48_sink",
+        () => SparkEntry.queries("s48_stream_sessionize")(spark, sfDir).collect()),
+      ("s68_tws_transitions", "s68_sink",
+        () => SparkEntry.queries("s68_stream_transitions")(spark, sfDir).collect()),
+      ("s70_tws_timer_sessions", "s70_sink",
+        () => StreamingQueries.sessionTimersQuery(spark, sfDir, naiveTimers = false).collect()),
+      ("s70_NAIVE_timers", "s70_naive_sink",
+        () => StreamingQueries.sessionTimersQuery(spark, sfDir, naiveTimers = true).collect()))
+
+    if (abOnly) {
+      // interleaved A/B: per-iteration (disc, naive) pairs share host
+      // conditions; report each variant's min
+      val times = scala.collection.mutable.Map(
+        "disc" -> List.empty[Double], "naive" -> List.empty[Double])
+      (1 to runs).foreach { i =>
+        Seq("disc" -> false, "naive" -> true).foreach { case (label, naive) =>
+          val t = System.nanoTime()
+          StreamingQueries.sessionTimersQuery(spark, sfDir, naiveTimers = naive).collect()
+          val sec = (System.nanoTime() - t) / 1e9
+          SessionHygiene.sweep(spark)
+          times(label) = times(label) :+ sec
+          println(f"[stateprobe] s70_$label round$i: $sec%.1f s")
+        }
+      }
+      Seq("disc", "naive").foreach { l =>
+        println(f"[stateprobe] s70_$l min=${times(l).min}%.1f s all=${times(l).map(t => f"$t%.1f").mkString(",")}")
+      }
+      spark.stop()
+      return
+    }
+
+    cases.foreach { case (label, sink, body) =>
+      var last = 0.0
+      (1 to runs).foreach { i =>
+        val t = System.nanoTime()
+        body()
+        last = (System.nanoTime() - t) / 1e9
+        SessionHygiene.sweep(spark)
+        println(f"[stateprobe] $label run$i: $last%.1f s")
+      }
+      val mets = StreamingQueries.capturedStateMetrics(sink)
+      val totalUpdated = mets.map(_._3).sum
+      mets.lastOption match {
+        case Some((op, rows, _, mem)) =>
+          println(f"[stateprobe] $label steady=$last%.1f s op=$op " +
+            f"numRowsTotal=$rows memoryUsedBytes=$mem " +
+            f"numRowsUpdated(sum over ${mets.size} batches)=$totalUpdated")
+        case None =>
+          println(f"[stateprobe] $label steady=$last%.1f s (no state metrics captured)")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -159,6 +159,46 @@ object ExtrasQueries {
     dir
   }
 
+  /** SCALED JPEG fixture root (r11): fixture count ∝ sf, unlike the
+    * fixed-200 m61 set. */
+  def jpegScaledDir(sfDir: String): String =
+    RelationalQueries.dataRoot("jpeg-scaled", sfDir, "fixtures")
+
+  /** Ingest-once SCALED real-codec fixture family: one baseline-JPEG
+    * per document (img_id = doc_id·2, variant 0 — the same id scheme
+    * and pattern arithmetic as [[ensureJpegExport]], so the m61 block
+    * formula applies verbatim). The point is SCALE SHAPE: every other
+    * operator family's cost is slope-measured across sf decades, but
+    * the fixed-200 media sets are fixture-bound — this family grows
+    * with the corpus so the real-codec decode path's per-row cost is
+    * measurable at volume (SCALING.md r11). Deliberately NOT
+    * coalesced: half a million payloads at sf10 are written and
+    * scanned with the corpus's own parallelism — the 100 TB layout,
+    * where media blobs live in many splittable files, never one. */
+  def ensureJpegScaledExport(s: SparkSession, sfDir: String): String = {
+    val dir = jpegScaledDir(sfDir)
+    val want = RelationalQueries.srcDigest(sfDir, "documents")
+    if (RelationalQueries.stale(dir, sfDir, "documents")) {
+      t(s, sfDir, "documents")
+        .select((col("doc_id") * 2).as("img_id"))
+        .select(col("img_id"),
+          Multimodal.jpeg_encode_pattern(col("img_id")).as("payload"))
+        .write.mode("overwrite").parquet(dir)
+      RelationalQueries.markFresh(dir, want)
+    }
+    dir
+  }
+
+  /** Expected 8×8-block sample sum of fixture `img_id`'s pattern at
+    * block (bx, by), computed in SQL — ONE encoding of the arithmetic
+    * shared by m61 and m62 (and mirrored by their DuckDB oracles). */
+  private def jpegExpSum(bx: Int, by: Int): Column = expr(
+    s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> acc +
+       |  (CAST((img_id div 2) * 31 % 251 AS BIGINT)
+       |   + 7 * ($bx * 8 + i % 8) + 13 * ($by * 8 + i div 8)
+       |   + CASE WHEN $bx * 8 + i % 8 = 0 AND $by * 8 + i div 8 = 0
+       |          THEN 120 * (img_id % 2) ELSE 0 END) % 251)""".stripMargin)
+
   /** WAV fixture export root (audio sibling of [[pngDir]]). */
   def wavDir(sfDir: String): String =
     RelationalQueries.dataRoot("wav", sfDir, "fixtures")
@@ -227,20 +267,14 @@ object ExtrasQueries {
       import s.implicits._
       val path = ensureJpegExport(s, dir)
       val tol = graft.core.MediaCore.JpegBlockSumTol
-      // expected 8×8-block sample sum from the pattern formula,
+      // expected 8×8-block sample sums from the pattern formula,
       // computed in SQL — the same arithmetic the oracle runs
-      def expSum(bx: Int, by: Int): Column = expr(
-        s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> acc +
-           |  (CAST((img_id div 2) * 31 % 251 AS BIGINT)
-           |   + 7 * ($bx * 8 + i % 8) + 13 * ($by * 8 + i div 8)
-           |   + CASE WHEN $bx * 8 + i % 8 = 0 AND $by * 8 + i div 8 = 0
-           |          THEN 120 * (img_id % 2) ELSE 0 END) % 251)""".stripMargin)
       val blocks = (0 until 6).map(k => (k % 3, k / 3))
       val inTol = blocks.zipWithIndex.map { case ((bx, by), k) =>
-        when(abs(element_at($"st", k + 5) - expSum(bx, by)) <= tol, 1L).otherwise(0L)
+        when(abs(element_at($"st", k + 5) - jpegExpSum(bx, by)) <= tol, 1L).otherwise(0L)
       }.reduce(_ + _)
       val decodedTotal = (0 until 6).map(k => element_at($"st", k + 5)).reduce(_ + _)
-      val expTotal = blocks.map { case (bx, by) => expSum(bx, by) }.reduce(_ + _)
+      val expTotal = blocks.map { case (bx, by) => jpegExpSum(bx, by) }.reduce(_ + _)
       s.read.parquet(path)
         .select($"img_id", Multimodal.jpeg_block_stats($"payload").as("st"))
         .select($"img_id",
@@ -259,6 +293,36 @@ object ExtrasQueries {
     // grid-sum/aHash purely from the pattern formula — a decoder that
     // failed to reproduce the encoded pixels bit-for-bit would
     // hash-mismatch.
+    // The SCALED media family's corpus-validation scan: decode EVERY
+    // document's JPEG fixture (count ∝ sf — the slope-measurable decode
+    // workload, SCALING.md r11) and reduce to corpus-level verdicts:
+    // image/pixel counts, band-check tallies at the m61 tolerance, and
+    // the pattern formula's exact expected-total sum. Map-side combined
+    // aggregation — the only exchange carries one partial row per
+    // partition at any corpus size; the decode kernel dominates, which
+    // is the point.
+    "m62_jpeg_corpus_stats" -> ((s, dir) => {
+      import s.implicits._
+      val path = ensureJpegScaledExport(s, dir)
+      val tol = graft.core.MediaCore.JpegBlockSumTol
+      val blocks = (0 until 6).map(k => (k % 3, k / 3))
+      val inTol = blocks.zipWithIndex.map { case ((bx, by), k) =>
+        when(abs(element_at($"st", k + 5) - jpegExpSum(bx, by)) <= tol, 1L).otherwise(0L)
+      }.reduce(_ + _)
+      val decodedTotal = (0 until 6).map(k => element_at($"st", k + 5)).reduce(_ + _)
+      val expTotal = blocks.map { case (bx, by) => jpegExpSum(bx, by) }.reduce(_ + _)
+      s.read.parquet(path)
+        .select($"img_id", Multimodal.jpeg_block_stats($"payload").as("st"))
+        .select($"img_id",
+          (element_at($"st", 1) * element_at($"st", 2)).as("px"),
+          inTol.as("bit"), expTotal.as("et"),
+          (abs(decodedTotal - expTotal) <= lit(6 * tol)).as("tit"))
+        .agg(count(lit(1)).as("n_imgs"),
+          sum($"px").as("n_pixels"),
+          sum($"bit").as("blocks_in_tol"),
+          sum($"et").as("exp_total_sum"),
+          min($"tit").as("all_total_in_tol"))
+    }),
     "m56_png_decode" -> ((s, dir) => {
       import s.implicits._
       val path = ensurePngExport(s, dir)
@@ -581,6 +645,23 @@ object ExtrasQueries {
     // band checks are asserted TRUE — the one contract a lossy decode
     // can honor (exact sums are impossible BY CONSTRUCTION; the band
     // is ±128 per 64-sample block, measured worst 56)
+    // the scaled family's corpus-level twin: counts and the exact
+    // expected-total sum re-derived from the pattern formula over ALL
+    // documents (variant 0 — the img_id % 2 term vanishes); the band
+    // tallies are asserted saturated (6 blocks/image, every total in
+    // band), the contract a lossy decode can honor
+    "m62_jpeg_corpus_stats" ->
+      """WITH imgs AS (SELECT doc_id * 2 AS img_id FROM documents),
+        |e AS (SELECT img_id,
+        |  list_sum(list_transform(range(0, 384), i ->
+        |    ((img_id // 2) * 31 % 251 + 7 * (i % 24) + 13 * (i // 24)) % 251)) AS et
+        | FROM imgs)
+        |SELECT CAST(count(*) AS BIGINT) AS n_imgs,
+        | CAST(count(*) * 384 AS BIGINT) AS n_pixels,
+        | CAST(count(*) * 6 AS BIGINT) AS blocks_in_tol,
+        | CAST(SUM(et) AS BIGINT) AS exp_total_sum,
+        | bool_and(TRUE) AS all_total_in_tol
+        |FROM e""".stripMargin,
     "m61_jpeg_decode" ->
       """WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100),
         |imgs AS (SELECT doc_id * 2 + v AS img_id

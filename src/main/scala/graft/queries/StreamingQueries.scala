@@ -93,6 +93,37 @@ object StreamingQueries {
     * class). This is the knob an unbounded deployment sizes the same
     * way — by keys held, not by input rows scanned. Restored after the
     * run so batch queries in the same session keep their width. */
+  /** The s70 topology, callable at either timer discipline — the
+    * declared query runs the r11 disciplined default; StreamStateProbe
+    * runs BOTH in one JVM for the same-session write-volume A/B
+    * (sink name differs so the captured metrics stay separate). */
+  private[graft] def sessionTimersQuery(s: SparkSession, dir: String,
+                                        naiveTimers: Boolean): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = splitEventStream(s, dir)
+        .where(col("event_id").isNotNull && col("ts").isNotNull &&
+          col("user_id").isNotNull && col("value").isNotNull)
+        .as[EventStreams.Event]
+      val sess = ev.withWatermark("ts", "10 minutes")
+        .groupByKey(_.user_id)
+        .transformWithState(new EventStreams.SessionProcessor(30 * 60000L, naiveTimers),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+      val sink = if (naiveTimers) "s70_naive_sink" else "s70_sink"
+      runToTable(s, sess.toDF(), OutputMode.Append(), sink)
+        .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"))
+        .orderBy("user_id", "start_ts")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   private def runToTable(s: SparkSession, df: DataFrame,
                          mode: OutputMode, name: String,
                          statePartitions: Int = 4): DataFrame = {
@@ -127,9 +158,18 @@ object StreamingQueries {
     * publish none). */
   @volatile private var capturedPlans: Map[String, String] = Map.empty
   @volatile private var capturedOps: Map[String, Seq[(String, Set[String])]] = Map.empty
+  @volatile private var capturedMetrics: Map[String, Seq[(String, Long, Long, Long)]] = Map.empty
   def capturedPlan(sink: String): Option[String] = capturedPlans.get(sink)
   def capturedStateOperators(sink: String): Seq[(String, Set[String])] =
     capturedOps.getOrElse(sink, Nil)
+  /** Per-batch numeric state metrics of the last run for `sink`:
+    * (operatorName, numRowsTotal, numRowsUpdated, memoryUsedBytes) in
+    * batch order — the LAST entry is the final state size. What
+    * graft.StreamStateProbe records into SCALING.md so "state =
+    * bytes/key" is OBSERVED from StreamingQueryProgress, not inferred
+    * from wall-clock. */
+  def capturedStateMetrics(sink: String): Seq[(String, Long, Long, Long)] =
+    capturedMetrics.getOrElse(sink, Nil)
 
   private def capture(name: String,
                       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
@@ -146,6 +186,10 @@ object StreamingQueries {
       val ops = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
         .map(op => op.operatorName -> op.customMetrics.keySet.asScala.toSet)
       if (ops.nonEmpty) capturedOps += name -> ops
+      val mets = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+        .map(op => (op.operatorName, op.numRowsTotal, op.numRowsUpdated,
+          op.memoryUsedBytes))
+      if (mets.nonEmpty) capturedMetrics += name -> mets
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 
@@ -368,30 +412,8 @@ object StreamingQueries {
     // oracle is s48's, unchanged — the API changed, the event-time
     // contract didn't. total_value deliberately unprojected (s48's
     // same-ms fold-order caveat; EventStreamsSpec covers totals).
-    "s70_stream_sessionize_timers" -> ((s, dir) => {
-      import s.implicits._
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val ev = splitEventStream(s, dir)
-          .where(col("event_id").isNotNull && col("ts").isNotNull &&
-            col("user_id").isNotNull && col("value").isNotNull)
-          .as[EventStreams.Event]
-        val sess = ev.withWatermark("ts", "10 minutes")
-          .groupByKey(_.user_id)
-          .transformWithState(new EventStreams.SessionProcessor(30 * 60000L),
-            org.apache.spark.sql.streaming.TimeMode.EventTime(),
-            OutputMode.Append())
-        runToTable(s, sess.toDF(), OutputMode.Append(), "s70_sink")
-          .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"))
-          .orderBy("user_id", "start_ts")
-      } finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None    => s.conf.unset(key)
-      }
-    }),
+    "s70_stream_sessionize_timers" -> ((s, dir) =>
+      sessionTimersQuery(s, dir, naiveTimers = false)),
     // Bounded-state sessionization through flatMapGroupsWithState — the
     // custom-state API (EventTimeTimeout), as opposed to s42's built-in
     // session_window state store. On bounded replay every event lands in

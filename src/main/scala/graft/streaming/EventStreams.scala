@@ -282,8 +282,22 @@ object EventStreams {
    * deletes the stale timer before registering the moved-out expiry —
    * otherwise an orphaned early timer would flush a still-growing
    * session the moment the watermark passed the OLD expiry.
+   *
+   * TIMER WRITE DISCIPLINE (r11 — the s70-costs-2.7×-s68 root cause):
+   * the kernel maintains the invariant "open state exists ⟺ exactly
+   * one timer, at open.lastSeen + gap", so the stale timer's expiry is
+   * KNOWN from the previous state — no `listTimers()` range scan per
+   * key per batch — and delete+register runs only when the expiry
+   * actually MOVED; the session record itself is rewritten only when
+   * it changed. A batch that delivers a user no admissible events (or
+   * events that merge without advancing lastSeen) now costs ZERO
+   * state-store writes for that key, where the naive form paid a timer
+   * scan + delete + register + state put. `naiveTimers = true` keeps
+   * the r10 discipline for same-session A/B measurement
+   * (graft.StreamStateProbe; SCALING.md r11 records the pair).
    */
-  class SessionProcessor(gapMs: Long) extends StatefulProcessor[Long, Event, Session] {
+  class SessionProcessor(gapMs: Long, naiveTimers: Boolean = false)
+    extends StatefulProcessor[Long, Event, Session] {
     @transient private var open: ValueState[SessionState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -315,12 +329,26 @@ object EventStreams {
         case other => (Nil, other)
       }
       stillOpen.foreach { s =>
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
-        open.update(s)
-        getHandle.registerTimer(s.lastSeen + gapMs) // > wm by the split above
+        if (naiveTimers) {
+          getHandle.listTimers().foreach(getHandle.deleteTimer)
+          open.update(s)
+          getHandle.registerTimer(s.lastSeen + gapMs) // > wm by the split above
+        } else {
+          if (!prevOpen.contains(s)) open.update(s)
+          val newExpiry = s.lastSeen + gapMs
+          val prevExpiry = prevOpen.map(_.lastSeen + gapMs)
+          if (!prevExpiry.contains(newExpiry)) {
+            prevExpiry.foreach(getHandle.deleteTimer)
+            getHandle.registerTimer(newExpiry) // > wm by the split above
+          }
+        }
       }
       if (expired.nonEmpty) {
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        // expired ⊆ sessions containing prevOpen (admissible events sit
+        // at/above the watermark, so a fresh-this-batch session cannot
+        // be past expiry) — its timer sits at the KNOWN prev expiry
+        if (naiveTimers) getHandle.listTimers().foreach(getHandle.deleteTimer)
+        else prevOpen.foreach(p => getHandle.deleteTimer(p.lastSeen + gapMs))
         open.clear()
       }
       (closed ++ expired).iterator

@@ -287,7 +287,7 @@ class EventStreamsSpec extends AnyFunSuite {
 
   /** Drive the transformWithState SessionProcessor over a MemoryStream
     * (RocksDB provider required by the operator; conf restored). */
-  private def runSessionProcessor(name: String)(feed: (
+  private def runSessionProcessor(name: String, naiveTimers: Boolean = false)(feed: (
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event],
       org.apache.spark.sql.streaming.StreamingQuery) => Unit): Array[EventStreams.Session] = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
@@ -301,7 +301,7 @@ class EventStreamsSpec extends AnyFunSuite {
       spark.catalog.dropTempView(name)
       val q = input.toDS().withWatermark("ts", "10 minutes")
         .groupByKey(_.user_id)
-        .transformWithState(new EventStreams.SessionProcessor(30 * 60000L),
+        .transformWithState(new EventStreams.SessionProcessor(30 * 60000L, naiveTimers),
           TimeMode.EventTime(), OutputMode.Append())
         .writeStream.outputMode("append").format("memory").queryName(name).start()
       feed(input, q)
@@ -344,6 +344,61 @@ class EventStreamsSpec extends AnyFunSuite {
     val u1 = sessions.filter(_.user_id == 1)
     assert(u1.length == 1 && u1.head.n_events == 1
       && u1.head.start_ts == ts("2024-01-01 10:00:00").getTime, u1.mkString("; "))
+  }
+
+  /** The r11 write-discipline's skip path: an out-of-order event that
+    * MERGES into the open session without advancing lastSeen leaves
+    * the expiry unchanged — the kernel skips the timer delete+register
+    * entirely — yet the timer must still be live (the session flushes
+    * at the original expiry) and the state write must still land (the
+    * merged start/count are what flushes). */
+  test("SessionProcessor: an expiry-preserving merge keeps the timer live and the state current") {
+    import EventStreams.Event
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val sessions = runSessionProcessor("tws_skip_test") { (input, q) =>
+      input.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable() // session open; timer @ 10:30; wm → 9:50
+      // 9:55 is admissible (>= wm) and within gap: merges BEHIND the
+      // open session — start moves, lastSeen (and so the expiry) does not
+      input.addData(Event(2, ts("2024-01-01 09:55:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      // wm → 10:31, past the (unmoved) 10:30 expiry: the timer must fire
+      input.addData(Event(3, ts("2024-01-01 10:41:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts("2024-01-01 10:41:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+    }
+    val u1 = sessions.filter(_.user_id == 1)
+    assert(u1.length == 1 && u1.head.n_events == 2
+      && u1.head.start_ts == ts("2024-01-01 09:55:00").getTime
+      && u1.head.end_ts == ts("2024-01-01 10:00:00").getTime,
+      s"merged session lost its timer or its state write: ${u1.mkString("; ")}")
+  }
+
+  /** Output equivalence of the two timer disciplines (the r11 fix is a
+    * WRITE-VOLUME optimization, never a semantics change): one feed
+    * exercising open/extend/merge-behind/expire/flush through both. */
+  test("SessionProcessor: disciplined and naive timer writes emit identical sessions") {
+    import EventStreams.Event
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def feed(input: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event],
+             q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      input.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts("2024-01-01 10:20:00"), 1, "click", 2.0), // extend → timer moves
+        Event(3, ts("2024-01-01 10:15:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts("2024-01-01 10:10:00"), 1, "view", 4.0)) // merge-behind → timer stays
+      q.processAllAvailable()
+      input.addData(Event(5, ts("2024-01-01 12:00:00"), 3, "view", 1.0)) // wm jumps → users 1,2 expire
+      q.processAllAvailable()
+      input.addData(Event(6, ts("2024-01-01 12:05:00"), 3, "view", 1.0))
+      q.processAllAvailable()
+    }
+    val disciplined = runSessionProcessor("tws_eqv_disc")(feed).toSet
+    val naive = runSessionProcessor("tws_eqv_naive", naiveTimers = true)(feed).toSet
+    assert(disciplined.nonEmpty && disciplined == naive,
+      s"disciplines diverged:\n  disc=${disciplined}\n  naive=${naive}")
   }
 
   /** The accumulate-vs-move discipline the kernel's scaladoc claims: a

@@ -124,7 +124,13 @@ object PlanReport {
     "d72_embed_decontam" ->
       "embedding-space benchmark decontamination (the semantic sibling of the shingle-overlap form): the metadata-sized benchmark broadcasts into an ANTI nested-loop probe over ONE corpus scan — no shuffle, no pair materialization; corpus rows stream through their own mappers at any scale",
     "s73_curated_text_search" ->
-      "the serving API's user-facing shape — TEXT query in, curated chunks out: literal query strings featurized with the index's own hashing-trick vectorizer; probe centroids selected DRIVER-side (the vectors come from a request, not a table) and pushed as a STATIC __cid IN (...) partition filter — planning-time pruning, no DPP machinery (which cannot fire from a LocalRelation probe side)",
+      "the serving API's user-facing shape — TEXT query in, curated chunks out: literal query strings featurized with the index's own hashing-trick vectorizer; probe centroids selected DRIVER-side (the vectors come from a request, not a table) and pushed as a STATIC __cid IN (...) partition filter — planning-time pruning, no DPP machinery (which cannot fire from a LocalRelation probe side). nlist is OCCUPANCY-HELD with the corpus (ivfListsFor — 32 lists at sf0.001/sf0.1), so the static filter genuinely prunes (12 of 32 lists at sf0.001; non-vacuity pinned in PlanChecksSpec)",
+    "s76_curated_search_refined" ->
+      "two-stage retrieve-then-rerank serving over the curated index: the s73 coarse probe (static-IN pruned scan) nominates a 20-deep shortlist per query; the shortlist (queries x 20 — metadata-sized) BROADCASTS back into the SAME pruned scan, where the chunk TEXT stored in the index partitions is featurized at 4x the coarse width and re-ranked by exact cosine — refine cost is shortlist-sized, never corpus-sized, and no stage shuffles the corpus (no SortMergeJoin, pinned)",
+    "d73_neardup_recall_held" ->
+      "the recall-held production preset: same banded equi-join candidate shape as d36 but at the DERIVED three-knob config — corpus-sized bits (lshBitsFor), recall-holding table count (tablesForRecall, L=9 at this corpus), and distinct placement selected from the session's own broadcast regime (verify-then-distinct here: the vector build side broadcasts, so the only full-candidate-stream shuffle moves AFTER the map-side verify and carries theta-survivors only)",
+    "m62_jpeg_corpus_stats" ->
+      "scaled media-decode family: one real-codec JPEG per document (5k/50k/500k payloads at sf0.1/1/10 in splittable non-coalesced files); decode + block sums + band verdicts evaluate in the scan stage and reduce through ONE map-side-combined aggregation — a single partial row per partition crosses the exchange at any corpus size",
     "m61_jpeg_decode" ->
       "LOSSY real-codec decode: JDK baseline-JPEG (DCT) decode + per-8x8-block integer sums fused into the scan stage as one codegen'd expression; the tolerance-band comparison against the pattern formula evaluates beside it in the same stage (the oracle asserts the bands hold — exact sums are impossible by construction)",
     "d68_training_minhash" ->
@@ -141,7 +147,7 @@ object PlanReport {
     ("s69_stream_semi_join", "s69_sink",
       "stream-stream LEFT SEMI: StreamingSymmetricHashJoin — each side buffers keyed state bounded by its watermark; clicks emit once on first proof of a matching purchase"),
     ("s70_stream_sessionize_timers", "s70_sink",
-      "timer-driven sessionization: TransformWithStateExec in event-time mode — per-user open-session ValueState plus ONE registered timer (deleted before each move); the watermark fires expiries at <="),
+      "timer-driven sessionization: TransformWithStateExec in event-time mode — per-user open-session ValueState plus ONE registered timer; the r11 write discipline keeps 'state exists <=> one timer at lastSeen+gap' as an invariant, so the stale expiry is KNOWN (no listTimers scan) and delete+register fires only when the expiry moved; the watermark fires expiries at <="),
     ("s71_stream_transitions_warmstart", "s71_sink",
       "warm-start transitions: TransformWithStateExec seeded via handleInitialState from the batch frontier aggregation — the stream continues from history's frontier instead of replaying it"),
     ("s74_stream_type_counts", "s74_sink",

@@ -19,7 +19,7 @@ class SparkEntrySpec extends AnyFunSuite {
   test("all queries execute and return rows at sf0.001 (except filters that legitimately match nothing)") {
     // queries whose result is legitimately empty on the smoke SF
     val mayBeEmpty = Set("a13_antijoin", "a16_except", "d34_embed_neardup",
-      "d36_embed_neardup_lsh")
+      "d36_embed_neardup_lsh", "d73_neardup_recall_held")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, SparkTestSession.sf0001).count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")

@@ -23,7 +23,11 @@ import graft.operators.{Sampling, Similarity}
  * computed from the written output — the expensive candidate stage is
  * never re-executed for the recall read.
  *
- * Usage: runMain graft.LshRecallProbe <sfDir> [runs]
+ * Usage: runMain graft.LshRecallProbe <sfDir> [runs] [configs]
+ * `configs` (default "shipped,hold,vtd"): comma-list of which configs
+ * to measure — "vtd" is the regime-derived production placement; at
+ * sf10 the non-vtd "hold" run costs ~7 minutes on its own, so a
+ * re-measure of just the production pair runs "shipped,vtd".
  * Env (as Profile): SPARK_GRAFT_CPUS, SPARK_GRAFT_PARTITIONS,
  *   SPARK_GRAFT_INIT_PARTS. Plus SPARK_GRAFT_BROADCAST_MB (default 128):
  *   the verify joins must BROADCAST the vector side at sf10 — the
@@ -40,6 +44,8 @@ object LshRecallProbe {
     require(runs >= 1, s"runs must be >= 1 (got $runs) — a zero-run " +
       "invocation would score stale parquet from a prior run as this " +
       "config's recall")
+    val wanted = (if (args.length > 2) args(2) else "shipped,hold,vtd")
+      .split(",").map(_.trim).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cpus)
     val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", parts)
@@ -106,11 +112,14 @@ object LshRecallProbe {
         f"($hit/${exact.size} in-sample) total_pairs=$total")
     }
 
-    measure("shipped", 8)      // the declared d36 sizing (L fixed, b corpus-sized)
-    measure("recall_hold", lHold) // the production recall-holding product
+    if (wanted("shipped"))
+      measure("shipped", 8)      // the declared d36 sizing (L fixed, b corpus-sized)
+    if (wanted("hold"))
+      measure("recall_hold", lHold) // the production recall-holding product
     // the broadcast-regime variant: dedupe AFTER the map-side verify,
     // so the full candidate stream never shuffles (SCALING.md r10)
-    measure("recall_hold_vtd", lHold, verifyThenDistinct = true)
+    if (wanted("vtd"))
+      measure("recall_hold_vtd", lHold, verifyThenDistinct = true)
     spark.stop()
   }
 }

@@ -284,6 +284,23 @@ object Similarity {
                          tables: Int = 8, bitsPerTable: Int = 4, dim: Int = 64,
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          verifyThenDistinct: Boolean = false): DataFrame = {
+    // loud footgun guard (r11): a FIXED table count at a corpus-sized
+    // band width silently collapses recall as the corpus grows
+    // (measured 0.242 → 0.061 across a decade at L=8, SCALING.md) —
+    // warn when the requested (L, b)'s theoretical at-threshold recall
+    // is under 0.5 and point at the first-class derivation. Results
+    // stay exact for whatever sizing is in force (the oracle
+    // re-derives candidates at the same knobs); only RECALL is at
+    // stake, which is why this warns instead of failing.
+    val theoreticalRecall =
+      1.0 - math.pow(1.0 - math.pow(collisionProb(threshold), bitsPerTable), tables)
+    if (theoreticalRecall < 0.5)
+      org.slf4j.LoggerFactory.getLogger(Similarity.getClass).warn(
+        f"bandedNearDupPairs(threshold=$threshold%.2f, tables=$tables, " +
+          f"bits=$bitsPerTable): theoretical at-threshold recall is " +
+          f"$theoreticalRecall%.3f — hold it with Similarity.recallHeldConfig/" +
+          f"tablesForRecall (L=${tablesForRecall(threshold, bitsPerTable)} " +
+          f"for 0.85 at this width; SCALING.md r10/r11)")
     val planes = hyperplanes(tables * bitsPerTable, dim)
     def tableSig(vec: Column, t: Int): Column =
       (0 until bitsPerTable).map { k =>

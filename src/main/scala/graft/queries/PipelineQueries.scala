@@ -88,6 +88,9 @@ object PipelineQueries {
     * only consumes tables/bits. */
   @volatile private var d73Config: Option[Similarity.LshConfig] = None
 
+  /** d74's config (own stash — the semantic-dedup production twin). */
+  @volatile private var d74Config: Option[Similarity.LshConfig] = None
+
   /** s66's trained PCA model (mean, components) for oracle splicing. */
   @volatile private var pcaState: Option[(Array[Double], Array[Array[Double]])] = None
 
@@ -1033,6 +1036,25 @@ object PipelineQueries {
     // At 100 TB the pair source flips to the banded-LSH path (d36) —
     // identical downstream component/keeper machinery.
     "d46_semantic_dedup" -> ((s, dir) => semanticDedupDf(t(s, dir, "embeddings"))),
+    // d46's PRODUCTION twin — the d62→d67 / d48→d68 pattern completed
+    // for the semantic-dedup family: the same transitive-closure
+    // cluster resolution with candidates from the RECALL-HELD banded
+    // LSH (d73's derived three-knob config) instead of the exact
+    // all-pairs stage — sub-quadratic candidates, the shape that ships
+    // where the exact block-pair join is infeasible. The oracle
+    // re-derives the SAME banded candidates at the stashed (L, b) and
+    // runs the same recursive closure, so the operator-as-specified is
+    // checked exactly; recall vs the exact d46 is the LSH family's
+    // measured trade (SCALING.md), not a correctness gap.
+    "d74_semantic_dedup_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cfg = Similarity.recallHeldConfig(emb, threshold = 0.5)
+      d74Config = Some(cfg)
+      semanticDedupFromPairs(emb,
+        Similarity.recallHeldNearDupPairs(emb, 0.5, config = Some(cfg))
+          .select($"i", $"j"))
+    }),
     // Embedding-space benchmark decontamination — the semantic sibling
     // of d43's shingle-overlap form (pipelines run both: n-gram overlap
     // catches verbatim leaks, embedding cosine catches paraphrases).
@@ -1374,13 +1396,13 @@ object PipelineQueries {
     * pair set at both sf0.01 and sf0.1. */
   private val EmbTwinThreshold = 0.35
 
-  /** d46's body over any embeddings relation (shared with d57's twin):
-    * components over exact cosine-≥0.5 pairs, keep each cluster's
-    * min-id representative, size survivors by component. */
-  private def semanticDedupDf(emb: DataFrame, threshold: Double = 0.5): DataFrame = {
+  /** d46/d57/d74's shared body over a CALLER-CHOSEN near-dup pair set:
+    * components, keep each cluster's min-id representative, size
+    * survivors by component (the d62-family pattern — the pair SOURCE
+    * is the only thing the ground-truth and production forms vary). */
+  private def semanticDedupFromPairs(emb: DataFrame, pairs: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
-    val labels = Dedup.connectedComponents(
-      Similarity.nearDupPairs(emb, threshold = threshold).select($"i", $"j"))
+    val labels = Dedup.connectedComponents(pairs)
     val losers = labels.where($"id" =!= $"comp").select($"id".as("vec_id"))
     val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
     emb.select($"vec_id")
@@ -1388,6 +1410,14 @@ object PipelineQueries {
       .join(sizes.select($"comp".as("vec_id"), $"cluster_size"), Seq("vec_id"), "left")
       .select($"vec_id", coalesce($"cluster_size", lit(1L)).as("cluster_size"))
       .orderBy("vec_id")
+  }
+
+  /** d46's body over any embeddings relation (shared with d57's twin):
+    * components over exact cosine-≥0.5 pairs. */
+  private def semanticDedupDf(emb: DataFrame, threshold: Double = 0.5): DataFrame = {
+    import emb.sparkSession.implicits._
+    semanticDedupFromPairs(emb,
+      Similarity.nearDupPairs(emb, threshold = threshold).select($"i", $"j"))
   }
 
   /** d62/d63/d67 shared keep-best body over a CALLER-CHOSEN near-dup
@@ -1677,7 +1707,8 @@ object PipelineQueries {
       d56Bits.map(b => "d56_lsh_neardup_sampled" ->
         d36Oracle(sampledEmbSql, EmbTwinThreshold, bits = b)).toMap ++
       d73Config.map(c => "d73_neardup_recall_held" ->
-        d36Oracle(bits = c.bits, tables = c.tables)).toMap
+        d36Oracle(bits = c.bits, tables = c.tables)).toMap ++
+      d74Config.map(c => "d74_semantic_dedup_lsh" -> d74Oracle(c)).toMap
 
   /** d53's oracle from the stashed centroids (see [[ivfOracle]] for the
     * stash-then-splice contract): assignment (argmax cosine, ties→low
@@ -2474,8 +2505,12 @@ object PipelineQueries {
     * `bits`/`tables` must be what the Spark query chose (corpus-sized
     * lshBitsFor; fixed L=8 for d36, recall-held tablesForRecall for
     * d73). */
-  private def d36Oracle(src: String = "embeddings", threshold: Double = 0.5,
-                        bits: Int = 4, tables: Int = 8): String = {
+  /** The banded-candidate CTE pair shared by d36/d73/d74's oracles:
+    * `s` (per-row table signatures from the seeded hyperplane
+    * literals) and `bp(i, j, sim)` (any-table-match candidates that
+    * pass the exact cosine threshold). */
+  private def bandedCandCtes(src: String, threshold: Double,
+                             bits: Int, tables: Int): String = {
     val planes = Similarity.hyperplanes(tables * bits, 64)
     def dotPlane(vec: String, p: Array[Double]): String = {
       val lits = p.map(_.toString).mkString("[", ",", "]")
@@ -2487,13 +2522,35 @@ object PipelineQueries {
     }.mkString(" + ")
     val sigCols = (0 until tables).map(tbl => s"${sigExpr(tbl)} AS sig$tbl").mkString(", ")
     val anyTable = (0 until tables).map(tbl => s"a.sig$tbl = b.sig$tbl").mkString(" OR ")
-    s"""WITH s AS (SELECT vec_id, embedding, $sigCols FROM $src)
-       |SELECT a.vec_id AS i, b.vec_id AS j,
-       | round(${duckCosine("a.embedding", "b.embedding")}, 6) AS sim
-       |FROM s a JOIN s b ON a.vec_id < b.vec_id AND ($anyTable)
-       |WHERE ${duckCosine("a.embedding", "b.embedding")} >= $threshold
-       |ORDER BY i, j""".stripMargin
+    s"""s AS (SELECT vec_id, embedding, $sigCols FROM $src),
+       |bp AS (SELECT a.vec_id AS i, b.vec_id AS j,
+       |  ${duckCosine("a.embedding", "b.embedding")} AS sim
+       | FROM s a JOIN s b ON a.vec_id < b.vec_id AND ($anyTable)
+       | WHERE ${duckCosine("a.embedding", "b.embedding")} >= $threshold)""".stripMargin
   }
+
+  private def d36Oracle(src: String = "embeddings", threshold: Double = 0.5,
+                        bits: Int = 4, tables: Int = 8): String =
+    s"""WITH ${bandedCandCtes(src, threshold, bits, tables)}
+       |SELECT i, j, round(sim, 6) AS sim FROM bp
+       |ORDER BY i, j""".stripMargin
+
+  /** d74's oracle: d46's recursive-closure survivors over the SAME
+    * banded candidates the production twin generated (spliced
+    * (L, b)), instead of the exact all-pairs set. */
+  private def d74Oracle(cfg: Similarity.LshConfig,
+                        src: String = "embeddings",
+                        threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE ${bandedCandCtes(src, threshold, cfg.bits, cfg.tables)},
+       |pr AS (SELECT i, j FROM bp),
+       |$componentsCtes,
+       |sz AS (SELECT component, count(*) AS n FROM comp GROUP BY component)
+       |SELECT e.vec_id, CAST(COALESCE(sz.n, 1) AS BIGINT) AS cluster_size
+       |FROM $src e
+       |LEFT JOIN comp c ON e.vec_id = c.doc_id
+       |LEFT JOIN sz ON c.component = sz.component
+       |WHERE c.doc_id IS NULL OR c.doc_id = c.component
+       |ORDER BY e.vec_id""".stripMargin
 
   /** d46's transitive-closure semantic-dedup oracle over any embeddings
     * source; survivors are non-members plus component representatives. */

@@ -144,6 +144,8 @@ object PlanReport {
     * plan (IncrementalExecution), captured by runToTable at run time —
     * (query, sink, note). */
   val streamingSections: Seq[(String, String, String)] = Seq(
+    ("s77_stream_ann_serving", "s77_sink",
+      "online ANN serving: query vectors arrive as a STREAM, the persisted IVF index is the static side — per batch, queries probe-assign via the centroid expressions (scan-stage literals), stream-static hash join on the list id, and the bounded TopKAgg keeps k rows of aggregation state per query (never the candidate stream); the oracle is the batch probe/rank recompute — streaming must not change the answer"),
     ("s68_stream_transitions", "s68_sink",
       "transformWithState delta transition counting: TransformWithStateExec over the RocksDB provider; per-user last-event ValueState bridges micro-batches, each batch emits delta counts"),
     ("s69_stream_semi_join", "s69_sink",

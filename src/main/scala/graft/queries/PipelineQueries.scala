@@ -1653,7 +1653,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -1944,12 +1944,12 @@ object PipelineQueries {
     * must not depend on where the assigned corpus lives. */
   private def ivfProbeOracleSql(cents: Array[Array[Double]],
       src: String = "SELECT vec_id, embedding FROM embeddings",
-      candPred: String = ""): String =
+      candPred: String = "", qPred: String = "vec_id < 5"): String =
     s"""WITH ${centroidAssignCtes(cents, "embedding", src)},
        |qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
        |  SELECT vec_id, embedding, cid,
        |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
-       |  FROM scored WHERE vec_id < 5) WHERE rn <= 4),
+       |  FROM scored WHERE $qPred) WHERE rn <= 4),
        |cand AS (SELECT q.query_id, a.vec_id AS nbr_id,
        |   ${duckCosine("q.qv", "a.embedding")} AS sim
        | FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id$candPred)
@@ -1972,6 +1972,17 @@ object PipelineQueries {
 
   private def persistedIvfOracle: Map[String, String] =
     persistedIvfCents.map(c => "s60_ann_ivf_persisted" -> ivfProbeOracleSql(c)).toMap
+
+  /** s77's centroids — SET by StreamingQueries' streaming ANN serving
+    * query (the topology lives with the other streaming queries; the
+    * oracle is assembled here beside its s37/s60 siblings because it
+    * IS the same probe/rank recompute — streaming must not change the
+    * answer). */
+  @volatile private[queries] var streamServeCents: Option[Array[Array[Double]]] = None
+
+  private def streamServeOracle: Map[String, String] =
+    streamServeCents.map(c => "s77_stream_ann_serving" ->
+      ivfProbeOracleSql(c, qPred = "vec_id < 50")).toMap
 
   /** The fixed text queries served against the curated index (s73) —
     * vocabulary words only, ids disjoint from the chunk vec_id space

@@ -403,6 +403,56 @@ object StreamingQueries {
       runToTable(s, matched, OutputMode.Append(), "s69_sink")
         .orderBy("click_id")
     }),
+    // ONLINE ANN SERVING — queries arrive AS A STREAM, the persisted
+    // IVF index is the static side: the topology a model-serving layer
+    // runs (requests in, neighbors out), here on the real engine over
+    // bounded replay so it lands in the oracle gate. Each micro-batch's
+    // query vectors are probe-assigned with the SAME centroid
+    // expressions the batch path uses (s37/s60), stream-static-joined
+    // to the index on the list id, and ranked per query by the bounded
+    // TopKAgg state (s50's mechanism — state per query is k rows, so
+    // aggregation state is queries × k at any stream length). The
+    // oracle is the s37/s60 probe/rank recompute over the same query
+    // set: STREAMING MUST NOT CHANGE THE ANSWER. At scale: the file
+    // source becomes the request bus, the static index is re-probed
+    // per batch (each batch's candidate read is ~nprobe/nlist of the
+    // index), and Complete mode becomes Update on the serving sink.
+    "s77_stream_ann_serving" -> ((s, dir) => {
+      import s.implicits._
+      val root = PipelineQueries.ensureIvfIndexExport(s, dir)
+      val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
+        .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+      PipelineQueries.streamServeCents = Some(cents)
+      val index = s.read.parquet(s"$root/index")
+      val embSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      // the request stream: 50 query vectors arriving online (glob — see
+      // the eventStream scaladoc for the single-file basePath gotcha)
+      val qstream = s.readStream.schema(embSchema)
+        .parquet(s"$dir/embeddings.parque*")
+        .where($"vec_id" < 50)
+      val probes = cents.zipWithIndex.map { case (cv, i) =>
+        struct(graft.operators.Similarity
+            .cosine($"embedding", array(cv.toIndexedSeq.map(lit): _*)).as("s"),
+          lit(i).as("c"))
+      }
+      val q = qstream
+        .withColumn("__probe",
+          explode(slice(reverse(array_sort(array(probes.toIndexedSeq: _*))), 1, 4)))
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"),
+          graft.operators.Similarity.norm($"embedding").as("qn"),
+          $"__probe.c".as("__cid"))
+      val cand = q.join(index, Seq("__cid"))
+        .where($"nbr_id" =!= $"query_id")
+        .select($"query_id", $"nbr_id",
+          graft.operators.Similarity
+            .cosinePrenormed($"qvec", $"cvec", $"qn" * $"cn").as("sim"))
+      val ranked = cand.groupBy($"query_id")
+        .agg(graft.functions.TopKAgg.top_k($"sim", $"nbr_id", 10).as("tk"))
+      runToTable(s, ranked, OutputMode.Complete(), "s77_sink")
+        .select($"query_id", posexplode($"tk"))
+        .select($"query_id", $"col._2".as("nbr_id"), ($"pos" + 1).cast("int").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // Bounded-state sessionization on transformWithState with
     // EVENT-TIME TIMERS — s48's EventTimeTimeout contract on the
     // successor API (s68 exercised the state variables; this exercises

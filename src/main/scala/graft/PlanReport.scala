@@ -119,6 +119,8 @@ object PlanReport {
       "REAL-codec audio decode: JDK RIFF/fmt parse + exact integer PCM features fused into the scan stage as one codegen'd expression over the fixture parquet",
     "s72_curate_index_serve" ->
       "the composed LLM-data arc — curate -> index -> serve: d68's seven-stage MinHash curation feeds the one-pass hashing-trick featurizer; the surviving chunk vectors are k-means-trained and persisted as a hive-partitioned IVF index digest-chained to the curation input (s60's export machinery over the curation OUTPUT); serving probes the first docs' surviving chunks with dynamic partition pruning skipping every unprobed list directory",
+    "t52_ccnet_buckets" ->
+      "the CCNet head/middle/tail split: t51's unigram cross-entropy feeds ntile(3) per language under a (score, doc_id) total order — one shuffle on lang + per-language sort; the production form at 100 TB derives the two cutoffs from a sample (a75's machinery) and assigns buckets scan-side against broadcast thresholds, with this exact form as its ground truth",
     "t51_lm_perplexity" ->
       "CCNet-style LM perplexity scoring: the unigram table is vocabulary-sized and broadcasts; the observed-bigram table grows with corpus content and joins as the planner chooses (broadcast here, a model-keyed hash join at 100 TB — never pair-keyed); per-token log2 terms round to 9 dp and sum as DECIMAL(28,9), so the per-doc mean is order-independent and the oracle's from-scratch model rebuild hash-matches",
     "d72_embed_decontam" ->

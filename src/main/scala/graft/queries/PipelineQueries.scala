@@ -1092,6 +1092,28 @@ object PipelineQueries {
       TextAnalysis.lmCrossEntropy(t(s, dir, "documents"))
         .orderBy("doc_id")
     }),
+    // The CCNet SPLIT itself — the curation decision t51's scores feed:
+    // each language's documents ranked by unigram cross-entropy and cut
+    // into head/middle/tail terciles (ntile(3) under the (h_unigram,
+    // doc_id) total order — ANSI ntile, so the oracle's recompute
+    // agrees bucket-for-bucket). This exact form is one shuffle on lang
+    // plus a per-language sort; at 100 TB CCNet derives the two cutoffs
+    // from a SAMPLE (the a75 sampled-quantile machinery) and assigns
+    // buckets scan-side against broadcast thresholds — this query is
+    // the oracle-checkable ground truth of that decision.
+    "t52_ccnet_buckets" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val ppl = TextAnalysis.lmCrossEntropy(docs).select($"doc_id", $"h_unigram")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"h_unigram", $"doc_id")
+      docs.select($"doc_id", $"lang").join(ppl, Seq("doc_id"))
+        .withColumn("bk", ntile(3).over(w))
+        .select($"doc_id", $"lang", $"h_unigram",
+          when($"bk" === 1, "head").when($"bk" === 2, "middle")
+            .otherwise("tail").as("ppl_bucket"))
+        .orderBy("doc_id")
+    }),
     "t43_repetition" -> ((s, dir) => {
       import s.implicits._
       TextAnalysis.repetitionStats(t(s, dir, "documents"))
@@ -1641,6 +1663,20 @@ object PipelineQueries {
       |  UNION
       |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
       |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
+
+  /** t51/t52's shared unigram-model CTE chain (tokens → corpus MLE
+    * unigram counts → per-doc DECIMAL(28,9) log-term sums `hu`). ONE
+    * encoding so the perplexity score and the CCNet bucketing that
+    * consumes it cannot drift. */
+  private lazy val lmUnigramCtes: String =
+    s"""toks AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+       |tok AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+       |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+       |hu AS (SELECT doc_id,
+       |   sum(CAST(round(log2(CAST(c AS DOUBLE) / t), 9) AS DECIMAL(28,9))) AS s,
+       |   count(*) AS n
+       | FROM tok JOIN uni USING (w) CROSS JOIN tot GROUP BY doc_id)""".stripMargin
 
   /** DuckDB fold-based double-precision dot product of two list columns
     * (left-to-right from 0.0 — the same order as the fused VecDot
@@ -2740,14 +2776,7 @@ object PipelineQueries {
     // (a structurally different computation from the Spark side's
     // per-row array fold — a stronger oracle than a literal transcription).
     "t51_lm_perplexity" ->
-      s"""WITH toks AS (SELECT doc_id, $duckTokens AS tk FROM documents),
-         |tok AS (SELECT doc_id, unnest(tk) AS w FROM toks),
-         |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
-         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
-         |hu AS (SELECT doc_id,
-         |   sum(CAST(round(log2(CAST(c AS DOUBLE) / t), 9) AS DECIMAL(28,9))) AS s,
-         |   count(*) AS n
-         | FROM tok JOIN uni USING (w) CROSS JOIN tot GROUP BY doc_id),
+      s"""WITH $lmUnigramCtes,
          |bge AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
          | FROM toks, unnest(range(1, len(tk))) r(i) WHERE len(tk) >= 2),
          |bc AS (SELECT w1, w2, count(*) AS cb FROM bge GROUP BY w1, w2),
@@ -2760,6 +2789,20 @@ object PipelineQueries {
          | round(-CAST(hu.s AS DOUBLE) / hu.n, 6) AS h_unigram,
          | round(-CAST(hb.s2 AS DOUBLE) / hb.m, 6) AS h_bigram
          |FROM hu LEFT JOIN hb USING (doc_id) ORDER BY hu.doc_id""".stripMargin,
+    // t51's unigram chain + the CCNet split: ntile(3) per language
+    // under the (h_unigram, doc_id) total order — ANSI ntile semantics
+    // agree between engines, and h_unigram is the same rounded double
+    // t51 hash-matches, so the bucketing is exact.
+    "t52_ccnet_buckets" ->
+      s"""WITH $lmUnigramCtes,
+         |pl AS (SELECT doc_id, round(-CAST(s AS DOUBLE) / n, 6) AS h_unigram FROM hu),
+         |j AS (SELECT d.doc_id, d.lang, p.h_unigram
+         | FROM documents d JOIN pl p USING (doc_id)),
+         |b AS (SELECT doc_id, lang, h_unigram,
+         |  ntile(3) OVER (PARTITION BY lang ORDER BY h_unigram, doc_id) AS bk FROM j)
+         |SELECT doc_id, lang, h_unigram,
+         | CASE bk WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+         |FROM b ORDER BY doc_id""".stripMargin,
     "t43_repetition" ->
       s"""WITH b AS (SELECT doc_id, $duckTokens AS toks FROM documents),
          |big AS (SELECT doc_id,

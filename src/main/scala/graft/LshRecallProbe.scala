@@ -46,6 +46,13 @@ object LshRecallProbe {
       "config's recall")
     val wanted = (if (args.length > 2) args(2) else "shipped,hold,vtd")
       .split(",").map(_.trim).toSet
+    // fail loudly on a typo (e.g. the printed label 'recall_hold'
+    // instead of the token 'hold') — silently measuring FEWER configs
+    // than asked is the partial-measurement failure mode the runs>=1
+    // guard exists for
+    require(wanted.nonEmpty && wanted.subsetOf(Set("shipped", "hold", "vtd")),
+      s"unknown config token(s) ${(wanted -- Set("shipped", "hold", "vtd")).mkString(", ")} — " +
+        "valid: shipped, hold, vtd")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cpus)
     val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", parts)

@@ -126,7 +126,7 @@ object PlanReport {
     "d72_embed_decontam" ->
       "embedding-space benchmark decontamination (the semantic sibling of the shingle-overlap form): the metadata-sized benchmark broadcasts into an ANTI nested-loop probe over ONE corpus scan — no shuffle, no pair materialization; corpus rows stream through their own mappers at any scale",
     "s73_curated_text_search" ->
-      "the serving API's user-facing shape — TEXT query in, curated chunks out: literal query strings featurized with the index's own hashing-trick vectorizer; probe centroids selected DRIVER-side (the vectors come from a request, not a table) and pushed as a STATIC __cid IN (...) partition filter — planning-time pruning, no DPP machinery (which cannot fire from a LocalRelation probe side). nlist is OCCUPANCY-HELD with the corpus (ivfListsFor — 32 lists at sf0.001/sf0.1), so the static filter genuinely prunes (12 of 32 lists at sf0.001; non-vacuity pinned in PlanChecksSpec)",
+      "the serving API's user-facing shape — TEXT query in, curated chunks out: literal query strings featurized with the index's own hashing-trick vectorizer; probe centroids selected DRIVER-side (the vectors come from a request, not a table) and pushed as a STATIC __cid IN (...) partition filter — planning-time pruning, no DPP machinery (which cannot fire from a LocalRelation probe side). nlist is OCCUPANCY-HELD with the SURVIVING CHUNK count, not the sf label (ivfListsFor — 32 lists at sf0.001's 281 chunks, 16 at sf0.01's 237: the two 500-doc corpora differ in text), so the static filter genuinely prunes (12 of 32 lists at sf0.001; non-vacuity pinned in PlanChecksSpec)",
     "s76_curated_search_refined" ->
       "two-stage retrieve-then-rerank serving over the curated index: the s73 coarse probe (static-IN pruned scan) nominates a 20-deep shortlist per query; the shortlist (queries x 20 — metadata-sized) BROADCASTS back into the SAME pruned scan, where the chunk TEXT stored in the index partitions is featurized at 4x the coarse width and re-ranked by exact cosine — refine cost is shortlist-sized, never corpus-sized, and no stage shuffles the corpus (no SortMergeJoin, pinned)",
     "d73_neardup_recall_held" ->

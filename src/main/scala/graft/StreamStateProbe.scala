@@ -28,9 +28,16 @@ object StreamStateProbe {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: runMain graft.StreamStateProbe <sfDir> [runs] [s70ab]")
     val sfDir = args(0)
-    val runs = if (args.length > 1) args(1).toInt else 2
+    val extra = args.drop(1)
+    // both trailing args are optional and order-free: '<sfDir> s70ab'
+    // must not trip over a missing runs count
+    val abOnly = extra.contains("s70ab")
+    val rest = extra.filterNot(_ == "s70ab")
+    require(rest.forall(a => a.nonEmpty && a.forall(_.isDigit)),
+      s"unrecognized argument(s) ${rest.filterNot(_.forall(_.isDigit)).mkString(", ")} — " +
+        "expected [runs] and/or 's70ab'")
+    val runs = rest.headOption.map(_.toInt).getOrElse(2)
     require(runs >= 1, s"runs must be >= 1, got $runs")
-    val abOnly = args.contains("s70ab")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cpus)
     val builder = SparkSession.builder()

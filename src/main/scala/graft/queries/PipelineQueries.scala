@@ -336,6 +336,36 @@ object PipelineQueries {
         $"chunk_text")
   }
 
+  /** s73/s76's shared COARSE serving stage — literal queries →
+    * driver-side probe selection → STATIC `__cid IN (...)` on the
+    * index scan (planning-time partition pruning; DPP cannot fire
+    * from a LocalRelation probe side). The driver-side
+    * featurize/cosine replicate the expression path's arithmetic
+    * exactly (in-order folds), so the restricted scan is a superset
+    * of everything the probe join touches. ONE definition so the
+    * refine tier is built on exactly the coarse stage it claims.
+    * Returns (centroids, pruned index scan, query-probe frame). */
+  private def curatedCoarseServe(s: SparkSession, dir: String)
+      : (Array[Array[Double]], DataFrame, DataFrame) = {
+    import s.implicits._
+    val root = ensureCuratedIndexExport(s, dir)
+    val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    val qvecs = curatedSearchQueries.map { case (_, text) =>
+      graft.core.TextHash.hashedCounts(
+        text.split("\\s+").filter(_.nonEmpty).toArray[AnyRef], 16)
+    }
+    val cids = Similarity.literalProbeCids(cents, qvecs)
+    val index = s.read.parquet(s"$root/index")
+      .where($"__cid".isin(cids.map(Integer.valueOf): _*))
+    val probes = curatedSearchQueries.toDF("vec_id", "qtext")
+      .select($"vec_id",
+        graft.functions.TextFunctions
+          .hashed_count_vector(TextAnalysis.tokens($"qtext"), 16)
+          .cast("array<float>").as("embedding"))
+    (cents, index, probes)
+  }
+
   /** Curated-corpus index root (per-sf; sibling of [[ivfIndexRoot]]). */
   def curatedIndexRoot(sfDir: String): String =
     RelationalQueries.dataRoot("ivf-curated", sfDir, "documents")
@@ -349,9 +379,12 @@ object PipelineQueries {
     * the marker records the documents digest (captured BEFORE the
     * pipeline reads it) plus a layout-version salt, so regenerating
     * the corpus — or changing the index layout across engine versions
-    * — invalidates the index. nlist is OCCUPANCY-HELD with the corpus
-    * (Similarity.ivfListsFor — 16 lists at the sf0.01 gate corpus's
-    * 237 chunks, 32 from the sf0.1 bench corpus up): the centroids
+    * — invalidates the index. nlist is OCCUPANCY-HELD with the
+    * SURVIVING CHUNK count, not the sf label (Similarity.ivfListsFor):
+    * 16 lists at the sf0.01 gate corpus's 237 chunks but 32 at
+    * sf0.001's 281 — the two 500-doc corpora have different text, so
+    * curation keeps different chunk counts — and 32 at sf0.1's 2 675
+    * up to the cap: the centroids
     * artifact carries its own cardinality and the oracles splice
     * whatever was trained, so serving and verification are
     * size-agnostic. Each partition row also stores the chunk TEXT —
@@ -630,28 +663,8 @@ object PipelineQueries {
     // hash-fails immediately.
     "s73_curated_text_search" -> ((s, dir) => {
       import s.implicits._
-      val root = ensureCuratedIndexExport(s, dir)
-      val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
-        .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+      val (cents, index, probes) = curatedCoarseServe(s, dir)
       curatedSearchCents = Some(cents)
-      // literal queries → driver-side probe selection → STATIC
-      // `__cid IN (...)` on the index scan (planning-time partition
-      // pruning; DPP cannot fire from a LocalRelation probe side).
-      // The driver-side featurize/cosine replicate the expression
-      // path's arithmetic exactly (in-order folds), so the restricted
-      // scan is a superset of everything the probe join touches.
-      val qvecs = curatedSearchQueries.map { case (_, text) =>
-        graft.core.TextHash.hashedCounts(
-          text.split("\\s+").filter(_.nonEmpty).toArray[AnyRef], 16)
-      }
-      val cids = Similarity.literalProbeCids(cents, qvecs)
-      val index = s.read.parquet(s"$root/index")
-        .where($"__cid".isin(cids.map(Integer.valueOf): _*))
-      val probes = curatedSearchQueries.toDF("vec_id", "qtext")
-        .select($"vec_id",
-          graft.functions.TextFunctions
-            .hashed_count_vector(TextAnalysis.tokens($"qtext"), 16)
-            .cast("array<float>").as("embedding"))
       Similarity.ivfTopKOnIndex(cents, index, probes, k = 5)
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
@@ -669,22 +682,8 @@ object PipelineQueries {
     // query strings and the full composed curation chain.
     "s76_curated_search_refined" -> ((s, dir) => {
       import s.implicits._
-      val root = ensureCuratedIndexExport(s, dir)
-      val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
-        .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+      val (cents, index, probes) = curatedCoarseServe(s, dir)
       curatedRefineCents = Some(cents)
-      val qvecs = curatedSearchQueries.map { case (_, text) =>
-        graft.core.TextHash.hashedCounts(
-          text.split("\\s+").filter(_.nonEmpty).toArray[AnyRef], 16)
-      }
-      val cids = Similarity.literalProbeCids(cents, qvecs)
-      val index = s.read.parquet(s"$root/index")
-        .where($"__cid".isin(cids.map(Integer.valueOf): _*))
-      val probes = curatedSearchQueries.toDF("vec_id", "qtext")
-        .select($"vec_id",
-          graft.functions.TextFunctions
-            .hashed_count_vector(TextAnalysis.tokens($"qtext"), 16)
-            .cast("array<float>").as("embedding"))
       val shortlist = Similarity.ivfTopKOnIndex(cents, index, probes, k = 20)
         .select($"query_id", $"nbr_id")
       val fine = index
@@ -2020,11 +2019,12 @@ object PipelineQueries {
     streamServeCents.map(c => "s77_stream_ann_serving" ->
       ivfProbeOracleSql(c, qPred = "vec_id < 50")).toMap
 
-  /** The fixed text queries served against the curated index (s73) —
-    * vocabulary words only, ids disjoint from the chunk vec_id space
-    * (which starts at 5000). ONE definition feeds both the Spark query
-    * and the oracle's VALUES literal. */
-  private val curatedSearchQueries: Seq[(Long, String)] = Seq(
+  /** The fixed text queries served against the curated index
+    * (s73/s76) — vocabulary words only, ids disjoint from the chunk
+    * vec_id space (which starts at 5000). ONE definition feeds the
+    * Spark queries, the oracles' VALUES literal, AND the lifecycle
+    * spec's brute-force ground truth (private[queries] for that). */
+  private[queries] val curatedSearchQueries: Seq[(Long, String)] = Seq(
     (1L, "query join hash table scan"),
     (2L, "stream window batch data column"),
     (3L, "vector sort merge key value"))

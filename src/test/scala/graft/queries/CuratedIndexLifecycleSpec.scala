@@ -109,9 +109,10 @@ class CuratedIndexLifecycleSpec extends AnyFunSuite {
       .select($"nbr_id", graft.functions.TextFunctions
         .hashed_count_vector(graft.operators.TextAnalysis.tokens($"chunk_text"), 64)
         .as("fv"))
-    val queries = Seq((1L, "query join hash table scan"),
-      (2L, "stream window batch data column"),
-      (3L, "vector sort merge key value")).toDF("query_id", "qtext")
+    // the ONE serving-query definition (a stale private copy here would
+    // quietly turn the recall comparison apples-to-oranges if the
+    // served strings ever changed)
+    val queries = PipelineQueries.curatedSearchQueries.toDF("query_id", "qtext")
       .select($"query_id", graft.functions.TextFunctions
         .hashed_count_vector(graft.operators.TextAnalysis.tokens($"qtext"), 64)
         .as("qv"))

@@ -178,14 +178,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.tablesForRecall(0.5, 11) == 164)
     assert(Similarity.tablesForRecall(0.5, 8) == 48)
     assert(Similarity.tablesForRecall(0.5, 4) == 9)
-    // the guarantee and MINIMALITY: theoretical recall 1−(1−p^b)^L meets
-    // the target at L and misses it at L−1
-    for (bits <- Seq(4, 8, 11); target <- Seq(0.5, 0.85, 0.99)) {
-      val l = Similarity.tablesForRecall(0.5, bits, target)
+    // the guarantee and MINIMALITY across the whole parameter cube:
+    // theoretical recall 1−(1−p^b)^L meets the target at L and misses
+    // it at L−1, for every (threshold, band width, target) combination
+    for (theta <- Seq(0.2, 0.35, 0.5, 0.7, 0.9);
+         bits <- Seq(2, 4, 8, 11, 16);
+         target <- Seq(0.3, 0.5, 0.85, 0.99)) {
+      val l = Similarity.tablesForRecall(theta, bits, target)
       def rec(x: Int) =
-        1.0 - math.pow(1.0 - math.pow(Similarity.collisionProb(0.5), bits), x)
-      assert(rec(l) >= target, s"bits=$bits target=$target L=$l under-delivers")
-      assert(l == 1 || rec(l - 1) < target, s"bits=$bits target=$target L=$l not minimal")
+        1.0 - math.pow(1.0 - math.pow(Similarity.collisionProb(theta), bits), x)
+      assert(l >= 1, s"θ=$theta bits=$bits target=$target L=$l")
+      assert(rec(l) >= target, s"θ=$theta bits=$bits target=$target L=$l under-delivers")
+      assert(l == 1 || rec(l - 1) < target, s"θ=$theta bits=$bits target=$target L=$l not minimal")
     }
     // monotone in band width (finer bands need more tables) and target
     assert(Similarity.tablesForRecall(0.5, 11) > Similarity.tablesForRecall(0.5, 8))

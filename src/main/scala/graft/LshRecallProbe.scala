@@ -38,7 +38,8 @@ import graft.operators.{Sampling, Similarity}
  */
 object LshRecallProbe {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: runMain graft.LshRecallProbe <sfDir> [runs]")
+    require(args.nonEmpty,
+      "usage: runMain graft.LshRecallProbe <sfDir> [runs] [shipped,hold,vtd]")
     val sfDir = args(0)
     val runs = if (args.length > 1) args(1).toInt else 1
     require(runs >= 1, s"runs must be >= 1 (got $runs) — a zero-run " +

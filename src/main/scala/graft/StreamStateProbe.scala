@@ -30,13 +30,17 @@ object StreamStateProbe {
     val sfDir = args(0)
     val extra = args.drop(1)
     // both trailing args are optional and order-free: '<sfDir> s70ab'
-    // must not trip over a missing runs count
+    // must not trip over a missing runs count — and anything beyond
+    // ONE runs value fails loudly rather than being silently dropped
     val abOnly = extra.contains("s70ab")
     val rest = extra.filterNot(_ == "s70ab")
-    require(rest.forall(a => a.nonEmpty && a.forall(_.isDigit)),
-      s"unrecognized argument(s) ${rest.filterNot(_.forall(_.isDigit)).mkString(", ")} — " +
-        "expected [runs] and/or 's70ab'")
-    val runs = rest.headOption.map(_.toInt).getOrElse(2)
+    require(rest.size <= 1,
+      s"too many arguments (${rest.mkString(", ")}) — expected at most one [runs]")
+    val runs = rest.headOption.map { a =>
+      require(a.nonEmpty && a.length <= 9 && a.forall(_.isDigit),
+        s"runs must be a positive integer, got '$a'")
+      a.toInt
+    }.getOrElse(2)
     require(runs >= 1, s"runs must be >= 1, got $runs")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cpus)

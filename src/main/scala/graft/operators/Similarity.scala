@@ -291,16 +291,22 @@ object Similarity {
     // is under 0.5 and point at the first-class derivation. Results
     // stay exact for whatever sizing is in force (the oracle
     // re-derives candidates at the same knobs); only RECALL is at
-    // stake, which is why this warns instead of failing.
-    val theoreticalRecall =
-      1.0 - math.pow(1.0 - math.pow(collisionProb(threshold), bitsPerTable), tables)
-    if (theoreticalRecall < 0.5)
-      org.slf4j.LoggerFactory.getLogger(Similarity.getClass).warn(
-        f"bandedNearDupPairs(threshold=$threshold%.2f, tables=$tables, " +
-          f"bits=$bitsPerTable): theoretical at-threshold recall is " +
-          f"$theoreticalRecall%.3f — hold it with Similarity.recallHeldConfig/" +
-          f"tablesForRecall (L=${tablesForRecall(threshold, bitsPerTable)} " +
-          f"for 0.85 at this width; SCALING.md r10/r11)")
+    // stake, which is why this warns instead of failing — and why the
+    // guard must not NARROW the operator's domain: collisionProb's
+    // require rejects thresholds outside (-1, 1), but e.g.
+    // threshold = 1.0 (exact-direction duplicates) is legal for the
+    // candidate+verify machinery, so the guard simply skips there.
+    if (threshold > -1.0 && threshold < 1.0) {
+      val theoreticalRecall =
+        1.0 - math.pow(1.0 - math.pow(collisionProb(threshold), bitsPerTable), tables)
+      if (theoreticalRecall < 0.5)
+        org.slf4j.LoggerFactory.getLogger(Similarity.getClass).warn(
+          f"bandedNearDupPairs(threshold=$threshold%.2f, tables=$tables, " +
+            f"bits=$bitsPerTable): theoretical at-threshold recall is " +
+            f"$theoreticalRecall%.3f — hold it with Similarity.recallHeldConfig/" +
+            f"tablesForRecall (L=${tablesForRecall(threshold, bitsPerTable)} " +
+            f"for 0.85 at this width; SCALING.md r10/r11)")
+    }
     val planes = hyperplanes(tables * bitsPerTable, dim)
     def tableSig(vec: Column, t: Int): Column =
       (0 until bitsPerTable).map { k =>
@@ -490,10 +496,22 @@ object Similarity {
     }.distinct
   }
 
-  private def ivfRank(c: DataFrame, centroids: Array[Array[Double]],
-                      queries: DataFrame, k: Int, nprobe: Int,
-                      idCol: String, vecCol: String): DataFrame = {
-    // each query → its nprobe nearest centroid ids, exploded to probe rows
+  /** The probe-assignment + candidate-scoring stage shared by the
+    * batch rank path ([[ivfRank]]) and the STREAMING serving path
+    * (s77) — each query explodes to its nprobe nearest centroid ids
+    * (ties → higher cid, the array_sort-reverse order both oracles
+    * encode) and scores the probed lists' candidates by exact cosine.
+    * Everything up to the per-query ranking, which batch does with a
+    * window and streaming with bounded TopKAgg state. ONE definition:
+    * the streaming oracle's premise is that streaming must not change
+    * the answer, so the stream path may not drift from this stage.
+    * `broadcastQueries` is the one legal difference — a stream side
+    * cannot carry a broadcast hint (and drives the join instead). */
+  private[graft] def ivfCandidates(c: DataFrame, centroids: Array[Array[Double]],
+                                   queries: DataFrame, nprobe: Int,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding",
+                                   broadcastQueries: Boolean = true): DataFrame = {
     val probes = centroids.zipWithIndex.map { case (cv, i) =>
       struct(cosine(col(vecCol), array(cv.toIndexedSeq.map(lit): _*)).as("s"), lit(i).as("c"))
     }
@@ -501,10 +519,16 @@ object Similarity {
       .withColumn("__probe", explode(slice(reverse(array_sort(array(probes.toIndexedSeq: _*))), 1, nprobe)))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("qn"), col("__probe.c").as("__cid"))
-    val cand = c.join(broadcast(q), Seq("__cid"))
+    c.join(if (broadcastQueries) broadcast(q) else q, Seq("__cid"))
       .where(col("nbr_id") =!= col("query_id"))
       .select(col("query_id"), col("nbr_id"),
         cosinePrenormed(col("qvec"), col("cvec"), col("qn") * col("cn")).as("sim"))
+  }
+
+  private def ivfRank(c: DataFrame, centroids: Array[Array[Double]],
+                      queries: DataFrame, k: Int, nprobe: Int,
+                      idCol: String, vecCol: String): DataFrame = {
+    val cand = ivfCandidates(c, centroids, queries, nprobe, idCol, vecCol)
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
     cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -267,8 +267,17 @@ object TextAnalysis {
    * hash-matches despite Spark's arbitrary aggregation order.
    * `h_bigram` is NULL for single-token documents (no bigrams).
    */
-  def lmCrossEntropy(df: DataFrame, idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
+  /** Per-token DECIMAL(28,9) log-term: round(log2(c/d), 9) — the
+    * order-independence device both entropy halves sum with. */
+  private def lmTerm9(c: Column, d: Column): Column =
+    round(log2(c.cast("double") / d), 9).cast("decimal(28,9)")
+
+  /** The unigram half shared by [[lmCrossEntropy]] and
+    * [[lmUnigramEntropy]]: (tokenized docs, per-doc `hu(__id, s, n)`
+    * term sums). ONE construction so the standalone unigram path and
+    * the full score cannot drift. */
+  private def lmUnigramTerms(df: DataFrame, idCol: String,
+                             textCol: String): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     val toks = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("tk"))
@@ -278,15 +287,38 @@ object TextAnalysis {
     // replay the corpus tokenization. Released by the per-query sweep.
     val uni = tok.groupBy("w").agg(count(lit(1)).as("c")).persist()
     val total = uni.agg(sum($"c").cast("double").as("t"))
-    val term9 = (c: Column, d: Column) =>
-      round(log2(c.cast("double") / d), 9).cast("decimal(28,9)")
-    // no broadcast hints on the model joins: the planner broadcasts the
-    // small tables at bench scale; at 100 TB the bigram table joins as
-    // a hash join on its own keys (see scaladoc)
     val hu = tok.join(uni, "w")
       .join(broadcast(total)) // genuinely one row
       .groupBy($"__id")
-      .agg(sum(term9($"c", $"t")).as("s"), count(lit(1)).as("n"))
+      .agg(sum(lmTerm9($"c", $"t")).as("s"), count(lit(1)).as("n"))
+    (toks, hu)
+  }
+
+  /** Unigram-only cross-entropy — for consumers that never read the
+    * bigram score (t52's CCNet split buckets on h_unigram alone):
+    * Spark has no left-join elimination, so calling [[lmCrossEntropy]]
+    * and dropping h_bigram would still build, shuffle, and persist the
+    * whole bigram model. Identical h_unigram values by construction
+    * (shared [[lmUnigramTerms]]). */
+  def lmUnigramEntropy(df: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (_, hu) = lmUnigramTerms(df, idCol, textCol)
+    hu.select($"__id".as(idCol),
+      $"n".as("n_tokens"),
+      round(-$"s".cast("double") / $"n", 6).as("h_unigram"))
+  }
+
+  def lmCrossEntropy(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (toks, hu) = lmUnigramTerms(df, idCol, textCol)
+    val term9 = lmTerm9 _
+    // no broadcast hints on the model joins: the planner broadcasts the
+    // small tables at bench scale; at 100 TB the bigram table joins as
+    // a hash join on its own keys (see scaladoc)
     val bge = toks.where(size($"tk") >= 2)
       .select($"__id", explode(expr(
         "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("z"))

@@ -1103,7 +1103,10 @@ object PipelineQueries {
     "t52_ccnet_buckets" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val ppl = TextAnalysis.lmCrossEntropy(docs).select($"doc_id", $"h_unigram")
+      // unigram-only path: lmCrossEntropy would build (and shuffle) the
+      // whole bigram model just to drop it — Spark has no left-join
+      // elimination
+      val ppl = TextAnalysis.lmUnigramEntropy(docs).select($"doc_id", $"h_unigram")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"lang").orderBy($"h_unigram", $"doc_id")
       docs.select($"doc_id", $"lang").join(ppl, Seq("doc_id"))

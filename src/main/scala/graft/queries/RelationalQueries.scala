@@ -73,11 +73,8 @@ object RelationalQueries {
     * must not leave the declared queries (and their oracles) silently
     * reading last round's files. Markers written before this scheme
     * (empty Spark _SUCCESS files) read as stale once, then converge. */
-  private[queries] def stale(dir: String, sfDir: String, table: String): Boolean = {
-    val marker = Paths.get(dir, "_SUCCESS")
-    !Files.exists(marker) ||
-      new String(Files.readAllBytes(marker), "UTF-8") != srcDigest(sfDir, table)
-  }
+  private[queries] def stale(dir: String, sfDir: String, table: String): Boolean =
+    staleDigest(dir, srcDigest(sfDir, table))
 
   /** Staleness against an EXPLICIT expected marker value — for exports
     * whose identity is the source digest plus a LAYOUT VERSION (bumping

@@ -430,22 +430,12 @@ object StreamingQueries {
       val qstream = s.readStream.schema(embSchema)
         .parquet(s"$dir/embeddings.parque*")
         .where($"vec_id" < 50)
-      val probes = cents.zipWithIndex.map { case (cv, i) =>
-        struct(graft.operators.Similarity
-            .cosine($"embedding", array(cv.toIndexedSeq.map(lit): _*)).as("s"),
-          lit(i).as("c"))
-      }
-      val q = qstream
-        .withColumn("__probe",
-          explode(slice(reverse(array_sort(array(probes.toIndexedSeq: _*))), 1, 4)))
-        .select($"vec_id".as("query_id"), $"embedding".as("qvec"),
-          graft.operators.Similarity.norm($"embedding").as("qn"),
-          $"__probe.c".as("__cid"))
-      val cand = q.join(index, Seq("__cid"))
-        .where($"nbr_id" =!= $"query_id")
-        .select($"query_id", $"nbr_id",
-          graft.operators.Similarity
-            .cosinePrenormed($"qvec", $"cvec", $"qn" * $"cn").as("sim"))
+      // the SAME probe+score stage as the batch s37/s60 path — shared
+      // code, so the stream cannot drift from the answer the oracle
+      // encodes; only the ranking differs (TopKAgg state vs a window),
+      // and a stream side cannot carry a broadcast hint
+      val cand = graft.operators.Similarity.ivfCandidates(
+        index, cents, qstream, nprobe = 4, broadcastQueries = false)
       val ranked = cand.groupBy($"query_id")
         .agg(graft.functions.TopKAgg.top_k($"sim", $"nbr_id", 10).as("tk"))
       runToTable(s, ranked, OutputMode.Complete(), "s77_sink")

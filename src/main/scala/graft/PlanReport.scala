@@ -131,6 +131,8 @@ object PlanReport {
       "two-stage retrieve-then-rerank serving over the curated index: the s73 coarse probe (static-IN pruned scan) nominates a 20-deep shortlist per query; the shortlist (queries x 20 — metadata-sized) BROADCASTS back into the SAME pruned scan, where the chunk TEXT stored in the index partitions is featurized at 4x the coarse width and re-ranked by exact cosine — refine cost is shortlist-sized, never corpus-sized, and no stage shuffles the corpus (no SortMergeJoin, pinned)",
     "d73_neardup_recall_held" ->
       "the recall-held production preset: same banded equi-join candidate shape as d36 but at the DERIVED three-knob config — corpus-sized bits (lshBitsFor), recall-holding table count (tablesForRecall, L=9 at this corpus), and distinct placement selected from the session's own broadcast regime (verify-then-distinct here: the vector build side broadcasts, so the only full-candidate-stream shuffle moves AFTER the map-side verify and carries theta-survivors only)",
+    "d75_leakage_safe_split" ->
+      "leakage-safe train/val/test split: duplicate CLUSTERS move as units — MinHash candidate equi-joins feed the component closure, every member inherits the split of its CLUSTER id's slot hash (scan-local projection; singletons degenerate to d52's per-doc split). One candidate join + O(log diameter) closure rounds; the pair space is never touched and the split assignment itself adds no shuffle",
     "d74_semantic_dedup_lsh" ->
       "d46's production twin: the same min-label-propagation component closure and survivor sizing, fed by the RECALL-HELD banded-LSH candidate stage (d73's derived config) instead of the exact block-pair join — candidates from L equi-joins on (table, signature), closure rounds on the output-sensitive pair set; nothing touches the n^2 pair space",
     "m62_jpeg_corpus_stats" ->

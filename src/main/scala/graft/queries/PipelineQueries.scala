@@ -1368,6 +1368,32 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"split")
         .orderBy("doc_id")
     }),
+    // LEAKAGE-SAFE split — d52 assigns splits per DOC, which is a
+    // self-inflicted contamination hole when docs are near-duplicates:
+    // a doc and its near-copy can land on opposite sides, giving eval
+    // rows train twins (exactly what d43/d72 decontamination hunts).
+    // Here duplicate CLUSTERS move as units: components over the
+    // MinHash near-dup candidates (d67's stage) name each doc's
+    // cluster, and every member inherits the split of the CLUSTER id's
+    // slot hash — singletons hash their own id, so for them this IS
+    // d52. One candidate join + O(log diameter) component rounds + a
+    // scan-local split projection; nothing touches the pair space.
+    // The oracle re-derives the closure from exact Jaccard (the d67
+    // equivalence on this corpus) and folds the same CRC slots.
+    "d75_leakage_safe_split" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+        .select($"i", $"j")
+      val comp = Dedup.connectedComponents(pairs).select($"id".as("doc_id"), $"comp")
+      val clustered = docs.select($"doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce($"comp", $"doc_id"))
+      graft.operators.Sampling.assignSplit(clustered,
+          concat(lit("cluster:"), $"cluster"), valFrac = 0.05, testFrac = 0.10)
+        .select($"doc_id", $"cluster", $"split")
+        .orderBy("doc_id")
+    }),
     // Incremental corpus merge (upsert): a new crawl batch (updates to
     // every 5th doc, brand-new ids for every 7th) reconciled against
     // the existing corpus with ONE full-outer shuffle join on the key.
@@ -3058,6 +3084,26 @@ object PipelineQueries {
       val valHi = (0.05 * 16384).toInt
       val testHi = valHi + (0.10 * 16384).toInt
       s"""SELECT doc_id, lang,
+         | CASE WHEN slot < $valHi THEN 'val'
+         |      WHEN slot < $testHi THEN 'test'
+         |      ELSE 'train' END AS split
+         |FROM ($inner) ORDER BY doc_id""".stripMargin
+    },
+    // leakage-safe split: exact-Jaccard closure (== the MinHash
+    // candidates' closure on this corpus — the d67 equivalence) names
+    // each doc's cluster; the CRC slot fold runs on the CLUSTER key so
+    // every member inherits its representative's split
+    "d75_leakage_safe_split" -> {
+      val valHi = (0.05 * 16384).toInt
+      val testHi = valHi + (0.10 * 16384).toInt
+      val inner = graft.oracle.DuckSql.withSlotNode(
+        "SELECT doc_id, cluster, 'cluster:' || cluster AS key FROM cl",
+        Seq("doc_id", "cluster"), Some("slot"), None)
+      s"""WITH RECURSIVE pr AS (SELECT i, j FROM (${jaccardOracle(0.5).replace("ORDER BY i, j", "")})),
+         |$componentsCtes,
+         |cl AS (SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, cluster,
          | CASE WHEN slot < $valHi THEN 'val'
          |      WHEN slot < $testHi THEN 'test'
          |      ELSE 'train' END AS split

@@ -94,23 +94,26 @@ object StreamStateProbe {
     }
 
     cases.foreach { case (label, sink, body) =>
-      var last = 0.0
+      // same measurement discipline as the A/B path (and SCALING.md):
+      // the steady figure is the MIN across runs, not the last run
+      var best = Double.MaxValue
       (1 to runs).foreach { i =>
         val t = System.nanoTime()
         body()
-        last = (System.nanoTime() - t) / 1e9
+        val sec = (System.nanoTime() - t) / 1e9
+        best = math.min(best, sec)
         SessionHygiene.sweep(spark)
-        println(f"[stateprobe] $label run$i: $last%.1f s")
+        println(f"[stateprobe] $label run$i: $sec%.1f s")
       }
       val mets = StreamingQueries.capturedStateMetrics(sink)
       val totalUpdated = mets.map(_._3).sum
       mets.lastOption match {
         case Some((op, rows, _, mem)) =>
-          println(f"[stateprobe] $label steady=$last%.1f s op=$op " +
+          println(f"[stateprobe] $label steady(min)=$best%.1f s op=$op " +
             f"numRowsTotal=$rows memoryUsedBytes=$mem " +
             f"numRowsUpdated(sum over ${mets.size} batches)=$totalUpdated")
         case None =>
-          println(f"[stateprobe] $label steady=$last%.1f s (no state metrics captured)")
+          println(f"[stateprobe] $label steady(min)=$best%.1f s (no state metrics captured)")
       }
     }
     spark.stop()

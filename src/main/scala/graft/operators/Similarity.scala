@@ -153,10 +153,14 @@ object Similarity {
   /** Hyperplane-LSH collision probability for a pair AT the verify
     * threshold: p = 1 − acos(θ)/π (one random hyperplane separates two
     * vectors with probability angle/π). The quantity every (b, L)
-    * sizing rule in this file is computed from. */
+    * sizing rule in this file is computed from. Domain (−1, 1]:
+    * threshold = 1 (exact-direction duplicates) is legal — p = 1, so
+    * any single table catches every duplicate and [[tablesForRecall]]
+    * degenerates to L = 1; threshold = −1 is rejected (p = 0 — an
+    * opposite-direction pair NEVER collides, so no L holds recall). */
   def collisionProb(threshold: Double): Double = {
-    require(threshold > -1.0 && threshold < 1.0,
-      s"cosine threshold must be in (-1, 1), got $threshold")
+    require(threshold > -1.0 && threshold <= 1.0,
+      s"cosine threshold must be in (-1, 1], got $threshold")
     1.0 - math.acos(threshold) / math.Pi
   }
 
@@ -210,6 +214,13 @@ object Similarity {
    *    verify shrinks that shuffle to the θ-survivors — 376 → 115 s
    *    with bit-identical output (r10, sf10/L=137, ~17 GB disk
    *    transient eliminated).
+   *
+   * Boundary caveat: this reads the optimizer's STATIC size estimate
+   * of the projection; AQE re-plans the verify join from runtime
+   * stats and can flip the physical regime when the actual size lands
+   * on the other side of the threshold. Output is placement-
+   * independent (spec-pinned identical), so a boundary flip costs
+   * only the non-preferred shuffle shape, never correctness.
    */
   def vectorSideBroadcasts(df: DataFrame,
                            idCol: String = "vec_id",
@@ -229,6 +240,11 @@ object Similarity {
    * SCALING.md and hand-computing L; this makes it callable.
    * `corpusSize` skips the count pass when the caller already knows n
    * (at 100 TB the count is parquet-footer metadata either way).
+   *
+   * Threshold domain (−1, 1] — inherited from [[collisionProb]]. The
+   * θ = 1 boundary (exact-direction duplicates) degenerates cleanly:
+   * p = 1 so the derived L is 1, matching [[bandedNearDupPairs]]'s
+   * documented acceptance of threshold = 1.0.
    */
   def recallHeldConfig(df: DataFrame, threshold: Double,
                        targetRecall: Double = 0.85,
@@ -245,7 +261,8 @@ object Similarity {
     * [[bandedNearDupPairs]]. Pass a precomputed `config` to splice the
     * same knobs elsewhere (the d73 oracle re-derives candidates from
     * them). Output is placement-independent (spec-pinned identical);
-    * only the shuffle shape differs by regime. */
+    * only the shuffle shape differs by regime. Threshold domain
+    * (−1, 1], as [[recallHeldConfig]] — θ = 1 derives L = 1. */
   def recallHeldNearDupPairs(df: DataFrame, threshold: Double,
                              targetRecall: Double = 0.85, dim: Int = 64,
                              idCol: String = "vec_id", vecCol: String = "embedding",
@@ -293,10 +310,12 @@ object Similarity {
     // re-derives candidates at the same knobs); only RECALL is at
     // stake, which is why this warns instead of failing — and why the
     // guard must not NARROW the operator's domain: collisionProb's
-    // require rejects thresholds outside (-1, 1), but e.g.
-    // threshold = 1.0 (exact-direction duplicates) is legal for the
-    // candidate+verify machinery, so the guard simply skips there.
-    if (threshold > -1.0 && threshold < 1.0) {
+    // require rejects thresholds at/under −1, but θ = −1 (and any
+    // out-of-range caller value) is still legal for the raw
+    // candidate+verify machinery, so the guard simply skips there
+    // (θ = 1 passes through collisionProb with p = 1 and can never
+    // warn — recall is exactly 1 at any L ≥ 1).
+    if (threshold > -1.0 && threshold <= 1.0) {
       val theoreticalRecall =
         1.0 - math.pow(1.0 - math.pow(collisionProb(threshold), bitsPerTable), tables)
       if (theoreticalRecall < 0.5)

@@ -1380,6 +1380,13 @@ object PipelineQueries {
     // scan-local split projection; nothing touches the pair space.
     // The oracle re-derives the closure from exact Jaccard (the d67
     // equivalence on this corpus) and folds the same CRC slots.
+    // CORPUS-COUPLED ORACLE (as d67, deliberately): equality rests on
+    // the measured property that banding recalls every ≥0.5 exact-
+    // Jaccard pair on the gate corpora — d67's spec pins exactly that
+    // equivalence, and this query inherits it. A regenerated corpus
+    // that breaks the gate HERE (and at d67) signals an LSH recall
+    // miss on the new text, not a code bug; the production stance on
+    // recall is d73's recall-held configuration.
     "d75_leakage_safe_split" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -3090,7 +3097,9 @@ object PipelineQueries {
          |FROM ($inner) ORDER BY doc_id""".stripMargin
     },
     // leakage-safe split: exact-Jaccard closure (== the MinHash
-    // candidates' closure on this corpus — the d67 equivalence) names
+    // candidates' closure on this corpus — the d67 equivalence, which
+    // d67's spec pins; a fail here on a REGENERATED corpus is an LSH
+    // recall miss, not a code bug — see the query-side note) names
     // each doc's cluster; the CRC slot fold runs on the CLUSTER key so
     // every member inherits its representative's split
     "d75_leakage_safe_split" -> {

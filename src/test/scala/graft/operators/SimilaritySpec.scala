@@ -194,6 +194,14 @@ class SimilaritySpec extends AnyFunSuite {
     // monotone in band width (finer bands need more tables) and target
     assert(Similarity.tablesForRecall(0.5, 11) > Similarity.tablesForRecall(0.5, 8))
     assert(Similarity.tablesForRecall(0.5, 8, 0.99) > Similarity.tablesForRecall(0.5, 8, 0.85))
+    // the θ = 1 boundary (r12, ADVICE): exact-direction duplicates
+    // collide on every hyperplane (p = 1), so ONE table of any width
+    // holds any recall target — the preset's domain now matches
+    // bandedNearDupPairs' documented acceptance of threshold = 1.0
+    assert(Similarity.collisionProb(1.0) == 1.0)
+    assert(Similarity.tablesForRecall(1.0, 11, 0.99) == 1)
+    // θ = −1 stays rejected: an opposite-direction pair never collides
+    assertThrows[IllegalArgumentException](Similarity.collisionProb(-1.0))
   }
 
   test("recallHeldConfig: three knobs derived together, placement follows the regime") {

@@ -1724,7 +1724,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -2054,6 +2054,18 @@ object PipelineQueries {
   private def streamServeOracle: Map[String, String] =
     streamServeCents.map(c => "s77_stream_ann_serving" ->
       ivfProbeOracleSql(c, qPred = "vec_id < 50")).toMap
+
+  /** s78's centroids — SET by the PRUNED streaming serving query (the
+    * s77 production shape: per-batch driver-side probe selection +
+    * static `__cid IN` index read). Own stash so a filtered Verify of
+    * s78 alone still emits its oracle. The oracle is the plain batch
+    * probe/rank recompute: streaming, micro-batching, and per-batch
+    * pruning must all be answer-invisible. */
+  @volatile private[queries] var prunedServeCents: Option[Array[Array[Double]]] = None
+
+  private def prunedServeOracle: Map[String, String] =
+    prunedServeCents.map(c => "s78_stream_ann_serving_pruned" ->
+      ivfProbeOracleSql(c, qPred = "vec_id < 15")).toMap
 
   /** The fixed text queries served against the curated index
     * (s73/s76) — vocabulary words only, ids disjoint from the chunk

@@ -511,6 +511,24 @@ class PlanChecksSpec extends AnyFunSuite {
       s"static pruning is vacuous: IN sizes $sizes of $nlist partitions")
   }
 
+  test("s78: every serving micro-batch statically prunes the index to its probe union") {
+    // the s77-production claim: per batch, the driver-selected probe
+    // union lands as a static `__cid` In/InSet on the index scan, so
+    // each micro-batch reads ≤ batch·nprobe of nlist lists instead of
+    // the whole index. The ≤ 12 < 16 bound is STRUCTURAL (3 queries ×
+    // nprobe 4 per request file), so this can never pass vacuously.
+    SparkEntry.queries("s78_stream_ann_serving_pruned")(spark, sf).collect()
+    val pins = graft.queries.StreamingQueries.s78BatchPins
+    assert(pins.size == 5, s"expected 5 micro-batches, got ${pins.size}")
+    pins.foreach { case (nq, ncids, inSize, nlist) =>
+      assert(nq == 3, s"request batch should hold 3 queries, got $nq")
+      assert(ncids > 0 && ncids <= nq * 4 && ncids < nlist,
+        s"probe union $ncids of $nlist lists breaks the structural bound")
+      assert(inSize == ncids,
+        s"batch scan's static In/InSet has $inSize elements, probe union $ncids")
+    }
+  }
+
   test("s76: refine tier keeps the pruned scans and broadcasts the shortlist") {
     // both stages (coarse probe AND text re-rank) read ONLY the
     // statically probed lists

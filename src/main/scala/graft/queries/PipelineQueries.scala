@@ -1116,6 +1116,27 @@ object PipelineQueries {
             .otherwise("tail").as("ppl_bucket"))
         .orderBy("doc_id")
     }),
+    // t52's PRODUCTION twin (the r11 verdict's "comment, not a query"
+    // closed): at 100 TB nobody sorts every document per language —
+    // CCNet derives the two cutoffs from a SAMPLE and assigns buckets
+    // scan-side. Here the d41 slot-hash machinery draws a
+    // deterministic 25% sample, each language's tercile cutoffs are
+    // the ACTUAL sample tuples at ranks ⌈ns/3⌉ and ⌈2ns/3⌉ under the
+    // (h_unigram, doc_id) total order — a discrete statistic, NO
+    // interpolation, so the oracle recomputes it bit-for-bit where an
+    // interpolated quantile would differ in the last ulp — and every
+    // document is bucketed by TUPLE comparison against the broadcast
+    // cutoffs (two rows per language). Cost shape: one scan-local
+    // score pass, a sort of the SAMPLE only, one broadcast join — vs
+    // t52's full per-language sort. The buckets differ from t52's
+    // exact terciles by sampling error ~1/√(per-language sample);
+    // CcnetBucketsSpec pins the agreement rate against the t52 ground
+    // truth AND the estimator's consistency (at rate 1.0 the ⌈n/3⌉ /
+    // ⌈2n/3⌉ cutoff ranks coincide with ntile(3)'s group boundaries,
+    // so agreement is exactly 1.0) — the declared-twin pattern of
+    // s76/d55.
+    "t53_ccnet_buckets_sampled" -> ((s, dir) =>
+      ccnetSampledBuckets(s, dir, rate = 0.25)),
     "t43_repetition" -> ((s, dir) => {
       import s.implicits._
       TextAnalysis.repetitionStats(t(s, dir, "documents"))
@@ -1698,6 +1719,43 @@ object PipelineQueries {
       |  UNION
       |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
       |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
+
+  /** t53's body at a caller-chosen sample rate — the declared query
+    * runs rate 0.25; CcnetBucketsSpec sweeps the rate to pin the
+    * estimator's consistency (rate 1.0 ≡ t52's ntile terciles exactly)
+    * and the sampling-error floor at the declared rate. */
+  private[queries] def ccnetSampledBuckets(s: SparkSession, dir: String,
+                                           rate: Double): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val ppl = TextAnalysis.lmUnigramEntropy(docs).select($"doc_id", $"h_unigram")
+    val scored = docs.select($"doc_id", $"lang").join(ppl, Seq("doc_id"))
+    val smp = graft.operators.Sampling.hashSample(
+      scored, concat(lit("ccn:"), $"doc_id"), rate)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"h_unigram", $"doc_id")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+    val ranked = smp.select($"lang", $"h_unigram", $"doc_id")
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("ns", count(lit(1)).over(wAll))
+    // exactly one sample row matches each rank (1 ≤ ⌈ns/3⌉ ≤ ⌈2ns/3⌉
+    // ≤ ns for ns ≥ 1), so the max(when(...)) picks it; a language
+    // entirely missed by the sample has no cuts row at all
+    val cuts = ranked.groupBy($"lang").agg(
+      max(when($"rn" === expr("(ns + 2) div 3"),
+        struct($"h_unigram", $"doc_id"))).as("c1"),
+      max(when($"rn" === expr("(2 * ns + 2) div 3"),
+        struct($"h_unigram", $"doc_id"))).as("c2"))
+    scored.join(broadcast(cuts), Seq("lang"), "left")
+      .select($"doc_id", $"lang", $"h_unigram",
+        when($"c1".isNull, "head")
+          .when($"h_unigram" < $"c1.h_unigram" ||
+            ($"h_unigram" === $"c1.h_unigram" && $"doc_id" <= $"c1.doc_id"), "head")
+          .when($"h_unigram" < $"c2.h_unigram" ||
+            ($"h_unigram" === $"c2.h_unigram" && $"doc_id" <= $"c2.doc_id"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
 
   /** t51/t52's shared unigram-model CTE chain (tokens → corpus MLE
     * unigram counts → per-doc DECIMAL(28,9) log-term sums `hu`). ONE
@@ -2851,6 +2909,37 @@ object PipelineQueries {
          |SELECT doc_id, lang, h_unigram,
          | CASE bk WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
          |FROM b ORDER BY doc_id""".stripMargin,
+    // t53: the same unigram chain, then the SAMPLED cutoffs — the CRC
+    // slot sample (d41 machinery), each language's ⌈ns/3⌉ / ⌈2ns/3⌉
+    // ranked sample TUPLE as the cutoff (discrete — no quantile
+    // interpolation to drift in the last ulp), tuple-compare
+    // assignment. h_unigram is the identical rounded double t51/t52
+    // hash-match, so every comparison is exact on both engines.
+    "t53_ccnet_buckets_sampled" -> {
+      val slotInner = graft.oracle.DuckSql.withSlotNode(
+        "SELECT doc_id, lang, h_unigram, 'ccn:' || doc_id AS key FROM j",
+        Seq("doc_id", "lang", "h_unigram"), Some("slot"), None)
+      s"""WITH $lmUnigramCtes,
+         |pl AS (SELECT doc_id, round(-CAST(s AS DOUBLE) / n, 6) AS h_unigram FROM hu),
+         |j AS (SELECT d.doc_id, d.lang, p.h_unigram
+         | FROM documents d JOIN pl p USING (doc_id)),
+         |r AS (SELECT doc_id, lang, h_unigram,
+         |  row_number() OVER (PARTITION BY lang ORDER BY h_unigram, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY lang) AS ns
+         | FROM ($slotInner) WHERE slot < ${(0.25 * 16384).toInt}),
+         |cuts AS (SELECT lang,
+         |  max(CASE WHEN rn = (ns+2)//3 THEN h_unigram END) AS c1h,
+         |  max(CASE WHEN rn = (ns+2)//3 THEN doc_id END) AS c1i,
+         |  max(CASE WHEN rn = (2*ns+2)//3 THEN h_unigram END) AS c2h,
+         |  max(CASE WHEN rn = (2*ns+2)//3 THEN doc_id END) AS c2i
+         | FROM r GROUP BY lang)
+         |SELECT j.doc_id, j.lang, j.h_unigram,
+         | CASE WHEN c.c1h IS NULL THEN 'head'
+         |      WHEN j.h_unigram < c.c1h OR (j.h_unigram = c.c1h AND j.doc_id <= c.c1i) THEN 'head'
+         |      WHEN j.h_unigram < c.c2h OR (j.h_unigram = c.c2h AND j.doc_id <= c.c2i) THEN 'middle'
+         |      ELSE 'tail' END AS ppl_bucket
+         |FROM j LEFT JOIN cuts c USING (lang) ORDER BY doc_id""".stripMargin
+    },
     "t43_repetition" ->
       s"""WITH b AS (SELECT doc_id, $duckTokens AS toks FROM documents),
          |big AS (SELECT doc_id,

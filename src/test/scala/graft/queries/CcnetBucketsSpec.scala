@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession}
+
+/**
+ * t53 (sampled-cutoff CCNet split) against its t52 ground truth — the
+ * declared-twin pattern (s76 recall, d55): the production form is a
+ * DIFFERENT declared decision (cutoffs from a 25% sample instead of an
+ * exact per-language sort), oracle-checked exactly for what it
+ * declares; this spec pins how close that decision stays to the exact
+ * terciles, so a regression in the sampling or cutoff arithmetic
+ * surfaces as a dropped agreement rate even though both gates stay
+ * green.
+ */
+class CcnetBucketsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def buckets(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.select("doc_id", "ppl_bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("t53's estimator is consistent: at sample rate 1.0 it IS t52's ntile terciles") {
+    // ⌈n/3⌉ / ⌈2n/3⌉ cutoff ranks reproduce ntile(3)'s group sizes for
+    // every n mod 3, so the full-sample cutoffs must agree on EVERY
+    // document — any mismatch is a cutoff-arithmetic bug, not noise
+    Seq(SparkTestSession.sf0001, SparkTestSession.sf001).foreach { sf =>
+      val exact = buckets(SparkEntry.queries("t52_ccnet_buckets")(spark, sf))
+      val full = buckets(PipelineQueries.ccnetSampledBuckets(spark, sf, rate = 1.0))
+      assert(full == exact, s"$sf: rate-1.0 cutoffs diverge from ntile terciles")
+    }
+  }
+
+  test("t53 sampled buckets agree with t52 exact terciles within sampling error") {
+    Seq(SparkTestSession.sf0001, SparkTestSession.sf001).foreach { sf =>
+      val exact = buckets(SparkEntry.queries("t52_ccnet_buckets")(spark, sf))
+      val sampled = buckets(SparkEntry.queries("t53_ccnet_buckets_sampled")(spark, sf))
+      assert(sampled.keySet == exact.keySet,
+        s"$sf: the twins must bucket the same documents")
+      val agree = exact.count { case (id, b) => sampled(id) == b }.toDouble / exact.size
+      info(f"$sf: rate-0.25 agreement $agree%.3f over ${exact.size} docs")
+      // boundary displacement ~1/√(per-language sample): ~125 sampled
+      // docs over a handful of languages at the 500-doc gate corpora —
+      // measured 0.778 (sf0.001) / see info line (sf0.01); 0.70 floors
+      // a real sampling/cutoff regression without pinning noise. At
+      // production scale the per-language sample is large and this
+      // converges to 1 (the consistency test above is the limit case).
+      assert(agree >= 0.70, f"$sf: sampled-vs-exact agreement $agree%.3f below 0.70")
+    }
+  }
+
+  test("t53 plans the production shape: cutoffs broadcast, no full-corpus sort for assignment") {
+    val p = SparkEntry.queries("t53_ccnet_buckets_sampled")(spark, SparkTestSession.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"cutoffs must broadcast for scan-side assignment:\n${p.take(2000)}")
+    // the per-language window (the sort) must run over the slot-FILTERED
+    // sample: the slot predicate sits below the window in the plan
+    assert(p.contains("Window"), p.take(2000))
+    assert(p.contains("cluster_slot"), p.take(2000))
+  }
+}

@@ -13,7 +13,10 @@ import org.apache.spark.sql.SparkSession
  * Env: SPARK_GRAFT_CPUS (local[N], default 32);
  * SPARK_GRAFT_PARTITIONS (spark.sql.shuffle.partitions, default = CPUS —
  * override to measure partition-count effects at a fixed core count,
- * e.g. the SCALING.md sf10 partition-scaled runs).
+ * e.g. the SCALING.md sf10 partition-scaled runs);
+ * SPARK_GRAFT_BROADCAST_MB (optional — raises
+ * autoBroadcastJoinThreshold so the regime-derived d73/d74 placements
+ * select the broadcast-verify form at sf10, as a cluster would).
  */
 object Profile {
   private val Usage =
@@ -38,7 +41,7 @@ object Profile {
     // queries nothing while keeping big shuffles parallel — the
     // "partitions ∝ data" knob the SCALING.md sf10 measurements turn
     val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", parts)
-    val builder = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initParts)
@@ -46,6 +49,15 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+    // SPARK_GRAFT_BROADCAST_MB raises autoBroadcastJoinThreshold (as
+    // LshRecallProbe): the regime-derived placements (d73/d74) read
+    // the session threshold, so measuring the broadcast-verify regime
+    // at sf10 needs the executor-memory-backed value a real cluster
+    // would configure, not local-mode's conservative 10 MB default
+    val builder = sys.env.get("SPARK_GRAFT_BROADCAST_MB")
+      .map(mb => builder0.config("spark.sql.autoBroadcastJoinThreshold",
+        s"${mb.toInt * 1024L * 1024L}"))
+      .getOrElse(builder0)
     // SPARK_GRAFT_STATE_PROVIDER=rocksdb switches the session-default
     // state store (the heap-vs-RocksDB knob for streaming queries that
     // do not force a provider themselves, e.g. s48's GroupState kernel

@@ -15,11 +15,18 @@ import graft.queries.StreamingQueries
  * write disciplines in the same JVM (the r11 fix's A/B): identical
  * output is spec-pinned; this measures the commit-volume difference.
  *
- * Usage: runMain graft.StreamStateProbe <sfDir> [runs] [s70ab]
+ * Usage: runMain graft.StreamStateProbe <sfDir> [runs] [s70ab|s70sparse]
  * `s70ab` runs ONLY the two s70 timer disciplines, INTERLEAVED
  * (disc, naive, disc, naive, …) so neither variant systematically
  * pays the colder cache/compaction state — the same-session pairing
  * discipline SCALING.md requires; read the per-variant MIN.
+ * `s70sparse` runs the same interleaved A/B on the TEN-BATCH
+ * late-arrival hash-split source (the r11 verdict's missing
+ * workload): most deliveries after batch 1 are below-watermark, so
+ * the disciplined kernel's skip path ("no admissible change → zero
+ * writes for that key") is exercised — read the per-batch
+ * numRowsUpdated columns, which the time-ordered replay cannot
+ * separate (there every delivery moves every session).
  * Env (as Profile): SPARK_GRAFT_CPUS, SPARK_GRAFT_PARTITIONS,
  *   SPARK_GRAFT_STATE_PROVIDER (s48/s40 honor the session default;
  *   s68/s70 force RocksDB as the operator requires).
@@ -33,7 +40,8 @@ object StreamStateProbe {
     // must not trip over a missing runs count — and anything beyond
     // ONE runs value fails loudly rather than being silently dropped
     val abOnly = extra.contains("s70ab")
-    val rest = extra.filterNot(_ == "s70ab")
+    val sparseAb = extra.contains("s70sparse")
+    val rest = extra.filterNot(a => a == "s70ab" || a == "s70sparse")
     require(rest.size <= 1,
       s"too many arguments (${rest.mkString(", ")}) — expected at most one [runs]")
     val runs = rest.headOption.map { a =>
@@ -71,23 +79,33 @@ object StreamStateProbe {
       ("s70_NAIVE_timers", "s70_naive_sink",
         () => StreamingQueries.sessionTimersQuery(spark, sfDir, naiveTimers = true).collect()))
 
-    if (abOnly) {
+    if (abOnly || sparseAb) {
       // interleaved A/B: per-iteration (disc, naive) pairs share host
-      // conditions; report each variant's min
+      // conditions; report each variant's min. `s70sparse` runs the
+      // ten-batch late-arrival source and additionally reports the
+      // per-batch numRowsUpdated trail — the skip-path observable.
+      val tag = if (sparseAb) "s70sparse" else "s70"
       val times = scala.collection.mutable.Map(
         "disc" -> List.empty[Double], "naive" -> List.empty[Double])
+      val updated = scala.collection.mutable.Map.empty[String, Seq[Long]]
       (1 to runs).foreach { i =>
         Seq("disc" -> false, "naive" -> true).foreach { case (label, naive) =>
           val t = System.nanoTime()
-          StreamingQueries.sessionTimersQuery(spark, sfDir, naiveTimers = naive).collect()
+          StreamingQueries.sessionTimersQuery(spark, sfDir,
+            naiveTimers = naive, sparse = sparseAb).collect()
           val sec = (System.nanoTime() - t) / 1e9
+          val sink = (if (sparseAb) "s70_sparse" else "s70") +
+            (if (naive) "_naive_sink" else "_sink")
+          updated(label) = StreamingQueries.capturedStateMetrics(sink).map(_._3)
           SessionHygiene.sweep(spark)
           times(label) = times(label) :+ sec
-          println(f"[stateprobe] s70_$label round$i: $sec%.1f s")
+          println(f"[stateprobe] ${tag}_$label round$i: $sec%.1f s")
         }
       }
       Seq("disc", "naive").foreach { l =>
-        println(f"[stateprobe] s70_$l min=${times(l).min}%.1f s all=${times(l).map(t => f"$t%.1f").mkString(",")}")
+        println(f"[stateprobe] ${tag}_$l min=${times(l).min}%.1f s all=${times(l).map(t => f"$t%.1f").mkString(",")}")
+        val u = updated.getOrElse(l, Nil)
+        println(s"[stateprobe] ${tag}_$l numRowsUpdated/batch=${u.mkString(",")} sum=${u.sum}")
       }
       spark.stop()
       return

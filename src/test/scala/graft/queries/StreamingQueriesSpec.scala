@@ -9,6 +9,32 @@ import graft.SparkTestSession
 class StreamingQueriesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  /** The late-arrival sparse source (ten hash-split batches) is the
+    * workload where the disciplined timer kernel's skip path can WIN:
+    * most post-batch-1 deliveries are below-watermark, so "no
+    * admissible change → zero writes for that key". Pin (a) output
+    * equivalence on THIS source too (the r11 equivalence ran on the
+    * time split and a MemoryStream feed) and (b) the observable the
+    * r11 verdict asked for — disciplined state writes strictly below
+    * naive's, per numRowsUpdated, which the time-ordered replay can
+    * never separate because there every delivery moves every session. */
+  test("s70 sparse source: disciplines agree on output; the skip path writes strictly less") {
+    val sf = SparkTestSession.sf001
+    val disc = StreamingQueries.sessionTimersQuery(spark, sf,
+      naiveTimers = false, sparse = true).collect().toSeq
+    val discUpd = StreamingQueries.capturedStateMetrics("s70_sparse_sink").map(_._3)
+    val naive = StreamingQueries.sessionTimersQuery(spark, sf,
+      naiveTimers = true, sparse = true).collect().toSeq
+    val naiveUpd = StreamingQueries.capturedStateMetrics("s70_sparse_naive_sink").map(_._3)
+    assert(disc.nonEmpty && disc.toSet == naive.toSet,
+      s"disciplines diverged on the sparse source: ${disc.size} vs ${naive.size} rows")
+    assert(discUpd.size > 2 && discUpd.size == naiveUpd.size,
+      s"expected the same multi-batch trail, got $discUpd vs $naiveUpd")
+    info(s"numRowsUpdated disc=${discUpd.mkString(",")} naive=${naiveUpd.mkString(",")}")
+    assert(discUpd.sum < naiveUpd.sum,
+      s"skip path should write strictly less: disc=${discUpd.sum} naive=${naiveUpd.sum}")
+  }
+
   /** s52's claim is "cross-batch state merge, driver-checked" — that is
     * only true if the split source really replays in MULTIPLE data
     * micro-batches (a silently-ignored maxFilesPerTrigger would degrade

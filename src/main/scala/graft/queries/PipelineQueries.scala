@@ -1422,6 +1422,40 @@ object PipelineQueries {
         .select($"doc_id", $"cluster", $"split")
         .orderBy("doc_id")
     }),
+    // DOMAIN-MIXTURE RESAMPLE — the data-mixing stage every training
+    // pipeline runs between curation and packing: the corpus's
+    // per-language token mass is rebalanced toward a TARGET mixture
+    // (equal share here) by downsampling the overrepresented
+    // languages. weight_l = min(1, (T/L)/t_l) from one tiny aggregate,
+    // floored onto the 16384-slot grid, and each document is kept by
+    // the same CRC slot hash the whole sampling family uses — so
+    // membership is deterministic, stable under corpus growth for
+    // unchanged weights, and exactly reproducible by the oracle. The
+    // 100 TB shape: one scan-local token count, a languages-sized
+    // aggregate, a broadcast of the mixture table, and a scan-side
+    // filter — no shuffle of the corpus at any point (the final
+    // orderBy is the gate's, not the operator's).
+    "d76_domain_mixture_resample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val toks = docs.select($"doc_id", $"lang",
+        size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+      val byLang = toks.groupBy($"lang").agg(sum($"n_tokens").as("lang_tokens"))
+      val tot = byLang.agg(sum($"lang_tokens").as("total_tokens"),
+        count(lit(1)).as("n_langs"))
+      // fixed association (T / L) / t_l, mirrored in the oracle: IEEE
+      // doubles agree across engines only when the op ORDER does
+      val weights = byLang.crossJoin(broadcast(tot))
+        .select($"lang", floor(
+          least(lit(1.0),
+            $"total_tokens".cast("double") / $"n_langs" / $"lang_tokens".cast("double"))
+            * 16384).cast("int").as("thr"))
+      toks.join(broadcast(weights), Seq("lang"))
+        .where(graft.functions.ClusterHashFunctions
+          .cluster_slot(concat(lit("mix:"), $"doc_id")) < $"thr")
+        .select($"doc_id", $"lang", $"n_tokens")
+        .orderBy("doc_id")
+    }),
     // Incremental corpus merge (upsert): a new crawl batch (updates to
     // every 5th doc, brand-new ids for every 7th) reconciled against
     // the existing corpus with ONE full-outer shuffle join on the key.
@@ -3218,6 +3252,27 @@ object PipelineQueries {
          |      WHEN slot < $testHi THEN 'test'
          |      ELSE 'train' END AS split
          |FROM ($inner) ORDER BY doc_id""".stripMargin
+    },
+    // mixture resample: same token counts, same (T/L)/t_l association
+    // (IEEE doubles agree across engines when the op order does), same
+    // floor onto the slot grid, same CRC membership hash
+    "d76_domain_mixture_resample" -> {
+      val inner = graft.oracle.DuckSql.withSlotNode(
+        "SELECT doc_id, lang, n_tokens, 'mix:' || doc_id AS key FROM tk",
+        Seq("doc_id", "lang", "n_tokens"), Some("slot"), None)
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |  CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents),
+         |bl AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+         |  FROM tk GROUP BY lang),
+         |tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
+         |  count(*) AS n_langs FROM bl),
+         |wt AS (SELECT lang, CAST(floor(
+         |    least(1.0, CAST(total_tokens AS DOUBLE) / n_langs / CAST(lang_tokens AS DOUBLE))
+         |    * 16384) AS INTEGER) AS thr
+         |  FROM bl CROSS JOIN tot)
+         |SELECT s.doc_id, s.lang, s.n_tokens
+         |FROM ($inner) s JOIN wt USING (lang)
+         |WHERE s.slot < wt.thr ORDER BY doc_id""".stripMargin
     },
     "d51_corpus_merge" ->
       """WITH existing AS (

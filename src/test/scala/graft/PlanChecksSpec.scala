@@ -511,6 +511,16 @@ class PlanChecksSpec extends AnyFunSuite {
       s"static pruning is vacuous: IN sizes $sizes of $nlist partitions")
   }
 
+  test("d76: mixture resample broadcasts the weights; the corpus is never shuffled for the join") {
+    // the 100 TB shape this query declares: languages-sized mixture
+    // table broadcast back onto the scan, corpus rows never exchanged
+    // for the join (the only exchanges are the tiny aggregates and the
+    // gate's output ordering)
+    val p = plan("d76_domain_mixture_resample")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the mixture join:\n${p.take(2000)}")
+  }
+
   test("s78: every serving micro-batch statically prunes the index to its probe union") {
     // the s77-production claim: per batch, the driver-selected probe
     // union lands as a static `__cid` In/InSet on the index scan, so

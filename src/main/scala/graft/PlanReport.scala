@@ -121,6 +121,10 @@ object PlanReport {
       "the composed LLM-data arc — curate -> index -> serve: d68's seven-stage MinHash curation feeds the one-pass hashing-trick featurizer; the surviving chunk vectors are k-means-trained and persisted as a hive-partitioned IVF index digest-chained to the curation input (s60's export machinery over the curation OUTPUT); serving probes the first docs' surviving chunks with dynamic partition pruning skipping every unprobed list directory",
     "t52_ccnet_buckets" ->
       "the CCNet head/middle/tail split: t51's unigram cross-entropy feeds ntile(3) per language under a (score, doc_id) total order — one shuffle on lang + per-language sort; the production form at 100 TB derives the two cutoffs from a sample (a75's machinery) and assigns buckets scan-side against broadcast thresholds, with this exact form as its ground truth",
+    "t53_ccnet_buckets_sampled" ->
+      "t52's production form: the two cutoffs per language are DISCRETE rank statistics of a 25% slot-hash sample (the window sorts only the sample — cluster_slot sits below it in the plan), broadcast back (languages x 2 tuples) and applied by scan-side tuple comparison; no full-corpus sort anywhere, and the discrete cutoffs (no interpolation) are what lets the oracle recompute the decision bit-for-bit",
+    "d76_domain_mixture_resample" ->
+      "domain-mixture resample (the data-mixing stage between curation and packing): per-language token mass from one scan-local count + languages-sized aggregate; weights min(1,(T/L)/t_l) floored onto the slot grid broadcast back; membership is the family CRC slot hash evaluated scan-side — the corpus crosses no exchange for the join (BroadcastHashJoin pinned, no SortMergeJoin)",
     "t51_lm_perplexity" ->
       "CCNet-style LM perplexity scoring: the unigram table is vocabulary-sized and broadcasts; the observed-bigram table grows with corpus content and joins as the planner chooses (broadcast here, a model-keyed hash join at 100 TB — never pair-keyed); per-token log2 terms round to 9 dp and sum as DECIMAL(28,9), so the per-doc mean is order-independent and the oracle's from-scratch model rebuild hash-matches",
     "d72_embed_decontam" ->
@@ -149,7 +153,7 @@ object PlanReport {
     * (query, sink, note). */
   val streamingSections: Seq[(String, String, String)] = Seq(
     ("s77_stream_ann_serving", "s77_sink",
-      "online ANN serving: query vectors arrive as a STREAM, the persisted IVF index is the static side — per batch, queries probe-assign via the centroid expressions (scan-stage literals), stream-static hash join on the list id, and the bounded TopKAgg keeps k rows of aggregation state per query (never the candidate stream); the oracle is the batch probe/rank recompute — streaming must not change the answer"),
+      "online ANN serving: query vectors arrive as a STREAM, the persisted IVF index is the static side — per batch, queries probe-assign via the centroid expressions (scan-stage literals), stream-static hash join on the list id, and the bounded TopKAgg keeps k rows of aggregation state per query (never the candidate stream); the oracle is the batch probe/rank recompute — streaming must not change the answer. NOTE: this topology rescans the WHOLE index per micro-batch (no cid pushdown from a stream side); s78 is the pruned production shape — its per-batch plans exist only inside foreachBatch, so the evidence is the programmatic pin (PlanChecksSpec s78: every batch's index scan carries a static __cid InSet equal to the driver-selected probe union, <= batch*nprobe of nlist)"),
     ("s68_stream_transitions", "s68_sink",
       "transformWithState delta transition counting: TransformWithStateExec over the RocksDB provider; per-user last-event ValueState bridges micro-batches, each batch emits delta counts"),
     ("s69_stream_semi_join", "s69_sink",

@@ -1456,6 +1456,43 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"n_tokens")
         .orderBy("doc_id")
     }),
+    // MIXTURE EPOCHS — d76's UPSAMPLING counterpart: an equal-token
+    // target reached by REPEATING under-represented languages instead
+    // of only cutting the overrepresented ones (how real mixtures hit
+    // a target without discarding scarce data). weight_l = (T/L)/t_l
+    // uncapped, clamped at 4 epochs (the standard guard against
+    // degenerate repetition); each document emits ⌊w⌋ full epochs plus
+    // one more when its CRC slot clears the fractional threshold —
+    // which subsumes d76's downsample as the w<1 case (⌊w⌋=0 and the
+    // fraction decides membership). Emitting (doc_id, epoch) is the
+    // LOGICAL form; at 100 TB the copies materialize only at pack
+    // time (an epoch column through Packing.greedyPack), so the
+    // replication costs one int per copy, not a corpus rewrite. Same
+    // broadcast-mixture plan shape as d76 — the corpus crosses no
+    // exchange for the join.
+    "d77_mixture_epochs" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val toks = docs.select($"doc_id", $"lang",
+        size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+      val byLang = toks.groupBy($"lang").agg(sum($"n_tokens").as("lang_tokens"))
+      val tot = byLang.agg(sum($"lang_tokens").as("total_tokens"),
+        count(lit(1)).as("n_langs"))
+      val weights = byLang.crossJoin(broadcast(tot))
+        .select($"lang", least(lit(4.0),
+          $"total_tokens".cast("double") / $"n_langs" / $"lang_tokens".cast("double"))
+          .as("w"))
+        .select($"lang", floor($"w").cast("int").as("full"),
+          floor(($"w" - floor($"w")) * 16384).cast("int").as("fthr"))
+      toks.join(broadcast(weights), Seq("lang"))
+        .withColumn("n_copies", $"full" +
+          when(graft.functions.ClusterHashFunctions
+            .cluster_slot(concat(lit("ep:"), $"doc_id")) < $"fthr", 1).otherwise(0))
+        .where($"n_copies" >= 1)
+        .select($"doc_id", $"lang",
+          explode(sequence(lit(1), $"n_copies")).as("epoch"))
+        .orderBy("doc_id", "epoch")
+    }),
     // Incremental corpus merge (upsert): a new crawl batch (updates to
     // every 5th doc, brand-new ids for every 7th) reconciled against
     // the existing corpus with ONE full-outer shuffle join on the key.
@@ -3273,6 +3310,31 @@ object PipelineQueries {
          |SELECT s.doc_id, s.lang, s.n_tokens
          |FROM ($inner) s JOIN wt USING (lang)
          |WHERE s.slot < wt.thr ORDER BY doc_id""".stripMargin
+    },
+    // mixture epochs: same weight arithmetic uncapped-then-clamped at
+    // 4.0; full epochs from floor(w), the fractional epoch from the
+    // CRC slot vs floor(frac·16384); generate_series(1, 0) is empty
+    // in DuckDB (as the Spark side's n_copies >= 1 filter), so w < 1
+    // degenerates to d76's membership decision
+    "d77_mixture_epochs" -> {
+      val inner = graft.oracle.DuckSql.withSlotNode(
+        "SELECT doc_id, lang, 'ep:' || doc_id AS key FROM tk",
+        Seq("doc_id", "lang"), Some("slot"), None)
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |  CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents),
+         |bl AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+         |  FROM tk GROUP BY lang),
+         |tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
+         |  count(*) AS n_langs FROM bl),
+         |wt AS (SELECT lang, CAST(floor(w) AS INTEGER) AS ful,
+         |  CAST(floor((w - floor(w)) * 16384) AS INTEGER) AS fthr
+         |  FROM (SELECT lang, least(CAST(4.0 AS DOUBLE),
+         |    CAST(total_tokens AS DOUBLE) / n_langs / CAST(lang_tokens AS DOUBLE)) AS w
+         |   FROM bl CROSS JOIN tot))
+         |SELECT doc_id, lang, CAST(unnest(generate_series(1,
+         |  ful + CASE WHEN slot < fthr THEN 1 ELSE 0 END)) AS INTEGER) AS epoch
+         |FROM ($inner) s JOIN wt USING (lang)
+         |ORDER BY doc_id, epoch""".stripMargin
     },
     "d51_corpus_merge" ->
       """WITH existing AS (

@@ -516,9 +516,12 @@ class PlanChecksSpec extends AnyFunSuite {
     // table broadcast back onto the scan, corpus rows never exchanged
     // for the join (the only exchanges are the tiny aggregates and the
     // gate's output ordering)
-    val p = plan("d76_domain_mixture_resample")
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
-    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the mixture join:\n${p.take(2000)}")
+    Seq("d76_domain_mixture_resample", "d77_mixture_epochs").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: ${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: corpus shuffled for the mixture join:\n${p.take(2000)}")
+    }
   }
 
   test("s78: every serving micro-batch statically prunes the index to its probe union") {

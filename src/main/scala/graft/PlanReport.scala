@@ -124,7 +124,9 @@ object PlanReport {
     "t53_ccnet_buckets_sampled" ->
       "t52's production form: the two cutoffs per language are DISCRETE rank statistics of a 25% slot-hash sample (the window sorts only the sample — cluster_slot sits below it in the plan), broadcast back (languages x 2 tuples) and applied by scan-side tuple comparison; no full-corpus sort anywhere, and the discrete cutoffs (no interpolation) are what lets the oracle recompute the decision bit-for-bit",
     "d76_domain_mixture_resample" ->
-      "domain-mixture resample (the data-mixing stage between curation and packing): per-language token mass from one scan-local count + languages-sized aggregate; weights min(1,(T/L)/t_l) floored onto the slot grid broadcast back; membership is the family CRC slot hash evaluated scan-side — the corpus crosses no exchange for the join (BroadcastHashJoin pinned, no SortMergeJoin)",
+      "domain-mixture resample (the data-mixing stage between curation and packing): per-language token mass from one scan-local count + languages-sized aggregate; weights min(1,(T/L)/t_l) floored onto the slot grid broadcast back; membership is the family CRC slot hash evaluated scan-side — the corpus crosses no exchange for the join (BroadcastHashJoin pinned, no SortMergeJoin; null-safe stratum keys, so a failed-language-ID population meets its own weight)",
+    "d77_mixture_epochs" ->
+      "mixture EPOCHS — d76's upsampling counterpart and the one round-12 query that MULTIPLIES rows: the uncapped weight clamped at 4 epochs splits into floor(w) whole copies + a fractional-epoch slot test; explode(sequence(1, n_copies)) runs scan-side AFTER the broadcast weight join, so the row multiplication never crosses an exchange and the (doc_id, epoch) logical form defers physical copies to pack time",
     "t51_lm_perplexity" ->
       "CCNet-style LM perplexity scoring: the unigram table is vocabulary-sized and broadcasts; the observed-bigram table grows with corpus content and joins as the planner chooses (broadcast here, a model-keyed hash join at 100 TB — never pair-keyed); per-token log2 terms round to 9 dp and sum as DECIMAL(28,9), so the per-doc mean is order-independent and the oracle's from-scratch model rebuild hash-matches",
     "d72_embed_decontam" ->

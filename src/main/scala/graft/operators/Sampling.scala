@@ -130,4 +130,69 @@ object Sampling {
       .where(cluster_slot(key) < col("__thr"))
       .drop("__thr").drop(thresh(langCol))
   }
+
+  /** Shared weight stage of the MIXTURE family (d76/d77): per-stratum
+    * w = min(cap, (T/L)/t_s) toward an EQUAL-share target over the L
+    * observed strata. NULL is its own stratum — groupBy keeps it and
+    * the null-safe joins below honor it, so rows with a failed
+    * language ID meet their own weight instead of silently vanishing
+    * (the same rule [[temperatureSample]] pins). The (T/L)/t
+    * association is FIXED: the DuckDB oracles mirror the op order, so
+    * the IEEE doubles agree across engines bit-for-bit. */
+  private def mixtureWeights(df: DataFrame, stratumCol: String,
+                             weightCol: String, cap: Double): DataFrame = {
+    // distinct-case names collide under Spark's case-insensitive
+    // resolver, so the stratum/total masses get fully distinct names
+    val by = df.groupBy(col(stratumCol)).agg(sum(col(weightCol)).as("__sm"))
+    val tot = by.agg(sum(col("__sm")).as("__tm"), count(lit(1)).as("__ns"))
+    by.crossJoin(broadcast(tot))
+      .select(col(stratumCol),
+        least(lit(cap),
+          col("__tm").cast("double") / col("__ns") / col("__sm").cast("double")).as("__w"))
+  }
+
+  /**
+   * Domain-mixture RESAMPLE (downsample-only, d76): keep each row of an
+   * overrepresented stratum with probability w = min(1, (T/L)/t_s),
+   * decided by the deterministic slot hash of `key` against
+   * floor(w·16384) — membership is append-stable, engine-portable, and
+   * scan-side (the strata-sized threshold table broadcasts; the corpus
+   * crosses no exchange for the join). Equal-share target: at w = 1/L
+   * the floored threshold stays ≥ 1 slot for any L ≤ 8192 strata, so
+   * unlike extreme temperature ratios no saturation guard is needed —
+   * the equal-share w is bounded below by 1/L by construction.
+   */
+  def mixtureResample(df: DataFrame, stratumCol: String, weightCol: String,
+                      key: Column): DataFrame = {
+    val wt = mixtureWeights(df, stratumCol, weightCol, cap = 1.0)
+      .select(col(stratumCol), floor(col("__w") * Slots).cast("int").as("__thr"))
+    df.join(broadcast(wt), df(stratumCol) <=> wt(stratumCol))
+      .where(cluster_slot(key) < col("__thr"))
+      .drop("__thr").drop(wt(stratumCol))
+  }
+
+  /**
+   * Mixture EPOCHS (up- and downsampling in one rule, d77): each row
+   * emits ⌊w⌋ whole epochs plus one fractional epoch when its slot
+   * hash clears floor(frac(w)·16384), with w = min(maxEpochs, (T/L)/t_s)
+   * — the "repeat scarce domains up to N epochs" mixture. w < 1
+   * degenerates to [[mixtureResample]]'s membership decision (zero
+   * whole epochs, the fraction decides). The (row, epoch) output is
+   * the LOGICAL form: physical copies materialize only at pack time,
+   * so replication costs one int per copy, never a corpus rewrite.
+   */
+  def mixtureEpochs(df: DataFrame, stratumCol: String, weightCol: String,
+                    key: Column, maxEpochs: Double = 4.0,
+                    epochCol: String = "epoch"): DataFrame = {
+    require(maxEpochs >= 1.0, s"maxEpochs must be >= 1, got $maxEpochs")
+    val wt = mixtureWeights(df, stratumCol, weightCol, cap = maxEpochs)
+      .select(col(stratumCol), floor(col("__w")).cast("int").as("__full"),
+        floor((col("__w") - floor(col("__w"))) * Slots).cast("int").as("__fthr"))
+    df.join(broadcast(wt), df(stratumCol) <=> wt(stratumCol))
+      .withColumn("__nc", col("__full") +
+        when(cluster_slot(key) < col("__fthr"), 1).otherwise(0))
+      .where(col("__nc") >= 1)
+      .withColumn(epochCol, explode(sequence(lit(1), col("__nc"))))
+      .drop("__full", "__fthr", "__nc").drop(wt(stratumCol))
+  }
 }

@@ -1440,19 +1440,8 @@ object PipelineQueries {
       val docs = t(s, dir, "documents")
       val toks = docs.select($"doc_id", $"lang",
         size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
-      val byLang = toks.groupBy($"lang").agg(sum($"n_tokens").as("lang_tokens"))
-      val tot = byLang.agg(sum($"lang_tokens").as("total_tokens"),
-        count(lit(1)).as("n_langs"))
-      // fixed association (T / L) / t_l, mirrored in the oracle: IEEE
-      // doubles agree across engines only when the op ORDER does
-      val weights = byLang.crossJoin(broadcast(tot))
-        .select($"lang", floor(
-          least(lit(1.0),
-            $"total_tokens".cast("double") / $"n_langs" / $"lang_tokens".cast("double"))
-            * 16384).cast("int").as("thr"))
-      toks.join(broadcast(weights), Seq("lang"))
-        .where(graft.functions.ClusterHashFunctions
-          .cluster_slot(concat(lit("mix:"), $"doc_id")) < $"thr")
+      graft.operators.Sampling.mixtureResample(toks, "lang", "n_tokens",
+          concat(lit("mix:"), $"doc_id"))
         .select($"doc_id", $"lang", $"n_tokens")
         .orderBy("doc_id")
     }),
@@ -1462,7 +1451,8 @@ object PipelineQueries {
     // a target without discarding scarce data). weight_l = (T/L)/t_l
     // uncapped, clamped at 4 epochs (the standard guard against
     // degenerate repetition); each document emits ⌊w⌋ full epochs plus
-    // one more when its CRC slot clears the fractional threshold —
+    // one more when its CRC slot clears the fractional threshold
+    // (Sampling.mixtureEpochs — null-safe stratum join as d76) —
     // which subsumes d76's downsample as the w<1 case (⌊w⌋=0 and the
     // fraction decides membership). Emitting (doc_id, epoch) is the
     // LOGICAL form; at 100 TB the copies materialize only at pack
@@ -1475,22 +1465,9 @@ object PipelineQueries {
       val docs = t(s, dir, "documents")
       val toks = docs.select($"doc_id", $"lang",
         size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
-      val byLang = toks.groupBy($"lang").agg(sum($"n_tokens").as("lang_tokens"))
-      val tot = byLang.agg(sum($"lang_tokens").as("total_tokens"),
-        count(lit(1)).as("n_langs"))
-      val weights = byLang.crossJoin(broadcast(tot))
-        .select($"lang", least(lit(4.0),
-          $"total_tokens".cast("double") / $"n_langs" / $"lang_tokens".cast("double"))
-          .as("w"))
-        .select($"lang", floor($"w").cast("int").as("full"),
-          floor(($"w" - floor($"w")) * 16384).cast("int").as("fthr"))
-      toks.join(broadcast(weights), Seq("lang"))
-        .withColumn("n_copies", $"full" +
-          when(graft.functions.ClusterHashFunctions
-            .cluster_slot(concat(lit("ep:"), $"doc_id")) < $"fthr", 1).otherwise(0))
-        .where($"n_copies" >= 1)
-        .select($"doc_id", $"lang",
-          explode(sequence(lit(1), $"n_copies")).as("epoch"))
+      graft.operators.Sampling.mixtureEpochs(toks, "lang", "n_tokens",
+          concat(lit("ep:"), $"doc_id"), maxEpochs = 4.0)
+        .select($"doc_id", $"lang", $"epoch")
         .orderBy("doc_id", "epoch")
     }),
     // Incremental corpus merge (upsert): a new crawl batch (updates to
@@ -3292,7 +3269,9 @@ object PipelineQueries {
     },
     // mixture resample: same token counts, same (T/L)/t_l association
     // (IEEE doubles agree across engines when the op order does), same
-    // floor onto the slot grid, same CRC membership hash
+    // floor onto the slot grid, same CRC membership hash; the join is
+    // null-safe on BOTH sides (IS NOT DISTINCT FROM here, <=> in
+    // Sampling.mixtureResample) so a NULL-lang corpus cannot diverge
     "d76_domain_mixture_resample" -> {
       val inner = graft.oracle.DuckSql.withSlotNode(
         "SELECT doc_id, lang, n_tokens, 'mix:' || doc_id AS key FROM tk",
@@ -3308,7 +3287,7 @@ object PipelineQueries {
          |    * 16384) AS INTEGER) AS thr
          |  FROM bl CROSS JOIN tot)
          |SELECT s.doc_id, s.lang, s.n_tokens
-         |FROM ($inner) s JOIN wt USING (lang)
+         |FROM ($inner) s JOIN wt ON s.lang IS NOT DISTINCT FROM wt.lang
          |WHERE s.slot < wt.thr ORDER BY doc_id""".stripMargin
     },
     // mixture epochs: same weight arithmetic uncapped-then-clamped at
@@ -3331,9 +3310,9 @@ object PipelineQueries {
          |  FROM (SELECT lang, least(CAST(4.0 AS DOUBLE),
          |    CAST(total_tokens AS DOUBLE) / n_langs / CAST(lang_tokens AS DOUBLE)) AS w
          |   FROM bl CROSS JOIN tot))
-         |SELECT doc_id, lang, CAST(unnest(generate_series(1,
-         |  ful + CASE WHEN slot < fthr THEN 1 ELSE 0 END)) AS INTEGER) AS epoch
-         |FROM ($inner) s JOIN wt USING (lang)
+         |SELECT s.doc_id, s.lang AS lang, CAST(unnest(generate_series(1,
+         |  ful + CASE WHEN s.slot < fthr THEN 1 ELSE 0 END)) AS INTEGER) AS epoch
+         |FROM ($inner) s JOIN wt ON s.lang IS NOT DISTINCT FROM wt.lang
          |ORDER BY doc_id, epoch""".stripMargin
     },
     "d51_corpus_merge" ->

@@ -122,4 +122,33 @@ class SamplingSpec extends AnyFunSuite {
       assert(err <= 0.15, f"quantile $i off by $err%.3f of range")
     }
   }
+
+  test("mixture family: NULL stratum meets its own weight instead of vanishing") {
+    // the temperatureSample rule, pinned on the mixture operators too
+    // (the r12 review's finding): rows with a failed language ID form
+    // their own stratum — a plain equi-join would drop every one of
+    // them while their weight still shaped the target arithmetic
+    val rows = (0L until 300L).map { i =>
+      val lang = if (i % 3 == 0) null else if (i % 3 == 1) "en" else "de"
+      (i, lang, 10L)
+    }.toDF("doc_id", "lang", "n_tokens")
+    val key = concat(lit("mx:"), $"doc_id")
+    val kept = Sampling.mixtureResample(rows, "lang", "n_tokens", key)
+    val keptNull = kept.where($"lang".isNull).count()
+    // three equal-mass strata → every weight is exactly 1.0, so ALL
+    // rows (including the 100 NULL-lang ones) must survive
+    assert(kept.count() == 300 && keptNull == 100,
+      s"NULL stratum lost rows: total ${kept.count()}, null $keptNull")
+    val ep = Sampling.mixtureEpochs(rows, "lang", "n_tokens", key)
+    assert(ep.where($"lang".isNull).select("doc_id").distinct().count() == 100,
+      "NULL stratum vanished from the epochs output")
+    // and a skewed mass: NULL overrepresented → downsampled, not dropped
+    val skew = (0L until 300L).map { i =>
+      (i, if (i < 200) null else "en", 10L)
+    }.toDF("doc_id", "lang", "n_tokens")
+    val keptSkew = Sampling.mixtureResample(skew, "lang", "n_tokens", key)
+      .where($"lang".isNull).count()
+    assert(keptSkew > 0 && keptSkew < 200,
+      s"overrepresented NULL stratum should thin, not vanish/persist: $keptSkew")
+  }
 }

@@ -56,8 +56,17 @@ class CcnetBucketsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"cutoffs must broadcast for scan-side assignment:\n${p.take(2000)}")
     // the per-language window (the sort) must run over the slot-FILTERED
-    // sample: the slot predicate sits below the window in the plan
-    assert(p.contains("Window"), p.take(2000))
-    assert(p.contains("cluster_slot"), p.take(2000))
+    // sample — STRUCTURALLY: in the rendered tree children print after
+    // their parent, so the cluster_slot filter line must come below the
+    // Window line (a refactor that ranked the full corpus and filtered
+    // afterwards would print the filter above it and still contain both
+    // substrings — the r12 review's finding on the old presence check)
+    val lines = p.linesIterator.toVector
+    val iWin = lines.indexWhere(_.contains("Window"))
+    val iSlot = lines.indexWhere(_.contains("cluster_slot"))
+    assert(iWin >= 0 && iSlot >= 0, p.take(2000))
+    assert(iSlot > iWin,
+      s"slot filter (line $iSlot) must feed the window (line $iWin) — " +
+        s"the sort must cover only the sample:\n${p.take(2000)}")
   }
 }

@@ -31,7 +31,9 @@ object IvfNlistProbe {
     val sfDir = args(0)
     val nlists = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(16, 32, 64, 128))
-    require(nlists.forall(_ >= 1), s"nlists must be positive: $nlists")
+    // nprobe=4 below: an nlist under that makes the probed fraction
+    // (and the printed "theoretical 4/nl") meaningless — reject loudly
+    require(nlists.forall(_ >= 4), s"nlists must be >= nprobe=4: $nlists")
     val runs = args.lift(2).map(_.toInt).getOrElse(2)
     require(runs >= 1, s"runs must be >= 1, got $runs")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,7 +53,12 @@ object IvfNlistProbe {
     // the sweep compares assignment/serve arithmetic, not disk
     emb.persist(); val n = emb.count()
     val queries = emb.where(col("vec_id") < 5)
-    println(s"[nlistprobe] corpus n=$n queries=5 nprobe=4")
+    // COUNT the query set rather than assuming vec_ids start at 0 —
+    // the fraction below divides by it, and a silent shortfall would
+    // put a wrong number into SCALING.md
+    val nq = queries.count()
+    require(nq > 0, s"no query vectors with vec_id < 5 in $sfDir")
+    println(s"[nlistprobe] corpus n=$n queries=$nq nprobe=4")
 
     nlists.foreach { nl =>
       val t0 = System.nanoTime()
@@ -74,7 +81,7 @@ object IvfNlistProbe {
         serveMin = math.min(serveMin, (System.nanoTime() - t2) / 1e9)
       }
       assigned.unpersist()
-      val frac = cands.toDouble / (5.0 * n)
+      val frac = cands.toDouble / (nq.toDouble * n)
       println(f"[nlistprobe] nlist=$nl%4d train=$trainSec%.1f s build=$buildSec%.1f s " +
         f"serve(min)=$serveMin%.1f s candidates=$cands%d " +
         f"fraction=$frac%.4f (theoretical ${4.0 / nl}%.4f)")

@@ -41,6 +41,8 @@ object StreamStateProbe {
     // ONE runs value fails loudly rather than being silently dropped
     val abOnly = extra.contains("s70ab")
     val sparseAb = extra.contains("s70sparse")
+    require(!(abOnly && sparseAb),
+      "s70ab and s70sparse are exclusive modes — run the probe twice")
     val rest = extra.filterNot(a => a == "s70ab" || a == "s70sparse")
     require(rest.size <= 1,
       s"too many arguments (${rest.mkString(", ")}) — expected at most one [runs]")
@@ -94,8 +96,7 @@ object StreamStateProbe {
           StreamingQueries.sessionTimersQuery(spark, sfDir,
             naiveTimers = naive, sparse = sparseAb).collect()
           val sec = (System.nanoTime() - t) / 1e9
-          val sink = (if (sparseAb) "s70_sparse" else "s70") +
-            (if (naive) "_naive_sink" else "_sink")
+          val sink = StreamingQueries.sessionTimersSink(naive, sparseAb)
           updated(label) = StreamingQueries.capturedStateMetrics(sink).map(_._3)
           SessionHygiene.sweep(spark)
           times(label) = times(label) :+ sec

@@ -1773,9 +1773,15 @@ object PipelineQueries {
     * estimator's consistency (rate 1.0 ≡ t52's ntile terciles exactly)
     * and the sampling-error floor at the declared rate. */
   private[queries] def ccnetSampledBuckets(s: SparkSession, dir: String,
-                                           rate: Double): DataFrame = {
+                                           rate: Double): DataFrame =
+    ccnetSampledBucketsOf(s, t(s, dir, "documents"), rate)
+
+  /** [[ccnetSampledBuckets]] over a caller-supplied corpus — split out
+    * so CcnetBucketsSpec can drive the NULL-lang stratum (absent from
+    * the gate corpora) with synthetic rows. */
+  private[queries] def ccnetSampledBucketsOf(s: SparkSession, docs: DataFrame,
+                                             rate: Double): DataFrame = {
     import s.implicits._
-    val docs = t(s, dir, "documents")
     val ppl = TextAnalysis.lmUnigramEntropy(docs).select($"doc_id", $"h_unigram")
     val scored = docs.select($"doc_id", $"lang").join(ppl, Seq("doc_id"))
     val smp = graft.operators.Sampling.hashSample(
@@ -1794,7 +1800,12 @@ object PipelineQueries {
         struct($"h_unigram", $"doc_id"))).as("c1"),
       max(when($"rn" === expr("(2 * ns + 2) div 3"),
         struct($"h_unigram", $"doc_id"))).as("c2"))
-    scored.join(broadcast(cuts), Seq("lang"), "left")
+    // null-safe on lang: a NULL-lang stratum forms its own window
+    // partition above, so its cuts row must reach it (the d76/d77
+    // null-stratum discipline — an equi-join would silently bucket
+    // every NULL-lang doc 'head' while t52 terciles them)
+    scored.join(broadcast(cuts.withColumnRenamed("lang", "__cutlang")),
+        $"lang" <=> $"__cutlang", "left")
       .select($"doc_id", $"lang", $"h_unigram",
         when($"c1".isNull, "head")
           .when($"h_unigram" < $"c1.h_unigram" ||
@@ -2986,7 +2997,8 @@ object PipelineQueries {
          |      WHEN j.h_unigram < c.c1h OR (j.h_unigram = c.c1h AND j.doc_id <= c.c1i) THEN 'head'
          |      WHEN j.h_unigram < c.c2h OR (j.h_unigram = c.c2h AND j.doc_id <= c.c2i) THEN 'middle'
          |      ELSE 'tail' END AS ppl_bucket
-         |FROM j LEFT JOIN cuts c USING (lang) ORDER BY doc_id""".stripMargin
+         |FROM j LEFT JOIN cuts c ON j.lang IS NOT DISTINCT FROM c.lang
+         |ORDER BY doc_id""".stripMargin
     },
     "t43_repetition" ->
       s"""WITH b AS (SELECT doc_id, $duckTokens AS toks FROM documents),

@@ -84,7 +84,9 @@ object StreamingQueries {
    */
   def ensureServeRequestExport(s: SparkSession, dir: String): String = {
     val out = RelationalQueries.dataRoot("serve-req", dir, "emb")
-    val want = RelationalQueries.srcDigest(dir, "embeddings")
+    // layout salt per the curated-index discipline: changing the
+    // 5×3 grouping must invalidate old exports, not silently serve them
+    val want = RelationalQueries.srcDigest(dir, "embeddings") + ":serve-req-5x3-v1"
     if (RelationalQueries.staleDigest(out, want)) {
       val emb = s.read.parquet(s"$dir/embeddings.parquet").where(col("vec_id") < 15)
       (0 until 5).foreach { i =>
@@ -135,7 +137,10 @@ object StreamingQueries {
    */
   def ensureHashSplitEvents(s: SparkSession, dir: String, splits: Int = 10): String = {
     val out = RelationalQueries.dataRoot("events-hashsplit", dir, "events")
-    val want = RelationalQueries.srcDigest(dir, "events")
+    // the splits count IS the layout: a changed default must invalidate
+    // the export (stale r<k> dirs would otherwise keep replaying via
+    // the /*/part* glob) — so it goes into the freshness marker
+    val want = RelationalQueries.srcDigest(dir, "events") + s":hashsplit-$splits-v1"
     if (RelationalQueries.staleDigest(out, want)) {
       val ev = graft.sources.Tables.load(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -202,9 +207,8 @@ object StreamingQueries {
         .transformWithState(new EventStreams.SessionProcessor(30 * 60000L, naiveTimers),
           org.apache.spark.sql.streaming.TimeMode.EventTime(),
           OutputMode.Append())
-      val sink = (if (sparse) "s70_sparse" else "s70") +
-        (if (naiveTimers) "_naive_sink" else "_sink")
-      runToTable(s, sess.toDF(), OutputMode.Append(), sink)
+      runToTable(s, sess.toDF(), OutputMode.Append(),
+          sessionTimersSink(naiveTimers, sparse))
         .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"))
         .orderBy("user_id", "start_ts")
     } finally prev match {
@@ -212,6 +216,13 @@ object StreamingQueries {
       case None    => s.conf.unset(key)
     }
   }
+
+  /** The s70 A/B sink name — ONE definition shared with
+    * StreamStateProbe's metric lookup, so a rename cannot silently turn
+    * the probe's captured numRowsUpdated trail into an empty list. */
+  private[graft] def sessionTimersSink(naiveTimers: Boolean, sparse: Boolean): String =
+    (if (sparse) "s70_sparse" else "s70") +
+      (if (naiveTimers) "_naive_sink" else "_sink")
 
   private def runToTable(s: SparkSession, df: DataFrame,
                          mode: OutputMode, name: String,

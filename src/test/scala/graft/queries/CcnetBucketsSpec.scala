@@ -50,6 +50,35 @@ class CcnetBucketsSpec extends AnyFunSuite {
     }
   }
 
+  test("a NULL-lang stratum terciles like any other language (null-safe cuts join)") {
+    // absent from the gate corpora, so driven synthetically: NULL lang
+    // forms its own window partition, and the cuts row it produces must
+    // reach it through the assignment join — an equi-join would bucket
+    // every NULL-lang doc 'head' (the d76/d77 null-stratum discipline)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 9L).map { i =>
+      val lang = if (i <= 6) null else "en"
+      // distinct entropies per doc: vary the token mix
+      val text = (Seq.fill(i.toInt)("alpha") ++ Seq.fill(10 - i.toInt)("beta" + i))
+        .mkString(" ")
+      (i, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val got = buckets(PipelineQueries.ccnetSampledBucketsOf(spark, docs, rate = 1.0))
+    val exact = PipelineQueries.ccnetSampledBucketsOf(spark, docs, rate = 1.0)
+      .select("doc_id", "lang", "h_unigram")
+    // expected = the t52 rule (ntile(3) per lang partition, NULLs too)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"h_unigram", $"doc_id")
+    val want = exact.withColumn("bk", ntile(3).over(w))
+      .select($"doc_id", when($"bk" === 1, "head")
+        .when($"bk" === 2, "middle").otherwise("tail").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want, s"NULL-lang stratum diverges from its terciles: $got vs $want")
+    // and the failure mode the fix closes: not every NULL-lang doc 'head'
+    assert(got.filter(_._1 <= 6).values.toSet == Set("head", "middle", "tail"))
+  }
+
   test("t53 plans the production shape: cutoffs broadcast, no full-corpus sort for assignment") {
     val p = SparkEntry.queries("t53_ccnet_buckets_sampled")(spark, SparkTestSession.sf0001)
       .queryExecution.executedPlan.toString

@@ -1470,6 +1470,37 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"epoch")
         .orderBy("doc_id", "epoch")
     }),
+    // CROSS-SOURCE OVERLAP MATRIX — the standard curation report "how
+    // much does source A duplicate source B" (zero EXACT duplicates
+    // cross sources in these corpora — checked — so the meaningful
+    // statistic is near-dup overlap at Jaccard ≥ 0.5). Ground-truth
+    // form: pairs from the exact inverted-shingle index (d33's
+    // machinery), then two equi-joins to attach sources and a
+    // ≤|sources|² aggregate (Dedup.groupOverlapMatrix). The "strong"
+    // tier (Jaccard ≥ 0.8) is decided in INTEGERS (5·inter ≥ 4·uni) on
+    // both engines — 4/5 is not representable in binary floating point.
+    "d78_source_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.groupOverlapMatrix(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5),
+        docs, "doc_id", "source")
+    }),
+    // d78's PRODUCTION TWIN: the same matrix from MinHash+LSH banded
+    // candidates (shuffle on (band, bucket), never all-pairs — the d31
+    // pipeline with inter/uni retained). Unlike the d31/d67 oracles,
+    // which lean on the measured corpus property that banding recalls
+    // every ≥0.5 pair, THIS oracle re-derives the banding itself in
+    // DuckDB — FNV-1a shingle hashes, the 32 spliced (a,b) permutation
+    // params, 8 bands of 4 compared by VALUE (equivalent to the bucket
+    // hash modulo 64-bit collisions) — so a banding recall miss would
+    // hash-fail d79 while leaving d78 green, exactly the decoupling
+    // round 11's advice asked the MinHash oracles to move toward.
+    "d79_source_overlap_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.groupOverlapMatrix(
+        Dedup.minhashNearDupStats(docs, "doc_id", "text", threshold = 0.5),
+        docs, "doc_id", "source")
+    }),
     // Incremental corpus merge (upsert): a new crawl batch (updates to
     // every 5th doc, brand-new ids for every 7th) reconciled against
     // the existing corpus with ONE full-outer shuffle join on the key.
@@ -1734,6 +1765,67 @@ object PipelineQueries {
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
        |SELECT i, j, CAST(inter AS INTEGER) AS inter, CAST(uni AS INTEGER) AS uni
        |FROM p WHERE inter * 1.0 / uni >= $threshold ORDER BY i, j""".stripMargin
+
+  /** d78/d79's shared aggregation tail over a pair CTE named `pr`
+    * (columns i, j, inter, uni): attach sources, fold to the unordered
+    * source-pair matrix. ONE encoding so the exact and MinHash twins
+    * cannot drift on the report shape. Mirrors
+    * Dedup.groupOverlapMatrix: per-pair counts halve the doubled
+    * endpoint rows; the strong tier compares in integers. */
+  private val sourceOverlapAggSql: String =
+    """q AS (SELECT p.i, p.j, p.inter, p.uni, da.source AS si, db.source AS sj
+      |  FROM pr p JOIN documents da ON p.i = da.doc_id
+      |            JOIN documents db ON p.j = db.doc_id),
+      |r AS (SELECT least(si, sj) AS s_a, greatest(si, sj) AS s_b, i, j,
+      |  si, sj, (inter * 5 >= uni * 4) AS strong FROM q),
+      |e AS (SELECT s_a, s_b, i AS d, si AS s, strong FROM r
+      |  UNION ALL SELECT s_a, s_b, j, sj, strong FROM r)
+      |SELECT s_a, s_b, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+      |  CAST(sum(CASE WHEN strong THEN 1 ELSE 0 END) // 2 AS BIGINT) AS n_strong,
+      |  count(DISTINCT CASE WHEN s = s_a THEN d END) AS n_docs_a,
+      |  count(DISTINCT CASE WHEN s = s_b THEN d END) AS n_docs_b
+      |FROM e GROUP BY s_a, s_b ORDER BY s_a, s_b""".stripMargin
+
+  /** d79's full-recompute oracle: MinHash banding RE-DERIVED in DuckDB
+    * — FNV-1a64 per shingle (HUGEINT byte fold, low 30 bits), the k=32
+    * (a,b) permutation params spliced as literals from the SAME
+    * generator the kernel uses (Dedup.minhashParams), min per
+    * permutation, candidates = doc pairs agreeing on any of 8 bands of
+    * 4 compared by VALUE (band-hash equality modulo 64-bit collisions),
+    * then the exact-Jaccard verify and the shared matrix tail. Nothing
+    * here assumes banding recall — a recalled-pair miss hash-fails. */
+  private def d79Oracle(): String = {
+    val params = graft.operators.Dedup.minhashParams()
+    val fnv = "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+      "list_transform(range(1, length(g)+1), i -> ord(substr(g, i, 1)))), " +
+      "(acc, b) -> (xor(acc, CAST(b AS HUGEINT)) * 1099511628211) % " +
+      "CAST(18446744073709551616 AS HUGEINT))"
+    val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % 2147483647) AS m$i"
+    }.mkString(",\n|  ")
+    val bandConds = (0 until 8).map { t =>
+      (0 until 4).map(r => s"a.m${t * 4 + r} = b.m${t * 4 + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString("\n|   OR ")
+    s"""WITH w AS (SELECT doc_id, $duckTokens AS words FROM documents),
+       |sh AS (SELECT doc_id, ${duckShingles("words")} AS s FROM w),
+       |x AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |hh AS (SELECT doc_id, CAST(($fnv) % 1073741824 AS BIGINT) AS h FROM x),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       | FROM hh GROUP BY doc_id),
+       |cand AS (SELECT a.doc_id AS i, b.doc_id AS j
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  AND ($bandConds)),
+       |pr0 AS (SELECT c.i, c.j,
+       |   len(list_intersect(sa.s, sb.s)) AS inter,
+       |   len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS uni
+       |  FROM cand c JOIN sh sa ON c.i = sa.doc_id
+       |              JOIN sh sb ON c.j = sb.doc_id),
+       |pr AS (SELECT i, j, inter, uni FROM pr0
+       |  WHERE inter * 1.0 / uni >= 0.5),
+       |$sourceOverlapAggSql""".stripMargin
+  }
 
   /** Connected components over a pair CTE named `pr` (columns i, j):
     * CTE chain ending in `comp(doc_id, component)` where component =
@@ -3327,6 +3419,14 @@ object PipelineQueries {
          |FROM ($inner) s JOIN wt ON s.lang IS NOT DISTINCT FROM wt.lang
          |ORDER BY doc_id, epoch""".stripMargin
     },
+    // exact source-overlap matrix: d33's inverted-index pair chain
+    // feeding the shared matrix tail
+    "d78_source_overlap" ->
+      s"""WITH pr AS (SELECT i, j, inter, uni FROM
+         |  (${jaccardOracle(0.5).replace("ORDER BY i, j", "")})),
+         |$sourceOverlapAggSql""".stripMargin,
+    // MinHash twin: the banding itself re-derived in SQL — see d79Oracle
+    "d79_source_overlap_minhash" -> d79Oracle(),
     "d51_corpus_merge" ->
       """WITH existing AS (
         |  SELECT doc_id, text, lang, 1 AS version FROM documents),

@@ -1399,15 +1399,14 @@ object PipelineQueries {
     // slot hash — singletons hash their own id, so for them this IS
     // d52. One candidate join + O(log diameter) component rounds + a
     // scan-local split projection; nothing touches the pair space.
-    // The oracle re-derives the closure from exact Jaccard (the d67
-    // equivalence on this corpus) and folds the same CRC slots.
-    // CORPUS-COUPLED ORACLE (as d67, deliberately): equality rests on
-    // the measured property that banding recalls every ≥0.5 exact-
-    // Jaccard pair on the gate corpora — d67's spec pins exactly that
-    // equivalence, and this query inherits it. A regenerated corpus
-    // that breaks the gate HERE (and at d67) signals an LSH recall
-    // miss on the new text, not a code bug; the production stance on
-    // recall is d73's recall-held configuration.
+    // The oracle re-derives the closure from the SAME banding
+    // recompute (minhashPairCtes — FNV shingle hashes, spliced
+    // permutation params, bands compared by value) and folds the same
+    // CRC slots, so it is NOT corpus-coupled: an LSH recall shift on a
+    // regenerated corpus moves kernel and oracle together (the
+    // round-11 advice). The banding-closure ≡ exact-closure recall pin
+    // lives separately in d67's spec and SourceOverlapSpec; the
+    // production stance on recall is d73's recall-held configuration.
     "d75_leakage_safe_split" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -1794,7 +1793,17 @@ object PipelineQueries {
     * 4 compared by VALUE (band-hash equality modulo 64-bit collisions),
     * then the exact-Jaccard verify and the shared matrix tail. Nothing
     * here assumes banding recall — a recalled-pair miss hash-fails. */
-  private def d79Oracle(): String = {
+  /** CTE chain re-deriving `Dedup.minhashNearDupStats(threshold=0.5)`
+    * entirely in DuckDB, ending in `pr(i, j, inter, uni)` — FNV-1a64
+    * per shingle (HUGEINT byte fold, low 30 bits), the k=32 (a,b)
+    * permutation params spliced as literals from the SAME generator the
+    * kernel uses (Dedup.minhashParams), min per permutation, candidates
+    * = doc pairs agreeing on any of 8 bands of 4 compared by VALUE
+    * (band-hash equality modulo 64-bit collisions), then the exact
+    * Jaccard verify at ≥ 0.5. Nothing here assumes banding recall — a
+    * recalled-pair miss in the kernel hash-fails the consuming oracle.
+    * Shared by d79 and d75 so the recompute cannot drift. */
+  private def minhashPairCtes(src: String = "documents"): String = {
     val params = graft.operators.Dedup.minhashParams()
     val fnv = "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
       "list_transform(range(1, length(g)+1), i -> ord(substr(g, i, 1)))), " +
@@ -1807,7 +1816,7 @@ object PipelineQueries {
       (0 until 4).map(r => s"a.m${t * 4 + r} = b.m${t * 4 + r}")
         .mkString("(", " AND ", ")")
     }.mkString("\n|   OR ")
-    s"""WITH w AS (SELECT doc_id, $duckTokens AS words FROM documents),
+    s"""w AS (SELECT doc_id, $duckTokens AS words FROM $src),
        |sh AS (SELECT doc_id, ${duckShingles("words")} AS s FROM w),
        |x AS (SELECT doc_id, unnest(s) AS g FROM sh),
        |hh AS (SELECT doc_id, CAST(($fnv) % 1073741824 AS BIGINT) AS h FROM x),
@@ -1823,9 +1832,14 @@ object PipelineQueries {
        |  FROM cand c JOIN sh sa ON c.i = sa.doc_id
        |              JOIN sh sb ON c.j = sb.doc_id),
        |pr AS (SELECT i, j, inter, uni FROM pr0
-       |  WHERE inter * 1.0 / uni >= 0.5),
-       |$sourceOverlapAggSql""".stripMargin
+       |  WHERE inter * 1.0 / uni >= 0.5)""".stripMargin
   }
+
+  /** d79's full-recompute oracle: [[minhashPairCtes]] feeding the
+    * shared matrix tail. */
+  private def d79Oracle(): String =
+    s"""WITH ${minhashPairCtes()},
+       |$sourceOverlapAggSql""".stripMargin
 
   /** Connected components over a pair CTE named `pr` (columns i, j):
     * CTE chain ending in `comp(doc_id, component)` where component =
@@ -3349,10 +3363,12 @@ object PipelineQueries {
          |      ELSE 'train' END AS split
          |FROM ($inner) ORDER BY doc_id""".stripMargin
     },
-    // leakage-safe split: exact-Jaccard closure (== the MinHash
-    // candidates' closure on this corpus — the d67 equivalence, which
-    // d67's spec pins; a fail here on a REGENERATED corpus is an LSH
-    // recall miss, not a code bug — see the query-side note) names
+    // leakage-safe split: the pair set comes from the SAME banding
+    // recompute the kernel runs (minhashPairCtes — the round-11 advice:
+    // an LSH recall shift on a regenerated corpus now moves oracle and
+    // kernel TOGETHER instead of failing the gate on a non-bug; the
+    // separate exact-closure ≡ banding-closure recall pin lives in
+    // d67's spec and SourceOverlapSpec), closed transitively to name
     // each doc's cluster; the CRC slot fold runs on the CLUSTER key so
     // every member inherits its representative's split
     "d75_leakage_safe_split" -> {
@@ -3361,7 +3377,7 @@ object PipelineQueries {
       val inner = graft.oracle.DuckSql.withSlotNode(
         "SELECT doc_id, cluster, 'cluster:' || cluster AS key FROM cl",
         Seq("doc_id", "cluster"), Some("slot"), None)
-      s"""WITH RECURSIVE pr AS (SELECT i, j FROM (${jaccardOracle(0.5).replace("ORDER BY i, j", "")})),
+      s"""WITH RECURSIVE ${minhashPairCtes()},
          |$componentsCtes,
          |cl AS (SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster
          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)

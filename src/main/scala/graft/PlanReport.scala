@@ -141,6 +141,8 @@ object PlanReport {
       "leakage-safe train/val/test split: duplicate CLUSTERS move as units — MinHash candidate equi-joins feed the component closure, every member inherits the split of its CLUSTER id's slot hash (scan-local projection; singletons degenerate to d52's per-doc split). One candidate join + O(log diameter) closure rounds; the pair space is never touched and the split assignment itself adds no shuffle",
     "d74_semantic_dedup_lsh" ->
       "d46's production twin: the same min-label-propagation component closure and survivor sizing, fed by the RECALL-HELD banded-LSH candidate stage (d73's derived config) instead of the exact block-pair join — candidates from L equi-joins on (table, signature), closure rounds on the output-sensitive pair set; nothing touches the n^2 pair space",
+    "d79_source_overlap_minhash" ->
+      "cross-source overlap matrix, production form: MinHash banded candidates (equi-join on (band, bucket)) exact-verified at theta=0.5, then TWO equi-joins attach sources to the output-sensitive pair set and fold it to a <=|sources|^2 matrix — per-pair counts halve the exploded endpoint rows, the strong tier compares in INTEGERS (5*inter >= 4*uni: 4/5 is not a double), nothing is corpus-quadratic; the oracle re-derives the BANDING itself in DuckDB (FNV shingle hashes, spliced permutation params, bands compared by value), so banding recall is hash-checked, not assumed — the exact twin d78 rides d33's inverted-index chain as ground truth",
     "m62_jpeg_corpus_stats" ->
       "scaled media-decode family: one real-codec JPEG per document (5k/50k/500k payloads at sf0.1/1/10 in splittable non-coalesced files); decode + block sums + band verdicts evaluate in the scan stage and reduce through ONE map-side-combined aggregation — a single partial row per partition crosses the exchange at any corpus size",
     "m61_jpeg_decode" ->

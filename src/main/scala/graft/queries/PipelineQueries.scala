@@ -17,85 +17,11 @@ import graft.sources.Tables
 object PipelineQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
-  /** Centroids from the most recent s37 run in this JVM. Verify runs
-    * every query before dumping oracle_sql.json, so by dump time these
-    * hold exactly the quantizer the s37 result was built with — the
-    * oracle splices them as literal lists (same trick as s36's
-    * hyperplanes). Unset (e.g. oracles dumped without running s37) →
-    * the s37 oracle is omitted and the driver records rows-only. */
-  @volatile private var ivfCentroids: Option[Array[Array[Double]]] = None
-
-  /** s44's codebooks, stashed at query time exactly like [[ivfCentroids]]. */
-  @volatile private var pqBooks: Option[Array[Array[Array[Double]]]] = None
-
-  /** d53's centroids, stashed at query time exactly like [[ivfCentroids]]
-    * (own stash — each query must be independently runnable). */
-  @volatile private var clusterCents: Option[Array[Array[Double]]] = None
-
-  /** s45's coarse centroids + codebooks (own stash — each query must be
-    * independently runnable, never borrowing another query's state). */
-  @volatile private var ivfPqState: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
-
-  /** s57's coarse centroids + RESIDUAL codebooks (own stash). */
-  @volatile private var ivfPqResState: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
-
-  /** s62's coarse centroids + residual codebooks (own stash — the
-    * refine tier re-ranks s57's candidate generation). */
-  @volatile private var ivfPqRefineState: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
-
-  /** s58's centroids (own stash — see [[ivfCentroids]]'s contract). */
-  @volatile private var hardNegCentroids: Option[Array[Array[Double]]] = None
-
-  /** s60's centroids as READ BACK from the persisted index artifact
-    * (own stash; doubles round-trip parquet exactly, so these equal
-    * the trainer's output bit-for-bit). */
-  @volatile private var persistedIvfCents: Option[Array[Array[Double]]] = None
-
-  /** s61's centroids (own stash — base+delta serving path). */
-  @volatile private var appendedIvfCents: Option[Array[Array[Double]]] = None
-
-  /** s63's centroids (own stash — tombstone anti-join serving path). */
-  @volatile private var tombstoneIvfCents: Option[Array[Array[Double]]] = None
-
-  /** s64's centroids (own stash — compacted-generation serving path). */
-  @volatile private var compactedIvfCents: Option[Array[Array[Double]]] = None
-
-  /** s65's centroids (own stash — metadata-filtered serving path). */
-  @volatile private var filteredIvfCents: Option[Array[Array[Double]]] = None
-
-  /** s72's centroids as read back from the CURATED-corpus index (own
-    * stash — the curate→index→serve composition's serving path). */
-  @volatile private var curatedIvfCents: Option[Array[Array[Double]]] = None
-
-  /** s73's centroids (own stash — the text-query search path over the
-    * same curated index). */
-  @volatile private var curatedSearchCents: Option[Array[Array[Double]]] = None
-
-  /** s76's centroids (own stash — the refine-tier serving path over
-    * the same curated index). */
-  @volatile private var curatedRefineCents: Option[Array[Array[Double]]] = None
-
-  /** d36/d56's corpus-sized LSH band widths (bits per table), stashed
-    * when the query runs so the oracle re-derives signatures at the
-    * SAME width (the ANN splice pattern: oracle exists only post-run). */
-  @volatile private var d36Bits: Option[Int] = None
-  @volatile private var d56Bits: Option[Int] = None
-
-  /** d73's full production LSH configuration (tables, bits, distinct
-    * placement) as derived by Similarity.recallHeldConfig — stashed so
-    * the oracle re-derives candidates with the SAME (L, b). Placement
-    * never affects the output (spec-pinned identical), so the oracle
-    * only consumes tables/bits. */
-  @volatile private var d73Config: Option[Similarity.LshConfig] = None
-
-  /** d74's config (own stash — the semantic-dedup production twin). */
-  @volatile private var d74Config: Option[Similarity.LshConfig] = None
-
-  /** s66's trained PCA model (mean, components) for oracle splicing. */
-  @volatile private var pcaState: Option[(Array[Double], Array[Array[Double]])] = None
-
-  /** s67's PCA model (own stash — reduced-space ANN serving path). */
-  @volatile private var pcaAnnState: Option[(Array[Double], Array[Array[Double]])] = None
+  // Trained-artifact splice slots live in [[OracleStash]] — one keyed
+  // registry for the whole run-before-dump lifecycle (see its doc).
+  private type Cents = OracleStash.Cents
+  private type Books = OracleStash.Books
+  private type Pca = OracleStash.Pca
 
   /** Trained-quantizer memo, keyed by corpus dir. The k-means coarse
     * quantizer (s37/d53/s45) and the PQ codebooks (s44/s45) are
@@ -568,7 +494,7 @@ object PipelineQueries {
       val root = ensureIvfIndexExport(s, dir)
       val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
-      persistedIvfCents = Some(cents)
+      OracleStash.put("s60.cents", cents)
       val index = s.read.parquet(s"$root/index")
       Similarity.ivfTopKOnIndex(cents, index,
           t(s, dir, "embeddings").where($"vec_id" < 5), k = 10)
@@ -585,7 +511,7 @@ object PipelineQueries {
       val root = ensureIvfDeltaExport(s, dir)
       val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
-      appendedIvfCents = Some(cents)
+      OracleStash.put("s61.cents", cents)
       val assigned = s.read.parquet(s"$root/index")
         .unionByName(s.read.parquet(s"$root/delta"))
       Similarity.ivfTopKOnIndex(cents, assigned,
@@ -603,7 +529,7 @@ object PipelineQueries {
       val root = ensureIvfTombstoneExport(s, dir)
       val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
-      tombstoneIvfCents = Some(cents)
+      OracleStash.put("s63.cents", cents)
       Similarity.ivfTopKOnIndex(cents, tombstonedServingFrame(s, root),
           t(s, dir, "embeddings").where($"vec_id" < 5), k = 10)
         .select($"query_id", $"nbr_id", $"rank")
@@ -619,7 +545,7 @@ object PipelineQueries {
       val root = ensureIvfCompaction(s, dir)
       val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
-      compactedIvfCents = Some(cents)
+      OracleStash.put("s64.cents", cents)
       Similarity.ivfTopKOnIndex(cents, s.read.parquet(s"$root/gen2/index"),
           t(s, dir, "embeddings").where($"vec_id" < 5), k = 10)
         .select($"query_id", $"nbr_id", $"rank")
@@ -639,7 +565,7 @@ object PipelineQueries {
       val root = ensureCuratedIndexExport(s, dir)
       val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
-      curatedIvfCents = Some(cents)
+      OracleStash.put("s72.cents", cents)
       val index = s.read.parquet(s"$root/index")
       // probes come FROM the persisted index (the curated corpus's own
       // vectors — a re-run of the curation chain per probe would repeat
@@ -664,7 +590,7 @@ object PipelineQueries {
     "s73_curated_text_search" -> ((s, dir) => {
       import s.implicits._
       val (cents, index, probes) = curatedCoarseServe(s, dir)
-      curatedSearchCents = Some(cents)
+      OracleStash.put("s73.cents", cents)
       Similarity.ivfTopKOnIndex(cents, index, probes, k = 5)
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
@@ -683,7 +609,7 @@ object PipelineQueries {
     "s76_curated_search_refined" -> ((s, dir) => {
       import s.implicits._
       val (cents, index, probes) = curatedCoarseServe(s, dir)
-      curatedRefineCents = Some(cents)
+      OracleStash.put("s76.cents", cents)
       val shortlist = Similarity.ivfTopKOnIndex(cents, index, probes, k = 20)
         .select($"query_id", $"nbr_id")
       val fine = index
@@ -709,7 +635,7 @@ object PipelineQueries {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val cents = centroids16(s, dir)
-      ivfCentroids = Some(cents)
+      OracleStash.put("s37.cents", cents)
       Similarity.ivfTopKWith(cents, emb, emb.where($"vec_id" < 5), k = 10)
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
@@ -726,7 +652,7 @@ object PipelineQueries {
     // bit-identical doubles, rounded 6dp on both sides.
     "s66_pca_embed" -> ((s, dir) => {
       val model = pca8(s, dir)
-      pcaState = Some(model)
+      OracleStash.put("s66.pca", model)
       Similarity.pcaProject(t(s, dir, "embeddings"), model._1, model._2)
         .orderBy("vec_id")
     }),
@@ -740,7 +666,7 @@ object PipelineQueries {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val model = pca8(s, dir)
-      pcaAnnState = Some(model)
+      OracleStash.put("s67.pca", model)
       Similarity.pcaRefineTopK(model._1, model._2, emb, emb.where($"vec_id" < 5), k = 10)
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
@@ -759,7 +685,7 @@ object PipelineQueries {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val cents = centroids16(s, dir)
-      filteredIvfCents = Some(cents)
+      OracleStash.put("s65.cents", cents)
       Similarity.ivfTopKWith(cents, emb.where($"label".isin(0, 2, 4, 6, 8)),
           emb.where($"vec_id" < 5), k = 10)
         .select($"query_id", $"nbr_id", $"rank")
@@ -778,7 +704,7 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where($"vec_id" < 5)
       val cents = centroids16(s, dir)
-      hardNegCentroids = Some(cents)
+      OracleStash.put("s58.cents", cents)
       val pos = Similarity.bruteForceTopK(emb, queries, k = 1)
         .select($"query_id", $"nbr_id".as("pos_id"))
       val w = org.apache.spark.sql.expressions.Window
@@ -817,7 +743,7 @@ object PipelineQueries {
     "d53_kmeans_clusters" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cents = centroids16(s, dir)
-      clusterCents = Some(cents)
+      OracleStash.put("d53.cents", cents)
       Similarity.clusterReport(cents, emb)
     }),
     // Int8 scalar-quantized ANN: both sides quantized (4× smaller
@@ -841,7 +767,7 @@ object PipelineQueries {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val books = codebooks16(s, dir)
-      pqBooks = Some(books)
+      OracleStash.put("s44.books", books)
       Similarity.pqTopKWith(books, emb, emb.where($"vec_id" < 5), k = 10)
         .orderBy("query_id", "rank")
     }),
@@ -852,7 +778,7 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val cents = centroids16(s, dir)
       val books = codebooks16(s, dir)
-      ivfPqState = Some((cents, books))
+      OracleStash.put("s45.model", (cents, books))
       Similarity.ivfPqTopKWith(cents, books, emb, emb.where($"vec_id" < 5), k = 10)
         .orderBy("query_id", "rank")
     }),
@@ -866,7 +792,7 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val cents = centroids16(s, dir)
       val books = residualBooks16(s, dir, cents)
-      ivfPqResState = Some((cents, books))
+      OracleStash.put("s57.model", (cents, books))
       Similarity.ivfPqResidualTopKWith(cents, books, emb, emb.where($"vec_id" < 5), k = 10)
         .orderBy("query_id", "rank")
     }),
@@ -882,7 +808,7 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val cents = centroids16(s, dir)
       val books = residualBooks16(s, dir, cents)
-      ivfPqRefineState = Some((cents, books))
+      OracleStash.put("s62.model", (cents, books))
       Similarity.ivfPqResidualRefineTopKWith(cents, books, emb,
           emb.where($"vec_id" < 5), k = 10, refine = 32)
         .orderBy("query_id", "rank")
@@ -898,7 +824,7 @@ object PipelineQueries {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val bits = Similarity.lshBitsFor(emb.count())
-      d36Bits = Some(bits)
+      OracleStash.put("d36.bits", bits)
       Similarity.bandedNearDupPairs(emb, threshold = 0.5, bitsPerTable = bits)
         .select($"i", $"j", round($"sim", 6).as("sim"))
         .orderBy("i", "j")
@@ -916,7 +842,7 @@ object PipelineQueries {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val cfg = Similarity.recallHeldConfig(emb, threshold = 0.5)
-      d73Config = Some(cfg)
+      OracleStash.put("d73.config", cfg)
       Similarity.recallHeldNearDupPairs(emb, threshold = 0.5, config = Some(cfg))
         .select($"i", $"j", round($"sim", 6).as("sim"))
         .orderBy("i", "j")
@@ -1049,7 +975,7 @@ object PipelineQueries {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val cfg = Similarity.recallHeldConfig(emb, threshold = 0.5)
-      d74Config = Some(cfg)
+      OracleStash.put("d74.config", cfg)
       semanticDedupFromPairs(emb,
         Similarity.recallHeldNearDupPairs(emb, 0.5, config = Some(cfg))
           .select($"i", $"j"))
@@ -1696,7 +1622,7 @@ object PipelineQueries {
       import s.implicits._
       val emb = sampledEmb(s, dir)
       val bits = Similarity.lshBitsFor(emb.count())
-      d56Bits = Some(bits)
+      OracleStash.put("d56.bits", bits)
       Similarity.bandedNearDupPairs(emb, threshold = EmbTwinThreshold, bitsPerTable = bits)
         .select($"i", $"j", round($"sim", 6).as("sim"))
         .orderBy("i", "j")
@@ -1952,7 +1878,7 @@ object PipelineQueries {
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
     * 0.0-seeded left fold the Spark side evaluates. */
-  private def pcaOracle: Map[String, String] = pcaState match {
+  private def pcaOracle: Map[String, String] = OracleStash.get[Pca]("s66.pca") match {
     case None => Map.empty
     case Some((mean, comps)) =>
       val mu = mean.map(_.toString).mkString("[", ",", "]")
@@ -1967,7 +1893,7 @@ object PipelineQueries {
   /** s67's oracle: reduced coordinates from the spliced model (same
     * folds as s66, unrounded), cosine shortlist in the reduced space,
     * exact full-vector re-rank — the whole serving path re-derived. */
-  private def pcaAnnOracle: Map[String, String] = pcaAnnState match {
+  private def pcaAnnOracle: Map[String, String] = OracleStash.get[Pca]("s67.pca") match {
     case None => Map.empty
     case Some((mean, comps)) =>
       val mu = mean.map(_.toString).mkString("[", ",", "]")
@@ -1997,17 +1923,17 @@ object PipelineQueries {
   /** d36/d56 oracles from the stashed corpus-sized band widths (ANN
     * splice pattern: present only after the query ran this JVM). */
   private def bandedLshOracle: Map[String, String] =
-    d36Bits.map(b => "d36_embed_neardup_lsh" -> d36Oracle(bits = b)).toMap ++
-      d56Bits.map(b => "d56_lsh_neardup_sampled" ->
+    OracleStash.get[Int]("d36.bits").map(b => "d36_embed_neardup_lsh" -> d36Oracle(bits = b)).toMap ++
+      OracleStash.get[Int]("d56.bits").map(b => "d56_lsh_neardup_sampled" ->
         d36Oracle(sampledEmbSql, EmbTwinThreshold, bits = b)).toMap ++
-      d73Config.map(c => "d73_neardup_recall_held" ->
+      OracleStash.get[Similarity.LshConfig]("d73.config").map(c => "d73_neardup_recall_held" ->
         d36Oracle(bits = c.bits, tables = c.tables)).toMap ++
-      d74Config.map(c => "d74_semantic_dedup_lsh" -> d74Oracle(c)).toMap
+      OracleStash.get[Similarity.LshConfig]("d74.config").map(c => "d74_semantic_dedup_lsh" -> d74Oracle(c)).toMap
 
   /** d53's oracle from the stashed centroids (see [[ivfOracle]] for the
     * stash-then-splice contract): assignment (argmax cosine, ties→low
     * cid) and the rounded-DECIMAL cohesion fold recomputed in DuckDB. */
-  private def clusterOracle: Map[String, String] = clusterCents match {
+  private def clusterOracle: Map[String, String] = OracleStash.get[Cents]("d53.cents") match {
     case None => Map.empty
     case Some(cents) =>
       Map("d53_kmeans_clusters" ->
@@ -2098,7 +2024,7 @@ object PipelineQueries {
 
   /** s44's oracle, built from the stashed codebooks: codes, ADC scores
     * and ascending-distance ranks recomputed entirely in DuckDB. */
-  private def pqOracle: Map[String, String] = pqBooks match {
+  private def pqOracle: Map[String, String] = OracleStash.get[Books]("s44.books") match {
     case None => Map.empty
     case Some(books) =>
       val (distLists, codeCols, adc) = pqCodeCols(books)
@@ -2118,7 +2044,7 @@ object PipelineQueries {
     * s44 encode/ADC CTEs — probe lists from max cosine (assign ties →
     * low cid; probe ties → high cid, matching the reverse-sorted array
     * slice), candidates ranked by ADC within the probed lists only. */
-  private def ivfPqOracle: Map[String, String] = ivfPqState match {
+  private def ivfPqOracle: Map[String, String] = OracleStash.get[(Cents, Books)]("s45.model") match {
     case None => Map.empty
     case Some((cents, books)) =>
       val (distLists, codeCols, adc) = pqCodeCols(books)
@@ -2171,7 +2097,7 @@ object PipelineQueries {
        | FROM enc e JOIN qprobe q ON e.cid = q.cid AND e.vec_id <> q.query_id)""".stripMargin
   }
 
-  private def ivfPqResOracle: Map[String, String] = ivfPqResState match {
+  private def ivfPqResOracle: Map[String, String] = OracleStash.get[(Cents, Books)]("s57.model") match {
     case None => Map.empty
     case Some((cents, books)) =>
       Map("s57_ann_ivfpq_res" ->
@@ -2186,7 +2112,7 @@ object PipelineQueries {
     * width (32), then the shortlist joined back to the EXACT vectors
     * and re-ranked by true cosine — the same composition the Spark
     * side executes. */
-  private def ivfPqRefineOracle: Map[String, String] = ivfPqRefineState match {
+  private def ivfPqRefineOracle: Map[String, String] = OracleStash.get[(Cents, Books)]("s62.model") match {
     case None => Map.empty
     case Some((cents, books)) =>
       Map("s62_ann_refine" ->
@@ -2205,7 +2131,8 @@ object PipelineQueries {
            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
   }
 
-  /** s37's oracle exists only after the query has run (see ivfCentroids):
+  /** s37's oracle exists only after the query has run (the
+    * [[OracleStash]] contract):
     * the deterministic centroids become VALUES literals and DuckDB
     * recomputes assignment (argmax cosine, ties→low cid), per-query
     * probing (top-nprobe centroids, ties→high cid — matching the
@@ -2253,29 +2180,28 @@ object PipelineQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   private def ivfOracle: Map[String, String] =
-    ivfCentroids.map(c => "s37_ann_ivf" -> ivfProbeOracleSql(c)).toMap
+    OracleStash.get[Cents]("s37.cents").map(c => "s37_ann_ivf" -> ivfProbeOracleSql(c)).toMap
 
   /** s65's oracle: the same probe/rank SQL with the metadata predicate
     * applied to the CANDIDATE side only (queries stay unfiltered) —
     * assignment is per-vector, so filtering the full-corpus assignment
     * equals assigning the filtered corpus, which is what Spark runs. */
   private def filteredIvfOracle: Map[String, String] =
-    filteredIvfCents.map(c => "s65_ann_filtered" -> ivfProbeOracleSql(c,
+    OracleStash.get[Cents]("s65.cents").map(c => "s65_ann_filtered" -> ivfProbeOracleSql(c,
       candPred = """
         | AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (0,2,4,6,8))""".stripMargin)).toMap
 
   private def persistedIvfOracle: Map[String, String] =
-    persistedIvfCents.map(c => "s60_ann_ivf_persisted" -> ivfProbeOracleSql(c)).toMap
+    OracleStash.get[Cents]("s60.cents").map(c => "s60_ann_ivf_persisted" -> ivfProbeOracleSql(c)).toMap
 
   /** s77's centroids — SET by StreamingQueries' streaming ANN serving
     * query (the topology lives with the other streaming queries; the
     * oracle is assembled here beside its s37/s60 siblings because it
     * IS the same probe/rank recompute — streaming must not change the
     * answer). */
-  @volatile private[queries] var streamServeCents: Option[Array[Array[Double]]] = None
 
   private def streamServeOracle: Map[String, String] =
-    streamServeCents.map(c => "s77_stream_ann_serving" ->
+    OracleStash.get[Cents]("s77.cents").map(c => "s77_stream_ann_serving" ->
       ivfProbeOracleSql(c, qPred = "vec_id < 50")).toMap
 
   /** s78's centroids — SET by the PRUNED streaming serving query (the
@@ -2284,10 +2210,9 @@ object PipelineQueries {
     * s78 alone still emits its oracle. The oracle is the plain batch
     * probe/rank recompute: streaming, micro-batching, and per-batch
     * pruning must all be answer-invisible. */
-  @volatile private[queries] var prunedServeCents: Option[Array[Array[Double]]] = None
 
   private def prunedServeOracle: Map[String, String] =
-    prunedServeCents.map(c => "s78_stream_ann_serving_pruned" ->
+    OracleStash.get[Cents]("s78.cents").map(c => "s78_stream_ann_serving_pruned" ->
       ivfProbeOracleSql(c, qPred = "vec_id < 15")).toMap
 
   /** The fixed text queries served against the curated index
@@ -2348,7 +2273,7 @@ object PipelineQueries {
   }
 
   private def curatedSearchOracle: Map[String, String] =
-    curatedSearchCents.map { c =>
+    OracleStash.get[Cents]("s73.cents").map { c =>
       "s73_curated_text_search" ->
         s"""${curatedCoarseCtes(c)}
            |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
@@ -2363,7 +2288,7 @@ object PipelineQueries {
     * side from `qtoks` — per-token FNV fold mod 64, same unsigned-mod
     * equivalence as mod 16) and the exact cosine re-rank. */
   private def curatedRefineOracle: Map[String, String] =
-    curatedRefineCents.map { c =>
+    OracleStash.get[Cents]("s76.cents").map { c =>
       "s76_curated_search_refined" ->
         s"""${curatedCoarseCtes(c)},
            |short AS (SELECT query_id, nbr_id FROM (
@@ -2403,7 +2328,7 @@ object PipelineQueries {
     * (vec_id < 12000), exactly the rows the Spark side reads back
     * from the persisted index. */
   private def curatedServeOracle: Map[String, String] =
-    curatedIvfCents.map { c =>
+    OracleStash.get[Cents]("s72.cents").map { c =>
       "s72_curate_index_serve" ->
         s"""WITH RECURSIVE ${curatedVecsCtes},
            |${centroidAssignCtes(c, "embedding", "SELECT vec_id, embedding FROM vecs")},
@@ -2425,7 +2350,7 @@ object PipelineQueries {
     * corpus (delta = reversed embeddings under shifted ids, the exact
     * synthesis the export writes). */
   private def appendedIvfOracle: Map[String, String] =
-    appendedIvfCents.map(c => "s61_ann_index_append" -> ivfProbeOracleSql(c,
+    OracleStash.get[Cents]("s61.cents").map(c => "s61_ann_index_append" -> ivfProbeOracleSql(c,
       """SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
         |  SELECT vec_id + 1000000 AS vec_id, list_reverse(embedding) AS embedding
@@ -2443,18 +2368,18 @@ object PipelineQueries {
       |  FROM embeddings WHERE vec_id < 200 AND vec_id % 10 <> 7""".stripMargin
 
   private def tombstoneIvfOracle: Map[String, String] =
-    tombstoneIvfCents.map(c =>
+    OracleStash.get[Cents]("s63.cents").map(c =>
       "s63_ann_index_delete" -> ivfProbeOracleSql(c, survivingCorpusSql)).toMap
 
   private def compactedIvfOracle: Map[String, String] =
-    compactedIvfCents.map(c =>
+    OracleStash.get[Cents]("s64.cents").map(c =>
       "s64_ann_index_compact" -> ivfProbeOracleSql(c, survivingCorpusSql)).toMap
 
   /** s58's oracle from its stashed centroids: IVF candidates (same CTEs
     * as s37, k=8), exact nearest per query (all-pairs, oracle-side
     * only), anti-filter + re-rank — negatives are candidates that are
     * not the exact top-1, in candidate order. */
-  private def hardNegOracle: Map[String, String] = hardNegCentroids match {
+  private def hardNegOracle: Map[String, String] = OracleStash.get[Cents]("s58.cents") match {
     case None => Map.empty
     case Some(cents) =>
       Map("s58_hard_negatives" ->

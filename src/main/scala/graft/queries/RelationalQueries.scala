@@ -198,14 +198,12 @@ object RelationalQueries {
     * exactly the files the Spark result scanned, whatever the scale
     * factor. Unset (oracles dumped without running the query) → the
     * driver's sf0.01 default, the only sf its gate ever uses. */
-  @volatile private var stashedCsvDir: Option[String] = None
-  @volatile private var stashedJsonDir: Option[String] = None
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c60_csv_scan" -> ((s, dir) => {
       import s.implicits._
       val path = ensureCsvExport(s, dir)
-      stashedCsvDir = Some(path)
+      OracleStash.put("c60.dir", path)
       s.read.schema(csvSchema).option("header", "true").csv(path)
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("customers"),
@@ -238,7 +236,7 @@ object RelationalQueries {
     "j61_json_scan" -> ((s, dir) => {
       import s.implicits._
       val path = ensureJsonExport(s, dir)
-      stashedJsonDir = Some(path)
+      OracleStash.put("j61.dir", path)
       s.read.schema(jsonSchema).json(path)
         .groupBy($"s_nationkey")
         .agg(count(lit(1)).as("suppliers"), min($"s_name").as("first_name"))
@@ -397,11 +395,11 @@ object RelationalQueries {
       s"""SELECT c_mktsegment, count(*) AS customers,
          | count(DISTINCT c_nationkey) AS nations,
          | min(c_name) AS first_name
-         |FROM read_csv('${stashedCsvDir.getOrElse(csvDir("/root/testdata/sf0.01"))}/*.csv', header=true)
+         |FROM read_csv('${OracleStash.get[String]("c60.dir").getOrElse(csvDir("/root/testdata/sf0.01"))}/*.csv', header=true)
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "j61_json_scan" ->
       s"""SELECT s_nationkey, count(*) AS suppliers, min(s_name) AS first_name
-         |FROM read_json('${stashedJsonDir.getOrElse(jsonDir("/root/testdata/sf0.01"))}/*.json',
+         |FROM read_json('${OracleStash.get[String]("j61.dir").getOrElse(jsonDir("/root/testdata/sf0.01"))}/*.json',
          |  format='newline_delimited')
          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     // independent of the export: recomputed straight from the source

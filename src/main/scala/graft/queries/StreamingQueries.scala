@@ -526,7 +526,7 @@ object StreamingQueries {
       val root = PipelineQueries.ensureIvfIndexExport(s, dir)
       val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
-      PipelineQueries.streamServeCents = Some(cents)
+      OracleStash.put("s77.cents", cents)
       val index = s.read.parquet(s"$root/index")
       val embSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
       // the request stream: 50 query vectors arriving online (glob — see
@@ -575,7 +575,7 @@ object StreamingQueries {
       val root = PipelineQueries.ensureIvfIndexExport(s, dir)
       val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
-      PipelineQueries.prunedServeCents = Some(cents)
+      OracleStash.put("s78.cents", cents)
       val reqRoot = ensureServeRequestExport(s, dir)
       val out = RelationalQueries.dataRoot("s78-serve", dir, "emb")
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)

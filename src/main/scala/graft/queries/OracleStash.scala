@@ -29,11 +29,33 @@ private[queries] object OracleStash {
   /** PCA model: (mean, components) */
   type Pca = (Array[Double], Array[Array[Double]])
 
+  /** The closed key set. The old per-var form made a slot-name typo a
+    * COMPILE error; a stringly-keyed map would instead silently
+    * downgrade the query's gate to rows-only (get of a never-put key →
+    * None → oracle omitted). This list restores the loud failure: put
+    * and get both reject unknown keys at call time. Adding a slot =
+    * adding a line here — which keeps this the one greppable inventory
+    * of every run-before-dump dependency. */
+  private val Known: Set[String] = Set(
+    "s37.cents", "s44.books", "d53.cents", "s45.model", "s57.model",
+    "s62.model", "s58.cents", "s60.cents", "s61.cents", "s63.cents",
+    "s64.cents", "s65.cents", "s72.cents", "s73.cents", "s76.cents",
+    "s77.cents", "s78.cents", "d36.bits", "d56.bits", "d73.config",
+    "d74.config", "s66.pca", "s67.pca", "c60.dir", "j61.dir")
+
   private val slots = scala.collection.concurrent.TrieMap.empty[String, Any]
 
-  def put(key: String, value: Any): Unit = slots.put(key, value)
+  def put(key: String, value: Any): Unit = {
+    require(Known(key), s"unknown OracleStash slot '$key' — add it to Known")
+    slots.put(key, value)
+  }
 
-  /** The caller asserts the slot's type; a wrong cast surfaces at the
-    * read site (same guarantee the old typed vars gave, now per-key). */
-  def get[T](key: String): Option[T] = slots.get(key).map(_.asInstanceOf[T])
+  /** The caller asserts the slot's type. Erasure caveat: the cast is
+    * checked at first USE of the value, not at this call — a mistyped
+    * tuple slot surfaces inside the consuming oracle builder, so keep
+    * the type argument next to its put site's value type. */
+  def get[T](key: String): Option[T] = {
+    require(Known(key), s"unknown OracleStash slot '$key' — add it to Known")
+    slots.get(key).map(_.asInstanceOf[T])
+  }
 }

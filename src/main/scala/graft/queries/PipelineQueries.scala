@@ -1711,14 +1711,6 @@ object PipelineQueries {
       |  count(DISTINCT CASE WHEN s = s_b THEN d END) AS n_docs_b
       |FROM e GROUP BY s_a, s_b ORDER BY s_a, s_b""".stripMargin
 
-  /** d79's full-recompute oracle: MinHash banding RE-DERIVED in DuckDB
-    * — FNV-1a64 per shingle (HUGEINT byte fold, low 30 bits), the k=32
-    * (a,b) permutation params spliced as literals from the SAME
-    * generator the kernel uses (Dedup.minhashParams), min per
-    * permutation, candidates = doc pairs agreeing on any of 8 bands of
-    * 4 compared by VALUE (band-hash equality modulo 64-bit collisions),
-    * then the exact-Jaccard verify and the shared matrix tail. Nothing
-    * here assumes banding recall — a recalled-pair miss hash-fails. */
   /** CTE chain re-deriving `Dedup.minhashNearDupStats(threshold=0.5)`
     * entirely in DuckDB, ending in `pr(i, j, inter, uni)` — FNV-1a64
     * per shingle (HUGEINT byte fold, low 30 bits), the k=32 (a,b)
@@ -1728,7 +1720,14 @@ object PipelineQueries {
     * (band-hash equality modulo 64-bit collisions), then the exact
     * Jaccard verify at ≥ 0.5. Nothing here assumes banding recall — a
     * recalled-pair miss in the kernel hash-fails the consuming oracle.
-    * Shared by d79 and d75 so the recompute cannot drift. */
+    * Shared by d79 and d75 so the recompute cannot drift.
+    *
+    * ASCII-corpus caveat (as the d32/a40 token-FNV oracles, NEWLY
+    * load-bearing here): `ord` folds code POINTS while the kernel folds
+    * UTF-8 BYTES — identical on these all-ASCII corpora (checked:
+    * char length == byte length at every gate sf), divergent on any
+    * non-ASCII document. A regenerated non-ASCII corpus fails this gate
+    * on the encoding, not on banding recall. */
   private def minhashPairCtes(src: String = "documents"): String = {
     val params = graft.operators.Dedup.minhashParams()
     val fnv = "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +

@@ -192,12 +192,10 @@ object RelationalQueries {
     dir
   }
 
-  /** Export paths from the most recent c60/j61 runs in this JVM —
-    * stash-then-splice (the s37-centroid contract): Verify runs every
-    * query before dumping oracle_sql.json, so by dump time these hold
-    * exactly the files the Spark result scanned, whatever the scale
-    * factor. Unset (oracles dumped without running the query) → the
-    * driver's sf0.01 default, the only sf its gate ever uses. */
+  // c60/j61 stash their export paths in OracleStash ("c60.dir"/
+  // "j61.dir") so the oracle scans exactly the files the Spark result
+  // did, whatever the scale factor; unset → the driver's sf0.01
+  // default, the only sf its gate ever uses.
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c60_csv_scan" -> ((s, dir) => {

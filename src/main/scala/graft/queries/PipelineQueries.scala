@@ -1426,6 +1426,54 @@ object PipelineQueries {
         Dedup.minhashNearDupStats(docs, "doc_id", "text", threshold = 0.5),
         docs, "doc_id", "source")
     }),
+    // PER-SOURCE CURATION FUNNEL — the attribution report every
+    // curation run publishes beside its output corpus: one row per
+    // source with survivor counts after each cleaning stage of the
+    // d48/d68 chain (quality ≥ 0.5 → exact dedup → near-dup cluster
+    // keepers → benchmark decontamination) plus the surviving token
+    // mass. "Where did my data go" is how source contracts and crawl
+    // regressions are caught. The near-dup stage uses the MinHash
+    // production generator (d68's form) and the gate re-derives the
+    // banding itself (minhashPairCtes), so this query does NOT lean on
+    // the corpus recall equivalence. Scale shape: the stages are the
+    // chain's own corpus-sized work; the funnel adds only doc-id stage
+    // unions, one join to (doc_id, source), and a |sources|-row
+    // aggregate — counting is free relative to cleaning.
+    "d80_curation_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val bench = docs.where($"doc_id" < 5)
+      val corpus = docs.where($"doc_id" >= 5)
+      val stats = TextAnalysis.analyze(corpus)
+        .select($"doc_id", $"text", $"n_tokens",
+          round($"quality", 6).as("quality"))
+      val q = stats.where($"quality" >= 0.5)
+      val exact = Dedup.exactDedup(q, "doc_id", "text").localCheckpoint(true)
+      val losers = Dedup.clusterLosers(
+          Dedup.minhashNearDups(exact, "doc_id", "text", threshold = 0.5))
+        .select($"id".as("doc_id"))
+      val nd = exact.join(losers, Seq("doc_id"), "left_anti")
+      val cont = Dedup.contaminatedDocs(nd, bench, "doc_id", "text",
+          shingleN = 4).select($"doc_id")
+      val fin = nd.join(cont, Seq("doc_id"), "left_anti")
+      def stage(df: DataFrame, i: Int) =
+        df.select($"doc_id", lit(i).as("stg"), lit(0L).as("toks_n"))
+      val st = stage(corpus, 0)
+        .unionByName(stage(q, 1))
+        .unionByName(stage(exact, 2))
+        .unionByName(stage(nd, 3))
+        .unionByName(fin.select($"doc_id", lit(4).as("stg"),
+          $"n_tokens".cast("long").as("toks_n")))
+      st.join(docs.select($"doc_id", $"source"), "doc_id")
+        .groupBy($"source")
+        .agg(sum(when($"stg" === 0, 1L).otherwise(0L)).as("n_docs"),
+          sum(when($"stg" === 1, 1L).otherwise(0L)).as("n_quality"),
+          sum(when($"stg" === 2, 1L).otherwise(0L)).as("n_exact"),
+          sum(when($"stg" === 3, 1L).otherwise(0L)).as("n_neardup"),
+          sum(when($"stg" === 4, 1L).otherwise(0L)).as("n_final"),
+          sum(when($"stg" === 4, $"toks_n").otherwise(0L)).as("tokens_final"))
+        .orderBy("source")
+    }),
     // Incremental corpus merge (upsert): a new crawl batch (updates to
     // every 5th doc, brand-new ids for every 7th) reconciled against
     // the existing corpus with ONE full-outer shuffle join on the key.
@@ -2663,7 +2711,15 @@ object PipelineQueries {
     * `chx(doc_id, tk, ci)` — [[d48Oracle]] selects the chunk rows from
     * it; the s72 oracle composes the SAME chain with the index-serving
     * splice (curate → index → serve, one derivation, no drift). */
-  private def d48ChainCtes(corpusSrc: String): String = {
+  /** The d48 curation-chain CTEs. `prOverride` swaps the near-dup pair
+    * stage: None → the exact inverted-index pairs (d48/d68's shared
+    * ground-truth oracle); Some(minhashPairCtes("surviving")) → the
+    * self-contained banding recompute (d80's gate, which therefore
+    * does NOT lean on the corpus recall equivalence). */
+  private def d48ChainCtes(corpusSrc: String,
+                           prOverride: Option[String] = None): String = {
+      val prCtes = prOverride.getOrElse(
+        s"pr AS (SELECT i, j FROM (${jaccardOracle(0.5, "surviving").replace("ORDER BY i, j", "")}))")
       val slotInner = graft.oracle.DuckSql.withSlotNode(
         "SELECT doc_id, lang, toks, 'doc:' || doc_id AS key FROM decon",
         Seq("doc_id", "lang", "toks"), Some("slot"), None)
@@ -2683,7 +2739,7 @@ object PipelineQueries {
          |filtered AS (SELECT * FROM q WHERE quality >= 0.5),
          |keepers AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY text),
          |surviving AS (SELECT f.* FROM filtered f JOIN keepers k ON f.doc_id = k.doc_id),
-         |pr AS (SELECT i, j FROM (${jaccardOracle(0.5, "surviving").replace("ORDER BY i, j", "")})),
+         |$prCtes,
          |$componentsCtes,
          |clean AS (SELECT * FROM surviving
          |  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)),
@@ -3367,6 +3423,26 @@ object PipelineQueries {
          |$sourceOverlapAggSql""".stripMargin,
     // MinHash twin: the banding itself re-derived in SQL — see d79Oracle
     "d79_source_overlap_minhash" -> d79Oracle(),
+    // per-source funnel over the d48 chain with the banding-recompute
+    // pair stage; counts per stage via a doc-id stage union joined to
+    // source (keeper attribution follows min doc_id in both engines)
+    "d80_curation_funnel" ->
+      s"""WITH RECURSIVE ${d48ChainCtes("documents",
+             prOverride = Some(minhashPairCtes("surviving")))},
+         |st AS (SELECT doc_id, 0 AS stg, CAST(0 AS BIGINT) AS toks_n FROM b
+         |  UNION ALL SELECT doc_id, 1, 0 FROM filtered
+         |  UNION ALL SELECT doc_id, 2, 0 FROM surviving
+         |  UNION ALL SELECT doc_id, 3, 0 FROM clean
+         |  UNION ALL SELECT doc_id, 4, CAST(len(toks) AS BIGINT) FROM decon)
+         |SELECT doc.source AS source,
+         | CAST(sum(CASE WHEN stg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         | CAST(sum(CASE WHEN stg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         | CAST(sum(CASE WHEN stg = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         | CAST(sum(CASE WHEN stg = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+         | CAST(sum(CASE WHEN stg = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+         | CAST(sum(CASE WHEN stg = 4 THEN toks_n ELSE 0 END) AS BIGINT) AS tokens_final
+         |FROM st JOIN documents doc USING (doc_id)
+         |GROUP BY doc.source ORDER BY source""".stripMargin,
     "d51_corpus_merge" ->
       """WITH existing AS (
         |  SELECT doc_id, text, lang, 1 AS version FROM documents),

@@ -71,4 +71,24 @@ class SourceOverlapSpec extends AnyFunSuite {
       s"overlap matrix plans a cartesian product:\n$plan")
     spark.catalog.clearCache()
   }
+
+  test("d80 funnel rows are stage-monotone and non-vacuous") {
+    // each cleaning stage can only remove docs, and the gate corpora
+    // must actually exercise the quality and near-dup stages (a funnel
+    // where nothing is ever dropped would be a vacuous report)
+    val rows = graft.SparkEntry.queries("d80_curation_funnel")(
+      spark, graft.SparkTestSession.sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(d, q, e, n, f) = (1 to 5).map(r.getLong).toSeq
+      assert(d >= q && q >= e && e >= n && n >= f,
+        s"non-monotone funnel row: $r")
+      assert(r.getLong(6) >= f, s"fewer tokens than docs in $r")
+    }
+    assert(rows.map(_.getLong(1)).sum > rows.map(_.getLong(2)).sum,
+      "quality stage dropped nothing anywhere — vacuous funnel")
+    assert(rows.map(_.getLong(3)).sum > rows.map(_.getLong(4)).sum,
+      "near-dup stage dropped nothing anywhere — vacuous funnel")
+    spark.catalog.clearCache()
+  }
 }

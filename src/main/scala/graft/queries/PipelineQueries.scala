@@ -1444,25 +1444,15 @@ object PipelineQueries {
       val docs = t(s, dir, "documents")
       val bench = docs.where($"doc_id" < 5)
       val corpus = docs.where($"doc_id" >= 5)
-      val stats = TextAnalysis.analyze(corpus)
-        .select($"doc_id", $"text", $"n_tokens",
-          round($"quality", 6).as("quality"))
-      val q = stats.where($"quality" >= 0.5)
-      val exact = Dedup.exactDedup(q, "doc_id", "text").localCheckpoint(true)
-      val losers = Dedup.clusterLosers(
-          Dedup.minhashNearDups(exact, "doc_id", "text", threshold = 0.5))
-        .select($"id".as("doc_id"))
-      val nd = exact.join(losers, Seq("doc_id"), "left_anti")
-      val cont = Dedup.contaminatedDocs(nd, bench, "doc_id", "text",
-          shingleN = 4).select($"doc_id")
-      val fin = nd.join(cont, Seq("doc_id"), "left_anti")
+      val cs = curationStages(bench, corpus,
+        d => Dedup.minhashNearDups(d, "doc_id", "text", threshold = 0.5))
       def stage(df: DataFrame, i: Int) =
         df.select($"doc_id", lit(i).as("stg"), lit(0L).as("toks_n"))
       val st = stage(corpus, 0)
-        .unionByName(stage(q, 1))
-        .unionByName(stage(exact, 2))
-        .unionByName(stage(nd, 3))
-        .unionByName(fin.select($"doc_id", lit(4).as("stg"),
+        .unionByName(stage(cs.quality, 1))
+        .unionByName(stage(cs.exact, 2))
+        .unionByName(stage(cs.neardup, 3))
+        .unionByName(cs.decontaminated.select($"doc_id", lit(4).as("stg"),
           $"n_tokens".cast("long").as("toks_n")))
       st.join(docs.select($"doc_id", $"source"), "doc_id")
         .groupBy($"source")
@@ -1629,23 +1619,38 @@ object PipelineQueries {
     * `d => Dedup.minhashNearDups(d, "doc_id", "text", 0.5)` — measured
     * sub-quadratic across two decades. New pipeline stages should pass
     * the MinHash override unless they are explicitly a ground truth. */
-  private def trainingCorpusDf(bench: DataFrame, corpus: DataFrame,
-      nearDupPairs: DataFrame => DataFrame =
-        d => Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.5)): DataFrame = {
+  /** The d48/d68 cleaning stages as NAMED frames — quality filter,
+    * exact dedup, near-dup cluster keepers, decontamination — ONE Spark
+    * encoding (pinned stage-for-stage to d48ChainCtes) shared by
+    * trainingCorpusDf, which composes them into the corpus, and d80,
+    * which counts them per source; a chain change can no longer reach
+    * one consumer and miss the other. */
+  private case class CurationStages(quality: DataFrame, exact: DataFrame,
+                                    neardup: DataFrame, decontaminated: DataFrame)
+  private def curationStages(bench: DataFrame, corpus: DataFrame,
+      nearDupPairs: DataFrame => DataFrame): CurationStages = {
     import corpus.sparkSession.implicits._
-    val stats = TextAnalysis.analyze(corpus)
+    val quality = TextAnalysis.analyze(corpus)
       .select($"doc_id", $"lang", $"text", $"n_tokens",
         round($"quality", 6).as("quality"))
       .where($"quality" >= 0.5)
-    val exact = Dedup.exactDedup(stats, "doc_id", "text").localCheckpoint(true)
+    val exact = Dedup.exactDedup(quality, "doc_id", "text").localCheckpoint(true)
     val losers = Dedup.clusterLosers(nearDupPairs(exact))
       .select($"id".as("doc_id"))
     val clean = exact.join(losers, Seq("doc_id"), "left_anti")
     val contaminated = Dedup.contaminatedDocs(clean, bench, "doc_id", "text",
       shingleN = 4).select($"doc_id")
-    val decon = clean.join(contaminated, Seq("doc_id"), "left_anti")
+    CurationStages(quality, exact, clean,
+      clean.join(contaminated, Seq("doc_id"), "left_anti"))
+  }
+
+  private def trainingCorpusDf(bench: DataFrame, corpus: DataFrame,
+      nearDupPairs: DataFrame => DataFrame =
+        d => Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.5)): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val st = curationStages(bench, corpus, nearDupPairs)
     val kept = graft.operators.Sampling.temperatureSample(
-      decon, concat(lit("doc:"), $"doc_id"), "lang")
+      st.decontaminated, concat(lit("doc:"), $"doc_id"), "lang")
     TextAnalysis.chunk(kept, "doc_id", "text", window = 100, stride = 80)
       .orderBy("doc_id", "chunk_idx")
   }

@@ -90,6 +90,7 @@ object StreamStateProbe {
       val times = scala.collection.mutable.Map(
         "disc" -> List.empty[Double], "naive" -> List.empty[Double])
       val updated = scala.collection.mutable.Map.empty[String, Seq[Long]]
+      val storeOps = scala.collection.mutable.Map.empty[String, Map[String, Long]]
       (1 to runs).foreach { i =>
         Seq("disc" -> false, "naive" -> true).foreach { case (label, naive) =>
           val t = System.nanoTime()
@@ -98,6 +99,13 @@ object StreamStateProbe {
           val sec = (System.nanoTime() - t) / 1e9
           val sink = StreamingQueries.sessionTimersSink(naive, sparseAb)
           updated(label) = StreamingQueries.capturedStateMetrics(sink).map(_._3)
+          // store-LEVEL op counters (rocksdbPutCount/GetCount/…) see the
+          // timer-key traffic numRowsUpdated can't — summed over batches
+          storeOps(label) = StreamingQueries.capturedCustomMetrics(sink)
+            .flatMap(_.toSeq).groupBy(_._1)
+            .map { case (k, vs) => k -> vs.map(_._2).sum }
+            .filter { case (k, _) =>
+              k.toLowerCase.matches(".*(put|get|remove|delete|pair).*") }
           SessionHygiene.sweep(spark)
           times(label) = times(label) :+ sec
           println(f"[stateprobe] ${tag}_$label round$i: $sec%.1f s")
@@ -107,6 +115,9 @@ object StreamStateProbe {
         println(f"[stateprobe] ${tag}_$l min=${times(l).min}%.1f s all=${times(l).map(t => f"$t%.1f").mkString(",")}")
         val u = updated.getOrElse(l, Nil)
         println(s"[stateprobe] ${tag}_$l numRowsUpdated/batch=${u.mkString(",")} sum=${u.sum}")
+        val so = storeOps.getOrElse(l, Map.empty)
+        println(s"[stateprobe] ${tag}_$l storeOps(last run, sum over batches): " +
+          so.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
       }
       spark.stop()
       return

@@ -271,6 +271,16 @@ object StreamingQueries {
   def capturedStateMetrics(sink: String): Seq[(String, Long, Long, Long)] =
     capturedMetrics.getOrElse(sink, Nil)
 
+  /** Per-batch custom state-store metric VALUES of the last run for
+    * `sink` (RocksDB publishes rocksdbPutCount/rocksdbGetCount/… —
+    * store-level operation counters that INCLUDE timer-key traffic,
+    * which numRowsUpdated does not). What lets StreamStateProbe observe
+    * the s70 timer-call discipline as a counter instead of arguing it
+    * by call count. */
+  @volatile private var capturedCustom: Map[String, Seq[Map[String, Long]]] = Map.empty
+  def capturedCustomMetrics(sink: String): Seq[Map[String, Long]] =
+    capturedCustom.getOrElse(sink, Nil)
+
   private def capture(name: String,
                       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     try {
@@ -290,6 +300,10 @@ object StreamingQueries {
         .map(op => (op.operatorName, op.numRowsTotal, op.numRowsUpdated,
           op.memoryUsedBytes))
       if (mets.nonEmpty) capturedMetrics += name -> mets
+      val cust = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+        .map(op => op.customMetrics.asScala
+          .map { case (k, v) => k -> v.longValue }.toMap)
+      if (cust.exists(_.nonEmpty)) capturedCustom += name -> cust
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 

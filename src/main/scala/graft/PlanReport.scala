@@ -143,6 +143,8 @@ object PlanReport {
       "d46's production twin: the same min-label-propagation component closure and survivor sizing, fed by the RECALL-HELD banded-LSH candidate stage (d73's derived config) instead of the exact block-pair join — candidates from L equi-joins on (table, signature), closure rounds on the output-sensitive pair set; nothing touches the n^2 pair space",
     "d79_source_overlap_minhash" ->
       "cross-source overlap matrix, production form: MinHash banded candidates (equi-join on (band, bucket)) exact-verified at theta=0.5, then TWO equi-joins attach sources to the output-sensitive pair set and fold it to a <=|sources|^2 matrix — per-pair counts halve the exploded endpoint rows, the strong tier compares in INTEGERS (5*inter >= 4*uni: 4/5 is not a double), nothing is corpus-quadratic; the oracle re-derives the BANDING itself in DuckDB (FNV shingle hashes, spliced permutation params, bands compared by value), so banding recall is hash-checked, not assumed — the exact twin d78 rides d33's inverted-index chain as ground truth",
+    "s80_knn_label_eval_ivf" ->
+      "embedding-quality eval, production form: leave-one-out 1-NN label agreement where EVERY vector is a query — the probed fraction nprobe/nlist dominates, so the quantizer is occupancy-held (ivfListsFor; the fixed-16 serving quantizer measurably LOSES to brute here at sf1, 58 vs 44 s, while the held one wins 32 vs 56 s); candidates are a list-bucketed equi-join (never all-pairs), top-1 by (sim DESC, nbr_id), and the labels-sized report folds map-side; the exact twin s79 is the recall-1 ground truth and the oracle re-derives the probe path from spliced centroids",
     "d80_curation_funnel" ->
       "per-source curation funnel over the d48/d68 chain (quality -> exact dedup -> near-dup keepers -> decontamination): the stages are the chain's own corpus-sized work; the funnel tail adds only doc-id stage unions, ONE join to the (doc_id, source) projection, and a |sources|-row aggregate — attribution counting is free relative to cleaning, at any corpus size; near-dup candidates come from the MinHash production generator and the gate re-derives the banding in DuckDB (no corpus recall assumption)",
     "m62_jpeg_corpus_stats" ->

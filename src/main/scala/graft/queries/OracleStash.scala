@@ -40,7 +40,7 @@ private[queries] object OracleStash {
     "s37.cents", "s44.books", "d53.cents", "s45.model", "s57.model",
     "s62.model", "s58.cents", "s60.cents", "s61.cents", "s63.cents",
     "s64.cents", "s65.cents", "s72.cents", "s73.cents", "s76.cents",
-    "s77.cents", "s78.cents", "d36.bits", "d56.bits", "d73.config",
+    "s77.cents", "s78.cents", "s80.cents", "d36.bits", "d56.bits", "d73.config",
     "d74.config", "s66.pca", "s67.pca", "c60.dir", "j61.dir")
 
   private val slots = scala.collection.concurrent.TrieMap.empty[String, Any]

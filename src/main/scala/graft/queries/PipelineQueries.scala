@@ -60,6 +60,21 @@ object PipelineQueries {
     kmCache.getOrElseUpdate(key,
       Similarity.kmeansCentroids(t(s, dir, "embeddings"), nlist = 16, iters = 2))
   }
+  /** Occupancy-HELD coarse quantizer (the round-11 nlist discipline:
+    * lists sized to the corpus via ivfListsFor, not a fixed 16) — own
+    * memo because kmCache's key carries no nlist. Used by s80, whose
+    * probed fraction nprobe/nlist is the whole point of the twin. */
+  private[graft] val kmHeldCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  private def centroidsHeld(s: SparkSession, dir: String): Array[Array[Double]] = {
+    val key = corpusKey(dir)
+    evictStale(kmHeldCache, dir, key)
+    kmHeldCache.getOrElseUpdate(key, {
+      val emb = t(s, dir, "embeddings")
+      Similarity.kmeansCentroids(emb,
+        nlist = Similarity.ivfListsFor(emb.count()), iters = 2)
+    })
+  }
   private def codebooks16(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
     val key = corpusKey(dir)
     evictStale(pqCache, dir, key)
@@ -639,6 +654,39 @@ object PipelineQueries {
       Similarity.ivfTopKWith(cents, emb, emb.where($"vec_id" < 5), k = 10)
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
+    }),
+    // EMBEDDING-QUALITY EVAL — leave-one-out 1-NN label agreement, the
+    // standard "are these embeddings any good" report (a vector's
+    // nearest neighbor should share its label): per label, how many
+    // vectors' top-1 exact-cosine neighbor agrees. GROUND-TRUTH form —
+    // every vector queries the whole corpus (the d34 role: recall-1,
+    // inherently all-pairs); the corpus-scale path is s80, which runs
+    // the same eval through the IVF probe. Deterministic top-1 via the
+    // (sim DESC, nbr_id) tie-break both engines rank identically (the
+    // s35 precedent).
+    "s79_knn_label_eval" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      knnLabelAgreement(emb, Similarity.bruteForceTopK(emb, emb, k = 1))
+    }),
+    // s79's PRODUCTION TWIN: the same leave-one-out eval with the
+    // top-1 taken from the IVF probe (every vector probes its nprobe
+    // lists; the candidate join is list-bucketed — corpus-scale-safe,
+    // never all-pairs). Accuracy can differ from s79 exactly where the
+    // probe misses the true neighbor — that GAP is itself the standard
+    // ANN-recall diagnostic, and the oracle re-derives the probe path
+    // (spliced centroids, the s37 machinery) so the reported numbers
+    // are the probe's true numbers, not a recall assumption.
+    "s80_knn_label_eval_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      // occupancy-held nlist (ivfListsFor, 32 at the 500-vector gate →
+      // probed fraction 4/32): every-vector-is-a-query makes the
+      // probed fraction the dominant cost, so the nlist discipline
+      // matters MORE here than in the few-query serving family
+      val cents = centroidsHeld(s, dir)
+      OracleStash.put("s80.cents", cents)
+      knnLabelAgreement(emb, Similarity.ivfTopKWith(cents, emb, emb, k = 1))
     }),
     // PCA embedding projection — the compression/rotation step a
     // pipeline runs before storing or indexing vectors: project every
@@ -1654,6 +1702,23 @@ object PipelineQueries {
     TextAnalysis.chunk(kept, "doc_id", "text", window = 100, stride = 80)
       .orderBy("doc_id", "chunk_idx")
   }
+  /** s79/s80's shared tail: per-label leave-one-out 1-NN agreement
+    * from a (query_id, nbr_id, …) top-1 frame — ONE encoding so the
+    * exact and IVF twins cannot drift on the report shape. The nn
+    * frame is queries-sized (≤ one row per vector); both joins attach
+    * the narrow (vec_id, label) projection; output is labels-sized. */
+  private[queries] def knnLabelAgreement(emb: DataFrame, nn: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val lab = emb.select($"vec_id", $"label")
+    nn.select($"query_id", $"nbr_id")
+      .join(lab.toDF("query_id", "label"), "query_id")
+      .join(lab.toDF("nbr_id", "nbr_label"), "nbr_id")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"nbr_label" === $"label", 1L).otherwise(0L)).as("correct_1nn"))
+      .orderBy("label")
+  }
+
   private def sampledDocs(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.hashSample(
       t(s, dir, "documents"), concat(lit("doc:"), col("doc_id")), DocTwinRate)
@@ -1925,7 +1990,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -2233,6 +2298,36 @@ object PipelineQueries {
 
   private def ivfOracle: Map[String, String] =
     OracleStash.get[Cents]("s37.cents").map(c => "s37_ann_ivf" -> ivfProbeOracleSql(c)).toMap
+
+  /** s79/s80's shared SQL tail over a `ranked(query_id, nbr_id, rk)`
+    * CTE — the per-label 1-NN agreement fold, one encoding as the
+    * Spark-side knnLabelAgreement. */
+  private val knnLabelAggSql: String =
+    """one AS (SELECT query_id, nbr_id FROM ranked WHERE rk = 1)
+      |SELECT ql.label AS label, count(*) AS n,
+      | CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS BIGINT) AS correct_1nn
+      |FROM one o JOIN embeddings ql ON o.query_id = ql.vec_id
+      |           JOIN embeddings nl ON o.nbr_id = nl.vec_id
+      |GROUP BY ql.label ORDER BY label""".stripMargin
+
+  /** s80's oracle: the s37 probe/rank recompute (spliced centroids,
+    * every vector a query) ranked to top-1 and folded per label. */
+  private def knnIvfOracle: Map[String, String] =
+    OracleStash.get[Cents]("s80.cents").map { c =>
+      "s80_knn_label_eval_ivf" ->
+        s"""WITH ${centroidAssignCtes(c, "embedding")},
+           |qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+           |  SELECT vec_id, embedding, cid,
+           |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+           |  FROM scored) WHERE rn <= 4),
+           |cand AS (SELECT q.query_id, a.vec_id AS nbr_id,
+           |   ${duckCosine("q.qv", "a.embedding")} AS sim
+           | FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id),
+           |ranked AS (SELECT query_id, nbr_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rk
+           |  FROM cand),
+           |$knnLabelAggSql""".stripMargin
+    }.toMap
 
   /** s65's oracle: the same probe/rank SQL with the metadata predicate
     * applied to the CANDIDATE side only (queries stay unfiltered) —
@@ -2616,6 +2711,14 @@ object PipelineQueries {
          | FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
          | WHERE q.vec_id < 5)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // leave-one-out 1-NN label agreement, exact ground truth: the s35
+    // brute ranking at k=1 over EVERY vector, folded per label
+    "s79_knn_label_eval" ->
+      s"""WITH ranked AS (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${duckCosine("q.embedding", "c.embedding")} DESC, c.vec_id) AS rk
+         | FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id),
+         |$knnLabelAggSql""".stripMargin,
     "s56_retrieval_join" ->
       s"""WITH hits AS (
          | SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (

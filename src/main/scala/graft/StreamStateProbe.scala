@@ -104,8 +104,10 @@ object StreamStateProbe {
           storeOps(label) = StreamingQueries.capturedCustomMetrics(sink)
             .flatMap(_.toSeq).groupBy(_._1)
             .map { case (k, vs) => k -> vs.map(_._2).sum }
-            .filter { case (k, _) =>
-              k.toLowerCase.matches(".*(put|get|remove|delete|pair).*") }
+            // counters ONLY (rocksdb*Count, num*) — the latency gauges
+            // (rocksdb*Latency) are nanosecond values a sum would pass
+            // off as an op count
+            .filter { case (k, _) => k.endsWith("Count") || k.startsWith("num") }
           SessionHygiene.sweep(spark)
           times(label) = times(label) :+ sec
           println(f"[stateprobe] ${tag}_$label round$i: $sec%.1f s")

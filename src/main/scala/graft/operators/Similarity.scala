@@ -456,11 +456,16 @@ object Similarity {
     * caller can hold the (deterministic) quantizer and recompute the
     * same probe logic independently (the s37 oracle splices exactly
     * these centroids into DuckDB SQL as literals). */
+  /** `broadcastQueries = false` when the query side is corpus-sized
+    * (leave-one-out evals, batch re-embedding): the probe join then
+    * shuffles both sides on the list id instead of collecting every
+    * query vector to the driver for a broadcast. */
   def ivfTopKWith(centroids: Array[Array[Double]],
                   corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 4,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  broadcastQueries: Boolean = true): DataFrame =
     ivfRank(ivfAssigned(centroids, corpus, idCol, vecCol),
-      centroids, queries, k, nprobe, idCol, vecCol)
+      centroids, queries, k, nprobe, idCol, vecCol, broadcastQueries)
 
   /** The assigned-corpus shape both IVF serving paths consume:
     * (nbr_id, cvec, cn, __cid) — vector, precomputed norm, owning
@@ -546,8 +551,10 @@ object Similarity {
 
   private def ivfRank(c: DataFrame, centroids: Array[Array[Double]],
                       queries: DataFrame, k: Int, nprobe: Int,
-                      idCol: String, vecCol: String): DataFrame = {
-    val cand = ivfCandidates(c, centroids, queries, nprobe, idCol, vecCol)
+                      idCol: String, vecCol: String,
+                      broadcastQueries: Boolean = true): DataFrame = {
+    val cand = ivfCandidates(c, centroids, queries, nprobe, idCol, vecCol,
+      broadcastQueries)
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
     cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -686,7 +686,11 @@ object PipelineQueries {
       // matters MORE here than in the few-query serving family
       val cents = centroidsHeld(s, dir)
       OracleStash.put("s80.cents", cents)
-      knnLabelAgreement(emb, Similarity.ivfTopKWith(cents, emb, emb, k = 1))
+      // the query side IS the corpus — never broadcast it: the probe
+      // join shuffles on the list id (both sides corpus-sized, evenly
+      // list-bucketed), the driver never holds the vectors
+      knnLabelAgreement(emb,
+        Similarity.ivfTopKWith(cents, emb, emb, k = 1, broadcastQueries = false))
     }),
     // PCA embedding projection — the compression/rotation step a
     // pipeline runs before storing or indexing vectors: project every

@@ -300,10 +300,13 @@ object StreamingQueries {
         .map(op => (op.operatorName, op.numRowsTotal, op.numRowsUpdated,
           op.memoryUsedBytes))
       if (mets.nonEmpty) capturedMetrics += name -> mets
+      // unconditional overwrite: a capture that yields nothing must
+      // CLEAR the slot, not leave a previous run's counters to be read
+      // back as this run's ("last run" must mean the last run)
       val cust = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
         .map(op => op.customMetrics.asScala
           .map { case (k, v) => k -> v.longValue }.toMap)
-      if (cust.exists(_.nonEmpty)) capturedCustom += name -> cust
+      capturedCustom += name -> cust
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 

@@ -51,4 +51,26 @@ class KnnLabelEvalSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in s80:\n$plan")
     spark.catalog.clearCache()
   }
+
+  test("the corpus-sized query side is never FORCED into a broadcast") {
+    // broadcastQueries=false: the probe join's initial plan must keep
+    // both corpus-sized sides on a shuffled join — a planner hint
+    // would collect every query vector to the driver at any scale
+    // (AQE may still pick a broadcast at runtime from actual sizes;
+    // that is size-based and correct — the pin is on the HINT)
+    val emb = spark.read.parquet(s"${SparkTestSession.sf001}/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(
+      emb, nlist = Similarity.ivfListsFor(emb.count()), iters = 2)
+    val opt = Similarity
+      .ivfTopKWith(cents, emb, emb, k = 1, broadcastQueries = false)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("strategy=broadcast"),
+      s"broadcast HINT present despite broadcastQueries=false:\n${opt.take(2000)}")
+    val hinted = Similarity
+      .ivfTopKWith(cents, emb, emb, k = 1)
+      .queryExecution.optimizedPlan.toString
+    assert(hinted.contains("strategy=broadcast"),
+      "the default path lost its broadcast hint — this pin went vacuous")
+    spark.catalog.clearCache()
+  }
 }

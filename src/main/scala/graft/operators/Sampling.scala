@@ -157,15 +157,18 @@ object Sampling {
    * decided by the deterministic slot hash of `key` against
    * floor(w·16384) — membership is append-stable, engine-portable, and
    * scan-side (the strata-sized threshold table broadcasts; the corpus
-   * crosses no exchange for the join). Equal-share target: at w = 1/L
-   * the floored threshold stays ≥ 1 slot for any L ≤ 8192 strata, so
-   * unlike extreme temperature ratios no saturation guard is needed —
-   * the equal-share w is bounded below by 1/L by construction.
+   * crosses no exchange for the join). Equal-share target: w is
+   * bounded below by 1/L by construction (t_s ≤ T), so the floored
+   * threshold stays ≥ 1 slot for any L ≤ 16384 strata; past that the
+   * [[temperatureSample]] one-slot floor applies — nothing enforces a
+   * stratum-count bound (the count is only known at execution), and
+   * downsample-only must never mean downsample-to-NOTHING.
    */
   def mixtureResample(df: DataFrame, stratumCol: String, weightCol: String,
                       key: Column): DataFrame = {
     val wt = mixtureWeights(df, stratumCol, weightCol, cap = 1.0)
-      .select(col(stratumCol), floor(col("__w") * Slots).cast("int").as("__thr"))
+      .select(col(stratumCol),
+        greatest(lit(1), floor(col("__w") * Slots).cast("int")).as("__thr"))
     df.join(broadcast(wt), df(stratumCol) <=> wt(stratumCol))
       .where(cluster_slot(key) < col("__thr"))
       .drop("__thr").drop(wt(stratumCol))
@@ -185,9 +188,16 @@ object Sampling {
                     key: Column, maxEpochs: Double = 4.0,
                     epochCol: String = "epoch"): DataFrame = {
     require(maxEpochs >= 1.0, s"maxEpochs must be >= 1, got $maxEpochs")
+    // fractional threshold floored at one slot when there are ZERO
+    // whole epochs — the mixtureResample guard's epochs form: past
+    // 16384 strata the heaviest stratum must still keep ≥ 1/16384,
+    // never vanish (when __full ≥ 1 the stratum survives regardless)
     val wt = mixtureWeights(df, stratumCol, weightCol, cap = maxEpochs)
       .select(col(stratumCol), floor(col("__w")).cast("int").as("__full"),
-        floor((col("__w") - floor(col("__w"))) * Slots).cast("int").as("__fthr"))
+        when(floor(col("__w")) === 0,
+          greatest(lit(1), floor((col("__w") - floor(col("__w"))) * Slots).cast("int")))
+          .otherwise(floor((col("__w") - floor(col("__w"))) * Slots).cast("int"))
+          .as("__fthr"))
     df.join(broadcast(wt), df(stratumCol) <=> wt(stratumCol))
       .withColumn("__nc", col("__full") +
         when(cluster_slot(key) < col("__fthr"), 1).otherwise(0))

@@ -455,8 +455,9 @@ object Similarity {
   /** IVF probe/rank stage over PRECOMPUTED centroids — split out so a
     * caller can hold the (deterministic) quantizer and recompute the
     * same probe logic independently (the s37 oracle splices exactly
-    * these centroids into DuckDB SQL as literals). */
-  /** `broadcastQueries = false` when the query side is corpus-sized
+    * these centroids into DuckDB SQL as literals).
+    *
+    * `broadcastQueries = false` when the query side is corpus-sized
     * (leave-one-out evals, batch re-embedding): the probe join then
     * shuffles both sides on the list id instead of collecting every
     * query vector to the driver for a broadcast. */

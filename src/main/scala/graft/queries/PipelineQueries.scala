@@ -3494,9 +3494,9 @@ object PipelineQueries {
          |  FROM tk GROUP BY lang),
          |tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
          |  count(*) AS n_langs FROM bl),
-         |wt AS (SELECT lang, CAST(floor(
+         |wt AS (SELECT lang, CAST(greatest(1, floor(
          |    least(1.0, CAST(total_tokens AS DOUBLE) / n_langs / CAST(lang_tokens AS DOUBLE))
-         |    * 16384) AS INTEGER) AS thr
+         |    * 16384)) AS INTEGER) AS thr
          |  FROM bl CROSS JOIN tot)
          |SELECT s.doc_id, s.lang, s.n_tokens
          |FROM ($inner) s JOIN wt ON s.lang IS NOT DISTINCT FROM wt.lang
@@ -3518,7 +3518,9 @@ object PipelineQueries {
          |tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
          |  count(*) AS n_langs FROM bl),
          |wt AS (SELECT lang, CAST(floor(w) AS INTEGER) AS ful,
-         |  CAST(floor((w - floor(w)) * 16384) AS INTEGER) AS fthr
+         |  CAST(CASE WHEN floor(w) = 0
+         |    THEN greatest(1, floor((w - floor(w)) * 16384))
+         |    ELSE floor((w - floor(w)) * 16384) END AS INTEGER) AS fthr
          |  FROM (SELECT lang, least(CAST(4.0 AS DOUBLE),
          |    CAST(total_tokens AS DOUBLE) / n_langs / CAST(lang_tokens AS DOUBLE)) AS w
          |   FROM bl CROSS JOIN tot))

@@ -87,6 +87,23 @@ object RelationalQueries {
       new String(Files.readAllBytes(marker), "UTF-8") != want
   }
 
+  /** Recursively delete an export directory (no-op when absent). A
+    * STALE export must be wiped before its rewrite, not just
+    * overwritten: a layout change that produces FEWER subdirectories
+    * (e.g. a smaller hash-split count) would otherwise leave the old
+    * layout's extra subdirs on disk, and a subdir-glob consumer (the
+    * split-event streams' `part` globs) would replay both
+    * generations. */
+  private[queries] def wipeDir(dir: String): Unit = {
+    val loc = Paths.get(dir)
+    if (Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(loc)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   /** Stamp an export fresh with a digest CAPTURED BEFORE the export
     * job read its source (overwriting the empty _SUCCESS Spark writes,
     * where one exists). Stamping a freshly-computed digest instead
@@ -328,15 +345,7 @@ object RelationalQueries {
       // a previous JVM's in-memory catalog may have left the MANAGED
       // location behind without a catalog entry in this one — CTAS
       // refuses to reuse the location, so clear the remnant first
-      if (!s.catalog.tableExists(tbl)) {
-        val loc = Paths.get(s"$warehouse/$tbl")
-        if (Files.exists(loc)) {
-          import scala.jdk.CollectionConverters._
-          val walk = Files.walk(loc)
-          try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-          finally walk.close()
-        }
-      }
+      if (!s.catalog.tableExists(tbl)) wipeDir(s"$warehouse/$tbl")
       import s.implicits._
       val key = concat(lit("cust:"), $"c_custkey")
       Tables.load(s, sfDir, "customer")

@@ -88,6 +88,9 @@ object StreamingQueries {
     // 5×3 grouping must invalidate old exports, not silently serve them
     val want = RelationalQueries.srcDigest(dir, "embeddings") + ":serve-req-5x3-v1"
     if (RelationalQueries.staleDigest(out, want)) {
+      // wipe first: a layout change with fewer request batches must not
+      // leave old r<k> dirs for the /*/part* glob to replay
+      RelationalQueries.wipeDir(out)
       val emb = s.read.parquet(s"$dir/embeddings.parquet").where(col("vec_id") < 15)
       (0 until 5).foreach { i =>
         emb.where(col("vec_id") >= i * 3 && col("vec_id") < (i + 1) * 3)
@@ -142,6 +145,10 @@ object StreamingQueries {
     // the /*/part* glob) — so it goes into the freshness marker
     val want = RelationalQueries.srcDigest(dir, "events") + s":hashsplit-$splits-v1"
     if (RelationalQueries.staleDigest(out, want)) {
+      // wipe first: a SMALLER splits count would leave the old layout's
+      // extra r<k> dirs replaying through the /*/part* glob — the
+      // marker triggers the rewrite, the wipe makes it complete
+      RelationalQueries.wipeDir(out)
       val ev = graft.sources.Tables.load(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       (0 until splits).foreach { i =>
@@ -293,16 +300,17 @@ object StreamingQueries {
     } catch { case scala.util.control.NonFatal(_) => () }
     try {
       import scala.jdk.CollectionConverters._
+      // unconditional overwrites: a capture that yields nothing must
+      // CLEAR the slot, not leave a previous run's values to be read
+      // back as this run's ("last run" must mean the last run) — the
+      // same rule for all three per-sink stores
       val ops = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
         .map(op => op.operatorName -> op.customMetrics.keySet.asScala.toSet)
-      if (ops.nonEmpty) capturedOps += name -> ops
+      capturedOps += name -> ops
       val mets = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
         .map(op => (op.operatorName, op.numRowsTotal, op.numRowsUpdated,
           op.memoryUsedBytes))
-      if (mets.nonEmpty) capturedMetrics += name -> mets
-      // unconditional overwrite: a capture that yields nothing must
-      // CLEAR the slot, not leave a previous run's counters to be read
-      // back as this run's ("last run" must mean the last run)
+      capturedMetrics += name -> mets
       val cust = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
         .map(op => op.customMetrics.asScala
           .map { case (k, v) => k -> v.longValue }.toMap)

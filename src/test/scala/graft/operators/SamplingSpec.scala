@@ -151,4 +151,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(keptSkew > 0 && keptSkew < 200,
       s"overrepresented NULL stratum should thin, not vanish/persist: $keptSkew")
   }
+
+  test("mixture guard: past 16384 strata the heaviest stratum never vanishes") {
+    // w >= 1/L holds by construction, so the one-slot floor can only
+    // bind past 16384 strata: 20k singleton strata + one heavy stratum
+    // whose weight floors to ZERO slots without the guard
+    import org.apache.spark.sql.functions._
+    val light = (1L to 20000L).map(i => (i, s"s$i", 1L))
+    val heavy = (1L to 150000L).map(i => (1000000L + i, "h", 1000L))
+    val df = (light ++ heavy).toDF("id", "dom", "mass").repartition(8)
+    // the guard gives the heavy stratum EXACTLY one slot, so the kept
+    // set is exactly its slot-0 keys — pin equality, not just existence
+    def slot0(prefix: String) = df.where($"dom" === "h").where(
+      graft.functions.ClusterHashFunctions.cluster_slot(
+        concat(lit(prefix), $"id")) === 0).count()
+    val kept = Sampling.mixtureResample(df, "dom", "mass",
+      concat(lit("g:"), $"id"))
+    val keptHeavy = kept.where($"dom" === "h").count()
+    assert(slot0("g:") > 0, "fixture too small to exercise the floor")
+    assert(keptHeavy == slot0("g:"),
+      s"heavy stratum kept $keptHeavy, expected its slot-0 keys ${slot0("g:")}")
+    // light strata: w capped at 1 -> kept whole
+    assert(kept.where($"dom" =!= "h").count() == 20000)
+    // epochs form: zero whole epochs + the guarded fractional slot
+    val ep = Sampling.mixtureEpochs(df, "dom", "mass",
+      concat(lit("e:"), $"id"), maxEpochs = 4.0)
+    assert(slot0("e:") > 0, "fixture too small to exercise the floor")
+    assert(ep.where($"dom" === "h").count() == slot0("e:"),
+      "heavy stratum's epochs must be exactly its slot-0 keys")
+    assert(ep.where($"dom" =!= "h").groupBy("id").count()
+      .agg(min("count")).head().getLong(0) >= 1)
+  }
 }

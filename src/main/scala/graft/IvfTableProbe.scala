@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/**
+ * SCALING.md probe for the centroid-TABLE serving tier (round 13 —
+ * the r12 verdict's items 1 and 2 measured):
+ *
+ *  - `eval` mode: the s80 leave-one-out 1-NN label eval run THROUGH
+ *    the table tier at an occupancy-held nlist PAST the literal cap
+ *    (ivfListsFor with a caller maxBits — e.g. 10 → 1024 lists at
+ *    sf10). This is the cell the r12 SCALING table recorded as
+ *    "infeasible BY THE CAP" (32 lists at sf10 → 15 625 vectors/list
+ *    → ~3·10¹⁰ candidates): the table tier holds occupancy instead,
+ *    keeping the probed fraction nprobe/nlist constant.
+ *
+ *  - `serve` mode: the s78 pruned-vs-full per-batch read at a
+ *    PRODUCTION-SIZED nlist. Builds a table-assigned on-disk index
+ *    (partitionBy __cid), then serves the s78 request pattern (5
+ *    batches × 3 queries, nprobe 4) twice per run: PRUNED (driver
+ *    probe selection → static `__cid IN` on the scan — reads ≤ 12 of
+ *    nlist lists per batch) vs FULL (the s77 topology — every batch
+ *    scans the whole index; the probe join still discards unprobed
+ *    lists, so the DIFFERENCE is exactly the scan the static filter
+ *    saves). At the gate's nlist=16 the pruned read is still 75 % of
+ *    the index — the wall-clock divergence only appears at production
+ *    nlist, which is what this probe measures.
+ *
+ * Probe-only artifacts land under /tmp (never under the digest-chained
+ * data/ exports the declared queries serve from).
+ *
+ * Usage:
+ *   runMain graft.IvfTableProbe eval  <sfDir> [maxBits] [runs]
+ *   runMain graft.IvfTableProbe serve <sfDir> [nlist]   [runs]
+ * Env (as Profile): SPARK_GRAFT_CPUS, SPARK_GRAFT_PARTITIONS.
+ */
+object IvfTableProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: runMain graft.IvfTableProbe <eval|serve> <sfDir> [param] [runs]")
+    val mode = args(0)
+    val sfDir = args(1)
+    val runs = args.lift(3).map(_.toInt).getOrElse(2)
+    require(runs >= 1, s"runs must be >= 1, got $runs")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    mode match {
+      case "eval"  => evalMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(10), runs)
+      case "serve" => serveMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(128), runs)
+      case other   => sys.error(s"unknown mode '$other' (eval|serve)")
+    }
+    spark.stop()
+  }
+
+  /** s80 through the table tier at occupancy-held nlist (uncapped to
+    * `maxBits`): train, then leave-one-out 1-NN label agreement with
+    * the corpus-sized query side SHUFFLED (never broadcast — the s80
+    * discipline). Prints train/eval seconds and the overall agreement
+    * so the number is a real eval, not an empty loop. */
+  private def evalMode(spark: SparkSession, embRaw: DataFrame, maxBits: Int, runs: Int): Unit = {
+    val emb = embRaw.select(col("vec_id"), col("embedding"), col("label"))
+    emb.persist(); val n = emb.count()
+    val nlist = Similarity.ivfListsFor(n, targetOccupancy = 16, minBits = 4, maxBits = maxBits)
+    println(s"[tableprobe] eval corpus n=$n occupancy-held nlist=$nlist (maxBits=$maxBits) nprobe=4")
+    val t0 = System.nanoTime()
+    val cents = Similarity.kmeansCentroidsByTable(emb, nlist = nlist, iters = 2)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    val cdf = Similarity.centroidsDf(spark, cents)
+    val lab = emb.select(col("vec_id"), col("label"))
+    var best = Double.MaxValue
+    var agree = (-1L, -1L)
+    (1 to runs).foreach { _ =>
+      val t1 = System.nanoTime()
+      val nn = Similarity.ivfTopKByTable(cdf, emb, emb, k = 1, broadcastQueries = false)
+      val r = nn.where(col("rank") === 1)
+        .join(lab.toDF("query_id", "ql"), "query_id")
+        .join(lab.toDF("nbr_id", "nl"), "nbr_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ql") === col("nl"), 1L).otherwise(0L)).as("ok"))
+        .collect()(0)
+      agree = (r.getLong(0), r.getLong(1))
+      best = math.min(best, (System.nanoTime() - t1) / 1e9)
+      SessionHygiene.sweep(spark)
+    }
+    println(f"[tableprobe] eval nlist=$nlist train=$trainSec%.1f s eval(min)=$best%.1f s " +
+      f"agree=${agree._2}/${agree._1} (${agree._2.toDouble / agree._1}%.3f)")
+    emb.unpersist()
+  }
+
+  /** The s78 request pattern against a table-assigned on-disk index at
+    * `nlist` lists: per-batch pruned (static IN) vs full (whole-index
+    * scan) serving, summed over the 5 batches, min across runs. */
+  private def serveMode(spark: SparkSession, embRaw: DataFrame, nlist: Int, runs: Int): Unit = {
+    val emb = embRaw.select(col("vec_id"), col("embedding"))
+    emb.persist(); val n = emb.count()
+    println(s"[tableprobe] serve corpus n=$n nlist=$nlist nprobe=4 batches=5x3")
+    val t0 = System.nanoTime()
+    val cents = Similarity.kmeansCentroidsByTable(emb, nlist = nlist, iters = 2)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    val cdf = Similarity.centroidsDf(spark, cents)
+    val idx = s"/tmp/graft-tableprobe-ivf-n$nlist"
+    val t1 = System.nanoTime()
+    Similarity.ivfAssignedByTable(cdf, emb)
+      .write.mode("overwrite").partitionBy("__cid").parquet(idx)
+    val buildSec = (System.nanoTime() - t1) / 1e9
+    println(f"[tableprobe] serve train=$trainSec%.1f s build=$buildSec%.1f s")
+    // the s78 export pattern: batch b carries vec_ids [3b, 3b+3)
+    val reqs = emb.where(col("vec_id") < 15)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    import spark.implicits._
+    Seq(false, true).foreach { prunedVariant =>
+      var best = Double.MaxValue
+      var readFrac = 0.0
+      (1 to runs).foreach { _ =>
+        val t2 = System.nanoTime()
+        var fracSum = 0.0
+        (0 until 5).foreach { b =>
+          val batch = reqs.slice(b * 3, b * 3 + 3)
+          val qdf = batch.toSeq
+            .map { case (id, v) => (id, v.map(_.toFloat).toSeq) }.toDF("vec_id", "embedding")
+          val scan = spark.read.parquet(idx)
+          val (pruned, frac) =
+            if (prunedVariant) {
+              val cids = Similarity.literalProbeCids(cents, batch.map(_._2).toSeq, nprobe = 4)
+              (scan.where(col("__cid").isin(cids.map(Integer.valueOf): _*)),
+                cids.size.toDouble / nlist)
+            } else (scan, 1.0)
+          fracSum += frac
+          Similarity.ivfTopKOnIndexByTable(cdf, pruned, qdf, k = 10).collect()
+        }
+        readFrac = fracSum / 5
+        best = math.min(best, (System.nanoTime() - t2) / 1e9)
+        SessionHygiene.sweep(spark)
+      }
+      val label = if (prunedVariant) "PRUNED" else "FULL  "
+      println(f"[tableprobe] serve $label 5 batches(min)=$best%.1f s avg read fraction=$readFrac%.3f")
+    }
+    emb.unpersist()
+  }
+}

@@ -115,8 +115,15 @@ object StreamStateProbe {
       }
       Seq("disc", "naive").foreach { l =>
         println(f"[stateprobe] ${tag}_$l min=${times(l).min}%.1f s all=${times(l).map(t => f"$t%.1f").mkString(",")}")
+        // both trails are overwritten per iteration, so both report the
+        // LAST run — label them identically (r12 advice: the timing
+        // line is the min across runs, the trails are last-run; mixing
+        // provenance unlabeled misreads as same-run figures). The
+        // batch structure is deterministic across runs (same source,
+        // same triggers), so last-run trails are representative; only
+        // the wall-clock needs the min discipline.
         val u = updated.getOrElse(l, Nil)
-        println(s"[stateprobe] ${tag}_$l numRowsUpdated/batch=${u.mkString(",")} sum=${u.sum}")
+        println(s"[stateprobe] ${tag}_$l numRowsUpdated/batch(last run)=${u.mkString(",")} sum=${u.sum}")
         val so = storeOps.getOrElse(l, Map.empty)
         println(s"[stateprobe] ${tag}_$l storeOps(last run, sum over batches): " +
           so.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))

@@ -151,6 +151,114 @@ object Sampling {
           col("__tm").cast("double") / col("__ns") / col("__sm").cast("double")).as("__w"))
   }
 
+  /** [[mixtureWeights]] with a caller-supplied TARGET mixture — the
+    * DoReMi/Pile-style generalization (r12 verdict item 3): per-stratum
+    * w = min(cap, ((share_s / Σshare) · T) / t_s), where share_s comes
+    * from `shares` (strata not in the map — including the NULL stratum
+    * — take `defaultShare`). Shares are NORMALIZED over the observed
+    * strata, so they need not sum to 1 and a stratum that never occurs
+    * costs nothing. The op order is FIXED and mirrored by the d81/d82
+    * oracles: share/Σ, then ·T, then /t — left-associated, so the IEEE
+    * doubles agree across engines bit-for-bit.
+    *
+    * Oracle-exactness discipline: Σshare is a float aggregate over the
+    * strata, so with arbitrary share values its last ulp is
+    * order-dependent. Gated deployments use DYADIC shares (0.5, 0.25,
+    * 0.125…), whose partial sums are exact in any order — then every
+    * derived threshold is engine- and order-independent. The operator
+    * itself doesn't care (an ulp flips a slot threshold only on an
+    * exact integer boundary); only bit-exact gating does.
+    *
+    * A zero share does NOT drop the stratum: the consuming thresholds
+    * keep the [[temperatureSample]] one-slot floor (downsample-only
+    * never means downsample-to-nothing); a caller who wants exclusion
+    * filters first. The equal-share [[mixtureWeights]] keeps its own
+    * (T/L)/t op order — the d76/d77 oracles splice that form — so the
+    * two paths are separate arithmetic, same machinery; SamplingSpec
+    * pins that a uniform target reproduces the equal-share output. */
+  private def mixtureWeightsTargeted(df: DataFrame, stratumCol: String,
+                                     weightCol: String, cap: Double,
+                                     shares: Map[String, Double],
+                                     defaultShare: Double): DataFrame = {
+    require(defaultShare >= 0, s"defaultShare must be >= 0, got $defaultShare")
+    shares.foreach { case (k, v) =>
+      require(v >= 0, s"share for stratum '$k' must be >= 0, got $v") }
+    // canonical when-chain order (sorted by stratum) — semantically
+    // irrelevant (each stratum matches at most one arm) but keeps the
+    // plan and the oracle's CASE chain textually stable
+    val shareOf = shares.toSeq.sortBy(_._1).foldLeft(lit(defaultShare)) {
+      case (acc, (value, share)) =>
+        when(col(stratumCol) <=> lit(value), lit(share)).otherwise(acc)
+    }
+    val by = df.groupBy(col(stratumCol))
+      .agg(sum(col(weightCol)).as("__sm"))
+      .withColumn("__sh", shareOf)
+    val tot = by.agg(sum(col("__sm")).as("__tm"), sum(col("__sh")).as("__stot"))
+    by.crossJoin(broadcast(tot))
+      .select(col(stratumCol),
+        least(lit(cap),
+          col("__sh") / col("__stot")
+            * col("__tm").cast("double") / col("__sm").cast("double")).as("__w"))
+  }
+
+  /** [[mixtureResample]] toward a caller-supplied target mixture
+    * (d81): membership is the same slot-hash rule against
+    * floor(w·16384) with the one-slot floor; only the weight
+    * arithmetic changes ([[mixtureWeightsTargeted]]). */
+  def mixtureResampleTo(df: DataFrame, stratumCol: String, weightCol: String,
+                        key: Column, shares: Map[String, Double],
+                        defaultShare: Double = 0.0): DataFrame =
+    resampleByWeights(df, stratumCol, key,
+      mixtureWeightsTargeted(df, stratumCol, weightCol, cap = 1.0,
+        shares, defaultShare))
+
+  /** [[mixtureEpochs]] toward a caller-supplied target mixture (d82):
+    * ⌊w⌋ whole epochs + the slot-hash fractional epoch, w from
+    * [[mixtureWeightsTargeted]] clamped at `maxEpochs`. */
+  def mixtureEpochsTo(df: DataFrame, stratumCol: String, weightCol: String,
+                      key: Column, shares: Map[String, Double],
+                      maxEpochs: Double = 4.0, defaultShare: Double = 0.0,
+                      epochCol: String = "epoch"): DataFrame = {
+    require(maxEpochs >= 1.0, s"maxEpochs must be >= 1, got $maxEpochs")
+    epochsByWeights(df, stratumCol, key, epochCol,
+      mixtureWeightsTargeted(df, stratumCol, weightCol, cap = maxEpochs,
+        shares, defaultShare))
+  }
+
+  /** ONE encoding of the membership tail every mixture variant rides:
+    * thresholds = floor(w·16384) with the one-slot floor, null-safe
+    * broadcast join, scan-side CRC slot test. The weight stage varies
+    * (equal-share vs targeted); the floor/join/filter discipline must
+    * not. */
+  private def resampleByWeights(df: DataFrame, stratumCol: String,
+                                key: Column, weights: DataFrame): DataFrame = {
+    val wt = weights.select(col(stratumCol),
+      greatest(lit(1), floor(col("__w") * Slots).cast("int")).as("__thr"))
+    df.join(broadcast(wt), df(stratumCol) <=> wt(stratumCol))
+      .where(cluster_slot(key) < col("__thr"))
+      .drop("__thr").drop(wt(stratumCol))
+  }
+
+  /** The epochs tail ([[resampleByWeights]]'s up-sampling sibling):
+    * ⌊w⌋ whole epochs + the slot-hash fractional epoch, fractional
+    * threshold floored at one slot only when there are ZERO whole
+    * epochs. */
+  private def epochsByWeights(df: DataFrame, stratumCol: String, key: Column,
+                              epochCol: String, weights: DataFrame): DataFrame = {
+    val wt = weights
+      .select(col(stratumCol), floor(col("__w")).cast("int").as("__full"),
+        when(floor(col("__w")) === 0,
+          greatest(lit(1), floor((col("__w") - floor(col("__w"))) * Slots).cast("int")))
+          .otherwise(floor((col("__w") - floor(col("__w"))) * Slots).cast("int"))
+          .as("__fthr"))
+    df.join(broadcast(wt), df(stratumCol) <=> wt(stratumCol))
+      .withColumn("__nc", col("__full") +
+        when(cluster_slot(key) < col("__fthr"), 1).otherwise(0))
+      .where(col("__nc") >= 1)
+      .withColumn(epochCol, explode(sequence(lit(1), col("__nc"))))
+      .drop("__full", "__fthr", "__nc").drop(wt(stratumCol))
+  }
+
   /**
    * Domain-mixture RESAMPLE (downsample-only, d76): keep each row of an
    * overrepresented stratum with probability w = min(1, (T/L)/t_s),
@@ -165,14 +273,9 @@ object Sampling {
    * downsample-only must never mean downsample-to-NOTHING.
    */
   def mixtureResample(df: DataFrame, stratumCol: String, weightCol: String,
-                      key: Column): DataFrame = {
-    val wt = mixtureWeights(df, stratumCol, weightCol, cap = 1.0)
-      .select(col(stratumCol),
-        greatest(lit(1), floor(col("__w") * Slots).cast("int")).as("__thr"))
-    df.join(broadcast(wt), df(stratumCol) <=> wt(stratumCol))
-      .where(cluster_slot(key) < col("__thr"))
-      .drop("__thr").drop(wt(stratumCol))
-  }
+                      key: Column): DataFrame =
+    resampleByWeights(df, stratumCol, key,
+      mixtureWeights(df, stratumCol, weightCol, cap = 1.0))
 
   /**
    * Mixture EPOCHS (up- and downsampling in one rule, d77): each row
@@ -192,17 +295,7 @@ object Sampling {
     // whole epochs — the mixtureResample guard's epochs form: past
     // 16384 strata the heaviest stratum must still keep ≥ 1/16384,
     // never vanish (when __full ≥ 1 the stratum survives regardless)
-    val wt = mixtureWeights(df, stratumCol, weightCol, cap = maxEpochs)
-      .select(col(stratumCol), floor(col("__w")).cast("int").as("__full"),
-        when(floor(col("__w")) === 0,
-          greatest(lit(1), floor((col("__w") - floor(col("__w"))) * Slots).cast("int")))
-          .otherwise(floor((col("__w") - floor(col("__w"))) * Slots).cast("int"))
-          .as("__fthr"))
-    df.join(broadcast(wt), df(stratumCol) <=> wt(stratumCol))
-      .withColumn("__nc", col("__full") +
-        when(cluster_slot(key) < col("__fthr"), 1).otherwise(0))
-      .where(col("__nc") >= 1)
-      .withColumn(epochCol, explode(sequence(lit(1), col("__nc"))))
-      .drop("__full", "__fthr", "__nc").drop(wt(stratumCol))
+    epochsByWeights(df, stratumCol, key, epochCol,
+      mixtureWeights(df, stratumCol, weightCol, cap = maxEpochs))
   }
 }

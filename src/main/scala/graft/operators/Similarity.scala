@@ -137,13 +137,16 @@ object Similarity {
    * so a corpus smaller than the floor still trains one centroid per
    * vector at most. Holding per-list occupancy keeps a query's probe
    * cost (~nprobe/nlist of the corpus) constant as the corpus grows.
-   * The maxBits cap is an ENGINEERING bound of this serving stack, not
-   * of the math: centroids ride into the probe/assignment expressions
-   * (and the verification oracles) as literals, so nlist is bounded by
-   * what a single codegen'd projection / SQL text comfortably holds
-   * (32 × 64 doubles at the default cap). A deployment with a centroid
-   * TABLE join instead of literals raises maxBits freely — the index
-   * layout, probe selection, and oracle splice are all size-agnostic.
+   * The maxBits cap is an ENGINEERING bound of the LITERAL serving
+   * path only, not of the math: there centroids ride into the
+   * probe/assignment expressions as literals, so nlist is bounded by
+   * what a single codegen'd projection comfortably holds (32 × 64
+   * doubles at the default cap). The centroid-TABLE tier
+   * ([[ivfTopKByTable]] / [[kmeansCentroidsByTable]]) removes the
+   * bound — probe assignment joins a broadcast centroid table, so a
+   * caller on that tier passes a larger maxBits here freely (the index
+   * layout and the oracle splice were always size-agnostic; s81 serves
+   * 128 lists, the probes measured through 1024+).
    */
   def ivfListsFor(n: Long, targetOccupancy: Int = 16,
                   minBits: Int = 4, maxBits: Int = 5): Int =
@@ -370,15 +373,34 @@ object Similarity {
    * ever reach the driver; the corpus is never collected.
    */
   def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int = 2,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] =
+    lloydRounds(corpus, nlist, iters, idCol, vecCol,
+      (df, cents) => assignToCentroids(df, cents, idCol, vecCol))
+
+  /** [[kmeansCentroids]] with assignment through the centroid-TABLE
+    * tier ([[assignToCentroidsByTable]]) — the training path past the
+    * literal cap: nlist in the thousands keeps each Lloyd round at one
+    * broadcast join + one map-combined argmax + the (nlist × dim)-row
+    * update aggregate; only the centroids ever reach the driver. The
+    * update arithmetic is the shared [[lloydRounds]] fold, so both
+    * trainers implement ONE k-means. */
+  def kmeansCentroidsByTable(corpus: DataFrame, nlist: Int, iters: Int = 2,
+                             idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
     val spark = corpus.sparkSession
-    import spark.implicits._
+    lloydRounds(corpus, nlist, iters, idCol, vecCol,
+      (df, cents) => assignToCentroidsByTable(df.select(col(idCol), col(vecCol)),
+        centroidsDf(spark, cents), idCol, vecCol))
+  }
+
+  private def lloydRounds(corpus: DataFrame, nlist: Int, iters: Int,
+                          idCol: String, vecCol: String,
+                          assign: (DataFrame, Array[Array[Double]]) => DataFrame): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     var it = 0
     while (it < iters) {
-      val assigned = assignToCentroids(corpus, centroids, idCol, vecCol)
+      val assigned = assign(corpus, centroids)
       val sums = assigned
         .select(col("__cid"), posexplode(col(vecCol)))
         .groupBy(col("__cid"), col("pos"))
@@ -553,14 +575,142 @@ object Similarity {
   private def ivfRank(c: DataFrame, centroids: Array[Array[Double]],
                       queries: DataFrame, k: Int, nprobe: Int,
                       idCol: String, vecCol: String,
-                      broadcastQueries: Boolean = true): DataFrame = {
-    val cand = ivfCandidates(c, centroids, queries, nprobe, idCol, vecCol,
-      broadcastQueries)
+                      broadcastQueries: Boolean = true): DataFrame =
+    rankCandidates(ivfCandidates(c, centroids, queries, nprobe, idCol, vecCol,
+      broadcastQueries), k)
+
+  /** The shared final ranking of a scored candidate stream
+    * (query_id, nbr_id, sim) → top-k with the (sim DESC, nbr_id)
+    * tie-break every ANN oracle in this codebase encodes. */
+  private def rankCandidates(cand: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
     cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("rank").cast("int").as("rank"), col("sim"))
   }
+
+  // ------------------------- centroid-TABLE serving tier (nlist-unbounded)
+
+  /** The trained coarse quantizer as a TABLE — (cid int, cvec
+    * array<double>): the form that rides a broadcast join instead of
+    * per-centroid literal expressions. This is the tier past the
+    * [[ivfListsFor]] maxBits literal cap: a codegen'd projection holds
+    * ~32 centroid structs comfortably; a broadcast table holds
+    * thousands (nlist × dim doubles stays metadata-sized — 1024 lists
+    * × 64 dims = 512 KB). In production this frame is simply the
+    * persisted index's own centroid table (`$root/centroids`), read
+    * once per session — [[centroidsDf]] exists so the in-memory array
+    * form can enter the same code path. */
+  def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+                  cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "cvec")
+  }
+
+  private def centroidSide(cdf: DataFrame): DataFrame =
+    broadcast(cdf.select(col("cid").as("__tc_cid"), col("cvec").as("__tc_cvec")))
+
+  /** Table-join argmax assignment — [[assignToCentroids]]'s semantics
+    * (max cosine, ties → LOWEST cid) without per-centroid literals:
+    * one broadcast nested-loop join against the nlist-row centroid
+    * table, then a map-side-combinable max(struct) per row. The ×nlist
+    * expansion exists only in flight inside each scan task (the
+    * partial aggregate collapses it back to one row per input row
+    * before anything shuffles), so the one exchange carries the corpus
+    * exactly once — the price over the literal path's scan-local
+    * assignment, paid once at index build time. All input columns are
+    * carried through (they must be of orderable types — true of every
+    * id/vector/metadata column this engine indexes). */
+  private[graft] def assignToCentroidsByTable(df: DataFrame, cdf: DataFrame,
+                                              idCol: String, vecCol: String): DataFrame = {
+    val cols = df.columns.toIndexedSeq
+    val cand = struct(
+      cosine(col(vecCol), col("__tc_cvec")).as("s"),
+      (-col("__tc_cid")).as("p"),
+      col("__tc_cid").as("c"),
+      struct(cols.map(col): _*).as("row"))
+    df.crossJoin(centroidSide(cdf))
+      .groupBy(col(idCol))
+      .agg(max(cand).as("__best"))
+      .select(cols.map(n => col(s"__best.row.$n").as(n)) :+
+        col("__best.c").as("__cid"): _*)
+  }
+
+  /** [[ivfAssigned]] through the table tier — same output shape
+    * (nbr_id, cvec, cn, __cid), any nlist. */
+  def ivfAssignedByTable(cdf: DataFrame, corpus: DataFrame,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignToCentroidsByTable(corpus.select(col(idCol), col(vecCol)), cdf, idCol, vecCol)
+      .select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"),
+        norm(col(vecCol)).as("cn"), col("__cid"))
+
+  /** Per-query probe selection through the table tier: each query
+    * scores the broadcast centroid table and keeps its nprobe best via
+    * [[graft.functions.TopKAgg]] (map-side bounded buffers — the
+    * shuffle carries ≤ nprobe (score, cid) pairs per query per
+    * partition, nothing is globally sorted and no row ever carries the
+    * query vector through the exchange). Tie-break: TopKAgg's total
+    * order is (score DESC, id ASC); feeding id = −cid makes ties land
+    * on the HIGHER cid — exactly [[ivfCandidates]]'s
+    * reverse-array-sort rule and the oracles' `ORDER BY s DESC, cid
+    * DESC`. Cosines are never NaN here ([[cosinePrenormed]] guards the
+    * zero norm), so the buffer order is total on the actual domain. */
+  private[graft] def probeCidsByTable(queries: DataFrame, cdf: DataFrame, nprobe: Int,
+                                      idCol: String, vecCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(centroidSide(cdf))
+      .select(col("query_id"), cosine(col("__qv"), col("__tc_cvec")).as("s"),
+        (-col("__tc_cid")).cast("long").as("negc"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.top_k(col("s"), col("negc"), nprobe).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), (-col("e._2")).cast("int").as("__cid"))
+
+  /** [[ivfCandidates]] through the table tier: probe ids from
+    * [[probeCidsByTable]], query vectors re-attached by a join on
+    * query_id (n×nprobe skinny rows — the vector rides the join once
+    * per probe, never once per centroid), then the same list-bucketed
+    * candidate join and exact-cosine scoring. vs the literal path this
+    * trades one skinny aggregation + one query-side join for freedom
+    * in nlist — the trade a production index in the thousands of lists
+    * requires (the literal path stays the right call at ≤ 32 lists,
+    * where probe selection is scan-local). */
+  private[graft] def ivfCandidatesByTable(c: DataFrame, cdf: DataFrame,
+                                          queries: DataFrame, nprobe: Int,
+                                          idCol: String = "vec_id",
+                                          vecCol: String = "embedding",
+                                          broadcastQueries: Boolean = true): DataFrame = {
+    val probes = probeCidsByTable(queries, cdf, nprobe, idCol, vecCol)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), norm(col(vecCol)).as("qn"))
+      .join(probes, Seq("query_id"))
+    c.join(if (broadcastQueries) broadcast(q) else q, Seq("__cid"))
+      .where(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosinePrenormed(col("qvec"), col("cvec"), col("qn") * col("cn")).as("sim"))
+  }
+
+  /** IVF top-k through the centroid-TABLE tier — answer-identical to
+    * [[ivfTopKWith]] for the same centroids (assignment, probe
+    * selection, scoring and ranking all share the literal path's
+    * tie-breaks; IvfTableTierSpec pins the equivalence row-for-row),
+    * with nlist bounded only by what broadcasts. */
+  def ivfTopKByTable(cdf: DataFrame, corpus: DataFrame, queries: DataFrame,
+                     k: Int, nprobe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     broadcastQueries: Boolean = true): DataFrame =
+    rankCandidates(ivfCandidatesByTable(ivfAssignedByTable(cdf, corpus, idCol, vecCol),
+      cdf, queries, nprobe, idCol, vecCol, broadcastQueries), k)
+
+  /** [[ivfTopKOnIndex]] through the table tier: probe/rank over an
+    * already-assigned corpus (a `partitionBy(__cid)` index scan), any
+    * nlist. */
+  def ivfTopKOnIndexByTable(cdf: DataFrame, assigned: DataFrame, queries: DataFrame,
+                            k: Int, nprobe: Int = 4,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            broadcastQueries: Boolean = true): DataFrame =
+    rankCandidates(ivfCandidatesByTable(assigned, cdf, queries, nprobe,
+      idCol, vecCol, broadcastQueries), k)
 
   /**
    * Symmetric int8 scalar quantization: q[i] = floor(v[i]·127/max|v| + ½)

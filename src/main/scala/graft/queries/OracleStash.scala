@@ -10,7 +10,7 @@ package graft.queries
   * artifact the stored result was built with.
   *
   * Contract (unchanged from the per-var form):
-  *  - keys are per-query (`"s37.cents"`, `"d73.config"`, …) — every
+  *  - keys are per-query ([[S37Cents]], [[D73Config]], …) — every
   *    query stays independently runnable, never borrowing another's
   *    state, and a filtered Verify of one query still emits its oracle;
   *  - [[get]] before the query has run returns None and the consuming
@@ -18,8 +18,16 @@ package graft.queries
   *  - values are tiny trained artifacts (centroids by nlist, codebooks
   *    by k·dim, PCA cells by dim²), never row data.
   *
-  * `grep -rn "OracleStash.put"` now lists every run-before-dump
-  * dependency in the codebase in one pass.
+  * `grep -rn "OracleStash.put"` still lists every run-before-dump
+  * dependency in the codebase in one pass; the [[Slot]] list below is
+  * the closed inventory itself.
+  *
+  * NOT in this registry (deliberately — a different lifecycle): the
+  * probe/pin capture state in StreamingQueries (`s78BatchPins`, the
+  * per-sink state-metric capture maps). Those are written DURING a
+  * run for a SPEC or probe main to read back, not for oracle_sql.json
+  * — they are measurement plumbing, and folding them here would blur
+  * the registry's one contract.
   */
 private[queries] object OracleStash {
   /** centroid matrix (nlist × dim) */
@@ -29,33 +37,46 @@ private[queries] object OracleStash {
   /** PCA model: (mean, components) */
   type Pca = (Array[Double], Array[Array[Double]])
 
-  /** The closed key set. The old per-var form made a slot-name typo a
-    * COMPILE error; a stringly-keyed map would instead silently
-    * downgrade the query's gate to rows-only (get of a never-put key →
-    * None → oracle omitted). This list restores the loud failure: put
-    * and get both reject unknown keys at call time. Adding a slot =
-    * adding a line here — which keeps this the one greppable inventory
-    * of every run-before-dump dependency. */
-  private val Known: Set[String] = Set(
-    "s37.cents", "s44.books", "d53.cents", "s45.model", "s57.model",
-    "s62.model", "s58.cents", "s60.cents", "s61.cents", "s63.cents",
-    "s64.cents", "s65.cents", "s72.cents", "s73.cents", "s76.cents",
-    "s77.cents", "s78.cents", "s80.cents", "d36.bits", "d56.bits", "d73.config",
-    "d74.config", "s66.pca", "s67.pca", "c60.dir", "j61.dir")
+  /** Typed slot key: the CLOSED key set (sealed — an unknown slot is
+    * now unrepresentable, so the map refactor can never silently
+    * downgrade a gate to rows-only) and the slot's value type in one
+    * object, so a mistyped put or get fails at COMPILE time — closing
+    * the round-12 erasure hole where `get[T](string)` deferred the
+    * cast to first use inside the consuming oracle builder. Adding a
+    * slot = adding a case object here, which keeps this list the one
+    * greppable inventory of every run-before-dump dependency. */
+  sealed abstract class Slot[T](val name: String)
+  case object S37Cents extends Slot[Cents]("s37.cents")
+  case object S44Books extends Slot[Books]("s44.books")
+  case object D53Cents extends Slot[Cents]("d53.cents")
+  case object S45Model extends Slot[(Cents, Books)]("s45.model")
+  case object S57Model extends Slot[(Cents, Books)]("s57.model")
+  case object S62Model extends Slot[(Cents, Books)]("s62.model")
+  case object S58Cents extends Slot[Cents]("s58.cents")
+  case object S60Cents extends Slot[Cents]("s60.cents")
+  case object S61Cents extends Slot[Cents]("s61.cents")
+  case object S63Cents extends Slot[Cents]("s63.cents")
+  case object S64Cents extends Slot[Cents]("s64.cents")
+  case object S65Cents extends Slot[Cents]("s65.cents")
+  case object S72Cents extends Slot[Cents]("s72.cents")
+  case object S73Cents extends Slot[Cents]("s73.cents")
+  case object S76Cents extends Slot[Cents]("s76.cents")
+  case object S77Cents extends Slot[Cents]("s77.cents")
+  case object S78Cents extends Slot[Cents]("s78.cents")
+  case object S80Cents extends Slot[Cents]("s80.cents")
+  case object S81Cents extends Slot[Cents]("s81.cents")
+  case object D36Bits extends Slot[Int]("d36.bits")
+  case object D56Bits extends Slot[Int]("d56.bits")
+  case object D73Config extends Slot[graft.operators.Similarity.LshConfig]("d73.config")
+  case object D74Config extends Slot[graft.operators.Similarity.LshConfig]("d74.config")
+  case object S66Pca extends Slot[Pca]("s66.pca")
+  case object S67Pca extends Slot[Pca]("s67.pca")
+  case object C60Dir extends Slot[String]("c60.dir")
+  case object J61Dir extends Slot[String]("j61.dir")
 
   private val slots = scala.collection.concurrent.TrieMap.empty[String, Any]
 
-  def put(key: String, value: Any): Unit = {
-    require(Known(key), s"unknown OracleStash slot '$key' — add it to Known")
-    slots.put(key, value)
-  }
+  def put[T](key: Slot[T], value: T): Unit = slots.put(key.name, value)
 
-  /** The caller asserts the slot's type. Erasure caveat: the cast is
-    * checked at first USE of the value, not at this call — a mistyped
-    * tuple slot surfaces inside the consuming oracle builder, so keep
-    * the type argument next to its put site's value type. */
-  def get[T](key: String): Option[T] = {
-    require(Known(key), s"unknown OracleStash slot '$key' — add it to Known")
-    slots.get(key).map(_.asInstanceOf[T])
-  }
+  def get[T](key: Slot[T]): Option[T] = slots.get(key.name).map(_.asInstanceOf[T])
 }

@@ -75,6 +75,19 @@ object PipelineQueries {
         nlist = Similarity.ivfListsFor(emb.count()), iters = 2)
     })
   }
+  /** 128-list quantizer trained THROUGH the centroid-TABLE tier
+    * (kmeansCentroidsByTable) — the round-13 cap lift: 128 > the
+    * literal path's maxBits=5 bound (ivfListsFor), so this model can
+    * only be trained and served by the table tier. Own memo (neither
+    * kmCache nor kmHeldCache carries an nlist). */
+  private[graft] val kmTableCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  private def centroids128(s: SparkSession, dir: String): Array[Array[Double]] = {
+    val key = corpusKey(dir)
+    evictStale(kmTableCache, dir, key)
+    kmTableCache.getOrElseUpdate(key,
+      Similarity.kmeansCentroidsByTable(t(s, dir, "embeddings"), nlist = 128, iters = 2))
+  }
   private def codebooks16(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
     val key = corpusKey(dir)
     evictStale(pqCache, dir, key)
@@ -103,6 +116,24 @@ object PipelineQueries {
     pqResCache.getOrElseUpdate(key,
       Similarity.pqResidualCodebooks(cents, t(s, dir, "embeddings")))
   }
+
+  /** d81/d82's target mixtures — ONE constant feeds each query AND its
+    * oracle's CASE chain, so the kernel and the gate cannot drift on
+    * the shares. DYADIC values only (mixtureWeightsTargeted's
+    * oracle-exactness discipline: Σshare must be exact in any
+    * accumulation order). Unmapped strata take defaultShare = 0.125. */
+  private[graft] val d81Shares = Map("en" -> 0.5, "zh" -> 0.25)
+  private[graft] val d82Shares = Map("fr" -> 0.5)
+
+  /** The share CASE chain both weighted-mixture oracles splice —
+    * mirrors mixtureWeightsTargeted's null-safe when-chain (keys are
+    * disjoint, so arm order is semantically free; sorted for textual
+    * stability). Double literals print via Scala's shortest-roundtrip
+    * toString, which DuckDB parses back to the identical double. */
+  private def shareCaseSql(shares: Map[String, Double], default: Double): String =
+    "CASE " + shares.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"WHEN lang IS NOT DISTINCT FROM '$k' THEN CAST($v AS DOUBLE)"
+    }.mkString(" ") + s" ELSE CAST($default AS DOUBLE) END"
 
   /** Persisted IVF index root (per-sf, outside target/ — same layout
     * rationale as RelationalQueries.csvDir). */
@@ -509,7 +540,7 @@ object PipelineQueries {
       val root = ensureIvfIndexExport(s, dir)
       val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
-      OracleStash.put("s60.cents", cents)
+      OracleStash.put(OracleStash.S60Cents, cents)
       val index = s.read.parquet(s"$root/index")
       Similarity.ivfTopKOnIndex(cents, index,
           t(s, dir, "embeddings").where($"vec_id" < 5), k = 10)
@@ -526,7 +557,7 @@ object PipelineQueries {
       val root = ensureIvfDeltaExport(s, dir)
       val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
-      OracleStash.put("s61.cents", cents)
+      OracleStash.put(OracleStash.S61Cents, cents)
       val assigned = s.read.parquet(s"$root/index")
         .unionByName(s.read.parquet(s"$root/delta"))
       Similarity.ivfTopKOnIndex(cents, assigned,
@@ -544,7 +575,7 @@ object PipelineQueries {
       val root = ensureIvfTombstoneExport(s, dir)
       val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
-      OracleStash.put("s63.cents", cents)
+      OracleStash.put(OracleStash.S63Cents, cents)
       Similarity.ivfTopKOnIndex(cents, tombstonedServingFrame(s, root),
           t(s, dir, "embeddings").where($"vec_id" < 5), k = 10)
         .select($"query_id", $"nbr_id", $"rank")
@@ -560,7 +591,7 @@ object PipelineQueries {
       val root = ensureIvfCompaction(s, dir)
       val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
-      OracleStash.put("s64.cents", cents)
+      OracleStash.put(OracleStash.S64Cents, cents)
       Similarity.ivfTopKOnIndex(cents, s.read.parquet(s"$root/gen2/index"),
           t(s, dir, "embeddings").where($"vec_id" < 5), k = 10)
         .select($"query_id", $"nbr_id", $"rank")
@@ -580,7 +611,7 @@ object PipelineQueries {
       val root = ensureCuratedIndexExport(s, dir)
       val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
-      OracleStash.put("s72.cents", cents)
+      OracleStash.put(OracleStash.S72Cents, cents)
       val index = s.read.parquet(s"$root/index")
       // probes come FROM the persisted index (the curated corpus's own
       // vectors — a re-run of the curation chain per probe would repeat
@@ -605,7 +636,7 @@ object PipelineQueries {
     "s73_curated_text_search" -> ((s, dir) => {
       import s.implicits._
       val (cents, index, probes) = curatedCoarseServe(s, dir)
-      OracleStash.put("s73.cents", cents)
+      OracleStash.put(OracleStash.S73Cents, cents)
       Similarity.ivfTopKOnIndex(cents, index, probes, k = 5)
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
@@ -624,7 +655,7 @@ object PipelineQueries {
     "s76_curated_search_refined" -> ((s, dir) => {
       import s.implicits._
       val (cents, index, probes) = curatedCoarseServe(s, dir)
-      OracleStash.put("s76.cents", cents)
+      OracleStash.put(OracleStash.S76Cents, cents)
       val shortlist = Similarity.ivfTopKOnIndex(cents, index, probes, k = 20)
         .select($"query_id", $"nbr_id")
       val fine = index
@@ -650,7 +681,7 @@ object PipelineQueries {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val cents = centroids16(s, dir)
-      OracleStash.put("s37.cents", cents)
+      OracleStash.put(OracleStash.S37Cents, cents)
       Similarity.ivfTopKWith(cents, emb, emb.where($"vec_id" < 5), k = 10)
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
@@ -685,12 +716,38 @@ object PipelineQueries {
       // probed fraction the dominant cost, so the nlist discipline
       // matters MORE here than in the few-query serving family
       val cents = centroidsHeld(s, dir)
-      OracleStash.put("s80.cents", cents)
+      OracleStash.put(OracleStash.S80Cents, cents)
       // the query side IS the corpus — never broadcast it: the probe
       // join shuffles on the list id (both sides corpus-sized, evenly
       // list-bucketed), the driver never holds the vectors
       knnLabelAgreement(emb,
         Similarity.ivfTopKWith(cents, emb, emb, k = 1, broadcastQueries = false))
+    }),
+    // CENTROID-TABLE ANN SERVING at nlist=128 — the tier past the
+    // literal cap (the r12 verdict's top item): every prior IVF query
+    // rides per-centroid LITERAL structs, which bounds nlist at 32
+    // (ivfListsFor maxBits=5 — one codegen'd projection must hold
+    // nlist×dim doubles). Here the quantizer is TRAINED and SERVED
+    // through a broadcast centroid TABLE (kmeansCentroidsByTable /
+    // ivfTopKByTable): probe selection is a TopKAgg over the
+    // query×centroid broadcast join (map-side bounded buffers — no
+    // global sort, no vector through the probe shuffle), assignment a
+    // map-combined max(struct) argmax — nlist bounded only by what
+    // broadcasts (thousands of lists at 64 dims). Answers are
+    // PATH-INDEPENDENT: IvfTableTierSpec pins table ≡ literal
+    // row-for-row at nlist ≤ 32, and the oracle is the same spliced-
+    // centroid probe/rank recompute (ivfProbeOracleSql — size-agnostic
+    // VALUES literals), so the gate checks the 128-list path's true
+    // answers end-to-end.
+    "s81_ann_ivf_table" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = centroids128(s, dir)
+      OracleStash.put(OracleStash.S81Cents, cents)
+      Similarity.ivfTopKByTable(Similarity.centroidsDf(s, cents),
+          emb, emb.where($"vec_id" < 5), k = 10)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
     }),
     // PCA embedding projection — the compression/rotation step a
     // pipeline runs before storing or indexing vectors: project every
@@ -704,7 +761,7 @@ object PipelineQueries {
     // bit-identical doubles, rounded 6dp on both sides.
     "s66_pca_embed" -> ((s, dir) => {
       val model = pca8(s, dir)
-      OracleStash.put("s66.pca", model)
+      OracleStash.put(OracleStash.S66Pca, model)
       Similarity.pcaProject(t(s, dir, "embeddings"), model._1, model._2)
         .orderBy("vec_id")
     }),
@@ -718,7 +775,7 @@ object PipelineQueries {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val model = pca8(s, dir)
-      OracleStash.put("s67.pca", model)
+      OracleStash.put(OracleStash.S67Pca, model)
       Similarity.pcaRefineTopK(model._1, model._2, emb, emb.where($"vec_id" < 5), k = 10)
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
@@ -737,7 +794,7 @@ object PipelineQueries {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val cents = centroids16(s, dir)
-      OracleStash.put("s65.cents", cents)
+      OracleStash.put(OracleStash.S65Cents, cents)
       Similarity.ivfTopKWith(cents, emb.where($"label".isin(0, 2, 4, 6, 8)),
           emb.where($"vec_id" < 5), k = 10)
         .select($"query_id", $"nbr_id", $"rank")
@@ -756,7 +813,7 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where($"vec_id" < 5)
       val cents = centroids16(s, dir)
-      OracleStash.put("s58.cents", cents)
+      OracleStash.put(OracleStash.S58Cents, cents)
       val pos = Similarity.bruteForceTopK(emb, queries, k = 1)
         .select($"query_id", $"nbr_id".as("pos_id"))
       val w = org.apache.spark.sql.expressions.Window
@@ -795,7 +852,7 @@ object PipelineQueries {
     "d53_kmeans_clusters" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cents = centroids16(s, dir)
-      OracleStash.put("d53.cents", cents)
+      OracleStash.put(OracleStash.D53Cents, cents)
       Similarity.clusterReport(cents, emb)
     }),
     // Int8 scalar-quantized ANN: both sides quantized (4× smaller
@@ -819,7 +876,7 @@ object PipelineQueries {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val books = codebooks16(s, dir)
-      OracleStash.put("s44.books", books)
+      OracleStash.put(OracleStash.S44Books, books)
       Similarity.pqTopKWith(books, emb, emb.where($"vec_id" < 5), k = 10)
         .orderBy("query_id", "rank")
     }),
@@ -830,7 +887,7 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val cents = centroids16(s, dir)
       val books = codebooks16(s, dir)
-      OracleStash.put("s45.model", (cents, books))
+      OracleStash.put(OracleStash.S45Model, (cents, books))
       Similarity.ivfPqTopKWith(cents, books, emb, emb.where($"vec_id" < 5), k = 10)
         .orderBy("query_id", "rank")
     }),
@@ -844,7 +901,7 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val cents = centroids16(s, dir)
       val books = residualBooks16(s, dir, cents)
-      OracleStash.put("s57.model", (cents, books))
+      OracleStash.put(OracleStash.S57Model, (cents, books))
       Similarity.ivfPqResidualTopKWith(cents, books, emb, emb.where($"vec_id" < 5), k = 10)
         .orderBy("query_id", "rank")
     }),
@@ -860,7 +917,7 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val cents = centroids16(s, dir)
       val books = residualBooks16(s, dir, cents)
-      OracleStash.put("s62.model", (cents, books))
+      OracleStash.put(OracleStash.S62Model, (cents, books))
       Similarity.ivfPqResidualRefineTopKWith(cents, books, emb,
           emb.where($"vec_id" < 5), k = 10, refine = 32)
         .orderBy("query_id", "rank")
@@ -876,7 +933,7 @@ object PipelineQueries {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val bits = Similarity.lshBitsFor(emb.count())
-      OracleStash.put("d36.bits", bits)
+      OracleStash.put(OracleStash.D36Bits, bits)
       Similarity.bandedNearDupPairs(emb, threshold = 0.5, bitsPerTable = bits)
         .select($"i", $"j", round($"sim", 6).as("sim"))
         .orderBy("i", "j")
@@ -894,7 +951,7 @@ object PipelineQueries {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val cfg = Similarity.recallHeldConfig(emb, threshold = 0.5)
-      OracleStash.put("d73.config", cfg)
+      OracleStash.put(OracleStash.D73Config, cfg)
       Similarity.recallHeldNearDupPairs(emb, threshold = 0.5, config = Some(cfg))
         .select($"i", $"j", round($"sim", 6).as("sim"))
         .orderBy("i", "j")
@@ -1027,7 +1084,7 @@ object PipelineQueries {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val cfg = Similarity.recallHeldConfig(emb, threshold = 0.5)
-      OracleStash.put("d74.config", cfg)
+      OracleStash.put(OracleStash.D74Config, cfg)
       semanticDedupFromPairs(emb,
         Similarity.recallHeldNearDupPairs(emb, 0.5, config = Some(cfg))
           .select($"i", $"j"))
@@ -1387,7 +1444,11 @@ object PipelineQueries {
     // production stance on recall is d73's recall-held configuration.
     "d75_leakage_safe_split" -> ((s, dir) => {
       import s.implicits._
+      // ord-fold oracle coupling -> loud ASCII precondition (the
+      // asciiGuarded scaladoc; a UTF-8 regeneration fails HERE with a
+      // named error, not at the hash compare)
       val docs = t(s, dir, "documents")
+        .withColumn("text", Dedup.asciiGuarded($"text", "d75_leakage_safe_split"))
       val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
         .select($"i", $"j")
       val comp = Dedup.connectedComponents(pairs).select($"id".as("doc_id"), $"comp")
@@ -1447,6 +1508,44 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"epoch")
         .orderBy("doc_id", "epoch")
     }),
+    // WEIGHTED domain mixture (d76 generalized, r12 verdict item 3):
+    // real mixture specs are arbitrary per-domain shares
+    // (DoReMi/Pile-style), not equal split. Same machinery — one tiny
+    // aggregate, shares normalized over the OBSERVED strata
+    // (Sampling.mixtureWeightsTargeted), thresholds broadcast,
+    // scan-side CRC membership — with w = ((share/Σshare)·T)/t_l. The
+    // shares here are DYADIC (0.5/0.25/0.125) so Σshare is exact in
+    // any accumulation order and the oracle's doubles agree
+    // bit-for-bit (the operator scaladoc names that discipline for
+    // gated deployments). Unmapped strata (and a NULL lang) take the
+    // default share; a zero share floors at one slot, never vanishes.
+    "d81_mixture_resample_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val toks = docs.select($"doc_id", $"lang",
+        size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.mixtureResampleTo(toks, "lang", "n_tokens",
+          concat(lit("mixw:"), $"doc_id"), d81Shares, defaultShare = 0.125)
+        .select($"doc_id", $"lang", $"n_tokens")
+        .orderBy("doc_id")
+    }),
+    // WEIGHTED mixture epochs (d77 generalized): upweight one scarce
+    // language to half the target mixture (fr → share 0.5 of Σ=1.0)
+    // — w_fr lands between 3 and 4 epochs at gate scale, so the whole
+    // ⌊w⌋ + fractional-slot mechanism runs under a non-uniform
+    // target; the overrepresented rest degenerate to membership
+    // decisions (w < 1).
+    "d82_mixture_epochs_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val toks = docs.select($"doc_id", $"lang",
+        size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.mixtureEpochsTo(toks, "lang", "n_tokens",
+          concat(lit("epw:"), $"doc_id"), d82Shares, maxEpochs = 4.0,
+          defaultShare = 0.125)
+        .select($"doc_id", $"lang", $"epoch")
+        .orderBy("doc_id", "epoch")
+    }),
     // CROSS-SOURCE OVERLAP MATRIX — the standard curation report "how
     // much does source A duplicate source B" (zero EXACT duplicates
     // cross sources in these corpora — checked — so the meaningful
@@ -1473,7 +1572,9 @@ object PipelineQueries {
     // hash-fail d79 while leaving d78 green, exactly the decoupling
     // round 11's advice asked the MinHash oracles to move toward.
     "d79_source_overlap_minhash" -> ((s, dir) => {
+      // ord-fold oracle coupling -> loud ASCII precondition (asciiGuarded)
       val docs = t(s, dir, "documents")
+        .withColumn("text", Dedup.asciiGuarded(col("text"), "d79_source_overlap_minhash"))
       Dedup.groupOverlapMatrix(
         Dedup.minhashNearDupStats(docs, "doc_id", "text", threshold = 0.5),
         docs, "doc_id", "source")
@@ -1493,7 +1594,9 @@ object PipelineQueries {
     // aggregate — counting is free relative to cleaning.
     "d80_curation_funnel" -> ((s, dir) => {
       import s.implicits._
+      // ord-fold oracle coupling -> loud ASCII precondition (asciiGuarded)
       val docs = t(s, dir, "documents")
+        .withColumn("text", Dedup.asciiGuarded($"text", "d80_curation_funnel"))
       val bench = docs.where($"doc_id" < 5)
       val corpus = docs.where($"doc_id" >= 5)
       val cs = curationStages(bench, corpus,
@@ -1744,7 +1847,7 @@ object PipelineQueries {
       import s.implicits._
       val emb = sampledEmb(s, dir)
       val bits = Similarity.lshBitsFor(emb.count())
-      OracleStash.put("d56.bits", bits)
+      OracleStash.put(OracleStash.D56Bits, bits)
       Similarity.bandedNearDupPairs(emb, threshold = EmbTwinThreshold, bitsPerTable = bits)
         .select($"i", $"j", round($"sim", 6).as("sim"))
         .orderBy("i", "j")
@@ -1844,12 +1947,14 @@ object PipelineQueries {
     * recalled-pair miss in the kernel hash-fails the consuming oracle.
     * Shared by d79 and d75 so the recompute cannot drift.
     *
-    * ASCII-corpus caveat (as the d32/a40 token-FNV oracles, NEWLY
-    * load-bearing here): `ord` folds code POINTS while the kernel folds
+    * ASCII-corpus caveat (as the d32/a40 token-FNV oracles, load-
+    * bearing here): `ord` folds code POINTS while the kernel folds
     * UTF-8 BYTES — identical on these all-ASCII corpora (checked:
     * char length == byte length at every gate sf), divergent on any
-    * non-ASCII document. A regenerated non-ASCII corpus fails this gate
-    * on the encoding, not on banding recall. */
+    * non-ASCII document. Since round 13 the consuming gates
+    * (d75/d79/d80) PRE-CHECK the corpus with [[Dedup.asciiGuarded]],
+    * so a regenerated UTF-8 corpus fails with a named encoding error
+    * at the scan instead of an inscrutable hash mismatch here. */
   private def minhashPairCtes(src: String = "documents"): String = {
     val params = graft.operators.Dedup.minhashParams()
     val fnv = "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
@@ -1994,12 +2099,12 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
     * 0.0-seeded left fold the Spark side evaluates. */
-  private def pcaOracle: Map[String, String] = OracleStash.get[Pca]("s66.pca") match {
+  private def pcaOracle: Map[String, String] = OracleStash.get(OracleStash.S66Pca) match {
     case None => Map.empty
     case Some((mean, comps)) =>
       val mu = mean.map(_.toString).mkString("[", ",", "]")
@@ -2014,7 +2119,7 @@ object PipelineQueries {
   /** s67's oracle: reduced coordinates from the spliced model (same
     * folds as s66, unrounded), cosine shortlist in the reduced space,
     * exact full-vector re-rank — the whole serving path re-derived. */
-  private def pcaAnnOracle: Map[String, String] = OracleStash.get[Pca]("s67.pca") match {
+  private def pcaAnnOracle: Map[String, String] = OracleStash.get(OracleStash.S67Pca) match {
     case None => Map.empty
     case Some((mean, comps)) =>
       val mu = mean.map(_.toString).mkString("[", ",", "]")
@@ -2044,17 +2149,17 @@ object PipelineQueries {
   /** d36/d56 oracles from the stashed corpus-sized band widths (ANN
     * splice pattern: present only after the query ran this JVM). */
   private def bandedLshOracle: Map[String, String] =
-    OracleStash.get[Int]("d36.bits").map(b => "d36_embed_neardup_lsh" -> d36Oracle(bits = b)).toMap ++
-      OracleStash.get[Int]("d56.bits").map(b => "d56_lsh_neardup_sampled" ->
+    OracleStash.get(OracleStash.D36Bits).map(b => "d36_embed_neardup_lsh" -> d36Oracle(bits = b)).toMap ++
+      OracleStash.get(OracleStash.D56Bits).map(b => "d56_lsh_neardup_sampled" ->
         d36Oracle(sampledEmbSql, EmbTwinThreshold, bits = b)).toMap ++
-      OracleStash.get[Similarity.LshConfig]("d73.config").map(c => "d73_neardup_recall_held" ->
+      OracleStash.get(OracleStash.D73Config).map(c => "d73_neardup_recall_held" ->
         d36Oracle(bits = c.bits, tables = c.tables)).toMap ++
-      OracleStash.get[Similarity.LshConfig]("d74.config").map(c => "d74_semantic_dedup_lsh" -> d74Oracle(c)).toMap
+      OracleStash.get(OracleStash.D74Config).map(c => "d74_semantic_dedup_lsh" -> d74Oracle(c)).toMap
 
   /** d53's oracle from the stashed centroids (see [[ivfOracle]] for the
     * stash-then-splice contract): assignment (argmax cosine, ties→low
     * cid) and the rounded-DECIMAL cohesion fold recomputed in DuckDB. */
-  private def clusterOracle: Map[String, String] = OracleStash.get[Cents]("d53.cents") match {
+  private def clusterOracle: Map[String, String] = OracleStash.get(OracleStash.D53Cents) match {
     case None => Map.empty
     case Some(cents) =>
       Map("d53_kmeans_clusters" ->
@@ -2145,7 +2250,7 @@ object PipelineQueries {
 
   /** s44's oracle, built from the stashed codebooks: codes, ADC scores
     * and ascending-distance ranks recomputed entirely in DuckDB. */
-  private def pqOracle: Map[String, String] = OracleStash.get[Books]("s44.books") match {
+  private def pqOracle: Map[String, String] = OracleStash.get(OracleStash.S44Books) match {
     case None => Map.empty
     case Some(books) =>
       val (distLists, codeCols, adc) = pqCodeCols(books)
@@ -2165,7 +2270,7 @@ object PipelineQueries {
     * s44 encode/ADC CTEs — probe lists from max cosine (assign ties →
     * low cid; probe ties → high cid, matching the reverse-sorted array
     * slice), candidates ranked by ADC within the probed lists only. */
-  private def ivfPqOracle: Map[String, String] = OracleStash.get[(Cents, Books)]("s45.model") match {
+  private def ivfPqOracle: Map[String, String] = OracleStash.get(OracleStash.S45Model) match {
     case None => Map.empty
     case Some((cents, books)) =>
       val (distLists, codeCols, adc) = pqCodeCols(books)
@@ -2218,7 +2323,7 @@ object PipelineQueries {
        | FROM enc e JOIN qprobe q ON e.cid = q.cid AND e.vec_id <> q.query_id)""".stripMargin
   }
 
-  private def ivfPqResOracle: Map[String, String] = OracleStash.get[(Cents, Books)]("s57.model") match {
+  private def ivfPqResOracle: Map[String, String] = OracleStash.get(OracleStash.S57Model) match {
     case None => Map.empty
     case Some((cents, books)) =>
       Map("s57_ann_ivfpq_res" ->
@@ -2233,7 +2338,7 @@ object PipelineQueries {
     * width (32), then the shortlist joined back to the EXACT vectors
     * and re-ranked by true cosine — the same composition the Spark
     * side executes. */
-  private def ivfPqRefineOracle: Map[String, String] = OracleStash.get[(Cents, Books)]("s62.model") match {
+  private def ivfPqRefineOracle: Map[String, String] = OracleStash.get(OracleStash.S62Model) match {
     case None => Map.empty
     case Some((cents, books)) =>
       Map("s62_ann_refine" ->
@@ -2301,7 +2406,15 @@ object PipelineQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   private def ivfOracle: Map[String, String] =
-    OracleStash.get[Cents]("s37.cents").map(c => "s37_ann_ivf" -> ivfProbeOracleSql(c)).toMap
+    OracleStash.get(OracleStash.S37Cents).map(c => "s37_ann_ivf" -> ivfProbeOracleSql(c)).toMap
+
+  /** s81's oracle: the SAME probe/rank recompute as s37 — the spliced-
+    * centroid VALUES form is size-agnostic, so 128 lists splice as
+    * readily as 16; the gate thereby checks that the table tier's
+    * probe assignment (TopKAgg over a broadcast centroid table) lands
+    * on exactly the answers the literal-path semantics define. */
+  private def ivfTableOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S81Cents).map(c => "s81_ann_ivf_table" -> ivfProbeOracleSql(c)).toMap
 
   /** s79/s80's shared SQL tail over a `ranked(query_id, nbr_id, rk)`
     * CTE — the per-label 1-NN agreement fold, one encoding as the
@@ -2317,7 +2430,7 @@ object PipelineQueries {
   /** s80's oracle: the s37 probe/rank recompute (spliced centroids,
     * every vector a query) ranked to top-1 and folded per label. */
   private def knnIvfOracle: Map[String, String] =
-    OracleStash.get[Cents]("s80.cents").map { c =>
+    OracleStash.get(OracleStash.S80Cents).map { c =>
       "s80_knn_label_eval_ivf" ->
         s"""WITH ${centroidAssignCtes(c, "embedding")},
            |qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
@@ -2338,12 +2451,12 @@ object PipelineQueries {
     * assignment is per-vector, so filtering the full-corpus assignment
     * equals assigning the filtered corpus, which is what Spark runs. */
   private def filteredIvfOracle: Map[String, String] =
-    OracleStash.get[Cents]("s65.cents").map(c => "s65_ann_filtered" -> ivfProbeOracleSql(c,
+    OracleStash.get(OracleStash.S65Cents).map(c => "s65_ann_filtered" -> ivfProbeOracleSql(c,
       candPred = """
         | AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (0,2,4,6,8))""".stripMargin)).toMap
 
   private def persistedIvfOracle: Map[String, String] =
-    OracleStash.get[Cents]("s60.cents").map(c => "s60_ann_ivf_persisted" -> ivfProbeOracleSql(c)).toMap
+    OracleStash.get(OracleStash.S60Cents).map(c => "s60_ann_ivf_persisted" -> ivfProbeOracleSql(c)).toMap
 
   /** s77's centroids — SET by StreamingQueries' streaming ANN serving
     * query (the topology lives with the other streaming queries; the
@@ -2352,7 +2465,7 @@ object PipelineQueries {
     * answer). */
 
   private def streamServeOracle: Map[String, String] =
-    OracleStash.get[Cents]("s77.cents").map(c => "s77_stream_ann_serving" ->
+    OracleStash.get(OracleStash.S77Cents).map(c => "s77_stream_ann_serving" ->
       ivfProbeOracleSql(c, qPred = "vec_id < 50")).toMap
 
   /** s78's centroids — SET by the PRUNED streaming serving query (the
@@ -2363,7 +2476,7 @@ object PipelineQueries {
     * pruning must all be answer-invisible. */
 
   private def prunedServeOracle: Map[String, String] =
-    OracleStash.get[Cents]("s78.cents").map(c => "s78_stream_ann_serving_pruned" ->
+    OracleStash.get(OracleStash.S78Cents).map(c => "s78_stream_ann_serving_pruned" ->
       ivfProbeOracleSql(c, qPred = "vec_id < 15")).toMap
 
   /** The fixed text queries served against the curated index
@@ -2424,7 +2537,7 @@ object PipelineQueries {
   }
 
   private def curatedSearchOracle: Map[String, String] =
-    OracleStash.get[Cents]("s73.cents").map { c =>
+    OracleStash.get(OracleStash.S73Cents).map { c =>
       "s73_curated_text_search" ->
         s"""${curatedCoarseCtes(c)}
            |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
@@ -2439,7 +2552,7 @@ object PipelineQueries {
     * side from `qtoks` — per-token FNV fold mod 64, same unsigned-mod
     * equivalence as mod 16) and the exact cosine re-rank. */
   private def curatedRefineOracle: Map[String, String] =
-    OracleStash.get[Cents]("s76.cents").map { c =>
+    OracleStash.get(OracleStash.S76Cents).map { c =>
       "s76_curated_search_refined" ->
         s"""${curatedCoarseCtes(c)},
            |short AS (SELECT query_id, nbr_id FROM (
@@ -2479,7 +2592,7 @@ object PipelineQueries {
     * (vec_id < 12000), exactly the rows the Spark side reads back
     * from the persisted index. */
   private def curatedServeOracle: Map[String, String] =
-    OracleStash.get[Cents]("s72.cents").map { c =>
+    OracleStash.get(OracleStash.S72Cents).map { c =>
       "s72_curate_index_serve" ->
         s"""WITH RECURSIVE ${curatedVecsCtes},
            |${centroidAssignCtes(c, "embedding", "SELECT vec_id, embedding FROM vecs")},
@@ -2501,7 +2614,7 @@ object PipelineQueries {
     * corpus (delta = reversed embeddings under shifted ids, the exact
     * synthesis the export writes). */
   private def appendedIvfOracle: Map[String, String] =
-    OracleStash.get[Cents]("s61.cents").map(c => "s61_ann_index_append" -> ivfProbeOracleSql(c,
+    OracleStash.get(OracleStash.S61Cents).map(c => "s61_ann_index_append" -> ivfProbeOracleSql(c,
       """SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
         |  SELECT vec_id + 1000000 AS vec_id, list_reverse(embedding) AS embedding
@@ -2519,18 +2632,18 @@ object PipelineQueries {
       |  FROM embeddings WHERE vec_id < 200 AND vec_id % 10 <> 7""".stripMargin
 
   private def tombstoneIvfOracle: Map[String, String] =
-    OracleStash.get[Cents]("s63.cents").map(c =>
+    OracleStash.get(OracleStash.S63Cents).map(c =>
       "s63_ann_index_delete" -> ivfProbeOracleSql(c, survivingCorpusSql)).toMap
 
   private def compactedIvfOracle: Map[String, String] =
-    OracleStash.get[Cents]("s64.cents").map(c =>
+    OracleStash.get(OracleStash.S64Cents).map(c =>
       "s64_ann_index_compact" -> ivfProbeOracleSql(c, survivingCorpusSql)).toMap
 
   /** s58's oracle from its stashed centroids: IVF candidates (same CTEs
     * as s37, k=8), exact nearest per query (all-pairs, oracle-side
     * only), anti-filter + re-rank — negatives are candidates that are
     * not the exact top-1, in candidate order. */
-  private def hardNegOracle: Map[String, String] = OracleStash.get[Cents]("s58.cents") match {
+  private def hardNegOracle: Map[String, String] = OracleStash.get(OracleStash.S58Cents) match {
     case None => Map.empty
     case Some(cents) =>
       Map("s58_hard_negatives" ->
@@ -3523,6 +3636,58 @@ object PipelineQueries {
          |    ELSE floor((w - floor(w)) * 16384) END AS INTEGER) AS fthr
          |  FROM (SELECT lang, least(CAST(4.0 AS DOUBLE),
          |    CAST(total_tokens AS DOUBLE) / n_langs / CAST(lang_tokens AS DOUBLE)) AS w
+         |   FROM bl CROSS JOIN tot))
+         |SELECT s.doc_id, s.lang AS lang, CAST(unnest(generate_series(1,
+         |  ful + CASE WHEN s.slot < fthr THEN 1 ELSE 0 END)) AS INTEGER) AS epoch
+         |FROM ($inner) s JOIN wt ON s.lang IS NOT DISTINCT FROM wt.lang
+         |ORDER BY doc_id, epoch""".stripMargin
+    },
+    // weighted mixture resample: the shared d81Shares constant becomes
+    // the CASE chain, shares normalized over the observed strata
+    // (Σshare exact — dyadic values), then the FIXED left-associated
+    // op order share/Σ · T / t_l mirrored from mixtureWeightsTargeted;
+    // floor onto the slot grid with the one-slot floor, same CRC
+    // membership, null-safe join both sides
+    "d81_mixture_resample_weighted" -> {
+      val inner = graft.oracle.DuckSql.withSlotNode(
+        "SELECT doc_id, lang, n_tokens, 'mixw:' || doc_id AS key FROM tk",
+        Seq("doc_id", "lang", "n_tokens"), Some("slot"), None)
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |  CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents),
+         |bl AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens,
+         |  ${shareCaseSql(d81Shares, 0.125)} AS share
+         |  FROM tk GROUP BY lang),
+         |tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
+         |  sum(share) AS share_tot FROM bl),
+         |wt AS (SELECT lang, CAST(greatest(1, floor(
+         |    least(1.0, share / share_tot * CAST(total_tokens AS DOUBLE)
+         |      / CAST(lang_tokens AS DOUBLE))
+         |    * 16384)) AS INTEGER) AS thr
+         |  FROM bl CROSS JOIN tot)
+         |SELECT s.doc_id, s.lang, s.n_tokens
+         |FROM ($inner) s JOIN wt ON s.lang IS NOT DISTINCT FROM wt.lang
+         |WHERE s.slot < wt.thr ORDER BY doc_id""".stripMargin
+    },
+    // weighted mixture epochs: same targeted weight arithmetic clamped
+    // at 4.0; epochs tail identical to d77's
+    "d82_mixture_epochs_weighted" -> {
+      val inner = graft.oracle.DuckSql.withSlotNode(
+        "SELECT doc_id, lang, 'epw:' || doc_id AS key FROM tk",
+        Seq("doc_id", "lang"), Some("slot"), None)
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |  CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents),
+         |bl AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens,
+         |  ${shareCaseSql(d82Shares, 0.125)} AS share
+         |  FROM tk GROUP BY lang),
+         |tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
+         |  sum(share) AS share_tot FROM bl),
+         |wt AS (SELECT lang, CAST(floor(w) AS INTEGER) AS ful,
+         |  CAST(CASE WHEN floor(w) = 0
+         |    THEN greatest(1, floor((w - floor(w)) * 16384))
+         |    ELSE floor((w - floor(w)) * 16384) END AS INTEGER) AS fthr
+         |  FROM (SELECT lang, least(CAST(4.0 AS DOUBLE),
+         |    share / share_tot * CAST(total_tokens AS DOUBLE)
+         |      / CAST(lang_tokens AS DOUBLE)) AS w
          |   FROM bl CROSS JOIN tot))
          |SELECT s.doc_id, s.lang AS lang, CAST(unnest(generate_series(1,
          |  ful + CASE WHEN s.slot < fthr THEN 1 ELSE 0 END)) AS INTEGER) AS epoch

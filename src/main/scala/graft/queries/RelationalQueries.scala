@@ -218,7 +218,7 @@ object RelationalQueries {
     "c60_csv_scan" -> ((s, dir) => {
       import s.implicits._
       val path = ensureCsvExport(s, dir)
-      OracleStash.put("c60.dir", path)
+      OracleStash.put(OracleStash.C60Dir, path)
       s.read.schema(csvSchema).option("header", "true").csv(path)
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("customers"),
@@ -251,7 +251,7 @@ object RelationalQueries {
     "j61_json_scan" -> ((s, dir) => {
       import s.implicits._
       val path = ensureJsonExport(s, dir)
-      OracleStash.put("j61.dir", path)
+      OracleStash.put(OracleStash.J61Dir, path)
       s.read.schema(jsonSchema).json(path)
         .groupBy($"s_nationkey")
         .agg(count(lit(1)).as("suppliers"), min($"s_name").as("first_name"))
@@ -402,11 +402,11 @@ object RelationalQueries {
       s"""SELECT c_mktsegment, count(*) AS customers,
          | count(DISTINCT c_nationkey) AS nations,
          | min(c_name) AS first_name
-         |FROM read_csv('${OracleStash.get[String]("c60.dir").getOrElse(csvDir("/root/testdata/sf0.01"))}/*.csv', header=true)
+         |FROM read_csv('${OracleStash.get(OracleStash.C60Dir).getOrElse(csvDir("/root/testdata/sf0.01"))}/*.csv', header=true)
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "j61_json_scan" ->
       s"""SELECT s_nationkey, count(*) AS suppliers, min(s_name) AS first_name
-         |FROM read_json('${OracleStash.get[String]("j61.dir").getOrElse(jsonDir("/root/testdata/sf0.01"))}/*.json',
+         |FROM read_json('${OracleStash.get(OracleStash.J61Dir).getOrElse(jsonDir("/root/testdata/sf0.01"))}/*.json',
          |  format='newline_delimited')
          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     // independent of the export: recomputed straight from the source

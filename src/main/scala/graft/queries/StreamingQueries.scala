@@ -101,12 +101,21 @@ object StreamingQueries {
     out
   }
 
-  /** Per-micro-batch pruning evidence of the last s78 run, in batch
-    * order: (queries in the batch, driver-selected probe-cid count,
+  /** Per-micro-batch pruning evidence of the last s78 run, keyed by
+    * batchId: (queries in the batch, driver-selected probe-cid count,
     * static In/InSet size on the batch plan's index scan, nlist).
     * What PlanChecksSpec pins — the pruned-serving claim is that every
-    * batch plans a scan restricted to exactly the probed lists. */
-  @volatile private[graft] var s78BatchPins: Vector[(Int, Int, Int, Int)] = Vector.empty
+    * batch plans a scan restricted to exactly the probed lists. Keyed
+    * (not appended) so a foreachBatch RETRY of the same batchId
+    * overwrites its own pin instead of double-counting — matching the
+    * batch-keyed idempotent output write below.
+    *
+    * Lifecycle note (r12 verdict item 5): this and the capture maps in
+    * this file are PROBE/PIN state — written during a run for a spec
+    * or probe main to read back — NOT oracle splices; the
+    * run-before-dump artifacts live in [[OracleStash]]'s closed typed
+    * registry, and these deliberately stay outside it. */
+  @volatile private[graft] var s78BatchPins: Map[Long, (Int, Int, Int, Int)] = Map.empty
 
   /** The static `__cid` In/InSet element count on a batch plan's RAW
     * ivf index scan (0 when absent) — the per-batch form of
@@ -551,7 +560,7 @@ object StreamingQueries {
       val root = PipelineQueries.ensureIvfIndexExport(s, dir)
       val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
-      OracleStash.put("s77.cents", cents)
+      OracleStash.put(OracleStash.S77Cents, cents)
       val index = s.read.parquet(s"$root/index")
       val embSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
       // the request stream: 50 query vectors arriving online (glob — see
@@ -600,7 +609,7 @@ object StreamingQueries {
       val root = PipelineQueries.ensureIvfIndexExport(s, dir)
       val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
-      OracleStash.put("s78.cents", cents)
+      OracleStash.put(OracleStash.S78Cents, cents)
       val reqRoot = ensureServeRequestExport(s, dir)
       val out = RelationalQueries.dataRoot("s78-serve", dir, "emb")
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
@@ -609,9 +618,9 @@ object StreamingQueries {
       val qstream = s.readStream.schema(reqSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$reqRoot/r*")
-      s78BatchPins = Vector.empty
+      s78BatchPins = Map.empty
       val q = qstream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // embeddings carry array<float>; the query frame stays FLOAT
           // so the expression arithmetic is bit-identical to the batch
           // path's (float→double promotion inside cosine, as s37/s77);
@@ -627,16 +636,23 @@ object StreamingQueries {
             val res = graft.operators.Similarity
               .ivfTopKOnIndex(cents, pruned, qdf, k = 10, nprobe = 4)
               .select(col("query_id"), col("nbr_id"), col("rank"))
-            s78BatchPins = s78BatchPins :+
+            s78BatchPins += batchId ->
               ((reqs.length, cids.size, ivfScanStaticInSize(res), cents.length))
-            res.write.mode("append").parquet(out)
+            // foreachBatch is AT-LEAST-ONCE: a retried micro-batch must
+            // not append its rows twice (r12 advice). Keying the
+            // landing by batchId with overwrite makes the retry
+            // idempotent — the same batch replaces its own directory.
+            res.write.mode("overwrite").parquet(s"$out/batch=$batchId")
           }
         }
         .option("checkpointLocation", freshCheckpointDir(s, "s78_fb"))
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(out).orderBy("query_id", "rank")
+      // partition discovery adds the batch column — the serving answer
+      // is batch-invariant by the oracle's contract, so project it off
+      s.read.parquet(out).select("query_id", "nbr_id", "rank")
+        .orderBy("query_id", "rank")
     }),
     // Bounded-state sessionization on transformWithState with
     // EVENT-TIME TIMERS — s48's EventTimeTimeout contract on the

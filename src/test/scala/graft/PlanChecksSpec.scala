@@ -516,7 +516,8 @@ class PlanChecksSpec extends AnyFunSuite {
     // table broadcast back onto the scan, corpus rows never exchanged
     // for the join (the only exchanges are the tiny aggregates and the
     // gate's output ordering)
-    Seq("d76_domain_mixture_resample", "d77_mixture_epochs").foreach { name =>
+    Seq("d76_domain_mixture_resample", "d77_mixture_epochs",
+        "d81_mixture_resample_weighted", "d82_mixture_epochs_weighted").foreach { name =>
       val p = plan(name)
       assert(p.contains("BroadcastHashJoin"), s"$name: ${p.take(2000)}")
       assert(!p.contains("SortMergeJoin"),
@@ -533,7 +534,7 @@ class PlanChecksSpec extends AnyFunSuite {
     SparkEntry.queries("s78_stream_ann_serving_pruned")(spark, sf).collect()
     val pins = graft.queries.StreamingQueries.s78BatchPins
     assert(pins.size == 5, s"expected 5 micro-batches, got ${pins.size}")
-    pins.foreach { case (nq, ncids, inSize, nlist) =>
+    pins.values.foreach { case (nq, ncids, inSize, nlist) =>
       assert(nq == 3, s"request batch should hold 3 queries, got $nq")
       assert(ncids > 0 && ncids <= nq * 4 && ncids < nlist,
         s"probe union $ncids of $nlist lists breaks the structural bound")

@@ -336,4 +336,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, 0L, 0.0)))
     assert(got(4L) == ((3L, 0L, 0.0)))
   }
+
+  test("asciiGuarded: non-ASCII text fails LOUDLY with the gate name; ASCII passes through") {
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    val ok = Seq((1L, "plain ascii text only")).toDF("doc_id", "text")
+    assert(ok.select(Dedup.asciiGuarded(col("text"), "gateX"))
+      .collect()(0).getString(0) == "plain ascii text only")
+    // a UTF-8 corpus must fail the oracle-coupled gates DIAGNOSABLY —
+    // a named encoding error at the scan, not a hash mismatch later
+    val bad = Seq((1L, "plain"), (2L, "caf\u00e9 au lait")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.minhashNearDupStats(
+        bad.withColumn("text", Dedup.asciiGuarded(col("text"), "d79_source_overlap_minhash")),
+        "doc_id", "text", threshold = 0.5).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val msg = messages(ex).mkString(" | ")
+    assert(msg.contains("d79_source_overlap_minhash") &&
+      msg.contains("ord-vs-bytes"), s"unexpected failure: $msg")
+  }
 }

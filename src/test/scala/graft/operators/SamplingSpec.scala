@@ -182,4 +182,73 @@ class SamplingSpec extends AnyFunSuite {
     assert(ep.where($"dom" =!= "h").groupBy("id").count()
       .agg(min("count")).head().getLong(0) >= 1)
   }
+
+  test("weighted mixture: a uniform dyadic target reproduces the equal-share family bit-for-bit") {
+    // L = 4 strata with share 0.25 each: stot = 1.0 exactly, and
+    // 0.25·T = T/4 exactly (both round the same real), so the targeted
+    // path's w equals the equal-share path's w in every bit — the
+    // uniform ≡ today pin the r12 verdict asked for. (At L not a power
+    // of two the two op orders can differ in the last ulp; the
+    // contract is the kept set, and the 4-stratum case pins the
+    // arithmetic itself.)
+    val rows = (1L to 400L).map(i => (i, s"s${i % 4}", 1L + i % 7))
+    val df = rows.toDF("id", "stratum", "mass")
+    val key = concat(lit("umx:"), $"id")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").collect().map(_.getLong(0)).toSet
+    val equalShare = ids(Sampling.mixtureResample(df, "stratum", "mass", key))
+    val uniform = ids(Sampling.mixtureResampleTo(df, "stratum", "mass", key,
+      shares = Map.empty, defaultShare = 0.25))
+    assert(uniform == equalShare)
+    def eps(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "epoch").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val eqEp = eps(Sampling.mixtureEpochs(df, "stratum", "mass", key, maxEpochs = 4.0))
+    val unEp = eps(Sampling.mixtureEpochsTo(df, "stratum", "mass", key,
+      shares = Map.empty, maxEpochs = 4.0, defaultShare = 0.25))
+    assert(unEp == eqEp)
+  }
+
+  test("weighted mixture: non-uniform shares move the kept masses toward the target") {
+    // two equal-mass strata, target 3:1 — the downweighted stratum
+    // keeps ~1/2 of its rows ((0.25/1.0)·T/t = 0.5·16384 slots), the
+    // upweighted one keeps everything (w capped at 1)
+    val rows = (1L to 2000L).map(i => (i, if (i % 2 == 0) "big" else "small", 1L))
+    val df = rows.toDF("id", "stratum", "mass")
+    val key = concat(lit("wmx:"), $"id")
+    val kept = Sampling.mixtureResampleTo(df, "stratum", "mass", key,
+        shares = Map("big" -> 0.75, "small" -> 0.25))
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("big") == 1000L, s"w >= 1 stratum must keep everything: $kept")
+    assert(math.abs(kept("small") - 500.0) / 500.0 < 0.15,
+      s"0.5-weight stratum should keep ~half: $kept")
+  }
+
+  test("weighted mixture: a ZERO share floors at one slot — downsample never means drop") {
+    val rows = (1L to 3000L).map(i => (i, if (i % 2 == 0) "keep" else "zero", 1L))
+    val df = rows.toDF("id", "stratum", "mass")
+    val key = concat(lit("zmx:"), $"id")
+    val kept = Sampling.mixtureResampleTo(df, "stratum", "mass", key,
+      shares = Map("keep" -> 1.0, "zero" -> 0.0))
+    val zeroKept = kept.where($"stratum" === "zero").select("id")
+      .collect().map(_.getLong(0)).toSet
+    // exactly the rows whose slot clears the one-slot floor (slot 0)
+    val expect = rows.filter(_._2 == "zero").map(_._1)
+      .filter(i => ClusterHash.getSlot(s"zmx:$i") < 1).toSet
+    assert(zeroKept == expect, s"zero-share stratum must keep exactly the slot<1 rows")
+    assert(kept.where($"stratum" === "keep").count() == 1500L)
+  }
+
+  test("weighted mixture: NULL stratum takes the default share via the null-safe join") {
+    val rows: Seq[(Long, Option[String], Long)] =
+      (1L to 300L).map(i => (i, if (i % 3 == 0) None else Some("x"), 1L))
+    val df = rows.toDF("id", "stratum", "mass")
+    val key = concat(lit("nmx:"), $"id")
+    val kept = Sampling.mixtureResampleTo(df, "stratum", "mass", key,
+      shares = Map("x" -> 0.5), defaultShare = 0.5)
+    // default == mapped share over two equal-role strata -> NULL rows
+    // survive by the same rule, none silently vanish
+    assert(kept.where($"stratum".isNull).count() > 0,
+      "NULL stratum vanished from the weighted mixture")
+  }
 }

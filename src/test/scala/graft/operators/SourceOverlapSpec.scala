@@ -91,4 +91,18 @@ class SourceOverlapSpec extends AnyFunSuite {
       "near-dup stage dropped nothing anywhere — vacuous funnel")
     spark.catalog.clearCache()
   }
+
+  test("groupOverlapMatrix: a NULL group fails loudly instead of folding into the diagonal") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((1L, 2L, 4L, 5L)).toDF("i", "j", "inter", "uni")
+    val docs = Seq((1L, Some("web")), (2L, Option.empty[String])).toDF("doc_id", "source")
+    val ex = intercept[Exception] {
+      Dedup.groupOverlapMatrix(pairs, docs, "doc_id", "source").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val msg = messages(ex).mkString(" | ")
+    assert(msg.contains("groupOverlapMatrix") && msg.contains("doc_id=2"),
+      s"unexpected failure: $msg")
+  }
 }

@@ -52,6 +52,12 @@ object IvfTableProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the table tier's argmax/probe aggregations are TypedImperative
+      // (TopKAgg) over ~n/tasks distinct keys per task; the default
+      // ObjectHashAggregate fallback (128 keys/task) would sort-spill
+      // the ×nlist expansion instead of streaming it through the
+      // bounded buffers — raise it as a production index build would
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 21).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -112,7 +118,12 @@ object IvfTableProbe {
     val cdf = Similarity.centroidsDf(spark, cents)
     val idx = s"/tmp/graft-tableprobe-ivf-n$nlist"
     val t1 = System.nanoTime()
+    // repartition on the list id first: one file per inverted list
+    // instead of (tasks × nlist) shards — the layout a real index
+    // build targets, and what keeps file-open cost out of the serve
+    // numbers
     Similarity.ivfAssignedByTable(cdf, emb)
+      .repartition(col("__cid"))
       .write.mode("overwrite").partitionBy("__cid").parquet(idx)
     val buildSec = (System.nanoTime() - t1) / 1e9
     println(f"[tableprobe] serve train=$trainSec%.1f s build=$buildSec%.1f s")
@@ -121,7 +132,25 @@ object IvfTableProbe {
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1)
     import spark.implicits._
-    Seq(false, true).foreach { prunedVariant =>
+    // hold ONE table handle across batches (what a serving layer does):
+    // partition DISCOVERY lists all nlist directories and would
+    // otherwise dominate every per-batch number identically for all
+    // variants — the claim under measurement is the per-batch READ,
+    // which the static filter prunes, not the one-time listing
+    val scan = spark.read.parquet(idx)
+    scan.count() // materialize the file index once, outside the timings
+    // three variants, because BATCH full-scan is not s77: in a batch
+    // plan the broadcast probe join on the partition column fires DPP
+    // and prunes the unprobed lists anyway (the s60 read path). s77's
+    // stream-static join is the topology where DPP CANNOT fire — model
+    // it by disabling DPP for the noDpp variant. The s78 claim is then
+    // measured against the right baseline: static IN ≈ DPP batch ≪
+    // no-DPP full scan (the streaming reality the static filter fixes).
+    val dppKey = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    Seq(("FULL-noDPP (s77 analog)", false, false),
+        ("FULL-DPP   (s60 batch) ", false, true),
+        ("PRUNED-static (s78)    ", true, true)).foreach { case (label, prunedVariant, dpp) =>
+      spark.conf.set(dppKey, dpp.toString)
       var best = Double.MaxValue
       var readFrac = 0.0
       (1 to runs).foreach { _ =>
@@ -131,7 +160,6 @@ object IvfTableProbe {
           val batch = reqs.slice(b * 3, b * 3 + 3)
           val qdf = batch.toSeq
             .map { case (id, v) => (id, v.map(_.toFloat).toSeq) }.toDF("vec_id", "embedding")
-          val scan = spark.read.parquet(idx)
           val (pruned, frac) =
             if (prunedVariant) {
               val cids = Similarity.literalProbeCids(cents, batch.map(_._2).toSeq, nprobe = 4)
@@ -145,8 +173,8 @@ object IvfTableProbe {
         best = math.min(best, (System.nanoTime() - t2) / 1e9)
         SessionHygiene.sweep(spark)
       }
-      val label = if (prunedVariant) "PRUNED" else "FULL  "
-      println(f"[tableprobe] serve $label 5 batches(min)=$best%.1f s avg read fraction=$readFrac%.3f")
+      spark.conf.set(dppKey, "true")
+      println(f"[tableprobe] serve $label 5 batches(min)=$best%.1f s avg static-filter fraction=$readFrac%.3f")
     }
     emb.unpersist()
   }

@@ -613,27 +613,33 @@ object Similarity {
   /** Table-join argmax assignment — [[assignToCentroids]]'s semantics
     * (max cosine, ties → LOWEST cid) without per-centroid literals:
     * one broadcast nested-loop join against the nlist-row centroid
-    * table, then a map-side-combinable max(struct) per row. The ×nlist
-    * expansion exists only in flight inside each scan task (the
-    * partial aggregate collapses it back to one row per input row
-    * before anything shuffles), so the one exchange carries the corpus
-    * exactly once — the price over the literal path's scan-local
-    * assignment, paid once at index build time. All input columns are
-    * carried through (they must be of orderable types — true of every
-    * id/vector/metadata column this engine indexes). */
+    * table, IMMEDIATELY projected down to skinny (id, score, cid)
+    * rows, then a [[graft.functions.TopKAgg]] k=1 argmax per row and a
+    * join back to the input to re-attach its columns. The skinny
+    * projection is the load-bearing move: the ×nlist expansion must
+    * never carry the vector (or any payload) into the aggregation —
+    * a payload-carrying max(struct) is complex-typed, which Spark
+    * aggregates with a SORT fallback over the full expansion
+    * (measured: ~n·nlist·800 B of spill — 160 GB at 200 k × 1024 —
+    * where the skinny form streams ~20 B rows through the bounded
+    * map-side buffers). TopKAgg's (score DESC, id ASC) order is
+    * exactly the assignment tie-break. Flop count matches the literal
+    * path (n·nlist·dim either way); the cost over it is the skinny
+    * stream + one corpus join on id, paid once at index build time.
+    * At EXTREME nlist a scan-local Expression taking the centroid
+    * matrix as a broadcast variable is the next tier — documented,
+    * not needed at any measured scale. */
   private[graft] def assignToCentroidsByTable(df: DataFrame, cdf: DataFrame,
                                               idCol: String, vecCol: String): DataFrame = {
-    val cols = df.columns.toIndexedSeq
-    val cand = struct(
-      cosine(col(vecCol), col("__tc_cvec")).as("s"),
-      (-col("__tc_cid")).as("p"),
-      col("__tc_cid").as("c"),
-      struct(cols.map(col): _*).as("row"))
-    df.crossJoin(centroidSide(cdf))
+    val best = df.select(col(idCol), col(vecCol))
+      .crossJoin(centroidSide(cdf))
+      .select(col(idCol),
+        cosine(col(vecCol), col("__tc_cvec")).as("s"),
+        col("__tc_cid").cast("long").as("c"))
       .groupBy(col(idCol))
-      .agg(max(cand).as("__best"))
-      .select(cols.map(n => col(s"__best.row.$n").as(n)) :+
-        col("__best.c").as("__cid"): _*)
+      .agg(graft.functions.TopKAgg.top_k(col("s"), col("c"), 1).as("tk"))
+      .select(col(idCol), element_at(col("tk"), 1).getField("_2").cast("int").as("__cid"))
+    df.join(best, Seq(idCol))
   }
 
   /** [[ivfAssigned]] through the table tier — same output shape

@@ -65,6 +65,7 @@ private[queries] object OracleStash {
   case object S78Cents extends Slot[Cents]("s78.cents")
   case object S80Cents extends Slot[Cents]("s80.cents")
   case object S81Cents extends Slot[Cents]("s81.cents")
+  case object S82Cents extends Slot[Cents]("s82.cents")
   case object D36Bits extends Slot[Int]("d36.bits")
   case object D56Bits extends Slot[Int]("d56.bits")
   case object D73Config extends Slot[graft.operators.Similarity.LshConfig]("d73.config")

@@ -749,6 +749,25 @@ object PipelineQueries {
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
     }),
+    // s80's eval THROUGH THE TABLE TIER at nlist=128 — the
+    // every-vector-is-a-query shape where the probed fraction
+    // (nprobe/nlist) dominates: at 128 lists it is 4× smaller than
+    // s80's capped 32, and the tier is the one that lets nlist keep
+    // tracking the corpus past the literal bound (the measured sf10
+    // cell in SCALING.md r13 is exactly this query's shape at
+    // nlist=1024). Query side is the corpus — never broadcast; probe
+    // selection is the TopKAgg aggregation, not scan-stage literals.
+    // Same spliced-centroid oracle recompute as s80, so the reported
+    // per-label accuracies are the 128-list probe's true numbers.
+    "s82_knn_label_eval_table" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = centroids128(s, dir)
+      OracleStash.put(OracleStash.S82Cents, cents)
+      knnLabelAgreement(emb,
+        Similarity.ivfTopKByTable(Similarity.centroidsDf(s, cents),
+          emb, emb, k = 1, broadcastQueries = false))
+    }),
     // PCA embedding projection — the compression/rotation step a
     // pipeline runs before storing or indexing vectors: project every
     // embedding onto the corpus's top-8 principal axes. Training is
@@ -2099,7 +2118,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -2427,24 +2446,36 @@ object PipelineQueries {
       |           JOIN embeddings nl ON o.nbr_id = nl.vec_id
       |GROUP BY ql.label ORDER BY label""".stripMargin
 
+  /** The IVF leave-one-out eval recompute for a given quantizer —
+    * spliced centroids, EVERY vector a query, probe/rank to top-1,
+    * per-label fold. Shared by s80 (occupancy-held literal tier) and
+    * s82 (nlist=128 table tier): the tier must not change what the
+    * eval reports for the same trained model. */
+  private def knnIvfOracleSql(c: Cents): String =
+    s"""WITH ${centroidAssignCtes(c, "embedding")},
+       |qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+       |  SELECT vec_id, embedding, cid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+       |  FROM scored) WHERE rn <= 4),
+       |cand AS (SELECT q.query_id, a.vec_id AS nbr_id,
+       |   ${duckCosine("q.qv", "a.embedding")} AS sim
+       | FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id),
+       |ranked AS (SELECT query_id, nbr_id,
+       |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rk
+       |  FROM cand),
+       |$knnLabelAggSql""".stripMargin
+
   /** s80's oracle: the s37 probe/rank recompute (spliced centroids,
     * every vector a query) ranked to top-1 and folded per label. */
   private def knnIvfOracle: Map[String, String] =
-    OracleStash.get(OracleStash.S80Cents).map { c =>
-      "s80_knn_label_eval_ivf" ->
-        s"""WITH ${centroidAssignCtes(c, "embedding")},
-           |qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
-           |  SELECT vec_id, embedding, cid,
-           |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
-           |  FROM scored) WHERE rn <= 4),
-           |cand AS (SELECT q.query_id, a.vec_id AS nbr_id,
-           |   ${duckCosine("q.qv", "a.embedding")} AS sim
-           | FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id),
-           |ranked AS (SELECT query_id, nbr_id,
-           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rk
-           |  FROM cand),
-           |$knnLabelAggSql""".stripMargin
-    }.toMap
+    OracleStash.get(OracleStash.S80Cents)
+      .map(c => "s80_knn_label_eval_ivf" -> knnIvfOracleSql(c)).toMap
+
+  /** s82's oracle: the same recompute over the 128-list table-tier
+    * quantizer. */
+  private def knnTableOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S82Cents)
+      .map(c => "s82_knn_label_eval_table" -> knnIvfOracleSql(c)).toMap
 
   /** s65's oracle: the same probe/rank SQL with the metadata predicate
     * applied to the CANDIDATE side only (queries stay unfiltered) —

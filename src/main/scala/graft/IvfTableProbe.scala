@@ -32,9 +32,20 @@ import graft.operators.Similarity
  * Probe-only artifacts land under /tmp (never under the digest-chained
  * data/ exports the declared queries serve from).
  *
+ *  - `evalexpr` mode (round 13, third tier): a SAME-SESSION A/B of the
+ *    occupancy-held leave-one-out eval through the table tier vs the
+ *    scan-local EXPRESSION tier (kmeansCentroidsByExpr /
+ *    ivfTopKByExpr) — same nlist, same shuffled query side, the two
+ *    trainers bit-equal (IvfExprTierSpec), so the pair isolates what
+ *    the tier itself costs: the table tier pays a ×nlist row
+ *    expansion through an aggregation plus an assignment join-back;
+ *    the expr tier fuses both into the scan projection. Eval runs
+ *    alternate table/expr so neither tier owns the warm-up.
+ *
  * Usage:
- *   runMain graft.IvfTableProbe eval  <sfDir> [maxBits] [runs]
- *   runMain graft.IvfTableProbe serve <sfDir> [nlist]   [runs]
+ *   runMain graft.IvfTableProbe eval     <sfDir> [maxBits] [runs]
+ *   runMain graft.IvfTableProbe evalexpr <sfDir> [maxBits] [runs]
+ *   runMain graft.IvfTableProbe serve    <sfDir> [nlist]   [runs]
  * Env (as Profile): SPARK_GRAFT_CPUS, SPARK_GRAFT_PARTITIONS.
  */
 object IvfTableProbe {
@@ -63,9 +74,10 @@ object IvfTableProbe {
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     mode match {
-      case "eval"  => evalMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(10), runs)
-      case "serve" => serveMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(128), runs)
-      case other   => sys.error(s"unknown mode '$other' (eval|serve)")
+      case "eval"     => evalMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(10), runs)
+      case "evalexpr" => evalExprMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(10), runs)
+      case "serve"    => serveMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(128), runs)
+      case other      => sys.error(s"unknown mode '$other' (eval|evalexpr|serve)")
     }
     spark.stop()
   }
@@ -84,25 +96,67 @@ object IvfTableProbe {
     val cents = Similarity.kmeansCentroidsByTable(emb, nlist = nlist, iters = 2)
     val trainSec = (System.nanoTime() - t0) / 1e9
     val cdf = Similarity.centroidsDf(spark, cents)
-    val lab = emb.select(col("vec_id"), col("label"))
     var best = Double.MaxValue
     var agree = (-1L, -1L)
     (1 to runs).foreach { _ =>
       val t1 = System.nanoTime()
-      val nn = Similarity.ivfTopKByTable(cdf, emb, emb, k = 1, broadcastQueries = false)
-      val r = nn.where(col("rank") === 1)
-        .join(lab.toDF("query_id", "ql"), "query_id")
-        .join(lab.toDF("nbr_id", "nl"), "nbr_id")
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("ql") === col("nl"), 1L).otherwise(0L)).as("ok"))
-        .collect()(0)
-      agree = (r.getLong(0), r.getLong(1))
+      agree = runLabelEval(spark, emb,
+        Similarity.ivfTopKByTable(cdf, emb, emb, k = 1, broadcastQueries = false))
       best = math.min(best, (System.nanoTime() - t1) / 1e9)
-      SessionHygiene.sweep(spark)
     }
     println(f"[tableprobe] eval nlist=$nlist train=$trainSec%.1f s eval(min)=$best%.1f s " +
       f"agree=${agree._2}/${agree._1} (${agree._2.toDouble / agree._1}%.3f)")
     emb.unpersist()
+  }
+
+  /** Same-session table-vs-expr A/B at the same occupancy-held nlist:
+    * the trainers are bit-equal (spec-pinned), so train times are the
+    * honest tier difference and both evals serve ONE quantizer. */
+  private def evalExprMode(spark: SparkSession, embRaw: DataFrame, maxBits: Int, runs: Int): Unit = {
+    val emb = embRaw.select(col("vec_id"), col("embedding"), col("label"))
+    emb.persist(); val n = emb.count()
+    val nlist = Similarity.ivfListsFor(n, targetOccupancy = 16, minBits = 4, maxBits = maxBits)
+    println(s"[tableprobe] evalexpr corpus n=$n occupancy-held nlist=$nlist (maxBits=$maxBits) nprobe=4")
+    val t0 = System.nanoTime()
+    val centsT = Similarity.kmeansCentroidsByTable(emb, nlist = nlist, iters = 2)
+    val trainTable = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val cents = Similarity.kmeansCentroidsByExpr(emb, nlist = nlist, iters = 2)
+    val trainExpr = (System.nanoTime() - t1) / 1e9
+    require(cents.zip(centsT).forall { case (a, b) => a.sameElements(b) },
+      "trainers diverged — the A/B premise (one quantizer) is broken")
+    println(f"[tableprobe] evalexpr train table=$trainTable%.1f s expr=$trainExpr%.1f s (bit-equal)")
+    val cdf = Similarity.centroidsDf(spark, cents)
+    var bestT = Double.MaxValue; var bestE = Double.MaxValue
+    var agreeT = (-1L, -1L); var agreeE = (-1L, -1L)
+    (1 to runs).foreach { _ =>
+      val t2 = System.nanoTime()
+      agreeT = runLabelEval(spark, emb,
+        Similarity.ivfTopKByTable(cdf, emb, emb, k = 1, broadcastQueries = false))
+      bestT = math.min(bestT, (System.nanoTime() - t2) / 1e9)
+      val t3 = System.nanoTime()
+      agreeE = runLabelEval(spark, emb,
+        Similarity.ivfTopKByExpr(cents, emb, emb, k = 1, broadcastQueries = false))
+      bestE = math.min(bestE, (System.nanoTime() - t3) / 1e9)
+    }
+    require(agreeT == agreeE, s"tiers disagreed: table=$agreeT expr=$agreeE")
+    println(f"[tableprobe] evalexpr nlist=$nlist eval(min) table=$bestT%.1f s expr=$bestE%.1f s " +
+      f"agree=${agreeT._2}/${agreeT._1} (${agreeT._2.toDouble / agreeT._1}%.3f)")
+    emb.unpersist()
+  }
+
+  /** One leave-one-out label-agreement pass over a 1-NN frame; returns
+    * (n, correct) so the probe's numbers are a real eval. */
+  private def runLabelEval(spark: SparkSession, emb: DataFrame, nn: DataFrame): (Long, Long) = {
+    val lab = emb.select(col("vec_id"), col("label"))
+    val r = nn.where(col("rank") === 1)
+      .join(lab.toDF("query_id", "ql"), "query_id")
+      .join(lab.toDF("nbr_id", "nl"), "nbr_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ql") === col("nl"), 1L).otherwise(0L)).as("ok"))
+      .collect()(0)
+    SessionHygiene.sweep(spark)
+    (r.getLong(0), r.getLong(1))
   }
 
   /** The s78 request pattern against a table-assigned on-disk index at

@@ -149,6 +149,8 @@ object PlanReport {
       "the centroid-TABLE serving tier (the r12 cap lift): probe assignment joins a BROADCAST centroid table and keeps each query's nprobe best through bounded TopKAgg buffers (ObjectHashAggregate — no window sort, no per-centroid literal structs anywhere in the plan: the literal tier's array_sort signature is spec-asserted ABSENT); corpus assignment is the same broadcast join projected to SKINNY (id, score, cid) rows before a k=1 TopKAgg argmax + id join-back — the x-nlist expansion never carries a vector through an aggregation (the payload-carrying max(struct) form is complex-typed and falls back to a SORT over the expansion: measured 160 GB of spill at n=200k x nlist=1024 where the skinny form streams); nlist=128 here, 4x past the literal cap, same spliced-centroid oracle as s37",
     "s82_knn_label_eval_table" ->
       "the leave-one-out eval through the centroid-TABLE tier at nlist=128: every vector is a query, so probe selection is the skinny TopKAgg aggregation (no scan-stage centroid literals — at 128 lists a literal projection would be 4x past the codegen cap) and the candidate join buckets by list id with the query side SHUFFLED, never broadcast (the s80 discipline); probed fraction 4/128, a 4x cut over s80's capped 32 lists — the tier's payoff in the shape where the probed fraction IS the cost; same spliced-centroid oracle recompute, so the reported accuracies are the 128-list probe's true numbers",
+    "s83_ann_ivf_expr" ->
+      "the scan-local EXPRESSION tier (third tier, r13): the whole 256-list centroid matrix rides the plan as ONE Literal (the PQ-codebook pattern) and enters generated code as a reference object, so corpus assignment (CentroidArgmax) and per-query probe selection (CentroidProbes -> explode of a <=nprobe array) are fused while-loops INSIDE the scan projection — no per-centroid literal structs (array_sort absent, spec-pinned), no x-nlist row expansion, no TopKAgg probe aggregation, no assignment join-back; the only remaining exchange is the list-id candidate equi-join itself; answers bit-identical to both other tiers (IvfExprTierSpec), same spliced-centroid oracle; same-session sf10 A/B: 3.5x over the table tier on training, 1.9x on the corpus-sized eval",
     "d81_mixture_resample_weighted" ->
       "weighted-target mixture (DoReMi/Pile-style shares): identical broadcast-weights plan shape as d76 — one scan-local token count, a strata-sized aggregate with the share CASE chain, thresholds broadcast back, scan-side CRC membership; the corpus crosses no exchange for the join (BroadcastHashJoin pinned with d76/d77 in PlanChecksSpec), and the shared resample tail means the one-slot floor and null-stratum discipline are the same code path as the equal-share family",
     "d80_curation_funnel" ->

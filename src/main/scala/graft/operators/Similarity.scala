@@ -153,6 +153,31 @@ object Similarity {
     math.min(math.max(1L, n),
       1L << lshBitsFor(n, targetOccupancy, minBits, maxBits)).toInt
 
+  /**
+   * COST-balanced IVF list count for all-query workloads — the √-law
+   * sibling of [[ivfListsFor]]'s occupancy rule, for the eval/batch
+   * shape where every corpus vector is also a query (s82/s84, d74's
+   * semantic-dedup probes). Per-query cost there is quantizer scoring
+   * (nlist·d) plus candidate scoring (nprobe·(n/nlist)·d); the sum is
+   * minimized at nlist* = √(n·nprobe), and holding OCCUPANCY instead
+   * (nlist ∝ n) grows the quantizer term linearly until it dominates.
+   * Measured (SCALING.md r13, same-session pair at n=200 000,
+   * nprobe=4, √-law says 894): nlist=1024 evals in 11.8 s where
+   * occupancy-16's nlist=8192 takes 59.4 s — the 8× candidate saving
+   * no longer pays for the 8× quantizer scoring. Rounded to the
+   * nearest power of two so list counts stay comparable with
+   * [[ivfListsFor]]'s grid; clamped to [1, n] the same way. For the
+   * few-queries serving shape (s81/s83) the quantizer term is
+   * per-QUERY, not per-corpus-row, and occupancy-held stays right —
+   * which is why both rules exist.
+   */
+  def ivfListsBalanced(n: Long, nprobe: Int = 4): Int = {
+    require(n >= 1 && nprobe >= 1, s"need n >= 1, nprobe >= 1; got n=$n nprobe=$nprobe")
+    val star = math.sqrt(n.toDouble * nprobe)
+    val bits = math.round(math.log(star) / math.log(2.0)).toInt
+    math.min(math.max(1L, n), 1L << math.max(0, bits)).toInt
+  }
+
   /** Hyperplane-LSH collision probability for a pair AT the verify
     * threshold: p = 1 − acos(θ)/π (one random hyperplane separates two
     * vectors with probability angle/π). The quantity every (b, L)
@@ -626,9 +651,13 @@ object Similarity {
     * exactly the assignment tie-break. Flop count matches the literal
     * path (n·nlist·dim either way); the cost over it is the skinny
     * stream + one corpus join on id, paid once at index build time.
-    * At EXTREME nlist a scan-local Expression taking the centroid
-    * matrix as a broadcast variable is the next tier — documented,
-    * not needed at any measured scale. */
+    * The scan-local Expression form this scaladoc used to name as
+    * "the next tier" is now BUILT — [[ivfAssignedByExpr]] /
+    * [[kmeansCentroidsByExpr]] fuse the argmax into the scan
+    * projection with the matrix riding the plan as one Literal, and
+    * beat this path 3.5× on training at sf10 (SCALING.md r13). This
+    * tier remains the right one when the centroids are a TABLE the
+    * driver never holds (a persisted index's own centroid frame). */
   private[graft] def assignToCentroidsByTable(df: DataFrame, cdf: DataFrame,
                                               idCol: String, vecCol: String): DataFrame = {
     val best = df.select(col(idCol), col(vecCol))
@@ -717,6 +746,73 @@ object Similarity {
                             broadcastQueries: Boolean = true): DataFrame =
     rankCandidates(ivfCandidatesByTable(assigned, cdf, queries, nprobe,
       idCol, vecCol, broadcastQueries), k)
+
+  // ---------------- scan-local EXPRESSION tier (any nlist, no expansion)
+
+  /** [[ivfAssigned]] through the SCAN-LOCAL expression tier — the
+    * third tier (r13): the whole centroid matrix rides the plan as
+    * ONE Literal and assignment is a fused argmax loop inside the
+    * scan projection ([[graft.functions.CentroidFunctions]]). This
+    * recovers the literal tier's scan-local shape — no ×nlist row
+    * expansion, no aggregation, no join-back — at ANY nlist an
+    * executor holds (the matrix ships once per stage with the plan,
+    * the same nlist×dim volume the table tier broadcasts). Arithmetic
+    * and tie-breaks are bit-identical to the literal tier, so every
+    * spliced-centroid oracle gates this tier unchanged
+    * (IvfExprTierSpec pins all three tiers pairwise). */
+  def ivfAssignedByExpr(cents: Array[Array[Double]], corpus: DataFrame,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cn"),
+      graft.functions.CentroidFunctions.centroid_argmax(col(vecCol), cents).as("__cid"))
+
+  /** [[ivfCandidates]] through the expression tier: each query's
+    * nprobe probe ids come from one fused top-nprobe loop in its own
+    * scan projection (explode of a ≤nprobe array — the only expansion
+    * anywhere in this tier), then the same list-bucketed candidate
+    * join. */
+  private[graft] def ivfCandidatesByExpr(c: DataFrame, cents: Array[Array[Double]],
+                                         queries: DataFrame, nprobe: Int,
+                                         idCol: String = "vec_id",
+                                         vecCol: String = "embedding",
+                                         broadcastQueries: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qn"),
+      explode(graft.functions.CentroidFunctions.centroid_probes(col(vecCol), cents, nprobe))
+        .as("__cid"))
+    c.join(if (broadcastQueries) broadcast(q) else q, Seq("__cid"))
+      .where(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosinePrenormed(col("qvec"), col("cvec"), col("qn") * col("cn")).as("sim"))
+  }
+
+  /** IVF top-k through the scan-local expression tier — answer-
+    * identical to [[ivfTopKWith]]/[[ivfTopKByTable]] for the same
+    * centroids, with neither the literal tier's nlist cap nor the
+    * table tier's row expansion. */
+  def ivfTopKByExpr(cents: Array[Array[Double]], corpus: DataFrame, queries: DataFrame,
+                    k: Int, nprobe: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    broadcastQueries: Boolean = true): DataFrame =
+    rankCandidates(ivfCandidatesByExpr(ivfAssignedByExpr(cents, corpus, idCol, vecCol),
+      cents, queries, nprobe, idCol, vecCol, broadcastQueries), k)
+
+  /** [[ivfTopKOnIndex]] through the expression tier. */
+  def ivfTopKOnIndexByExpr(cents: Array[Array[Double]], assigned: DataFrame,
+                           queries: DataFrame, k: Int, nprobe: Int = 4,
+                           idCol: String = "vec_id", vecCol: String = "embedding",
+                           broadcastQueries: Boolean = true): DataFrame =
+    rankCandidates(ivfCandidatesByExpr(assigned, cents, queries, nprobe,
+      idCol, vecCol, broadcastQueries), k)
+
+  /** [[kmeansCentroids]] with scan-local expression-tier assignment —
+    * each Lloyd round is one scan projection + the (nlist × dim)-row
+    * update aggregate, at any nlist. */
+  def kmeansCentroidsByExpr(corpus: DataFrame, nlist: Int, iters: Int = 2,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] =
+    lloydRounds(corpus, nlist, iters, idCol, vecCol,
+      (df, cents) => df.withColumn("__cid",
+        graft.functions.CentroidFunctions.centroid_argmax(col(vecCol), cents)))
 
   /**
    * Symmetric int8 scalar quantization: q[i] = floor(v[i]·127/max|v| + ½)

@@ -66,6 +66,8 @@ private[queries] object OracleStash {
   case object S80Cents extends Slot[Cents]("s80.cents")
   case object S81Cents extends Slot[Cents]("s81.cents")
   case object S82Cents extends Slot[Cents]("s82.cents")
+  case object S83Cents extends Slot[Cents]("s83.cents")
+  case object S84Cents extends Slot[Cents]("s84.cents")
   case object D36Bits extends Slot[Int]("d36.bits")
   case object D56Bits extends Slot[Int]("d56.bits")
   case object D73Config extends Slot[graft.operators.Similarity.LshConfig]("d73.config")

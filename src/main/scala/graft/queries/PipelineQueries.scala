@@ -88,6 +88,17 @@ object PipelineQueries {
     kmTableCache.getOrElseUpdate(key,
       Similarity.kmeansCentroidsByTable(t(s, dir, "embeddings"), nlist = 128, iters = 2))
   }
+  /** 256-list quantizer trained through the SCAN-LOCAL expression tier
+    * (kmeansCentroidsByExpr) — 8× past the literal cap with no row
+    * expansion anywhere (the r13 third tier). Own memo. */
+  private[graft] val kmExprCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  private def centroids256(s: SparkSession, dir: String): Array[Array[Double]] = {
+    val key = corpusKey(dir)
+    evictStale(kmExprCache, dir, key)
+    kmExprCache.getOrElseUpdate(key,
+      Similarity.kmeansCentroidsByExpr(t(s, dir, "embeddings"), nlist = 256, iters = 2))
+  }
   private def codebooks16(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
     val key = corpusKey(dir)
     evictStale(pqCache, dir, key)
@@ -767,6 +778,43 @@ object PipelineQueries {
       knnLabelAgreement(emb,
         Similarity.ivfTopKByTable(Similarity.centroidsDf(s, cents),
           emb, emb, k = 1, broadcastQueries = false))
+    }),
+    // SCAN-LOCAL expression-tier ANN serving at nlist=256 — the THIRD
+    // tier (r13): the whole centroid matrix rides the plan as ONE
+    // Literal (the PQ-codebook pattern) and enters codegen as a
+    // reference object, so assignment and probe selection are fused
+    // loops inside the scan projection — the literal tier's
+    // scan-local shape with NO nlist cap and none of the table tier's
+    // ×nlist row expansion. At 256 lists over this corpus the probed
+    // lists can hold fewer than k candidates — correct IVF semantics
+    // (fewer results, never wrong ones), and the oracle recomputes
+    // the same sparse answer from the same spliced centroids.
+    "s83_ann_ivf_expr" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = centroids256(s, dir)
+      OracleStash.put(OracleStash.S83Cents, cents)
+      Similarity.ivfTopKByExpr(cents, emb, emb.where($"vec_id" < 5), k = 10)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
+    // s80/s82's leave-one-out eval THROUGH THE EXPRESSION TIER at
+    // nlist=256 — the every-vector-is-a-query shape where the third
+    // tier's fused scan projection pays off twice: probe selection
+    // costs no ×nlist row expansion for the corpus-sized query side
+    // (the table tier streams n×nlist skinny rows through TopKAgg
+    // buffers; here it is one loop per row), and assignment needs no
+    // join-back. Measured same-session at sf10/nlist=1024: eval 11.8 s
+    // expr vs 22.8 s table, train 4.4 s vs 15.2 s, identical
+    // agreement (SCALING.md r13). Same spliced-centroid recompute
+    // oracle as s80/s82 — the tier must not change what the eval
+    // reports.
+    "s84_knn_label_eval_expr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = centroids256(s, dir)
+      OracleStash.put(OracleStash.S84Cents, cents)
+      knnLabelAgreement(emb,
+        Similarity.ivfTopKByExpr(cents, emb, emb, k = 1, broadcastQueries = false))
     }),
     // PCA embedding projection — the compression/rotation step a
     // pipeline runs before storing or indexing vectors: project every
@@ -2118,7 +2166,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -2435,6 +2483,15 @@ object PipelineQueries {
   private def ivfTableOracle: Map[String, String] =
     OracleStash.get(OracleStash.S81Cents).map(c => "s81_ann_ivf_table" -> ivfProbeOracleSql(c)).toMap
 
+  /** s83's oracle: the identical probe/rank recompute once more, from
+    * the 256-list expression-tier quantizer — the third tier's answers
+    * must fall out of the same spliced-centroid semantics (and the
+    * sparse lists at 256-over-500 occupancy fall out of it too: the
+    * recompute simply yields fewer than k rows where the probed lists
+    * hold fewer candidates). */
+  private def ivfExprOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S83Cents).map(c => "s83_ann_ivf_expr" -> ivfProbeOracleSql(c)).toMap
+
   /** s79/s80's shared SQL tail over a `ranked(query_id, nbr_id, rk)`
     * CTE — the per-label 1-NN agreement fold, one encoding as the
     * Spark-side knnLabelAgreement. */
@@ -2476,6 +2533,12 @@ object PipelineQueries {
   private def knnTableOracle: Map[String, String] =
     OracleStash.get(OracleStash.S82Cents)
       .map(c => "s82_knn_label_eval_table" -> knnIvfOracleSql(c)).toMap
+
+  /** s84's oracle: the same recompute once more, over the 256-list
+    * expression-tier quantizer — three tiers, one eval semantics. */
+  private def knnExprOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S84Cents)
+      .map(c => "s84_knn_label_eval_expr" -> knnIvfOracleSql(c)).toMap
 
   /** s65's oracle: the same probe/rank SQL with the metadata predicate
     * applied to the CANDIDATE side only (queries stay unfiltered) —

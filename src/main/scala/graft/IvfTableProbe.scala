@@ -42,9 +42,22 @@ import graft.operators.Similarity
  *    the expr tier fuses both into the scan projection. Eval runs
  *    alternate table/expr so neither tier owns the warm-up.
  *
+ *  - `evalhier` mode (round 13, fourth tier): a SAME-SESSION A/B of the
+ *    flat expression tier vs the HIERARCHICAL two-level tier at the
+ *    same nlist — ONE fine quantizer (trained once through the expr
+ *    tier), the coarse level trained driver-side over the fine matrix.
+ *    The pair isolates the per-row QUANTIZER-SCAN term (flat: nlist
+ *    cosines; hier: ncoarse + cprobe·(nlist/ncoarse)), which is the
+ *    cost SCALING.md r13 named as the ≥10¹⁰-vector bottleneck. The
+ *    hierarchical assignment is approximate, so beside the wall-clock
+ *    the probe prints the assignment agreement (fraction of rows where
+ *    both tiers pick the same list) and BOTH eval accuracies — the
+ *    honest recall price next to the honest saving.
+ *
  * Usage:
  *   runMain graft.IvfTableProbe eval     <sfDir> [maxBits] [runs]
  *   runMain graft.IvfTableProbe evalexpr <sfDir> [maxBits] [runs]
+ *   runMain graft.IvfTableProbe evalhier <sfDir> [nlist]   [runs]   (nlist 0 -> sqrt-law)
  *   runMain graft.IvfTableProbe serve    <sfDir> [nlist]   [runs]
  * Env (as Profile): SPARK_GRAFT_CPUS, SPARK_GRAFT_PARTITIONS.
  */
@@ -76,8 +89,9 @@ object IvfTableProbe {
     mode match {
       case "eval"     => evalMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(10), runs)
       case "evalexpr" => evalExprMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(10), runs)
+      case "evalhier" => evalHierMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(0), runs)
       case "serve"    => serveMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(128), runs)
-      case other      => sys.error(s"unknown mode '$other' (eval|evalexpr|serve)")
+      case other      => sys.error(s"unknown mode '$other' (eval|evalexpr|evalhier|serve)")
     }
     spark.stop()
   }
@@ -142,6 +156,67 @@ object IvfTableProbe {
     require(agreeT == agreeE, s"tiers disagreed: table=$agreeT expr=$agreeE")
     println(f"[tableprobe] evalexpr nlist=$nlist eval(min) table=$bestT%.1f s expr=$bestE%.1f s " +
       f"agree=${agreeT._2}/${agreeT._1} (${agreeT._2.toDouble / agreeT._1}%.3f)")
+    emb.unpersist()
+  }
+
+  /** Flat-expr vs hierarchical A/B at one nlist (0 → the √-law
+    * ivfListsBalanced count): shared fine quantizer, driver-trained
+    * coarse level, assignment agreement + both eval accuracies printed
+    * beside the wall-clock so the approximation price is visible. */
+  private def evalHierMode(spark: SparkSession, embRaw: DataFrame, nlistArg: Int, runs: Int): Unit = {
+    val emb = embRaw.select(col("vec_id"), col("embedding"), col("label"))
+    emb.persist(); val n = emb.count()
+    val nlist = if (nlistArg > 0) nlistArg else Similarity.ivfListsBalanced(n)
+    val cprobe = 4
+    val ncoarse = Similarity.coarseListsFor(nlist, cprobe)
+    println(s"[tableprobe] evalhier corpus n=$n nlist=$nlist ncoarse=$ncoarse " +
+      s"cprobe=$cprobe nprobe=4 (per-row quantizer cosines: flat=$nlist " +
+      s"hier=${ncoarse + cprobe * (nlist / ncoarse)})")
+    val t0 = System.nanoTime()
+    val fine = Similarity.kmeansCentroidsByExpr(emb, nlist = nlist, iters = 2)
+    val trainFine = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val coarse = Similarity.kmeansLocalCentroids(fine, ncoarse)
+    val trainCoarse = (System.nanoTime() - t1) / 1e9
+    println(f"[tableprobe] evalhier train fine=$trainFine%.1f s coarse(driver)=$trainCoarse%.3f s")
+    // assignment A/B: time each tier's full corpus pass, then the
+    // agreement join (how often the two-level argmax picks the flat
+    // tier's list — the approximation this probe prices)
+    var bestAssF = Double.MaxValue; var bestAssH = Double.MaxValue
+    (1 to runs).foreach { _ =>
+      val t2 = System.nanoTime()
+      Similarity.ivfAssignedByExpr(fine, emb)
+        .agg(sum(col("__cid"))).collect()
+      bestAssF = math.min(bestAssF, (System.nanoTime() - t2) / 1e9)
+      val t3 = System.nanoTime()
+      Similarity.hierAssignedByExpr(coarse, fine, emb, cprobe)
+        .agg(sum(col("__cid"))).collect()
+      bestAssH = math.min(bestAssH, (System.nanoTime() - t3) / 1e9)
+    }
+    val agreeRow = Similarity.ivfAssignedByExpr(fine, emb).select(col("nbr_id"), col("__cid").as("cf"))
+      .join(Similarity.hierAssignedByExpr(coarse, fine, emb, cprobe)
+        .select(col("nbr_id"), col("__cid").as("ch")), "nbr_id")
+      .agg(count(lit(1)).as("n"), sum(when(col("cf") === col("ch"), 1L).otherwise(0L)).as("same"))
+      .collect()(0)
+    println(f"[tableprobe] evalhier assign(min) flat=$bestAssF%.1f s hier=$bestAssH%.1f s " +
+      f"same-list=${agreeRow.getLong(1)}/${agreeRow.getLong(0)} " +
+      f"(${agreeRow.getLong(1).toDouble / agreeRow.getLong(0)}%.4f)")
+    var bestF = Double.MaxValue; var bestH = Double.MaxValue
+    var aF = (-1L, -1L); var aH = (-1L, -1L)
+    (1 to runs).foreach { _ =>
+      val t4 = System.nanoTime()
+      aF = runLabelEval(spark, emb,
+        Similarity.ivfTopKByExpr(fine, emb, emb, k = 1, broadcastQueries = false))
+      bestF = math.min(bestF, (System.nanoTime() - t4) / 1e9)
+      val t5 = System.nanoTime()
+      aH = runLabelEval(spark, emb,
+        Similarity.hierTopKByExpr(coarse, fine, emb, emb, k = 1,
+          cprobe = cprobe, broadcastQueries = false))
+      bestH = math.min(bestH, (System.nanoTime() - t5) / 1e9)
+    }
+    println(f"[tableprobe] evalhier eval(min) flat=$bestF%.1f s hier=$bestH%.1f s " +
+      f"acc flat=${aF._2}/${aF._1} (${aF._2.toDouble / aF._1}%.4f) " +
+      f"hier=${aH._2}/${aH._1} (${aH._2.toDouble / aH._1}%.4f)")
     emb.unpersist()
   }
 

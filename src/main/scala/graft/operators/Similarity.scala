@@ -814,6 +814,129 @@ object Similarity {
       (df, cents) => df.withColumn("__cid",
         graft.functions.CentroidFunctions.centroid_argmax(col(vecCol), cents)))
 
+  // --------------------- hierarchical (two-level) quantizer tier
+
+  /** COST-balanced coarse cell count for the hierarchical quantizer:
+    * per-row quantizer work is ncoarse + cprobe·(nlist/ncoarse)
+    * cosines, minimized at ncoarse* = √(cprobe·nlist) — the same
+    * argument as [[ivfListsBalanced]] one level up. Rounded to the
+    * power-of-two grid, clamped to [1, nlist]. At the √-law operating
+    * point (nlist = √(n·nprobe)) the two levels together cost
+    * ~2·√(cprobe·√(n·nprobe)) per row — the flat n·nlist quantizer
+    * scan that SCALING.md r13 named as the ≥10¹⁰-vector bottleneck
+    * drops to its square root. */
+  def coarseListsFor(nlist: Int, cprobe: Int = 4): Int = {
+    require(nlist >= 1 && cprobe >= 1,
+      s"need nlist >= 1, cprobe >= 1; got nlist=$nlist cprobe=$cprobe")
+    val star = math.sqrt(cprobe.toDouble * nlist)
+    val bits = math.round(math.log(star) / math.log(2.0)).toInt
+    math.min(nlist.toLong, 1L << math.max(0, bits)).toInt
+  }
+
+  /** Driver-side Lloyd over a METADATA-sized point set — the coarse
+    * trainer: its input is the fine centroid matrix (nlist × dim
+    * doubles), never corpus rows, so the loop belongs on the driver
+    * like every other trained-artifact computation (PCA eigensolve,
+    * codebook reshapes). Semantics mirror [[lloydRounds]]: init = the
+    * first k points in index order, assignment = argmax cosine (ties →
+    * low cid, [[graft.functions.IvfOps.argmaxCidD]] — the SAME fold the
+    * hierarchical expressions use at plan time), update = member mean
+    * per dimension, an empty cell keeps its previous centroid.
+    * Deterministic: a pure function of (points, k, iters). */
+  def kmeansLocalCentroids(points: Array[Array[Double]], k: Int,
+                           iters: Int = 2): Array[Array[Double]] = {
+    require(points.nonEmpty && k >= 1 && k <= points.length,
+      s"need 1 <= k <= ${points.length}; got $k")
+    val dim = points(0).length
+    var cents = Array.tabulate(k)(i => points(i).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        val c = graft.functions.IvfOps.argmaxCidD(p, cents)
+        var d = 0
+        while (d < dim) { sums(c)(d) += p(d); d += 1 }
+        counts(c) += 1
+      }
+      cents = Array.tabulate(k)(i =>
+        if (counts(i) == 0) cents(i)
+        else {
+          val c = new Array[Double](dim)
+          var d = 0
+          while (d < dim) { c(d) = sums(i)(d) / counts(i); d += 1 }
+          c
+        })
+      it += 1
+    }
+    cents
+  }
+
+  /** Hierarchical argmax assignment — [[ivfAssignedByExpr]] with the
+    * two-level quantizer: per row, top-cprobe OWNED coarse cells, then
+    * argmax over the fine centroids those cells own, all inside one
+    * fused scan-projection loop. Per-row cost falls from nlist to
+    * ncoarse + cprobe·(nlist/ncoarse) cosines — the corpus-side
+    * assignment scan (the dominant index-build cost once nlist tracks
+    * the corpus) drops ~√nlist-fold at the balanced ncoarse.
+    * Assignment is approximate exactly where the true owner's coarse
+    * cell falls outside the top-cprobe — the probe main measures that
+    * divergence beside the wall-clock. */
+  def hierAssignedByExpr(coarse: Array[Array[Double]], fine: Array[Array[Double]],
+                         corpus: DataFrame, cprobe: Int = 4,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cn"),
+      graft.functions.CentroidFunctions.hier_argmax(col(vecCol), coarse, fine, cprobe)
+        .as("__cid"))
+
+  /** [[ivfCandidatesByExpr]] with hierarchical probe selection: each
+    * query's nprobe fine lists come from the two-level loop (coarse
+    * top-cprobe, fine top-nprobe among the owned lists), then the same
+    * list-bucketed candidate join. */
+  private[graft] def hierCandidatesByExpr(c: DataFrame, coarse: Array[Array[Double]],
+                                          fine: Array[Array[Double]],
+                                          queries: DataFrame, cprobe: Int, nprobe: Int,
+                                          idCol: String = "vec_id",
+                                          vecCol: String = "embedding",
+                                          broadcastQueries: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qn"),
+      explode(graft.functions.CentroidFunctions.hier_probes(col(vecCol), coarse, fine,
+        cprobe, nprobe)).as("__cid"))
+    c.join(if (broadcastQueries) broadcast(q) else q, Seq("__cid"))
+      .where(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosinePrenormed(col("qvec"), col("cvec"), col("qn") * col("cn")).as("sim"))
+  }
+
+  /** IVF top-k through the HIERARCHICAL expression tier: the s83/s84
+    * scan-local shape with the flat per-row nlist quantizer scan
+    * replaced by the two-level loop — the tier SCALING.md r13 named
+    * for ≥10¹⁰ vectors, where even the expression tier's flat n·nlist
+    * assignment dominates. Index semantics change ONLY through the
+    * assignment/probe approximation (the candidate join, ranking and
+    * tie-breaks are the shared code); with cprobe ≥ the owned coarse
+    * count it is answer-identical to [[ivfTopKByExpr]] (spec-pinned). */
+  def hierTopKByExpr(coarse: Array[Array[Double]], fine: Array[Array[Double]],
+                     corpus: DataFrame, queries: DataFrame, k: Int,
+                     cprobe: Int = 4, nprobe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     broadcastQueries: Boolean = true): DataFrame =
+    rankCandidates(hierCandidatesByExpr(
+      hierAssignedByExpr(coarse, fine, corpus, cprobe, idCol, vecCol),
+      coarse, fine, queries, cprobe, nprobe, idCol, vecCol, broadcastQueries), k)
+
+  /** [[ivfTopKOnIndexByExpr]] through the hierarchical tier (serving
+    * over an already-assigned index). */
+  def hierTopKOnIndexByExpr(coarse: Array[Array[Double]], fine: Array[Array[Double]],
+                            assigned: DataFrame, queries: DataFrame, k: Int,
+                            cprobe: Int = 4, nprobe: Int = 4,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            broadcastQueries: Boolean = true): DataFrame =
+    rankCandidates(hierCandidatesByExpr(assigned, coarse, fine, queries,
+      cprobe, nprobe, idCol, vecCol, broadcastQueries), k)
+
   /**
    * Symmetric int8 scalar quantization: q[i] = floor(v[i]·127/max|v| + ½)
    * (integer-valued, |q[i]| ≤ 127; the all-zero vector quantizes to

@@ -68,6 +68,9 @@ private[queries] object OracleStash {
   case object S82Cents extends Slot[Cents]("s82.cents")
   case object S83Cents extends Slot[Cents]("s83.cents")
   case object S84Cents extends Slot[Cents]("s84.cents")
+  /** hierarchical two-level quantizer: (coarse, fine) matrices */
+  case object S85Model extends Slot[(Cents, Cents)]("s85.model")
+  case object S86Model extends Slot[(Cents, Cents)]("s86.model")
   case object D36Bits extends Slot[Int]("d36.bits")
   case object D56Bits extends Slot[Int]("d56.bits")
   case object D73Config extends Slot[graft.operators.Similarity.LshConfig]("d73.config")

@@ -816,6 +816,54 @@ object PipelineQueries {
       knnLabelAgreement(emb,
         Similarity.ivfTopKByExpr(cents, emb, emb, k = 1, broadcastQueries = false))
     }),
+    // HIERARCHICAL (two-level) ANN serving — the FOURTH tier, the one
+    // SCALING.md r13 named for ≥10¹⁰ vectors and left unbuilt: past
+    // that scale even the expression tier's flat per-row nlist
+    // quantizer scan dominates, so the quantizer itself gets an index —
+    // a coarse quantizer over the FINE CENTROIDS (trained driver-side:
+    // its input is the nlist×dim matrix, metadata, never corpus rows).
+    // Per row the fused loop scores ncoarse + cprobe·(nlist/ncoarse)
+    // centroids instead of nlist (√nlist-fold at the balanced ncoarse =
+    // √(cprobe·nlist), coarseListsFor). The fine→coarse ownership map
+    // is DERIVED (argmax, ties→low) from the two matrices — so the
+    // oracle re-derives it from the same spliced VALUES rather than
+    // trusting a shipped map, then walks the whole two-level path:
+    // coarse probes (ties→high kid), hierarchical assignment,
+    // hierarchical query probes, candidate ranking. Empty coarse cells
+    // are never probed (they own no lists; spec-pinned). Fine matrix =
+    // the SAME 256-list expression-tier quantizer s83/s84 serve — one
+    // trained index, now behind its fourth serving shape.
+    "s85_ann_ivf_hier" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val fine = centroids256(s, dir)
+      val coarse = Similarity.kmeansLocalCentroids(fine,
+        Similarity.coarseListsFor(fine.length))
+      OracleStash.put(OracleStash.S85Model, (coarse, fine))
+      Similarity.hierTopKByExpr(coarse, fine, emb, emb.where($"vec_id" < 5), k = 10)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
+    // the s80/s82/s84 leave-one-out eval THROUGH THE HIERARCHICAL
+    // TIER — the every-vector-is-a-query shape where the per-row
+    // quantizer cost is the term this tier exists to cut (the
+    // candidate-join term is unchanged from s84: same nlist, same
+    // nprobe). Accuracy can differ from s84 exactly where the
+    // two-level approximation assigns or probes a different list —
+    // that gap is the tier's OWN recall diagnostic, and the oracle
+    // recomputes the full two-level path from the spliced matrices,
+    // so the reported per-label numbers are the hierarchical probe's
+    // true numbers.
+    "s86_knn_label_eval_hier" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val fine = centroids256(s, dir)
+      val coarse = Similarity.kmeansLocalCentroids(fine,
+        Similarity.coarseListsFor(fine.length))
+      OracleStash.put(OracleStash.S86Model, (coarse, fine))
+      knnLabelAgreement(emb,
+        Similarity.hierTopKByExpr(coarse, fine, emb, emb, k = 1,
+          broadcastQueries = false))
+    }),
     // PCA embedding projection — the compression/rotation step a
     // pipeline runs before storing or indexing vectors: project every
     // embedding onto the corpus's top-8 principal axes. Training is
@@ -1646,6 +1694,29 @@ object PipelineQueries {
         Dedup.minhashNearDupStats(docs, "doc_id", "text", threshold = 0.5),
         docs, "doc_id", "source")
     }),
+    // NON-ASCII MinHash gate — the ord-vs-bytes boundary EXERCISED
+    // instead of guarded (the r12 verdict's item-4 option (a), beside
+    // the round-13 asciiGuarded option (b)): the corpus is made
+    // deliberately non-ASCII by a deterministic code-point translation
+    // (a→ä e→é o→ß — multi-byte UTF-8, identical translate() in both
+    // engines), the kernel runs its usual byte-level pipeline
+    // UNCHANGED (wordShingleHashes has always folded UTF-8 bytes; the
+    // guard was only ever about the ORACLE's ord fold), and the oracle
+    // re-derives the banding with a BYTE-faithful FNV fold
+    // (minhashPairCtes(byteFold) — hex-pair nibble decoding), so the
+    // gate proves the kernel byte-correct on text where code points
+    // and bytes genuinely diverge. No asciiGuarded here — that guard
+    // marks ord-fold oracles, and this oracle has no ord fold.
+    "d83_minhash_nonascii" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.minhashNearDupStats(
+          t(s, dir, "documents")
+            .select($"doc_id", translate($"text", "aeo", "äéß").as("text")),
+          "doc_id", "text", threshold = 0.5)
+        .select($"i", $"j", $"inter".cast("int").as("inter"),
+          $"uni".cast("int").as("uni"))
+        .orderBy("i", "j")
+    }),
     // PER-SOURCE CURATION FUNNEL — the attribution report every
     // curation run publishes beside its output corpus: one row per
     // source with survivor counts after each cleaning stage of the
@@ -2015,16 +2086,33 @@ object PipelineQueries {
     * Shared by d79 and d75 so the recompute cannot drift.
     *
     * ASCII-corpus caveat (as the d32/a40 token-FNV oracles, load-
-    * bearing here): `ord` folds code POINTS while the kernel folds
-    * UTF-8 BYTES — identical on these all-ASCII corpora (checked:
-    * char length == byte length at every gate sf), divergent on any
-    * non-ASCII document. Since round 13 the consuming gates
+    * bearing here): the default `ord` fold folds code POINTS while the
+    * kernel folds UTF-8 BYTES — identical on these all-ASCII corpora
+    * (checked: char length == byte length at every gate sf), divergent
+    * on any non-ASCII document. Since round 13 the consuming gates
     * (d75/d79/d80) PRE-CHECK the corpus with [[Dedup.asciiGuarded]],
     * so a regenerated UTF-8 corpus fails with a named encoding error
-    * at the scan instead of an inscrutable hash mismatch here. */
-  private def minhashPairCtes(src: String = "documents"): String = {
+    * at the scan instead of an inscrutable hash mismatch here.
+    *
+    * `byteFold = true` removes the caveat instead of guarding it: the
+    * fold runs over the shingle's UTF-8 BYTES recovered from
+    * `hex(g)` (two hex chars per byte, nibbles decoded by strpos
+    * arithmetic) — exactly the byte sequence
+    * [[graft.core.TextHash.wordShingleHashes]] folds, for ANY text.
+    * d83 gates the byte form on a deliberately non-ASCII corpus; the
+    * ord form stays the default so the long-green ASCII oracles keep
+    * their exact SQL text. */
+  private def minhashPairCtes(src: String = "documents",
+                              byteFold: Boolean = false): String = {
     val params = graft.operators.Dedup.minhashParams()
-    val fnv = "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+    val fnv = if (byteFold)
+      "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+        "list_transform(range(1, length(hex(g))//2 + 1), i -> " +
+        "(strpos('0123456789ABCDEF', substr(hex(g), 2*i-1, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789ABCDEF', substr(hex(g), 2*i, 1)) - 1))), " +
+        "(acc, b) -> (xor(acc, CAST(b AS HUGEINT)) * 1099511628211) % " +
+        "CAST(18446744073709551616 AS HUGEINT))"
+    else "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
       "list_transform(range(1, length(g)+1), i -> ord(substr(g, i, 1)))), " +
       "(acc, b) -> (xor(acc, CAST(b AS HUGEINT)) * 1099511628211) % " +
       "CAST(18446744073709551616 AS HUGEINT))"
@@ -2166,7 +2254,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -2539,6 +2627,81 @@ object PipelineQueries {
   private def knnExprOracle: Map[String, String] =
     OracleStash.get(OracleStash.S84Cents)
       .map(c => "s84_knn_label_eval_expr" -> knnIvfOracleSql(c)).toMap
+
+  /** The HIERARCHICAL (two-level) probe-path recompute for a spliced
+    * (coarse, fine) model, ending in `cand(query_id, nbr_id, sim)` —
+    * NOTHING is trusted from the Spark side but the two trained
+    * matrices: the fine→coarse ownership map is RE-DERIVED (argmax
+    * cosine, ties → low kid — the plan-time IvfOps.fineToCoarse rule),
+    * empty coarse cells drop out of the probe domain exactly as the
+    * kernel's `owned` mask drops them, coarse probing (ties → high
+    * kid), hierarchical assignment (ties → low cid) and hierarchical
+    * query probing (ties → high cid) all walk the same two-level path
+    * the fused scan loops walk. One `fscore` CTE feeds assignment AND
+    * query probes — as one kernel pass feeds both expressions. Shared
+    * by s85 (serving) and s86 (leave-one-out eval); cprobe/nprobe are
+    * the queries' defaults (4/4). */
+  private def hierPathCtes(coarse: Cents, fine: Cents,
+                           cprobe: Int, nprobe: Int, qPred: String): String = {
+    def values(m: Cents) = m.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(_.toString).mkString("[", ",", "]")})"
+    }.mkString(", ")
+    s"""cc AS (SELECT * FROM (VALUES ${values(coarse)}) v(kid, kv)),
+       |fc AS (SELECT * FROM (VALUES ${values(fine)}) v(cid, cv)),
+       |f2c AS (SELECT cid, kid FROM (
+       |  SELECT f.cid, c.kid,
+       |   row_number() OVER (PARTITION BY f.cid
+       |     ORDER BY ${duckCosine("f.cv", "c.kv")} DESC, c.kid ASC) AS rn
+       |  FROM fc f CROSS JOIN cc c) WHERE rn = 1),
+       |kscore AS (SELECT e.vec_id, e.embedding, o.kid,
+       |   ${duckCosine("e.embedding", "o.kv")} AS s
+       | FROM embeddings e CROSS JOIN
+       |  (SELECT cc.kid, cc.kv FROM cc
+       |    JOIN (SELECT DISTINCT kid FROM f2c) w USING (kid)) o),
+       |kprobe AS (SELECT vec_id, embedding, kid FROM (
+       |  SELECT vec_id, embedding, kid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, kid DESC) AS rn
+       |  FROM kscore) WHERE rn <= $cprobe),
+       |fscore AS (SELECT k.vec_id, k.embedding, f.cid,
+       |   ${duckCosine("k.embedding", "f.cv")} AS s
+       | FROM kprobe k JOIN f2c m ON m.kid = k.kid JOIN fc f ON f.cid = m.cid),
+       |assign AS (SELECT vec_id, embedding, cid FROM (
+       |  SELECT vec_id, embedding, cid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+       |  FROM fscore) WHERE rn = 1),
+       |qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+       |  SELECT vec_id, embedding, cid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+       |  FROM fscore WHERE $qPred) WHERE rn <= $nprobe),
+       |cand AS (SELECT q.query_id, a.vec_id AS nbr_id,
+       |   ${duckCosine("q.qv", "a.embedding")} AS sim
+       | FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id)"""
+      .stripMargin
+  }
+
+  /** s85's oracle: the hierarchical path recompute ranked to top-10 —
+    * the s37/s81/s83 final SELECT over the two-level cand set. */
+  private def hierServeOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S85Model).map { case (co, fi) =>
+      "s85_ann_ivf_hier" ->
+        s"""WITH ${hierPathCtes(co, fi, cprobe = 4, nprobe = 4, qPred = "vec_id < 5")}
+           |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
+           | SELECT query_id, nbr_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM cand)
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    }.toMap
+
+  /** s86's oracle: the same two-level recompute, every vector a query,
+    * top-1, folded per label — four tiers, one eval semantics. */
+  private def hierKnnOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S86Model).map { case (co, fi) =>
+      "s86_knn_label_eval_hier" ->
+        s"""WITH ${hierPathCtes(co, fi, cprobe = 4, nprobe = 4, qPred = "TRUE")},
+           |ranked AS (SELECT query_id, nbr_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rk
+           |  FROM cand),
+           |$knnLabelAggSql""".stripMargin
+    }.toMap
 
   /** s65's oracle: the same probe/rank SQL with the metadata predicate
     * applied to the CANDIDATE side only (queries stay unfiltered) —
@@ -3796,6 +3959,17 @@ object PipelineQueries {
          |$sourceOverlapAggSql""".stripMargin,
     // MinHash twin: the banding itself re-derived in SQL — see d79Oracle
     "d79_source_overlap_minhash" -> d79Oracle(),
+    // the same banding recompute with the BYTE-faithful FNV fold over
+    // a deliberately non-ASCII corpus (hex-pair nibble decode == the
+    // kernel's UTF-8 byte fold for any text) — the ord-vs-bytes
+    // equivalence is not assumed, guarded, or even applicable here
+    "d83_minhash_nonascii" ->
+      s"""WITH ${minhashPairCtes(
+             src = "(SELECT doc_id, translate(text, 'aeo', 'äéß') AS text FROM documents) nn",
+             byteFold = true)}
+         |SELECT i, j, CAST(inter AS INTEGER) AS inter,
+         |  CAST(uni AS INTEGER) AS uni
+         |FROM pr ORDER BY i, j""".stripMargin,
     // per-source funnel over the d48 chain with the banding-recompute
     // pair stage; counts per stage via a doc-id stage union joined to
     // source (keeper attribution follows min doc_id in both engines)

@@ -356,4 +356,27 @@ class DedupSpec extends AnyFunSuite {
     assert(msg.contains("d79_source_overlap_minhash") &&
       msg.contains("ord-vs-bytes"), s"unexpected failure: $msg")
   }
+
+  test("wordShingleHashes folds UTF-8 BYTES on non-ASCII text (golden FNV-1a64)") {
+    // goldens computed independently (FNV-1a64 over the UTF-8 bytes of
+    // each 3-word shingle, tokens split on ASCII whitespace) — pins the
+    // byte fold d83's hex-pair oracle recompute must land on exactly,
+    // on text where a code-point fold would give different values
+    val got = graft.core.TextHash
+      .wordShingleHashes("cät dßg aé汉 x".getBytes("UTF-8"), 3).sorted
+    assert(got.toSeq == Seq(2800320183827739175L, 4448855916474178123L).sorted)
+  }
+
+  test("d83's corpus derivation is genuinely non-ASCII and trips the guard") {
+    // the same translation d83 applies: multi-byte UTF-8 replacements,
+    // so octet_length > char length wherever a/e/o occurred — i.e. the
+    // corpus sits on the far side of the boundary asciiGuarded polices
+    val docs = Seq((1L, "a quick test of encodings")).toDF("doc_id", "text")
+      .select($"doc_id", translate($"text", "aeo", "äéß").as("text"))
+    val r = docs.select(octet_length($"text").as("b"), length($"text").as("c")).head()
+    assert(r.getInt(0) > r.getInt(1))
+    assertThrows[Exception] {
+      docs.select(Dedup.asciiGuarded($"text", "gateY")).collect()
+    }
+  }
 }

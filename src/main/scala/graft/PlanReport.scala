@@ -163,6 +163,8 @@ object PlanReport {
       "production training capstone: d48's seven stages with the component stage's candidates from the MinHash (band, bucket) equi-join instead of the sf10-infeasible exact Sigma-df2 stage; the visible plan is the post-checkpoint decontamination/rebalance/chunk chain — its one BroadcastNestedLoopJoin is the broadcast ONE-ROW temperature threshold (a50's mechanism), never a pair scan (candidate-join shape pinned separately in PlanChecksSpec)",
     "s85_ann_ivf_hier" ->
       "the HIERARCHICAL two-level tier (fourth tier, r13): BOTH matrices (coarse + fine) ride the plan as Literals and assignment/probe selection are fused two-level while-loops inside the scan projection (HierArgmax / HierProbes -> explode of a <=nprobe array) — per row ncoarse + cprobe*(nlist/ncoarse) cosines instead of nlist, the sqrt-law cut of the quantizer-scan term that dominates past ~10^10 vectors; no per-centroid structs (array_sort absent), no row expansion, no join-back, and the only exchange is the same list-id candidate equi-join as s83; the fine->coarse ownership map is DERIVED (argmax, ties->low kid) so the oracle re-derives it from the spliced VALUES and walks the whole two-level path — empty coarse cells never probed (spec-pinned), answers identical to the flat tier at cprobe=ncoarse (spec-pinned)",
+    "t54_sequence_packing" ->
+      "sequence packing (the batch-assembly stage): slot-hash shard assignment is scan-local codegen, the running token total is a per-SHARD window cumsum (nshards-way parallel — packing order is inherently sequential, so the shard IS the unit of parallelism; a global order would be one single-partition window), and the per-sequence manifest folds through one partial+final aggregation; docs are never split, a sequence overflows by at most one doc (spec-pinned bounds)",
     "d83_minhash_nonascii" ->
       "the ord-vs-bytes boundary EXERCISED: a deterministic code-point translation (a->ä e->é o->ß) makes the corpus non-ASCII, the MinHash kernel runs UNCHANGED (wordShingleHashes always folded UTF-8 bytes — scan-local shingle hashing, explode -> partial-agg signatures, (band,bucket) equi-join candidates, exact verify), and the ORACLE folds bytes too (hex-pair nibble decode in DuckDB), so the gate proves kernel byte-correctness on text where code points and bytes diverge — the asciiGuarded precondition on d75/d79/d80 marks ord-fold oracles, not a kernel limit",
   )

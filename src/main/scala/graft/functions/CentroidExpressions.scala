@@ -164,54 +164,73 @@ object IvfOps {
     filled
   }
 
-  private def inProbed(kid: Int, probed: Array[Int], n: Int): Boolean = {
-    var j = 0
-    while (j < n) { if (probed(j) == kid) return true; j += 1 }
-    false
+  /** Per-coarse-cell fine-id lists (ascending cid within each cell) —
+    * the INVERTED ownership map, derived once at plan time from [[
+    * fineToCoarse]]. The hierarchical kernels walk only the probed
+    * cells' lists, so per-row work is truly ncoarse + cprobe·
+    * (nlist/ncoarse) operations: a flat O(nlist) membership sweep here
+    * would itself become the bottleneck at 65 k lists, re-creating the
+    * very scan the tier removes. */
+  def coarseCells(f2c: Array[Int], ncoarse: Int): Array[Array[Int]] = {
+    val buf = Array.fill(ncoarse)(scala.collection.mutable.ArrayBuilder.make[Int])
+    var i = 0
+    while (i < f2c.length) { buf(f2c(i)) += i; i += 1 }
+    buf.map(_.result()) // ascending by construction
   }
 
   /** Hierarchical argmax assignment: top-`cprobe` owned coarse cells,
-    * then argmax (ties → LOWEST cid) over the fine centroids those
-    * cells own. Per-row cost ncoarse + cprobe·(nlist/ncoarse) cosines
+    * then argmax over the fine centroids those cells own. The tie rule
+    * (ties → LOWEST cid) is EXPLICIT — `s == bestS && i < best` —
+    * because cell-order iteration does not visit cids globally
+    * ascending. Per-row cost ncoarse + cprobe·(nlist/ncoarse) cosines
     * instead of the flat nlist — the quantizer-scan lever past ~10¹⁰
     * vectors (SCALING.md r13's named next tier). Assignment is
     * APPROXIMATE exactly where the true owner lives outside the probed
     * coarse cells; cprobe trades that error against cost. */
   def hierArgmaxCid(v: ArrayData, vIsFloat: Boolean,
                     coarse: Array[Array[Double]], fine: Array[Array[Double]],
-                    f2c: Array[Int], owned: Array[Boolean], cprobe: Int): Int = {
+                    cells: Array[Array[Int]], owned: Array[Boolean], cprobe: Int): Int = {
     val kc = math.min(cprobe, coarse.length)
     val pcc = new Array[Int](kc); val pss = new Array[Double](kc)
     val np = coarseProbes(v, vIsFloat, coarse, owned, pcc, pss)
-    var best = -1; var bestS = 0.0; var i = 0
-    while (i < fine.length) {
-      if (inProbed(f2c(i), pcc, np)) {
+    var best = -1; var bestS = 0.0; var p = 0
+    while (p < np) {
+      val cell = cells(pcc(p)); var j = 0
+      while (j < cell.length) {
+        val i = cell(j)
         val s = cosTo(v, vIsFloat, fine(i))
-        if (best < 0 || s > bestS) { best = i; bestS = s }
+        if (best < 0 || s > bestS || (s == bestS && i < best)) { best = i; bestS = s }
+        j += 1
       }
-      i += 1
+      p += 1
     }
     best // >= 0: probed cells are owned, so they contribute ≥1 fine each
   }
 
   /** Hierarchical top-`nprobe` fine probes: top-`cprobe` owned coarse
-    * cells, then the (cosine DESC, cid DESC) insertion pass restricted
-    * to the fine centroids those cells own — [[probeCids]]'s rule over
-    * the pruned candidate set. */
+    * cells, then the (cosine DESC, cid DESC) insertion pass over the
+    * fine centroids those cells own — [[probeCids]]'s rule over the
+    * pruned candidate set ([[insertTop]]'s comparator is total, so the
+    * cell-order visit leaves the selection identical to a global
+    * ascending sweep). */
   def hierProbeCids(v: ArrayData, vIsFloat: Boolean,
                     coarse: Array[Array[Double]], fine: Array[Array[Double]],
-                    f2c: Array[Int], owned: Array[Boolean],
+                    cells: Array[Array[Int]], owned: Array[Boolean],
                     cprobe: Int, nprobe: Int): ArrayData = {
     val kc = math.min(cprobe, coarse.length)
     val pcc = new Array[Int](kc); val pss = new Array[Double](kc)
     val np = coarseProbes(v, vIsFloat, coarse, owned, pcc, pss)
     val k = math.min(nprobe, fine.length)
     val ss = new Array[Double](k); val cc = new Array[Int](k)
-    var filled = 0; var i = 0
-    while (i < fine.length) {
-      if (inProbed(f2c(i), pcc, np))
+    var filled = 0; var p = 0
+    while (p < np) {
+      val cell = cells(pcc(p)); var j = 0
+      while (j < cell.length) {
+        val i = cell(j)
         filled = insertTop(ss, cc, filled, k, cosTo(v, vIsFloat, fine(i)), i)
-      i += 1
+        j += 1
+      }
+      p += 1
     }
     new GenericArrayData(cc.take(filled).map(Integer.valueOf))
   }
@@ -284,11 +303,9 @@ trait HierModel { self =>
     f
   }
   @transient protected lazy val f2c: Array[Int] = IvfOps.fineToCoarse(coarse, fine)
-  @transient protected lazy val owned: Array[Boolean] = {
-    val o = new Array[Boolean](coarse.length)
-    f2c.foreach(k => o(k) = true)
-    o
-  }
+  @transient protected lazy val cells: Array[Array[Int]] =
+    IvfOps.coarseCells(f2c, coarse.length)
+  @transient protected lazy val owned: Array[Boolean] = cells.map(_.nonEmpty)
 }
 
 /** `hier_argmax(vec, coarse, fine, cprobe)` → int: the owning fine list
@@ -314,15 +331,15 @@ case class HierArgmax(first: Expression, second: Expression,
 
   protected override def nullSafeEval(v: Any, c: Any, f: Any, n: Any): Any =
     IvfOps.hierArgmaxCid(v.asInstanceOf[ArrayData], vIsFloat, coarse, fine,
-      f2c, owned, cprobe)
+      cells, owned, cprobe)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val co = ctx.addReferenceObj("hierCoarse", coarse, "double[][]")
     val fi = ctx.addReferenceObj("hierFine", fine, "double[][]")
-    val mp = ctx.addReferenceObj("hierF2c", f2c, "int[]")
+    val ce = ctx.addReferenceObj("hierCells", cells, "int[][]")
     val ow = ctx.addReferenceObj("hierOwned", owned, "boolean[]")
     defineCodeGen(ctx, ev, (v, _, _, _) =>
-      s"graft.functions.IvfOps.hierArgmaxCid($v, $vIsFloat, $co, $fi, $mp, $ow, $cprobe)")
+      s"graft.functions.IvfOps.hierArgmaxCid($v, $vIsFloat, $co, $fi, $ce, $ow, $cprobe)")
   }
 
   override protected def withNewChildrenInternal(
@@ -356,15 +373,15 @@ case class HierProbes(first: Expression, second: Expression, third: Expression,
 
   protected override def nullSafeEval(v: Any, c: Any, f: Any, cp: Any, np: Any): Any =
     IvfOps.hierProbeCids(v.asInstanceOf[ArrayData], vIsFloat, coarse, fine,
-      f2c, owned, cprobe, nprobe)
+      cells, owned, cprobe, nprobe)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val co = ctx.addReferenceObj("hierCoarse", coarse, "double[][]")
     val fi = ctx.addReferenceObj("hierFine", fine, "double[][]")
-    val mp = ctx.addReferenceObj("hierF2c", f2c, "int[]")
+    val ce = ctx.addReferenceObj("hierCells", cells, "int[][]")
     val ow = ctx.addReferenceObj("hierOwned", owned, "boolean[]")
     defineCodeGen(ctx, ev, (v, _, _, _, _) =>
-      s"graft.functions.IvfOps.hierProbeCids($v, $vIsFloat, $co, $fi, $mp, $ow, $cprobe, $nprobe)")
+      s"graft.functions.IvfOps.hierProbeCids($v, $vIsFloat, $co, $fi, $ce, $ow, $cprobe, $nprobe)")
   }
 
   override protected def withNewChildrenInternal(

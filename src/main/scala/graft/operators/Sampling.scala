@@ -298,4 +298,39 @@ object Sampling {
     epochsByWeights(df, stratumCol, key, epochCol,
       mixtureWeights(df, stratumCol, weightCol, cap = maxEpochs))
   }
+
+  /**
+   * Greedy SEQUENCE PACKING for training-batch assembly (t54): assign
+   * each document to a fixed-token-budget training sequence without
+   * splitting documents. Docs are sharded by slot hash
+   * (`cluster_slot(key) % nshards` — the append-stable discipline every
+   * sampler here uses), walk in `idCol` order within their shard, and a
+   * doc belongs to sequence `floor(prev_running_tokens / budget)`: a
+   * new sequence opens exactly when the shard's running total has
+   * crossed the next budget multiple. Deterministic, engine-portable
+   * (the oracle recomputes the same window arithmetic), and the two
+   * standard greedy trades are explicit: a sequence can OVERFLOW by at
+   * most one document's tokens (docs are never split), and sequence ids
+   * can SKIP where a single document spans multiple budgets.
+   *
+   * Sharding IS the 100 TB design: packing order is inherently
+   * sequential, and a global order would be one single-partition window
+   * — the driver-shaped anti-pattern. Per-shard windows run nshards-way
+   * parallel (set nshards ~ cluster cores at scale), each shard's
+   * packing is independent and append-stable, and the cross-shard
+   * trade is only that budgets don't amortize across shards.
+   */
+  def packSequences(df: DataFrame, key: Column, tokCol: String, idCol: String,
+                    budget: Long, nshards: Int = 8,
+                    shardCol: String = "shard", seqCol: String = "seq"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(nshards > 0 && nshards <= Slots, s"nshards out of range: $nshards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn(shardCol, pmod(cluster_slot(key), lit(nshards)))
+      .withColumn("__prev", coalesce(sum(col(tokCol)).over(w), lit(0L)))
+      .withColumn(seqCol, floor(col("__prev") / budget).cast("int"))
+      .drop("__prev")
+  }
 }

@@ -1287,6 +1287,29 @@ object PipelineQueries {
     // s76/d55.
     "t53_ccnet_buckets_sampled" -> ((s, dir) =>
       ccnetSampledBuckets(s, dir, rate = 0.25)),
+    // SEQUENCE PACKING — the last batch-assembly stage of a training
+    // pipeline: documents packed into fixed token-budget sequences
+    // (Sampling.packSequences — slot-hash sharding, per-shard running
+    // token totals, a doc never split, a sequence opening whenever the
+    // running total crosses the next budget multiple). This is where
+    // d77's LOGICAL (doc, epoch) copies would materialize; here the
+    // packing runs over the raw corpus so the oracle re-derives the
+    // whole decision (slot fold → shard, window cumsum → seq) with no
+    // trained state. Output is the per-sequence manifest (doc and
+    // token counts) — what a data loader actually consumes. Scale
+    // shape: per-SHARD windows (nshards-way parallel, append-stable),
+    // never one global packing order (a single-partition window — the
+    // anti-pattern this operator exists to avoid).
+    "t54_sequence_packing" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TextAnalysis.analyze(t(s, dir, "documents"))
+        .select($"doc_id", $"n_tokens")
+      graft.operators.Sampling.packSequences(toks,
+          concat(lit("doc:"), $"doc_id"), "n_tokens", "doc_id", budget = 512L)
+        .groupBy($"shard", $"seq")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+        .orderBy("shard", "seq")
+    }),
     "t43_repetition" -> ((s, dir) => {
       import s.implicits._
       TextAnalysis.repetitionStats(t(s, dir, "documents"))
@@ -3395,7 +3418,10 @@ object PipelineQueries {
 
   /** d44's exhaustive incremental-dedup oracle over any documents source
     * (the new/old split at doc_id 250 stays in-template). */
-  private def d44Oracle(src: String = "documents"): String =
+  /** Also gates s87 (the streaming ingest twin): a doc's admission
+    * depends only on (doc, corpus snapshot), so the micro-batched union
+    * must land on exactly this batch recompute. */
+  private[queries] def d44Oracle(src: String = "documents"): String =
     s"""WITH w AS (SELECT doc_id, n_chars, text, $duckTokens AS words FROM $src),
        |sh AS (SELECT doc_id, n_chars, text, ${duckShingles("words")} AS s FROM w),
        |nw AS (SELECT * FROM sh WHERE doc_id >= 250),
@@ -3542,6 +3568,24 @@ object PipelineQueries {
     // interpolation to drift in the last ulp), tuple-compare
     // assignment. h_unigram is the identical rounded double t51/t52
     // hash-match, so every comparison is exact on both engines.
+    // the whole packing decision re-derived: CRC slot fold → shard,
+    // window cumsum of the SAME token counts → sequence id (integer //
+    // ≡ floor on the nonnegative running totals), per-sequence manifest
+    "t54_sequence_packing" -> {
+      val inner = graft.oracle.DuckSql.withSlotNode(
+        s"SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens, " +
+          "'doc:' || doc_id AS key FROM documents",
+        Seq("doc_id", "n_tokens"), Some("slot"), None)
+      s"""WITH s AS (SELECT doc_id, n_tokens, slot % 8 AS shard FROM ($inner)),
+         |c AS (SELECT shard, doc_id, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM s),
+         |b AS (SELECT shard, n_tokens, CAST(prev // 512 AS INTEGER) AS seq FROM c)
+         |SELECT CAST(shard AS INTEGER) AS shard, seq,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM b GROUP BY shard, seq ORDER BY shard, seq""".stripMargin
+    },
     "t53_ccnet_buckets_sampled" -> {
       val slotInner = graft.oracle.DuckSql.withSlotNode(
         "SELECT doc_id, lang, h_unigram, 'ccn:' || doc_id AS key FROM j",

@@ -543,6 +543,23 @@ class PlanChecksSpec extends AnyFunSuite {
     }
   }
 
+  test("s87: ingest dedup runs genuinely multi-batch and lands d44's exact answer") {
+    // the streaming-twin claim: the new side arrives as 5 micro-batches
+    // (the mod-5 export makes that structural), each admitted against
+    // the corpus snapshot independently, and the union equals the batch
+    // path's survivors row-for-row — batching is answer-invisible
+    val got = SparkEntry.queries("s87_stream_ingest_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.get(1))).toSet
+    val pins = graft.queries.StreamingQueries.s87BatchPins
+    assert(pins.size == 5, s"expected 5 micro-batches, got ${pins.size}")
+    assert(pins.values.forall(_._1 > 0), s"an ingest batch was empty: $pins")
+    assert(pins.values.map(_._1).sum == 250, s"batches must cover the new side: $pins")
+    assert(pins.values.forall { case (in, out) => out <= in }, s"pins: $pins")
+    val batch = SparkEntry.queries("d44_incremental_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.get(1))).toSet
+    assert(got == batch, s"stream admitted ${got.size} docs, batch ${batch.size}")
+  }
+
   test("s76: refine tier keeps the pruned scans and broadcasts the shortlist") {
     // both stages (coarse probe AND text re-rank) read ONLY the
     // statically probed lists

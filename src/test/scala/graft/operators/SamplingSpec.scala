@@ -251,4 +251,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept.where($"stratum".isNull).count() > 0,
       "NULL stratum vanished from the weighted mixture")
   }
+
+  test("packSequences: every doc exactly once, greedy fill/overflow bounds, deterministic") {
+    val key = concat(lit("doc:"), $"doc_id")
+    val toks = docs.select($"doc_id",
+      size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+    val budget = 512L
+    val packed = Sampling.packSequences(toks, key, "n_tokens", "doc_id", budget)
+      .select($"doc_id", $"n_tokens", $"shard", $"seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // partition: every doc exactly once, never split
+    assert(packed.length == docs.count() && packed.map(_._1).distinct.length == packed.length)
+    val maxTok = packed.map(_._2).max
+    packed.groupBy(_._3).foreach { case (shard, rows) =>
+      // seq non-decreasing in doc order within the shard
+      val inOrder = rows.sortBy(_._1)
+      assert(inOrder.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+        s"shard $shard: sequence ids regress")
+      val bySeq = rows.groupBy(_._4).view.mapValues(_.map(_._2).sum).toMap
+      val lastSeq = rows.map(_._4).max
+      bySeq.foreach { case (seq, total) =>
+        // overflow bound: a sequence exceeds budget by less than one doc
+        assert(total < budget + maxTok, s"shard $shard seq $seq total $total")
+        // fill bound: every non-final sequence closed because the
+        // running total crossed the next budget multiple
+        if (seq != lastSeq)
+          assert(total >= budget - maxTok, s"shard $shard seq $seq underfilled: $total")
+      }
+    }
+    // deterministic across runs
+    val again = Sampling.packSequences(toks, key, "n_tokens", "doc_id", budget)
+      .select($"doc_id", $"shard", $"seq").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(again == packed.map(t => (t._1, t._3, t._4)).toSet)
+  }
 }

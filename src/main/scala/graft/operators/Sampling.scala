@@ -328,9 +328,18 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // a NULL or negative token count would flow through the cumsum as
+    // garbage packing (negative running totals -> seq -1) — fail loudly
+    // at the row instead, as the samplers above fail on bad rates
+    val tok = when(col(tokCol).isNull.or(col(tokCol) < 0),
+      raise_error(concat(lit(s"packSequences: NULL or negative $tokCol: "),
+        col(tokCol).cast("string")))).otherwise(col(tokCol))
     df.withColumn(shardCol, pmod(cluster_slot(key), lit(nshards)))
-      .withColumn("__prev", coalesce(sum(col(tokCol)).over(w), lit(0L)))
-      .withColumn(seqCol, floor(col("__prev") / budget).cast("int"))
+      .withColumn("__prev", coalesce(sum(tok).over(w), lit(0L)))
+      // seq stays LONG: at the 100 TB shape this docstring claims, a
+      // shard's running total exceeds budget * Int.MaxValue and an int
+      // cast would throw under ANSI (or wrap negative without it)
+      .withColumn(seqCol, floor(col("__prev") / budget))
       .drop("__prev")
   }
 }

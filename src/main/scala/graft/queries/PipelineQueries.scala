@@ -2128,15 +2128,15 @@ object PipelineQueries {
   private def minhashPairCtes(src: String = "documents",
                               byteFold: Boolean = false): String = {
     val params = graft.operators.Dedup.minhashParams()
-    val fnv = if (byteFold)
-      "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
-        "list_transform(range(1, length(hex(g))//2 + 1), i -> " +
+    // ONE fold text, two byte-list derivations — the FNV constants and
+    // fold lambda must not drift between the ord and byte oracles
+    val bytesExpr = if (byteFold)
+      "list_transform(range(1, length(hex(g))//2 + 1), i -> " +
         "(strpos('0123456789ABCDEF', substr(hex(g), 2*i-1, 1)) - 1) * 16 " +
-        "+ (strpos('0123456789ABCDEF', substr(hex(g), 2*i, 1)) - 1))), " +
-        "(acc, b) -> (xor(acc, CAST(b AS HUGEINT)) * 1099511628211) % " +
-        "CAST(18446744073709551616 AS HUGEINT))"
-    else "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
-      "list_transform(range(1, length(g)+1), i -> ord(substr(g, i, 1)))), " +
+        "+ (strpos('0123456789ABCDEF', substr(hex(g), 2*i, 1)) - 1))"
+    else "list_transform(range(1, length(g)+1), i -> ord(substr(g, i, 1)))"
+    val fnv = s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+      s"$bytesExpr), " +
       "(acc, b) -> (xor(acc, CAST(b AS HUGEINT)) * 1099511628211) % " +
       "CAST(18446744073709551616 AS HUGEINT))"
     val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
@@ -3417,10 +3417,10 @@ object PipelineQueries {
        |ORDER BY s.doc_id""".stripMargin
 
   /** d44's exhaustive incremental-dedup oracle over any documents source
-    * (the new/old split at doc_id 250 stays in-template). */
-  /** Also gates s87 (the streaming ingest twin): a doc's admission
-    * depends only on (doc, corpus snapshot), so the micro-batched union
-    * must land on exactly this batch recompute. */
+    * (the new/old split at doc_id 250 stays in-template). Also gates
+    * s87 (the streaming ingest twin): a doc's admission depends only on
+    * (doc, corpus snapshot), so the micro-batched union must land on
+    * exactly this batch recompute. */
   private[queries] def d44Oracle(src: String = "documents"): String =
     s"""WITH w AS (SELECT doc_id, n_chars, text, $duckTokens AS words FROM $src),
        |sh AS (SELECT doc_id, n_chars, text, ${duckShingles("words")} AS s FROM w),
@@ -3568,24 +3568,6 @@ object PipelineQueries {
     // interpolation to drift in the last ulp), tuple-compare
     // assignment. h_unigram is the identical rounded double t51/t52
     // hash-match, so every comparison is exact on both engines.
-    // the whole packing decision re-derived: CRC slot fold → shard,
-    // window cumsum of the SAME token counts → sequence id (integer //
-    // ≡ floor on the nonnegative running totals), per-sequence manifest
-    "t54_sequence_packing" -> {
-      val inner = graft.oracle.DuckSql.withSlotNode(
-        s"SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens, " +
-          "'doc:' || doc_id AS key FROM documents",
-        Seq("doc_id", "n_tokens"), Some("slot"), None)
-      s"""WITH s AS (SELECT doc_id, n_tokens, slot % 8 AS shard FROM ($inner)),
-         |c AS (SELECT shard, doc_id, n_tokens,
-         |  COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM s),
-         |b AS (SELECT shard, n_tokens, CAST(prev // 512 AS INTEGER) AS seq FROM c)
-         |SELECT CAST(shard AS INTEGER) AS shard, seq,
-         |  CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-         |FROM b GROUP BY shard, seq ORDER BY shard, seq""".stripMargin
-    },
     "t53_ccnet_buckets_sampled" -> {
       val slotInner = graft.oracle.DuckSql.withSlotNode(
         "SELECT doc_id, lang, h_unigram, 'ccn:' || doc_id AS key FROM j",
@@ -3611,6 +3593,25 @@ object PipelineQueries {
          |      ELSE 'tail' END AS ppl_bucket
          |FROM j LEFT JOIN cuts c ON j.lang IS NOT DISTINCT FROM c.lang
          |ORDER BY doc_id""".stripMargin
+    },
+    // t54: the whole packing decision re-derived — CRC slot fold →
+    // shard, window cumsum of the SAME token counts → sequence id
+    // (integer // ≡ floor on the nonnegative running totals, BIGINT as
+    // the Spark side), per-sequence manifest
+    "t54_sequence_packing" -> {
+      val inner = graft.oracle.DuckSql.withSlotNode(
+        s"SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens, " +
+          "'doc:' || doc_id AS key FROM documents",
+        Seq("doc_id", "n_tokens"), Some("slot"), None)
+      s"""WITH s AS (SELECT doc_id, n_tokens, slot % 8 AS shard FROM ($inner)),
+         |c AS (SELECT shard, doc_id, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM s),
+         |b AS (SELECT shard, n_tokens, CAST(prev // 512 AS BIGINT) AS seq FROM c)
+         |SELECT CAST(shard AS INTEGER) AS shard, seq,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM b GROUP BY shard, seq ORDER BY shard, seq""".stripMargin
     },
     "t43_repetition" ->
       s"""WITH b AS (SELECT doc_id, $duckTokens AS toks FROM documents),

@@ -259,7 +259,7 @@ class SamplingSpec extends AnyFunSuite {
     val budget = 512L
     val packed = Sampling.packSequences(toks, key, "n_tokens", "doc_id", budget)
       .select($"doc_id", $"n_tokens", $"shard", $"seq").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
     // partition: every doc exactly once, never split
     assert(packed.length == docs.count() && packed.map(_._1).distinct.length == packed.length)
     val maxTok = packed.map(_._2).max
@@ -282,7 +282,22 @@ class SamplingSpec extends AnyFunSuite {
     // deterministic across runs
     val again = Sampling.packSequences(toks, key, "n_tokens", "doc_id", budget)
       .select($"doc_id", $"shard", $"seq").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(again == packed.map(t => (t._1, t._3, t._4)).toSet)
+  }
+
+  test("packSequences rejects NULL and negative token counts loudly") {
+    // a bad count would otherwise flow through the cumsum as garbage
+    // packing (negative running totals -> negative sequence ids)
+    val neg = Seq((1L, 10L), (2L, -5L)).toDF("doc_id", "n_tokens")
+    assertThrows[Exception] {
+      Sampling.packSequences(neg, concat(lit("doc:"), $"doc_id"),
+        "n_tokens", "doc_id", 512L).collect()
+    }
+    val nul = Seq((1L, Some(10L)), (2L, None)).toDF("doc_id", "n_tokens")
+    assertThrows[Exception] {
+      Sampling.packSequences(nul, concat(lit("doc:"), $"doc_id"),
+        "n_tokens", "doc_id", 512L).collect()
+    }
   }
 }

@@ -217,6 +217,20 @@ object IvfTableProbe {
     println(f"[tableprobe] evalhier eval(min) flat=$bestF%.1f s hier=$bestH%.1f s " +
       f"acc flat=${aF._2}/${aF._1} (${aF._2.toDouble / aF._1}%.4f) " +
       f"hier=${aH._2}/${aH._1} (${aH._2.toDouble / aH._1}%.4f)")
+    // the trainer itself through the two-level loop: each Lloyd round's
+    // assignment scan drops nlist -> ncoarse + cprobe*(nlist/ncoarse)
+    // cosines per row; the resulting quantizer is slightly different
+    // (approximate assignment), so its eval quality prints beside it
+    val t6 = System.nanoTime()
+    val fineH = Similarity.kmeansCentroidsByHier(emb, nlist, iters = 2, cprobe = cprobe)
+    val trainH = (System.nanoTime() - t6) / 1e9
+    val coarseH = Similarity.kmeansLocalCentroids(fineH, ncoarse)
+    val aT = runLabelEval(spark, emb,
+      Similarity.hierTopKByExpr(coarseH, fineH, emb, emb, k = 1,
+        cprobe = cprobe, broadcastQueries = false))
+    println(f"[tableprobe] evalhier hier-TRAINED quantizer: train=$trainH%.1f s " +
+      f"(flat trainer $trainFine%.1f s) eval acc=${aT._2}/${aT._1} " +
+      f"(${aT._2.toDouble / aT._1}%.4f)")
     emb.unpersist()
   }
 

@@ -937,6 +937,31 @@ object Similarity {
     rankCandidates(hierCandidatesByExpr(assigned, coarse, fine, queries,
       cprobe, nprobe, idCol, vecCol, broadcastQueries), k)
 
+  /** [[kmeansCentroidsByExpr]] with HIERARCHICAL assignment inside each
+    * Lloyd round — the INDEX-BUILD form of the two-level lever:
+    * training pays the flat n·nlist scan once per ITERATION, so it is
+    * where the quantizer-scan term bites first at scale. Per round a
+    * coarse level is derived driver-side from the CURRENT fine matrix
+    * (metadata-sized [[kmeansLocalCentroids]] work) and corpus
+    * assignment runs the fused two-level loop (ncoarse +
+    * cprobe·(nlist/ncoarse) cosines per row); the update fold is the
+    * shared [[lloydRounds]] one. The result is a DIFFERENT, slightly
+    * approximate quantizer than the flat trainer's (hier assignment
+    * can place a near-tie row one list off), so this trainer targets
+    * the scale regime rather than bit-parity with the flat family —
+    * with cprobe ≥ every round's coarse count it degenerates to the
+    * flat trainer exactly (spec-pinned), and the probe prints both
+    * trainers' eval quality side by side. */
+  def kmeansCentroidsByHier(corpus: DataFrame, nlist: Int, iters: Int = 2,
+                            cprobe: Int = 4,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] =
+    lloydRounds(corpus, nlist, iters, idCol, vecCol,
+      (df, cents) => {
+        val coarse = kmeansLocalCentroids(cents, coarseListsFor(nlist, cprobe))
+        df.withColumn("__cid",
+          graft.functions.CentroidFunctions.hier_argmax(col(vecCol), coarse, cents, cprobe))
+      })
+
   /**
    * Symmetric int8 scalar quantization: q[i] = floor(v[i]·127/max|v| + ½)
    * (integer-valued, |q[i]| ≤ 127; the all-zero vector quantizes to

@@ -864,6 +864,37 @@ object PipelineQueries {
         Similarity.hierTopKByExpr(coarse, fine, emb, emb, k = 1,
           broadcastQueries = false))
     }),
+    // ANN RECALL@10 as a FIRST-CLASS GATED METRIC — the standard index
+    // acceptance audit a deployment runs before switching serving to a
+    // new quantizer: for a query sample, how many of the exact top-10
+    // does the probe return? Until now recall was implied (the s80-vs-
+    // s79 accuracy gap) or spec-internal; here the per-query hit count
+    // is itself the oracle-checked answer — both rankings (brute
+    // ground truth AND the 256-list expression-tier probe) re-derived
+    // in SQL and intersected, counts compared in INTEGERS. Scale
+    // shape: the ground truth runs over the query SAMPLE only (the s35
+    // serving shape — linear in the corpus, never all-pairs), which is
+    // exactly how a production recall audit is affordable. The gate
+    // checks the COMPUTATION, not a recall target: at the gate params
+    // (nprobe 4 of 256 lists = 1.6 % probed, isotropic corpus) the
+    // observed 3-5/10 is the probed-fraction story told in numbers —
+    // raising nprobe or holding occupancy (s80's discipline) buys
+    // recall, and this query is the audit that prices that knob.
+    "s88_ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where($"vec_id" < 5)
+      val cents = centroids256(s, dir)
+      OracleStash.put(OracleStash.S88Cents, cents)
+      val ivf = Similarity.ivfTopKByExpr(cents, emb, q, k = 10)
+        .select($"query_id", $"nbr_id").withColumn("__hit", lit(1))
+      Similarity.bruteForceTopK(emb, q, k = 10)
+        .select($"query_id", $"nbr_id")
+        .join(ivf, Seq("query_id", "nbr_id"), "left")
+        .groupBy($"query_id")
+        .agg(sum(coalesce($"__hit", lit(0))).cast("long").as("hits_at_10"))
+        .orderBy("query_id")
+    }),
     // PCA embedding projection — the compression/rotation step a
     // pipeline runs before storing or indexing vectors: project every
     // embedding onto the corpus's top-8 principal axes. Training is
@@ -2277,7 +2308,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -2724,6 +2755,40 @@ object PipelineQueries {
            |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rk
            |  FROM cand),
            |$knnLabelAggSql""".stripMargin
+    }.toMap
+
+  /** s88's oracle: BOTH rankings re-derived — the brute ground-truth
+    * top-10 (the s35 chain) and the spliced-centroid probe top-10 (the
+    * s37 chain) — then intersected per query and counted in INTEGERS.
+    * The recall number itself is what hash-matches, so a probe recall
+    * regression (or a rank-rule drift on either side) fails the gate. */
+  private def annRecallOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S88Cents).map { c =>
+      "s88_ann_recall" ->
+        s"""WITH ${centroidAssignCtes(c, "embedding")},
+           |qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+           |  SELECT vec_id, embedding, cid,
+           |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+           |  FROM scored WHERE vec_id < 5) WHERE rn <= 4),
+           |cand AS (SELECT q.query_id, a.vec_id AS nbr_id,
+           |   ${duckCosine("q.qv", "a.embedding")} AS sim
+           | FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id),
+           |ivf AS (SELECT query_id, nbr_id FROM (
+           | SELECT query_id, nbr_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM cand)
+           | WHERE rank <= 10),
+           |bq AS (SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+           |   ${duckCosine("q.embedding", "e.embedding")} AS sim
+           | FROM embeddings q CROSS JOIN embeddings e
+           | WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+           |bt AS (SELECT query_id, nbr_id FROM (
+           | SELECT query_id, nbr_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rk FROM bq)
+           | WHERE rk <= 10)
+           |SELECT b.query_id AS query_id, CAST(count(i.nbr_id) AS BIGINT) AS hits_at_10
+           |FROM bt b LEFT JOIN ivf i
+           |  ON i.query_id = b.query_id AND i.nbr_id = b.nbr_id
+           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
     }.toMap
 
   /** s65's oracle: the same probe/rank SQL with the metadata predicate

@@ -104,6 +104,19 @@ class HierTierSpec extends AnyFunSuite {
     init.zip(fine32.take(4)).foreach { case (x, y) => assert(x.sameElements(y)) }
   }
 
+  test("hier trainer: cprobe covering every coarse cell degenerates to the flat trainer bit-for-bit") {
+    // cprobe = nlist -> coarseListsFor(nlist, nlist) = nlist coarse
+    // cells, all probed -> hier assignment IS flat argmax each round
+    val flat = Similarity.kmeansCentroidsByExpr(emb, nlist = 32, iters = 2)
+    val hier = Similarity.kmeansCentroidsByHier(emb, nlist = 32, iters = 2, cprobe = 32)
+    hier.zip(flat).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // the approximate (cprobe=4) trainer: deterministic, shape-preserving
+    val a = Similarity.kmeansCentroidsByHier(emb, nlist = 32, iters = 2)
+    val b = Similarity.kmeansCentroidsByHier(emb, nlist = 32, iters = 2)
+    assert(a.length == 32 && a(0).length == flat(0).length)
+    a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+  }
+
   test("coarseListsFor: the sqrt-law coarse count, pow2 grid, clamped to nlist") {
     assert(Similarity.coarseListsFor(256, 4) == 32) // sqrt(1024) = 32 exactly
     assert(Similarity.coarseListsFor(1024, 4) == 64) // sqrt(4096) = 64

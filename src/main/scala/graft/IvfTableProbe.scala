@@ -115,7 +115,8 @@ object IvfTableProbe {
     (1 to runs).foreach { _ =>
       val t1 = System.nanoTime()
       agree = runLabelEval(spark, emb,
-        Similarity.ivfTopKByTable(cdf, emb, emb, k = 1, broadcastQueries = false))
+        Similarity.ivfTopKByTable(cdf, emb, emb, k = 1, broadcastQueries = false,
+          rankAgg = true))
       best = math.min(best, (System.nanoTime() - t1) / 1e9)
     }
     println(f"[tableprobe] eval nlist=$nlist train=$trainSec%.1f s eval(min)=$best%.1f s " +
@@ -146,11 +147,13 @@ object IvfTableProbe {
     (1 to runs).foreach { _ =>
       val t2 = System.nanoTime()
       agreeT = runLabelEval(spark, emb,
-        Similarity.ivfTopKByTable(cdf, emb, emb, k = 1, broadcastQueries = false))
+        Similarity.ivfTopKByTable(cdf, emb, emb, k = 1, broadcastQueries = false,
+          rankAgg = true))
       bestT = math.min(bestT, (System.nanoTime() - t2) / 1e9)
       val t3 = System.nanoTime()
       agreeE = runLabelEval(spark, emb,
-        Similarity.ivfTopKByExpr(cents, emb, emb, k = 1, broadcastQueries = false))
+        Similarity.ivfTopKByExpr(cents, emb, emb, k = 1, broadcastQueries = false,
+          rankAgg = true))
       bestE = math.min(bestE, (System.nanoTime() - t3) / 1e9)
     }
     require(agreeT == agreeE, s"tiers disagreed: table=$agreeT expr=$agreeE")
@@ -206,12 +209,13 @@ object IvfTableProbe {
     (1 to runs).foreach { _ =>
       val t4 = System.nanoTime()
       aF = runLabelEval(spark, emb,
-        Similarity.ivfTopKByExpr(fine, emb, emb, k = 1, broadcastQueries = false))
+        Similarity.ivfTopKByExpr(fine, emb, emb, k = 1, broadcastQueries = false,
+          rankAgg = true))
       bestF = math.min(bestF, (System.nanoTime() - t4) / 1e9)
       val t5 = System.nanoTime()
       aH = runLabelEval(spark, emb,
         Similarity.hierTopKByExpr(coarse, fine, emb, emb, k = 1,
-          cprobe = cprobe, broadcastQueries = false))
+          cprobe = cprobe, broadcastQueries = false, rankAgg = true))
       bestH = math.min(bestH, (System.nanoTime() - t5) / 1e9)
     }
     println(f"[tableprobe] evalhier eval(min) flat=$bestF%.1f s hier=$bestH%.1f s " +
@@ -227,7 +231,7 @@ object IvfTableProbe {
     val coarseH = Similarity.kmeansLocalCentroids(fineH, ncoarse)
     val aT = runLabelEval(spark, emb,
       Similarity.hierTopKByExpr(coarseH, fineH, emb, emb, k = 1,
-        cprobe = cprobe, broadcastQueries = false))
+        cprobe = cprobe, broadcastQueries = false, rankAgg = true))
     println(f"[tableprobe] evalhier hier-TRAINED quantizer: train=$trainH%.1f s " +
       f"(flat trainer $trainFine%.1f s) eval acc=${aT._2}/${aT._1} " +
       f"(${aT._2.toDouble / aT._1}%.4f)")

@@ -511,9 +511,10 @@ object Similarity {
   def ivfTopKWith(centroids: Array[Array[Double]],
                   corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 4,
                   idCol: String = "vec_id", vecCol: String = "embedding",
-                  broadcastQueries: Boolean = true): DataFrame =
+                  broadcastQueries: Boolean = true,
+                  rankAgg: Boolean = false): DataFrame =
     ivfRank(ivfAssigned(centroids, corpus, idCol, vecCol),
-      centroids, queries, k, nprobe, idCol, vecCol, broadcastQueries)
+      centroids, queries, k, nprobe, idCol, vecCol, broadcastQueries, rankAgg)
 
   /** The assigned-corpus shape both IVF serving paths consume:
     * (nbr_id, cvec, cn, __cid) — vector, precomputed norm, owning
@@ -600,19 +601,39 @@ object Similarity {
   private def ivfRank(c: DataFrame, centroids: Array[Array[Double]],
                       queries: DataFrame, k: Int, nprobe: Int,
                       idCol: String, vecCol: String,
-                      broadcastQueries: Boolean = true): DataFrame =
+                      broadcastQueries: Boolean = true,
+                      rankAgg: Boolean = false): DataFrame =
     rankCandidates(ivfCandidates(c, centroids, queries, nprobe, idCol, vecCol,
-      broadcastQueries), k)
+      broadcastQueries), k, rankAgg)
 
   /** The shared final ranking of a scored candidate stream
     * (query_id, nbr_id, sim) → top-k with the (sim DESC, nbr_id)
-    * tie-break every ANN oracle in this codebase encodes. */
-  private def rankCandidates(cand: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), col("rank").cast("int").as("rank"), col("sim"))
-  }
+    * tie-break every ANN oracle in this codebase encodes.
+    *
+    * `viaAgg` picks the BOUNDED-BUFFER form ([[graft.functions.TopKAgg]]
+    * — the identical total order, so answers are row-for-row equal,
+    * spec-pinned): the window form sorts the ENTIRE candidate stream
+    * after shuffling it, which is the eval-scale chokepoint — at
+    * n=2 M × nlist=2048 the every-vector-is-a-query candidate stream
+    * is ~8·10⁹ rows and the window sort spilled past this box's disk
+    * (measured as a crash, SCALING.md r13 addendum 2), while the
+    * bounded buffers carry ≤ k rows per query per partition through
+    * the exchange and sort nothing. The window form stays the default
+    * for the few-queries serving shape where its cost is trivial and
+    * plans stay WholeStageCodegen-simple. */
+  private def rankCandidates(cand: DataFrame, k: Int,
+                             viaAgg: Boolean = false): DataFrame =
+    if (!viaAgg) {
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
+      cand.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("nbr_id"), col("rank").cast("int").as("rank"), col("sim"))
+    } else
+      cand.groupBy(col("query_id"))
+        .agg(graft.functions.TopKAgg.top_k(col("sim"), col("nbr_id"), k).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")))
+        .select(col("query_id"), col("col._2").as("nbr_id"),
+          (col("pos") + 1).cast("int").as("rank"), col("col._1").as("sim"))
 
   // ------------------------- centroid-TABLE serving tier (nlist-unbounded)
 
@@ -733,9 +754,10 @@ object Similarity {
   def ivfTopKByTable(cdf: DataFrame, corpus: DataFrame, queries: DataFrame,
                      k: Int, nprobe: Int = 4,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     broadcastQueries: Boolean = true): DataFrame =
+                     broadcastQueries: Boolean = true,
+                     rankAgg: Boolean = false): DataFrame =
     rankCandidates(ivfCandidatesByTable(ivfAssignedByTable(cdf, corpus, idCol, vecCol),
-      cdf, queries, nprobe, idCol, vecCol, broadcastQueries), k)
+      cdf, queries, nprobe, idCol, vecCol, broadcastQueries), k, rankAgg)
 
   /** [[ivfTopKOnIndex]] through the table tier: probe/rank over an
     * already-assigned corpus (a `partitionBy(__cid)` index scan), any
@@ -793,9 +815,10 @@ object Similarity {
   def ivfTopKByExpr(cents: Array[Array[Double]], corpus: DataFrame, queries: DataFrame,
                     k: Int, nprobe: Int = 4,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    broadcastQueries: Boolean = true): DataFrame =
+                    broadcastQueries: Boolean = true,
+                    rankAgg: Boolean = false): DataFrame =
     rankCandidates(ivfCandidatesByExpr(ivfAssignedByExpr(cents, corpus, idCol, vecCol),
-      cents, queries, nprobe, idCol, vecCol, broadcastQueries), k)
+      cents, queries, nprobe, idCol, vecCol, broadcastQueries), k, rankAgg)
 
   /** [[ivfTopKOnIndex]] through the expression tier. */
   def ivfTopKOnIndexByExpr(cents: Array[Array[Double]], assigned: DataFrame,
@@ -922,10 +945,11 @@ object Similarity {
                      corpus: DataFrame, queries: DataFrame, k: Int,
                      cprobe: Int = 4, nprobe: Int = 4,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     broadcastQueries: Boolean = true): DataFrame =
+                     broadcastQueries: Boolean = true,
+                     rankAgg: Boolean = false): DataFrame =
     rankCandidates(hierCandidatesByExpr(
       hierAssignedByExpr(coarse, fine, corpus, cprobe, idCol, vecCol),
-      coarse, fine, queries, cprobe, nprobe, idCol, vecCol, broadcastQueries), k)
+      coarse, fine, queries, cprobe, nprobe, idCol, vecCol, broadcastQueries), k, rankAgg)
 
   /** [[ivfTopKOnIndexByExpr]] through the hierarchical tier (serving
     * over an already-assigned index). */

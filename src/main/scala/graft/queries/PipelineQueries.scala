@@ -730,9 +730,16 @@ object PipelineQueries {
       OracleStash.put(OracleStash.S80Cents, cents)
       // the query side IS the corpus — never broadcast it: the probe
       // join shuffles on the list id (both sides corpus-sized, evenly
-      // list-bucketed), the driver never holds the vectors
+      // list-bucketed), the driver never holds the vectors. Ranking
+      // rides the bounded TopKAgg buffers (rankAgg), not a window: the
+      // window form sorts the WHOLE candidate stream, which at n=2M
+      // spilled past this box's disk (SCALING.md r13 addendum 2) — the
+      // eval family is exactly the shape where that stream is huge.
+      // Answers are row-identical (same total order; the unchanged
+      // oracle hash-checks it).
       knnLabelAgreement(emb,
-        Similarity.ivfTopKWith(cents, emb, emb, k = 1, broadcastQueries = false))
+        Similarity.ivfTopKWith(cents, emb, emb, k = 1, broadcastQueries = false,
+          rankAgg = true))
     }),
     // CENTROID-TABLE ANN SERVING at nlist=128 — the tier past the
     // literal cap (the r12 verdict's top item): every prior IVF query
@@ -775,9 +782,10 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val cents = centroids128(s, dir)
       OracleStash.put(OracleStash.S82Cents, cents)
+      // rankAgg: the eval-family ranking discipline (see s80)
       knnLabelAgreement(emb,
         Similarity.ivfTopKByTable(Similarity.centroidsDf(s, cents),
-          emb, emb, k = 1, broadcastQueries = false))
+          emb, emb, k = 1, broadcastQueries = false, rankAgg = true))
     }),
     // SCAN-LOCAL expression-tier ANN serving at nlist=256 — the THIRD
     // tier (r13): the whole centroid matrix rides the plan as ONE
@@ -813,8 +821,10 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val cents = centroids256(s, dir)
       OracleStash.put(OracleStash.S84Cents, cents)
+      // rankAgg: the eval-family ranking discipline (see s80)
       knnLabelAgreement(emb,
-        Similarity.ivfTopKByExpr(cents, emb, emb, k = 1, broadcastQueries = false))
+        Similarity.ivfTopKByExpr(cents, emb, emb, k = 1, broadcastQueries = false,
+          rankAgg = true))
     }),
     // HIERARCHICAL (two-level) ANN serving — the FOURTH tier, the one
     // SCALING.md r13 named for ≥10¹⁰ vectors and left unbuilt: past
@@ -860,9 +870,10 @@ object PipelineQueries {
       val coarse = Similarity.kmeansLocalCentroids(fine,
         Similarity.coarseListsFor(fine.length))
       OracleStash.put(OracleStash.S86Model, (coarse, fine))
+      // rankAgg: the eval-family ranking discipline (see s80)
       knnLabelAgreement(emb,
         Similarity.hierTopKByExpr(coarse, fine, emb, emb, k = 1,
-          broadcastQueries = false))
+          broadcastQueries = false, rankAgg = true))
     }),
     // ANN RECALL@10 as a FIRST-CLASS GATED METRIC — the standard index
     // acceptance audit a deployment runs before switching serving to a

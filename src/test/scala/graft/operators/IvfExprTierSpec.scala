@@ -112,4 +112,18 @@ class IvfExprTierSpec extends AnyFunSuite {
     val lit = rows(Similarity.ivfTopKWith(cents16, emb, emb, k = 1, broadcastQueries = false))
     assert(rows(Similarity.ivfTopKByExpr(cents16, emb, emb, k = 1, broadcastQueries = false)) == lit)
   }
+
+  test("rankAgg: bounded TopKAgg ranking equals the window ranking row-for-row") {
+    // same total order (sim DESC, nbr_id ASC), so the rank column must
+    // match too — this is the eval-family ranking that avoids sorting
+    // the whole candidate stream (the n=2M window sort spilled past the
+    // disk; SCALING.md r13 addendum 2)
+    val q = emb.where($"vec_id" < 8)
+    assert(rows(Similarity.ivfTopKByExpr(cents16, emb, q, k = 10, rankAgg = true))
+      == rows(Similarity.ivfTopKByExpr(cents16, emb, q, k = 10)))
+    // and on the eval shape itself (k=1, corpus-sized shuffled queries)
+    assert(rows(Similarity.ivfTopKByExpr(cents16, emb, emb, k = 1,
+        broadcastQueries = false, rankAgg = true))
+      == rows(Similarity.ivfTopKByExpr(cents16, emb, emb, k = 1, broadcastQueries = false)))
+  }
 }

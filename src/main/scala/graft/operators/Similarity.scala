@@ -537,8 +537,10 @@ object Similarity {
     * unprobed list's directory — the on-disk IVF read path. */
   def ivfTopKOnIndex(centroids: Array[Array[Double]], assigned: DataFrame,
                      queries: DataFrame, k: Int, nprobe: Int = 4,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    ivfRank(assigned, centroids, queries, k, nprobe, idCol, vecCol)
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     rankAgg: Boolean = false): DataFrame =
+    ivfRank(assigned, centroids, queries, k, nprobe, idCol, vecCol,
+      broadcastQueries = true, rankAgg = rankAgg)
 
   /**
    * Driver-side probe selection for LITERAL queries (the serving-layer
@@ -611,16 +613,25 @@ object Similarity {
     * tie-break every ANN oracle in this codebase encodes.
     *
     * `viaAgg` picks the BOUNDED-BUFFER form ([[graft.functions.TopKAgg]]
-    * — the identical total order, so answers are row-for-row equal,
-    * spec-pinned): the window form sorts the ENTIRE candidate stream
-    * after shuffling it, which is the eval-scale chokepoint — at
-    * n=2 M × nlist=2048 the every-vector-is-a-query candidate stream
-    * is ~8·10⁹ rows and the window sort spilled past this box's disk
-    * (measured as a crash, SCALING.md r13 addendum 2), while the
-    * bounded buffers carry ≤ k rows per query per partition through
-    * the exchange and sort nothing. The window form stays the default
-    * for the few-queries serving shape where its cost is trivial and
-    * plans stay WholeStageCodegen-simple. */
+    * — the identical total order, so answers are row-for-row equal on
+    * the family's candidate streams, spec-pinned incl. sims): the
+    * window form sorts the ENTIRE candidate stream after shuffling it,
+    * which is the eval-scale chokepoint — at n=2 M × nlist=2048 the
+    * every-vector-is-a-query candidate stream is ~8·10⁹ rows and the
+    * window sort spilled past this box's disk (measured as a crash,
+    * SCALING.md r13 addendum 2), while the bounded buffers carry ≤ k
+    * rows per query per partition through the exchange and sort
+    * nothing. The window form stays the default for the few-queries
+    * serving shape where its cost is trivial and plans stay
+    * WholeStageCodegen-simple.
+    *
+    * Two scoped differences from the window form, enforced rather than
+    * discovered: (a) the buffers key ids as LONG (checked loudly below
+    * — a non-long idCol would otherwise widen or fail inside the
+    * encoder); (b) NULL sims — impossible for finite parquet vectors,
+    * possible only for vectors with null ELEMENTS — are dropped by the
+    * buffers where `desc` nulls-last window ranking would emit them in
+    * underfull groups. */
   private def rankCandidates(cand: DataFrame, k: Int,
                              viaAgg: Boolean = false): DataFrame =
     if (!viaAgg) {
@@ -628,12 +639,17 @@ object Similarity {
       cand.withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
         .select(col("query_id"), col("nbr_id"), col("rank").cast("int").as("rank"), col("sim"))
-    } else
+    } else {
+      require(cand.schema("nbr_id").dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"rankCandidates(viaAgg): nbr_id must be LONG for the TopKAgg buffer " +
+          s"encoding, got ${cand.schema("nbr_id").dataType} — use the window form")
       cand.groupBy(col("query_id"))
         .agg(graft.functions.TopKAgg.top_k(col("sim"), col("nbr_id"), k).as("tk"))
         .select(col("query_id"), posexplode(col("tk")))
         .select(col("query_id"), col("col._2").as("nbr_id"),
           (col("pos") + 1).cast("int").as("rank"), col("col._1").as("sim"))
+    }
 
   // ------------------------- centroid-TABLE serving tier (nlist-unbounded)
 
@@ -765,9 +781,10 @@ object Similarity {
   def ivfTopKOnIndexByTable(cdf: DataFrame, assigned: DataFrame, queries: DataFrame,
                             k: Int, nprobe: Int = 4,
                             idCol: String = "vec_id", vecCol: String = "embedding",
-                            broadcastQueries: Boolean = true): DataFrame =
+                            broadcastQueries: Boolean = true,
+                            rankAgg: Boolean = false): DataFrame =
     rankCandidates(ivfCandidatesByTable(assigned, cdf, queries, nprobe,
-      idCol, vecCol, broadcastQueries), k)
+      idCol, vecCol, broadcastQueries), k, rankAgg)
 
   // ---------------- scan-local EXPRESSION tier (any nlist, no expansion)
 
@@ -824,9 +841,10 @@ object Similarity {
   def ivfTopKOnIndexByExpr(cents: Array[Array[Double]], assigned: DataFrame,
                            queries: DataFrame, k: Int, nprobe: Int = 4,
                            idCol: String = "vec_id", vecCol: String = "embedding",
-                           broadcastQueries: Boolean = true): DataFrame =
+                           broadcastQueries: Boolean = true,
+                           rankAgg: Boolean = false): DataFrame =
     rankCandidates(ivfCandidatesByExpr(assigned, cents, queries, nprobe,
-      idCol, vecCol, broadcastQueries), k)
+      idCol, vecCol, broadcastQueries), k, rankAgg)
 
   /** [[kmeansCentroids]] with scan-local expression-tier assignment —
     * each Lloyd round is one scan projection + the (nlist × dim)-row
@@ -957,9 +975,10 @@ object Similarity {
                             assigned: DataFrame, queries: DataFrame, k: Int,
                             cprobe: Int = 4, nprobe: Int = 4,
                             idCol: String = "vec_id", vecCol: String = "embedding",
-                            broadcastQueries: Boolean = true): DataFrame =
+                            broadcastQueries: Boolean = true,
+                            rankAgg: Boolean = false): DataFrame =
     rankCandidates(hierCandidatesByExpr(assigned, coarse, fine, queries,
-      cprobe, nprobe, idCol, vecCol, broadcastQueries), k)
+      cprobe, nprobe, idCol, vecCol, broadcastQueries), k, rankAgg)
 
   /** [[kmeansCentroidsByExpr]] with HIERARCHICAL assignment inside each
     * Lloyd round — the INDEX-BUILD form of the two-level lever:

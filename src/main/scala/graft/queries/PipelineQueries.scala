@@ -2606,20 +2606,31 @@ object PipelineQueries {
        | WHERE rn = 1)""".stripMargin
   }
 
-  /** The IVF probe/rank oracle SQL for a given quantizer — shared by
-    * s37 (in-memory assignment) and s60 (persisted index): the answer
-    * must not depend on where the assigned corpus lives. */
-  private def ivfProbeOracleSql(cents: Array[Array[Double]],
+  /** The probe/score CTE chain (cents → scored → assign → qprobe →
+    * cand) for a given quantizer — ONE encoding of the probe rule
+    * (top-4 lists per query by `s DESC, cid DESC`, self-excluded
+    * candidate scoring) shared by every consumer, so a tie-break or
+    * nprobe change cannot reach one oracle and miss another. */
+  private def ivfProbeCtes(cents: Array[Array[Double]],
       src: String = "SELECT vec_id, embedding FROM embeddings",
       candPred: String = "", qPred: String = "vec_id < 5"): String =
-    s"""WITH ${centroidAssignCtes(cents, "embedding", src)},
+    s"""${centroidAssignCtes(cents, "embedding", src)},
        |qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
        |  SELECT vec_id, embedding, cid,
        |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
        |  FROM scored WHERE $qPred) WHERE rn <= 4),
        |cand AS (SELECT q.query_id, a.vec_id AS nbr_id,
        |   ${duckCosine("q.qv", "a.embedding")} AS sim
-       | FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id$candPred)
+       | FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id$candPred)"""
+      .stripMargin
+
+  /** The IVF probe/rank oracle SQL for a given quantizer — shared by
+    * s37 (in-memory assignment) and s60 (persisted index): the answer
+    * must not depend on where the assigned corpus lives. */
+  private def ivfProbeOracleSql(cents: Array[Array[Double]],
+      src: String = "SELECT vec_id, embedding FROM embeddings",
+      candPred: String = "", qPred: String = "vec_id < 5"): String =
+    s"""WITH ${ivfProbeCtes(cents, src, candPred, qPred)}
        |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
        | SELECT query_id, nbr_id,
        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM cand)
@@ -2776,14 +2787,7 @@ object PipelineQueries {
   private def annRecallOracle: Map[String, String] =
     OracleStash.get(OracleStash.S88Cents).map { c =>
       "s88_ann_recall" ->
-        s"""WITH ${centroidAssignCtes(c, "embedding")},
-           |qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
-           |  SELECT vec_id, embedding, cid,
-           |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
-           |  FROM scored WHERE vec_id < 5) WHERE rn <= 4),
-           |cand AS (SELECT q.query_id, a.vec_id AS nbr_id,
-           |   ${duckCosine("q.qv", "a.embedding")} AS sim
-           | FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id),
+        s"""WITH ${ivfProbeCtes(c)},
            |ivf AS (SELECT query_id, nbr_id FROM (
            | SELECT query_id, nbr_id,
            |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM cand)

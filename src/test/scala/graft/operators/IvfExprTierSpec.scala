@@ -113,17 +113,27 @@ class IvfExprTierSpec extends AnyFunSuite {
     assert(rows(Similarity.ivfTopKByExpr(cents16, emb, emb, k = 1, broadcastQueries = false)) == lit)
   }
 
-  test("rankAgg: bounded TopKAgg ranking equals the window ranking row-for-row") {
-    // same total order (sim DESC, nbr_id ASC), so the rank column must
-    // match too — this is the eval-family ranking that avoids sorting
-    // the whole candidate stream (the n=2M window sort spilled past the
-    // disk; SCALING.md r13 addendum 2)
+  test("rankAgg: bounded TopKAgg ranking equals the window ranking row-for-row incl. sims") {
+    // same total order (sim DESC, nbr_id ASC), so ranks AND carried sim
+    // values must match — this is the eval-family ranking that avoids
+    // sorting the whole candidate stream (the n=2M window sort spilled
+    // past the disk; SCALING.md r13 addendum 2)
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "nbr_id", "sim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    def same(a: Array[(Long, Int, Long, Double)], b: Array[(Long, Int, Long, Double)]): Unit = {
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) =>
+        assert(x._1 == y._1 && x._2 == y._2 && x._3 == y._3 && x._4 == y._4, s"$x vs $y")
+      }
+    }
     val q = emb.where($"vec_id" < 8)
-    assert(rows(Similarity.ivfTopKByExpr(cents16, emb, q, k = 10, rankAgg = true))
-      == rows(Similarity.ivfTopKByExpr(cents16, emb, q, k = 10)))
+    same(full(Similarity.ivfTopKByExpr(cents16, emb, q, k = 10, rankAgg = true)),
+      full(Similarity.ivfTopKByExpr(cents16, emb, q, k = 10)))
     // and on the eval shape itself (k=1, corpus-sized shuffled queries)
-    assert(rows(Similarity.ivfTopKByExpr(cents16, emb, emb, k = 1,
-        broadcastQueries = false, rankAgg = true))
-      == rows(Similarity.ivfTopKByExpr(cents16, emb, emb, k = 1, broadcastQueries = false)))
+    same(full(Similarity.ivfTopKByExpr(cents16, emb, emb, k = 1,
+        broadcastQueries = false, rankAgg = true)),
+      full(Similarity.ivfTopKByExpr(cents16, emb, emb, k = 1, broadcastQueries = false)))
   }
 }

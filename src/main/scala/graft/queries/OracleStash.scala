@@ -72,6 +72,7 @@ private[queries] object OracleStash {
   case object S85Model extends Slot[(Cents, Cents)]("s85.model")
   case object S86Model extends Slot[(Cents, Cents)]("s86.model")
   case object S88Cents extends Slot[Cents]("s88.cents")
+  case object S89Model extends Slot[(Cents, Cents)]("s89.model")
   case object D36Bits extends Slot[Int]("d36.bits")
   case object D56Bits extends Slot[Int]("d56.bits")
   case object D73Config extends Slot[graft.operators.Similarity.LshConfig]("d73.config")

@@ -906,6 +906,32 @@ object PipelineQueries {
         .agg(sum(coalesce($"__hit", lit(0))).cast("long").as("hits_at_10"))
         .orderBy("query_id")
     }),
+    // s88's audit THROUGH THE HIERARCHICAL PROBE — recall@10 of the
+    // two-level path against the same exact ground truth: the price of
+    // the coarse-level approximation (probing only cprobe coarse
+    // cells' lists) expressed in the metric a deployment actually
+    // decides by, as a GATED number (the oracle walks the whole
+    // two-level path from the spliced matrices — hierPathCtes — then
+    // intersects with the brute top-10 in integers). Beside s88 this
+    // prices the fourth tier's recall against the flat tier's on
+    // identical queries and the identical fine quantizer.
+    "s89_ann_recall_hier" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where($"vec_id" < 5)
+      val fine = centroids256(s, dir)
+      val coarse = Similarity.kmeansLocalCentroids(fine,
+        Similarity.coarseListsFor(fine.length))
+      OracleStash.put(OracleStash.S89Model, (coarse, fine))
+      val hier = Similarity.hierTopKByExpr(coarse, fine, emb, q, k = 10)
+        .select($"query_id", $"nbr_id").withColumn("__hit", lit(1))
+      Similarity.bruteForceTopK(emb, q, k = 10)
+        .select($"query_id", $"nbr_id")
+        .join(hier, Seq("query_id", "nbr_id"), "left")
+        .groupBy($"query_id")
+        .agg(sum(coalesce($"__hit", lit(0))).cast("long").as("hits_at_10"))
+        .orderBy("query_id")
+    }),
     // PCA embedding projection — the compression/rotation step a
     // pipeline runs before storing or indexing vectors: project every
     // embedding onto the corpus's top-8 principal axes. Training is
@@ -2319,7 +2345,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle ++ annRecallHierOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -2784,26 +2810,43 @@ object PipelineQueries {
     * s37 chain) — then intersected per query and counted in INTEGERS.
     * The recall number itself is what hash-matches, so a probe recall
     * regression (or a rank-rule drift on either side) fails the gate. */
+  /** The recall-audit tail shared by s88/s89: rank a preceding
+    * `cand(query_id, nbr_id, sim)` CTE to its top-10, re-derive the
+    * brute ground-truth top-10, intersect per query, count in
+    * integers. ONE encoding so the flat and hierarchical audits cannot
+    * drift on what "recall" means. */
+  private def recallTailSql: String =
+    s"""ivf AS (SELECT query_id, nbr_id FROM (
+       | SELECT query_id, nbr_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM cand)
+       | WHERE rank <= 10),
+       |bq AS (SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+       |   ${duckCosine("q.embedding", "e.embedding")} AS sim
+       | FROM embeddings q CROSS JOIN embeddings e
+       | WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+       |bt AS (SELECT query_id, nbr_id FROM (
+       | SELECT query_id, nbr_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rk FROM bq)
+       | WHERE rk <= 10)
+       |SELECT b.query_id AS query_id, CAST(count(i.nbr_id) AS BIGINT) AS hits_at_10
+       |FROM bt b LEFT JOIN ivf i
+       |  ON i.query_id = b.query_id AND i.nbr_id = b.nbr_id
+       |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+
   private def annRecallOracle: Map[String, String] =
     OracleStash.get(OracleStash.S88Cents).map { c =>
       "s88_ann_recall" ->
         s"""WITH ${ivfProbeCtes(c)},
-           |ivf AS (SELECT query_id, nbr_id FROM (
-           | SELECT query_id, nbr_id,
-           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM cand)
-           | WHERE rank <= 10),
-           |bq AS (SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
-           |   ${duckCosine("q.embedding", "e.embedding")} AS sim
-           | FROM embeddings q CROSS JOIN embeddings e
-           | WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
-           |bt AS (SELECT query_id, nbr_id FROM (
-           | SELECT query_id, nbr_id,
-           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rk FROM bq)
-           | WHERE rk <= 10)
-           |SELECT b.query_id AS query_id, CAST(count(i.nbr_id) AS BIGINT) AS hits_at_10
-           |FROM bt b LEFT JOIN ivf i
-           |  ON i.query_id = b.query_id AND i.nbr_id = b.nbr_id
-           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+           |$recallTailSql""".stripMargin
+    }.toMap
+
+  /** s89's oracle: the same recall audit with the candidate set from
+    * the full two-level recompute ([[hierPathCtes]]). */
+  private def annRecallHierOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S89Model).map { case (co, fi) =>
+      "s89_ann_recall_hier" ->
+        s"""WITH ${hierPathCtes(co, fi, cprobe = 4, nprobe = 4, qPred = "vec_id < 5")},
+           |$recallTailSql""".stripMargin
     }.toMap
 
   /** s65's oracle: the same probe/rank SQL with the metadata predicate

@@ -338,8 +338,12 @@ object Sampling {
       .withColumn("__prev", coalesce(sum(tok).over(w), lit(0L)))
       // seq stays LONG: at the 100 TB shape this docstring claims, a
       // shard's running total exceeds budget * Int.MaxValue and an int
-      // cast would throw under ANSI (or wrap negative without it)
-      .withColumn(seqCol, floor(col("__prev") / budget))
+      // cast would throw under ANSI (or wrap negative without it).
+      // INTEGRAL division (`div`), not floor(double /): both operands
+      // are LONG, so the fold is exact by construction at any token
+      // total — the double form was exact only below 2^53 per shard,
+      // and the oracle's `//` is integer division
+      .withColumn(seqCol, expr(s"__prev div ${budget}L"))
       .drop("__prev")
   }
 }

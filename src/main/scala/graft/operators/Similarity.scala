@@ -855,6 +855,62 @@ object Similarity {
       (df, cents) => df.withColumn("__cid",
         graft.functions.CentroidFunctions.centroid_argmax(col(vecCol), cents)))
 
+  /** A derived IVF probe-count configuration: the smallest probed
+    * count that HELD `targetRecall` on the audited query sample, plus
+    * the recall it measured there. The IVF sibling of [[LshConfig]] —
+    * a config the caller can stash so an oracle re-derives candidates
+    * at exactly the audited knob (the d73 discipline). */
+  case class IvfProbeConfig(nprobe: Int, recall: Double)
+
+  /**
+   * Derive the nprobe that HOLDS a recall target — [[tablesForRecall]]
+   * for the IVF family. LSH admits a closed form (collision odds are
+   * analytic in (θ, b, L)); IVF recall depends on where the trained
+   * lists fall relative to the queries, so the honest derivation is
+   * the MEASURED one: run the s88-style recall@k audit (exact ground
+   * truth over the query SAMPLE only — linear in the corpus, the
+   * affordable production shape) at doubling nprobe until the mean
+   * recall meets the target. Termination is structural: at
+   * nprobe = nlist every list is probed, the candidate set is the
+   * whole corpus minus self, and recall@k is exactly 1. Cost:
+   * ≤ log₂(nlist)+1 audit passes, each ~one serving query over the
+   * sample — what a deployment pays once per trained quantizer, not
+   * per query. The ground truth is computed ONCE and localCheckpointed
+   * (≤ |sample|·k id pairs — metadata) so the loop re-scores only the
+   * probe side.
+   *
+   * Recall@k convention: |probe top-k ∩ exact top-k| / (|sample|·k),
+   * i.e. MEAN recall with every query weighted equally — the s88/s89
+   * audits' integer hit counts, averaged. Requires corpus size > k so
+   * the exact top-k is always full (the caller's sample is queries
+   * FROM the corpus; self-matches are excluded on both sides).
+   */
+  def nprobeForRecall(corpus: DataFrame, queries: DataFrame,
+                      cents: Array[Array[Double]], k: Int = 10,
+                      targetRecall: Double = 0.7,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): IvfProbeConfig = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    require(cents.nonEmpty, "need a trained quantizer")
+    val truth = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("nbr_id")).localCheckpoint(true)
+    val denom = truth.count().toDouble // = |sample|·k when corpus > k
+    require(denom > 0, "empty query sample")
+    // the assigned corpus is reused across audit passes — assignment
+    // does not depend on nprobe, so compute it once
+    val assigned = ivfAssignedByExpr(cents, corpus, idCol, vecCol)
+    var nprobe = 1
+    var recall = 0.0
+    while ({
+      val got = ivfTopKOnIndexByExpr(cents, assigned, queries, k, nprobe,
+        idCol, vecCol).select(col("query_id"), col("nbr_id"))
+      recall = truth.join(got, Seq("query_id", "nbr_id")).count() / denom
+      recall < targetRecall && nprobe < cents.length
+    }) nprobe = math.min(nprobe * 2, cents.length)
+    IvfProbeConfig(nprobe, recall)
+  }
+
   // --------------------- hierarchical (two-level) quantizer tier
 
   /** COST-balanced coarse cell count for the hierarchical quantizer:

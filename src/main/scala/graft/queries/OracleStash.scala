@@ -73,6 +73,12 @@ private[queries] object OracleStash {
   case object S86Model extends Slot[(Cents, Cents)]("s86.model")
   case object S88Cents extends Slot[Cents]("s88.cents")
   case object S89Model extends Slot[(Cents, Cents)]("s89.model")
+  case object S90Cents extends Slot[Cents]("s90.cents")
+  /** persisted production index's (coarse, fine) matrices */
+  case object S91Model extends Slot[(Cents, Cents)]("s91.model")
+  case object S92Cents extends Slot[Cents]("s92.cents")
+  /** recall-held audit: (fine matrix, derived nprobe) */
+  case object S93Config extends Slot[(Cents, Int)]("s93.config")
   case object D36Bits extends Slot[Int]("d36.bits")
   case object D56Bits extends Slot[Int]("d56.bits")
   case object D73Config extends Slot[graft.operators.Similarity.LshConfig]("d73.config")

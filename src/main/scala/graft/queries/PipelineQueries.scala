@@ -180,6 +180,63 @@ object PipelineQueries {
     want
   }
 
+  /** PRODUCTION-nlist index root (sibling of [[ivfIndexRoot]] — the
+    * r13 verdict's top item: the serving tiers proved nlist=1024 in
+    * probes while every DECLARED persisted query still rode the
+    * literal tier at nlist=16; this export is the declared form). */
+  def ivfProdIndexRoot(sfDir: String): String =
+    RelationalQueries.dataRoot("ivf-prod", sfDir, "emb")
+
+  /** The production index's list count — 8× past the literal tier's
+    * maxBits cap, so this index can only be trained, assigned, and
+    * served through the nlist-unbounded tiers (expression/hier).
+    * ONE constant: the export, both serving queries, the streaming
+    * topology (s92), and the recall audit (s93) all read it, so the
+    * "production nlist" the round claims is a single greppable value. */
+  private[graft] val prodNlist = 128
+
+  /** Ingest-once PRODUCTION index: the s60 export machinery at
+    * production nlist through the EXPRESSION tier — fine quantizer
+    * trained by [[Similarity.kmeansCentroidsByExpr]] (the measured
+    * index-build winner: 4.4 s vs the table tier's 15.2 s at
+    * sf10/1024, SCALING.md r13), corpus assigned scan-locally
+    * ([[Similarity.ivfAssignedByExpr]] — no ×nlist expansion, no
+    * join-back) and laid out as one hive partition per list. The
+    * HIERARCHICAL model persists BESIDE the fine centroids: the
+    * coarse matrix (`$root/coarse`, trained driver-side over the fine
+    * matrix — metadata in, metadata out) makes the persisted artifact
+    * servable by all three nlist-unbounded tiers without retraining.
+    * Digest-chained to the embeddings source with a layout-version
+    * salt, exactly as the curated export. */
+  def ensureIvfProdIndexExport(s: SparkSession, sfDir: String): String = {
+    val root = ivfProdIndexRoot(sfDir)
+    val want = RelationalQueries.srcDigest(sfDir, "embeddings") + s":prod-$prodNlist-v1"
+    if (RelationalQueries.staleDigest(root, want)) {
+      import s.implicits._
+      val emb = t(s, sfDir, "embeddings")
+      val fine = Similarity.kmeansCentroidsByExpr(emb, nlist = prodNlist, iters = 2)
+      val coarse = Similarity.kmeansLocalCentroids(fine,
+        Similarity.coarseListsFor(prodNlist))
+      Similarity.ivfAssignedByExpr(fine, emb)
+        .write.mode("overwrite").partitionBy("__cid").parquet(s"$root/index")
+      fine.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cid", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/centroids")
+      coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("kid", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/coarse")
+      RelationalQueries.markFresh(root, want)
+    }
+    root
+  }
+
+  /** Read a persisted centroid matrix back in id order — the serving
+    * sessions' entry to every persisted quantizer artifact. */
+  private[queries] def readCentroids(s: SparkSession, path: String,
+                                     idCol: String = "cid"): Array[Array[Double]] =
+    s.read.parquet(path).orderBy(idCol).collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+
   /** Ingest-once index DELTA: a batch of new vectors (deterministic
     * synthetics — reversed embeddings under shifted ids) assigned with
     * the FROZEN centroids read from the persisted artifact and written
@@ -928,6 +985,85 @@ object PipelineQueries {
       Similarity.bruteForceTopK(emb, q, k = 10)
         .select($"query_id", $"nbr_id")
         .join(hier, Seq("query_id", "nbr_id"), "left")
+        .groupBy($"query_id")
+        .agg(sum(coalesce($"__hit", lit(0))).cast("long").as("hits_at_10"))
+        .orderBy("query_id")
+    }),
+    // PRODUCTION-NLIST PERSISTED SERVING — the r13 verdict's top item
+    // closed as a DECLARED query: the four tiers and the probes proved
+    // nlist=1024 serving (2.2-2.5×/batch pruned reads), but every
+    // gated persisted query still rode the literal tier at nlist=16.
+    // This one serves a 128-list index persisted by the s60 export
+    // machinery through the EXPRESSION tier (trained by
+    // kmeansCentroidsByExpr, assigned scan-locally, hive-partitioned
+    // per list) via ivfTopKOnIndexByExpr — probe selection is one
+    // fused top-nprobe loop in the query scan's projection, and the
+    // broadcast probe join on the partition column fires DYNAMIC
+    // PARTITION PRUNING on the index scan (pinned in PlanChecksSpec):
+    // the session reads ~nprobe/nlist of the index directories and
+    // retrains nothing. Same spliced-centroid oracle as s60/s83 — the
+    // answer must not depend on nlist provenance or where the
+    // assigned corpus lives.
+    "s90_ann_ivf_prod" -> ((s, dir) => {
+      import s.implicits._
+      val root = ensureIvfProdIndexExport(s, dir)
+      val fine = readCentroids(s, s"$root/centroids")
+      OracleStash.put(OracleStash.S90Cents, fine)
+      Similarity.ivfTopKOnIndexByExpr(fine, s.read.parquet(s"$root/index"),
+          t(s, dir, "embeddings").where($"vec_id" < 5), k = 10)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
+    // The SAME persisted production index behind the HIERARCHICAL
+    // serving shape: the coarse matrix persisted BESIDE the fine
+    // centroids (metadata-sized, trained at build time) drives
+    // hierTopKOnIndexByExpr — per query the fused loop scores ncoarse
+    // + cprobe·(nlist/ncoarse) centroids instead of nlist, the
+    // ≥10¹⁰-vector query-side lever over an index that was assigned
+    // EXACTLY (flat argmax at build time — the best-quality config: a
+    // build pays the flat scan once, queries pay the two-level loop
+    // forever). The oracle walks the hybrid path from the two spliced
+    // matrices: FLAT assignment (the build's rule) + the full
+    // two-level query probe re-derivation (ownership argmax, coarse
+    // probes, fine probes among owned lists) — nothing trusted but
+    // the persisted values.
+    "s91_ann_ivf_prod_hier" -> ((s, dir) => {
+      import s.implicits._
+      val root = ensureIvfProdIndexExport(s, dir)
+      val fine = readCentroids(s, s"$root/centroids")
+      val coarse = readCentroids(s, s"$root/coarse", idCol = "kid")
+      OracleStash.put(OracleStash.S91Model, (coarse, fine))
+      Similarity.hierTopKOnIndexByExpr(coarse, fine,
+          s.read.parquet(s"$root/index"),
+          t(s, dir, "embeddings").where($"vec_id" < 5), k = 10)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
+    // NPROBE-FOR-RECALL as an API + its gated audit (the d73
+    // discipline applied to the IVF family): derive the smallest
+    // nprobe that HOLDS recall@10 ≥ 0.7 on the query sample
+    // (Similarity.nprobeForRecall — measured doubling audit, exact
+    // ground truth over the SAMPLE only), then serve the persisted
+    // production index at the DERIVED nprobe and report the s88-style
+    // per-query hit counts. The oracle re-derives BOTH rankings at
+    // the STASHED nprobe — the derived config is itself
+    // correctness-checked, not just exercised: a drift in the
+    // derivation (or a recall regression at the derived knob) fails
+    // the gate in integers.
+    "s93_ann_recall_held" -> ((s, dir) => {
+      import s.implicits._
+      val root = ensureIvfProdIndexExport(s, dir)
+      val fine = readCentroids(s, s"$root/centroids")
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where($"vec_id" < 5)
+      val cfg = Similarity.nprobeForRecall(emb, q, fine, k = 10, targetRecall = 0.7)
+      OracleStash.put(OracleStash.S93Config, (fine, cfg.nprobe))
+      val ivf = Similarity.ivfTopKOnIndexByExpr(fine,
+          s.read.parquet(s"$root/index"), q, k = 10, nprobe = cfg.nprobe)
+        .select($"query_id", $"nbr_id").withColumn("__hit", lit(1))
+      Similarity.bruteForceTopK(emb, q, k = 10)
+        .select($"query_id", $"nbr_id")
+        .join(ivf, Seq("query_id", "nbr_id"), "left")
         .groupBy($"query_id")
         .agg(sum(coalesce($"__hit", lit(0))).cast("long").as("hits_at_10"))
         .orderBy("query_id")
@@ -2345,7 +2481,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle ++ annRecallHierOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle ++ annRecallHierOracle ++ prodServeOracle ++ prodHierOracle ++ recallHeldIvfOracle ++ prodStreamServeOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -2639,12 +2775,13 @@ object PipelineQueries {
     * nprobe change cannot reach one oracle and miss another. */
   private def ivfProbeCtes(cents: Array[Array[Double]],
       src: String = "SELECT vec_id, embedding FROM embeddings",
-      candPred: String = "", qPred: String = "vec_id < 5"): String =
+      candPred: String = "", qPred: String = "vec_id < 5",
+      nprobe: Int = 4): String =
     s"""${centroidAssignCtes(cents, "embedding", src)},
        |qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
        |  SELECT vec_id, embedding, cid,
        |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
-       |  FROM scored WHERE $qPred) WHERE rn <= 4),
+       |  FROM scored WHERE $qPred) WHERE rn <= $nprobe),
        |cand AS (SELECT q.query_id, a.vec_id AS nbr_id,
        |   ${duckCosine("q.qv", "a.embedding")} AS sim
        | FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id$candPred)"""
@@ -2848,6 +2985,89 @@ object PipelineQueries {
         s"""WITH ${hierPathCtes(co, fi, cprobe = 4, nprobe = 4, qPred = "vec_id < 5")},
            |$recallTailSql""".stripMargin
     }.toMap
+
+  /** s90's oracle: the identical probe/rank recompute from the
+    * persisted PRODUCTION-nlist quantizer — the spliced-VALUES form is
+    * size-agnostic, so the 128-list matrix read back from the index
+    * artifact splices exactly as the in-memory ones do; serving
+    * through the persisted layout must land on the same answers the
+    * probe semantics define (the s60 claim at production nlist). */
+  private def prodServeOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S90Cents)
+      .map(c => "s90_ann_ivf_prod" -> ivfProbeOracleSql(c)).toMap
+
+  /** The HYBRID serving recompute for s91 — FLAT assignment (the
+    * production index was built with the exact argmax; its rule is
+    * [[centroidAssignCtes]]'s, unchanged) + the full TWO-LEVEL query
+    * probe walk re-derived from the two spliced matrices (ownership
+    * argmax ties→low kid, coarse probes ties→high kid, fine probes
+    * among owned lists ties→high cid — [[hierPathCtes]]'s rules, with
+    * kscore restricted to the query rows because only the QUERY side
+    * walks the two-level path here). Ends at
+    * `cand(query_id, nbr_id, sim)`. */
+  private def hierQueryOnFlatCtes(coarse: Cents, fine: Cents,
+                                  cprobe: Int, nprobe: Int, qPred: String): String = {
+    val coarseValues = coarse.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(_.toString).mkString("[", ",", "]")})"
+    }.mkString(", ")
+    s"""${centroidAssignCtes(fine, "embedding")},
+       |cc AS (SELECT * FROM (VALUES $coarseValues) v(kid, kv)),
+       |f2c AS (SELECT cid, kid FROM (
+       |  SELECT f.cid, c.kid,
+       |   row_number() OVER (PARTITION BY f.cid
+       |     ORDER BY ${duckCosine("f.cv", "c.kv")} DESC, c.kid ASC) AS rn
+       |  FROM cents f CROSS JOIN cc c) WHERE rn = 1),
+       |kscore AS (SELECT e.vec_id, e.embedding, o.kid,
+       |   ${duckCosine("e.embedding", "o.kv")} AS s
+       | FROM (SELECT vec_id, embedding FROM embeddings WHERE $qPred) e CROSS JOIN
+       |  (SELECT cc.kid, cc.kv FROM cc
+       |    JOIN (SELECT DISTINCT kid FROM f2c) w USING (kid)) o),
+       |kprobe AS (SELECT vec_id, embedding, kid FROM (
+       |  SELECT vec_id, embedding, kid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, kid DESC) AS rn
+       |  FROM kscore) WHERE rn <= $cprobe),
+       |fscore AS (SELECT k.vec_id, k.embedding, f.cid,
+       |   ${duckCosine("k.embedding", "f.cv")} AS s
+       | FROM kprobe k JOIN f2c m ON m.kid = k.kid JOIN cents f ON f.cid = m.cid),
+       |qprobe AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+       |  SELECT vec_id, embedding, cid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+       |  FROM fscore) WHERE rn <= $nprobe),
+       |cand AS (SELECT q.query_id, a.vec_id AS nbr_id,
+       |   ${duckCosine("q.qv", "a.embedding")} AS sim
+       | FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id)"""
+      .stripMargin
+  }
+
+  private def prodHierOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S91Model).map { case (co, fi) =>
+      "s91_ann_ivf_prod_hier" ->
+        s"""WITH ${hierQueryOnFlatCtes(co, fi, cprobe = 4, nprobe = 4, qPred = "vec_id < 5")}
+           |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
+           | SELECT query_id, nbr_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM cand)
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    }.toMap
+
+  /** s93's oracle: the s88 recall audit with BOTH rankings re-derived
+    * at the STASHED derived nprobe — the d73 discipline for the IVF
+    * knob: the config [[Similarity.nprobeForRecall]] returned is
+    * itself what the gate checks, in integers. */
+  private def recallHeldIvfOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S93Config).map { case (c, np) =>
+      "s93_ann_recall_held" ->
+        s"""WITH ${ivfProbeCtes(c, nprobe = np)},
+           |$recallTailSql""".stripMargin
+    }.toMap
+
+  /** s92's centroids — SET by the production-nlist streaming serving
+    * query (StreamingQueries; the oracle lives here beside its
+    * s77/s78 siblings because it IS the same probe/rank recompute at
+    * production nlist: streaming, micro-batching, and per-batch
+    * static pruning must all be answer-invisible). */
+  private def prodStreamServeOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S92Cents).map(c => "s92_stream_ann_serving_prod" ->
+      ivfProbeOracleSql(c, qPred = "vec_id < 15")).toMap
 
   /** s65's oracle: the same probe/rank SQL with the metadata predicate
     * applied to the CANDIDATE side only (queries stay unfiltered) —

@@ -156,15 +156,24 @@ object StreamingQueries {
     * ivf index scan (0 when absent) — the per-batch form of
     * PlanChecksSpec's curated-scan probe, computed here because the
     * batch plan exists only inside the foreachBatch callback. */
-  private def ivfScanStaticInSize(df: DataFrame): Int =
+  private def ivfScanStaticInSize(df: DataFrame,
+                                  rootNeedle: String = "graft-ivf/"): Int =
     df.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
-          if f.relation.location.rootPaths.exists(_.toString.contains("graft-ivf/")) =>
+          if f.relation.location.rootPaths.exists(_.toString.contains(rootNeedle)) =>
         f.partitionFilters.collectFirst {
           case i: org.apache.spark.sql.catalyst.expressions.InSet => i.hset.size
           case i: org.apache.spark.sql.catalyst.expressions.In => i.list.size
         }.getOrElse(0)
     }.headOption.getOrElse(0)
+
+  /** s92's per-micro-batch pruning evidence — the s78 pins at
+    * PRODUCTION nlist: (queries, probe-cid count, static In/InSet
+    * size, nlist). The point the spec pins is that the InSet bound is
+    * STRUCTURAL in the batch (≤ 3·nprobe = 12) and therefore lands
+    * FAR from nlist=128 — the read fraction a serving bill actually
+    * pays. Keyed by batchId for retry idempotency, as s78. */
+  @volatile private[graft] var s92BatchPins: Map[Long, (Int, Int, Int, Int)] = Map.empty
 
   /**
    * Ingest-once HASH-SPLIT export of events: `splits` files keyed by
@@ -466,8 +475,12 @@ object StreamingQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value").cast("decimal(18,2)").as("v"))
       val q = proj.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(out)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // foreachBatch is AT-LEAST-ONCE: keying the landing by batchId
+          // with overwrite makes a retried micro-batch replace its own
+          // directory instead of appending duplicate rows (the s78/s87
+          // discipline; mode("append") was the one remaining hazard)
+          batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
         }
         .option("checkpointLocation", freshCheckpointDir(s, "s55_fb"))
         .trigger(Trigger.AvailableNow())
@@ -739,6 +752,66 @@ object StreamingQueries {
       // partition discovery adds the batch column; admission is
       // batch-invariant by the oracle's contract, so project it off
       s.read.parquet(out).select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+    // s78's PRUNED ONLINE SERVING at PRODUCTION NLIST — the r13
+    // verdict's item 1(b): the IvfTableProbe serve numbers
+    // (2.2-2.5×/batch at nlist=1024, read fraction 0.012) existed only
+    // as probe evidence; this declares the topology over the persisted
+    // 128-list expression-tier index. Same request bus (five batches
+    // of three), same driver-side probe selection (literalProbeCids is
+    // plain Scala — any nlist), same static `__cid IN (...)` planning-
+    // time pruning; the ranking stage is ivfTopKOnIndexByExpr (the
+    // literal tier s78 serves would need a 128-struct codegen'd
+    // projection — past its cap by design). The InSet bound stays
+    // structural at ≤ 3·nprobe = 12, which at nlist=128 is a 0.09 read
+    // fraction per batch — the pin now lands FAR from nlist, which is
+    // the whole production story. Oracle: the batch probe/rank
+    // recompute over all 15 requests from the spliced 128-list matrix
+    // — streaming, batching, and pruning answer-invisible, as s78.
+    "s92_stream_ann_serving_prod" -> ((s, dir) => {
+      import s.implicits._
+      val root = PipelineQueries.ensureIvfProdIndexExport(s, dir)
+      val cents = PipelineQueries.readCentroids(s, s"$root/centroids")
+      OracleStash.put(OracleStash.S92Cents, cents)
+      val reqRoot = ensureServeRequestExport(s, dir)
+      val out = RelationalQueries.dataRoot("s92-serve", dir, "emb")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val reqSchema = s.read.parquet(s"$reqRoot/r0").schema
+      val qstream = s.readStream.schema(reqSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$reqRoot/r*")
+      s92BatchPins = Map.empty
+      val q = qstream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // FLOAT request vectors, double promotion inside the kernel —
+          // bit-identical to the batch path, as s78
+          val reqs = batch.select(col("vec_id"), col("embedding")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1)))
+          if (reqs.nonEmpty) {
+            val cids = graft.operators.Similarity.literalProbeCids(
+              cents, reqs.map(_._2.map(_.toDouble).toArray).toSeq, nprobe = 4)
+            val pruned = s.read.parquet(s"$root/index")
+              .where(col("__cid").isin(cids.map(Integer.valueOf): _*))
+            val qdf = reqs.toSeq.toDF("vec_id", "embedding")
+            val res = graft.operators.Similarity
+              .ivfTopKOnIndexByExpr(cents, pruned, qdf, k = 10, nprobe = 4)
+              .select(col("query_id"), col("nbr_id"), col("rank"))
+            s92BatchPins += batchId ->
+              ((reqs.length, cids.size,
+                ivfScanStaticInSize(res, "graft-ivf-prod/"), cents.length))
+            // batchId-keyed overwrite: at-least-once retries idempotent
+            res.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+          }
+        }
+        .option("checkpointLocation", freshCheckpointDir(s, "s92_fb"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the serving answer is batch-invariant; project the partition-
+      // discovery batch column off
+      s.read.parquet(out).select("query_id", "nbr_id", "rank")
+        .orderBy("query_id", "rank")
     }),
     // Bounded-state sessionization on transformWithState with
     // EVENT-TIME TIMERS — s48's EventTimeTimeout contract on the

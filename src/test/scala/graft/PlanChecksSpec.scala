@@ -345,6 +345,37 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(scan.isDefined && scan.get.contains("__cid"), s"index scan: $scan\n${p.take(2000)}")
   }
 
+  test("s90: production-nlist serving dynamically prunes the persisted index partitions") {
+    // s60's pin at nlist=128 through the expression tier: the probe
+    // side is a real scan (embeddings filter), so the broadcast join
+    // on the partition column must inject a runtime pruning subquery
+    // on the index scan — the session reads ~nprobe/nlist of the
+    // 128-list index directories
+    val p = plan("s90_ann_ivf_prod")
+    assert(p.contains("dynamicpruningexpression"), p.take(3000))
+    val scan = p.linesIterator.find(l => l.contains("graft-ivf-prod") && l.contains("PartitionFilters"))
+    assert(scan.isDefined && scan.get.contains("__cid"), s"index scan: $scan\n${p.take(2000)}")
+  }
+
+  test("s92: every production-nlist serving micro-batch prunes the index FAR below nlist") {
+    // the s78 pin where it matters: at nlist=128 the structural probe
+    // union (≤ 3 queries × nprobe 4 = 12) is a 0.09 read fraction —
+    // the InSet lands far from nlist, which is the production serving
+    // bill the r13 probes measured and this query declares
+    SparkEntry.queries("s92_stream_ann_serving_prod")(spark, sf).collect()
+    val pins = graft.queries.StreamingQueries.s92BatchPins
+    assert(pins.size == 5, s"expected 5 micro-batches, got ${pins.size}")
+    pins.values.foreach { case (nq, ncids, inSize, nlist) =>
+      assert(nlist == graft.queries.PipelineQueries.prodNlist,
+        s"served index must be the production-nlist artifact, got $nlist")
+      assert(nq == 3, s"request batch should hold 3 queries, got $nq")
+      assert(ncids > 0 && ncids <= nq * 4 && ncids < nlist / 2,
+        s"probe union $ncids of $nlist lists is not a production-shaped read")
+      assert(inSize == ncids,
+        s"batch scan's static In/InSet has $inSize elements, probe union $ncids")
+    }
+  }
+
   test("d62: keep-best cluster rep aggregates (max-struct argmax), never a corpus Window sort") {
     val p = plan("d62_cluster_reps")
     assert(!p.contains("Window"), p.take(2000))
@@ -553,7 +584,13 @@ class PlanChecksSpec extends AnyFunSuite {
     val pins = graft.queries.StreamingQueries.s87BatchPins
     assert(pins.size == 5, s"expected 5 micro-batches, got ${pins.size}")
     assert(pins.values.forall(_._1 > 0), s"an ingest batch was empty: $pins")
-    assert(pins.values.map(_._1).sum == 250, s"batches must cover the new side: $pins")
+    // coverage bound derived from the SOURCE (the d44 split convention:
+    // new side = doc_id >= 250), not a corpus-size literal — the
+    // assertion survives a test-corpus resize (r13 advice)
+    val newSide = spark.read.parquet(s"$sf/documents.parquet")
+      .where(org.apache.spark.sql.functions.col("doc_id") >= 250).count()
+    assert(pins.values.map(_._1).sum == newSide,
+      s"batches must cover the new side ($newSide docs): $pins")
     assert(pins.values.forall { case (in, out) => out <= in }, s"pins: $pins")
     val batch = SparkEntry.queries("d44_incremental_dedup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.get(1))).toSet

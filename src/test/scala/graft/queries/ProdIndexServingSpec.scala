@@ -1,0 +1,106 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.operators.Similarity
+
+/**
+ * The PRODUCTION-nlist persisted serving arc (s90/s91/s93): export
+ * artifacts, tier equivalences over the persisted index, and the
+ * nprobe-for-recall derivation contract.
+ */
+class ProdIndexServingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val dir = SparkTestSession.sf0001
+  private lazy val root = PipelineQueries.ensureIvfProdIndexExport(spark, dir)
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("export persists the hive-partitioned index plus BOTH quantizer matrices") {
+    val nlist = PipelineQueries.prodNlist
+    val fine = PipelineQueries.readCentroids(spark, s"$root/centroids")
+    val coarse = PipelineQueries.readCentroids(spark, s"$root/coarse", idCol = "kid")
+    assert(fine.length === nlist)
+    assert(coarse.length === Similarity.coarseListsFor(nlist))
+    // the layout the serving scans prune: one hive partition per list
+    val listDirs = Option(Paths.get(root, "index").toFile.listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("__cid="))
+    assert(listDirs > 1 && listDirs <= nlist,
+      s"expected __cid= hive partitions, found $listDirs")
+    assert(Files.exists(Paths.get(root, "_SUCCESS")))
+  }
+
+  test("persisted fine matrix round-trips the deterministic trainer bit-for-bit") {
+    // doubles round-trip parquet exactly and the expression-tier
+    // trainer is a pure function of the corpus — so a read-back matrix
+    // that differs from a same-session retrain means the export wrote
+    // a different model than it claims
+    val fine = PipelineQueries.readCentroids(spark, s"$root/centroids")
+    val retrained = Similarity.kmeansCentroidsByExpr(emb,
+      nlist = PipelineQueries.prodNlist, iters = 2)
+    assert(fine.length === retrained.length)
+    fine.zip(retrained).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.sameElements(b), s"centroid $i drifted on the round-trip")
+    }
+    // the coarse matrix is likewise a pure function of the fine one
+    val coarse = PipelineQueries.readCentroids(spark, s"$root/coarse", idCol = "kid")
+    val recoarse = Similarity.kmeansLocalCentroids(fine,
+      Similarity.coarseListsFor(PipelineQueries.prodNlist))
+    coarse.zip(recoarse).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.sameElements(b), s"coarse centroid $i drifted on the round-trip")
+    }
+  }
+
+  test("hier serving over the persisted index degenerates to flat at cprobe = ncoarse") {
+    // with every owned coarse cell probed, the two-level query walk
+    // sees every fine list the flat walk sees — answers must be
+    // row-identical over the SAME persisted (flat-assigned) index
+    val fine = PipelineQueries.readCentroids(spark, s"$root/centroids")
+    val coarse = PipelineQueries.readCentroids(spark, s"$root/coarse", idCol = "kid")
+    val idx = spark.read.parquet(s"$root/index")
+    val q = emb.where($"vec_id" < 5)
+    val flat = Similarity.ivfTopKOnIndexByExpr(fine, idx, q, k = 10)
+      .select($"query_id", $"nbr_id", $"rank").orderBy("query_id", "rank").collect()
+    val hier = Similarity.hierTopKOnIndexByExpr(coarse, fine, idx, q, k = 10,
+        cprobe = coarse.length)
+      .select($"query_id", $"nbr_id", $"rank").orderBy("query_id", "rank").collect()
+    assert(flat.nonEmpty && flat.toSeq === hier.toSeq)
+  }
+
+  test("nprobeForRecall: derived config holds its target and reports honest recall") {
+    val fine = PipelineQueries.readCentroids(spark, s"$root/centroids")
+    val q = emb.where($"vec_id" < 5)
+    val cfg = Similarity.nprobeForRecall(emb, q, fine, k = 10, targetRecall = 0.7)
+    assert(cfg.recall >= 0.7, s"derived nprobe=${cfg.nprobe} measured ${cfg.recall}")
+    assert(cfg.nprobe >= 1 && cfg.nprobe <= fine.length)
+    // the derivation picks the SMALLEST doubling step that holds the
+    // target: the previous step (half the probes) must fall short —
+    // otherwise the loop overshot
+    if (cfg.nprobe > 1) {
+      val prev = Similarity.ivfTopKByExpr(fine, emb, q, k = 10, nprobe = cfg.nprobe / 2)
+        .select($"query_id", $"nbr_id")
+      val hits = Similarity.bruteForceTopK(emb, q, k = 10)
+        .select($"query_id", $"nbr_id")
+        .join(prev, Seq("query_id", "nbr_id")).count()
+      assert(hits.toDouble / 50 < 0.7,
+        s"nprobe=${cfg.nprobe / 2} already held the target; derivation overshot")
+    }
+  }
+
+  test("nprobeForRecall: boundary targets degenerate cleanly") {
+    val fine = PipelineQueries.readCentroids(spark, s"$root/centroids")
+    val q = emb.where($"vec_id" < 3)
+    // a trivially low target is held by the first probe
+    val lo = Similarity.nprobeForRecall(emb, q, fine, k = 5, targetRecall = 0.001)
+    assert(lo.nprobe === 1)
+    // target 1.0 terminates (structurally: probing all lists is exact)
+    // and reports recall exactly 1
+    val hi = Similarity.nprobeForRecall(emb, q, fine, k = 5, targetRecall = 1.0)
+    assert(hi.recall === 1.0)
+    assert(hi.nprobe <= fine.length)
+  }
+}

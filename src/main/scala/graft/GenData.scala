@@ -42,8 +42,23 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, TimestampN
  * split counts grow with the data the way a real ingest layout would.
  *
  * Usage: runMain graft.GenData <srcSfDir> <outDir> <sf> [table,table,...]
+ *                              [clusters=K[:sigma]]
  * (the optional 4th arg restricts generation to the named tables —
  * e.g. a lineitem-only sf10 corpus for the AQE skew-split check)
+ *
+ * `clusters=K[:sigma]` switches the EMBEDDINGS table to a CLUSTERED
+ * mixture-of-gaussians mode (round 14 — the r13 verdict's item 2:
+ * every recall/agreement number had been measured only on the
+ * isotropic corpus, the adversarial case for same-list agreement and
+ * the favorable one for end-metric stability). Each vector draws a
+ * cluster id from a hash stream, its raw value is the cluster's
+ * deterministic unit center plus iid N(0, sigma²) per dimension, then
+ * L2-normalized — expected point-to-center cosine ≈ 1/√(1+dim·σ²)
+ * (σ=0.125, dim=64 → ≈ 0.71; same-cluster pairwise ≈ 0.5), vs the
+ * isotropic corpus's ≈ 0. Labels follow the cluster (label = cluster
+ * mod 10) so the 1-NN label eval has genuine cluster-aligned signal.
+ * As deterministic as every other table: a pure function of
+ * (id, K, sigma) via the same xxhash64 streams.
  */
 object GenData {
 
@@ -85,7 +100,14 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, sfStr) = args.take(3)
     val sf = sfStr.toDouble
-    val only: Set[String] = args.drop(3).headOption.map(_.split(",").toSet).getOrElse(Set.empty)
+    val extra = args.drop(3)
+    val embClusters: Option[(Int, Double)] = extra.find(_.startsWith("clusters="))
+      .map { a =>
+        val p = a.stripPrefix("clusters=").split(":")
+        (p(0).toInt, p.lift(1).map(_.toDouble).getOrElse(0.125))
+      }
+    val only: Set[String] = extra.filterNot(_.startsWith("clusters="))
+      .headOption.map(_.split(",").toSet).getOrElse(Set.empty)
     def wanted(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -209,13 +231,34 @@ object GenData {
         length(col("text")).cast("long").as("n_chars"))
     write(docs, "documents", parts = sfParts)
 
-    val vecs = spark.range(nVecs)
-      .withColumn("raw", transform(sequence(lit(0), lit(63)), i => gauss("v/e", col("id"), i)))
-      .withColumn("norm", sqrt(aggregate(col("raw"), lit(0.0), (acc, x) => acc + x * x)))
-      .select(
-        col("id").as("vec_id"),
-        transform(col("raw"), x => x / col("norm")).cast(ArrayType(FloatType, containsNull = true)).as("embedding"),
-        pmod(xxhash64(lit("v/l"), col("id")), lit(10)).cast(IntegerType).as("label"))
+    val vecs = embClusters match {
+      case None =>
+        spark.range(nVecs)
+          .withColumn("raw", transform(sequence(lit(0), lit(63)), i => gauss("v/e", col("id"), i)))
+          .withColumn("norm", sqrt(aggregate(col("raw"), lit(0.0), (acc, x) => acc + x * x)))
+          .select(
+            col("id").as("vec_id"),
+            transform(col("raw"), x => x / col("norm")).cast(ArrayType(FloatType, containsNull = true)).as("embedding"),
+            pmod(xxhash64(lit("v/l"), col("id")), lit(10)).cast(IntegerType).as("label"))
+      case Some((k, sigma)) =>
+        // mixture of gaussians: unit cluster center (deterministic in
+        // the cluster id) + iid N(0, sigma^2) noise, L2-normalized.
+        // Everything stays scan-local column arithmetic — the center is
+        // recomputed per row from its hash stream (64 gauss draws),
+        // never joined from a table
+        spark.range(nVecs)
+          .withColumn("cl", pmod(xxhash64(lit("v/cl"), col("id")), lit(k)))
+          .withColumn("mu", transform(sequence(lit(0), lit(63)), i => gauss("v/mu", col("cl"), i)))
+          .withColumn("mun", sqrt(aggregate(col("mu"), lit(0.0), (acc, x) => acc + x * x)))
+          .withColumn("raw", zip_with(col("mu"),
+            transform(sequence(lit(0), lit(63)), i => gauss("v/e", col("id"), i)),
+            (m, g) => m / col("mun") + lit(sigma) * g))
+          .withColumn("norm", sqrt(aggregate(col("raw"), lit(0.0), (acc, x) => acc + x * x)))
+          .select(
+            col("id").as("vec_id"),
+            transform(col("raw"), x => x / col("norm")).cast(ArrayType(FloatType, containsNull = true)).as("embedding"),
+            (col("cl") % 10).cast(IntegerType).as("label"))
+    }
     write(vecs, "embeddings", parts = sfParts)
 
     println(s"[gendata] done: sf=$sf at $outDir")

@@ -59,6 +59,7 @@ import graft.operators.Similarity
  *   runMain graft.IvfTableProbe evalexpr <sfDir> [maxBits] [runs]
  *   runMain graft.IvfTableProbe evalhier <sfDir> [nlist]   [runs]   (nlist 0 -> sqrt-law)
  *   runMain graft.IvfTableProbe serve    <sfDir> [nlist]   [runs]
+ *   runMain graft.IvfTableProbe recall   <sfDir> [nlist]            (nlist 0 -> sqrt-law)
  * Env (as Profile): SPARK_GRAFT_CPUS, SPARK_GRAFT_PARTITIONS.
  */
 object IvfTableProbe {
@@ -91,7 +92,8 @@ object IvfTableProbe {
       case "evalexpr" => evalExprMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(10), runs)
       case "evalhier" => evalHierMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(0), runs)
       case "serve"    => serveMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(128), runs)
-      case other      => sys.error(s"unknown mode '$other' (eval|evalexpr|evalhier|serve)")
+      case "recall"   => recallMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(0))
+      case other      => sys.error(s"unknown mode '$other' (eval|evalexpr|evalhier|serve|recall)")
     }
     spark.stop()
   }
@@ -174,7 +176,9 @@ object IvfTableProbe {
     val ncoarse = Similarity.coarseListsFor(nlist, cprobe)
     println(s"[tableprobe] evalhier corpus n=$n nlist=$nlist ncoarse=$ncoarse " +
       s"cprobe=$cprobe nprobe=4 (per-row quantizer cosines: flat=$nlist " +
-      s"hier=${ncoarse + cprobe * (nlist / ncoarse)})")
+      // double arithmetic so the printed cost matches the docstring's
+      // ncoarse + cprobe*nlist/ncoarse even when ncoarse ∤ nlist
+      f"hier=${ncoarse + cprobe * nlist.toDouble / ncoarse}%.1f)")
     val t0 = System.nanoTime()
     val fine = Similarity.kmeansCentroidsByExpr(emb, nlist = nlist, iters = 2)
     val trainFine = (System.nanoTime() - t0) / 1e9
@@ -204,18 +208,28 @@ object IvfTableProbe {
     println(f"[tableprobe] evalhier assign(min) flat=$bestAssF%.1f s hier=$bestAssH%.1f s " +
       f"same-list=${agreeRow.getLong(1)}/${agreeRow.getLong(0)} " +
       f"(${agreeRow.getLong(1).toDouble / agreeRow.getLong(0)}%.4f)")
+    // LIST-OCCUPANCY distribution under each assignment (r13 verdict
+    // item 3: the sf100 hier eval loss was ATTRIBUTED to skew in prose
+    // — print the distribution so the attribution is a measurement).
+    // nlist counts are metadata; the stats run on the driver.
+    occStats(Similarity.ivfAssignedByExpr(fine, emb), "flat", nlist)
+    occStats(Similarity.hierAssignedByExpr(coarse, fine, emb, cprobe), "hier", nlist)
     var bestF = Double.MaxValue; var bestH = Double.MaxValue
     var aF = (-1L, -1L); var aH = (-1L, -1L)
-    (1 to runs).foreach { _ =>
+    (1 to runs).foreach { i =>
+      // on the last run, report whether AQE's skew-split fired on the
+      // corpus-sized candidate equi-join (the a74 machinery — same
+      // join shape; the question the r13 verdict left open)
       val t4 = System.nanoTime()
       aF = runLabelEval(spark, emb,
         Similarity.ivfTopKByExpr(fine, emb, emb, k = 1, broadcastQueries = false,
-          rankAgg = true))
+          rankAgg = true), skewLabel = if (i == runs) "flat" else null)
       bestF = math.min(bestF, (System.nanoTime() - t4) / 1e9)
       val t5 = System.nanoTime()
       aH = runLabelEval(spark, emb,
         Similarity.hierTopKByExpr(coarse, fine, emb, emb, k = 1,
-          cprobe = cprobe, broadcastQueries = false, rankAgg = true))
+          cprobe = cprobe, broadcastQueries = false, rankAgg = true),
+        skewLabel = if (i == runs) "hier" else null)
       bestH = math.min(bestH, (System.nanoTime() - t5) / 1e9)
     }
     println(f"[tableprobe] evalhier eval(min) flat=$bestF%.1f s hier=$bestH%.1f s " +
@@ -238,16 +252,72 @@ object IvfTableProbe {
     emb.unpersist()
   }
 
+  /** The s88/s89 recall@10 audit as a PROBE (r14 — the r13 verdict's
+    * item 2 needs it on corpora the gate never sees): exact top-10
+    * ground truth over a 50-query sample, intersected with the flat
+    * probe (nprobe=4), the hierarchical probe (cprobe=4), and the
+    * recall-HELD flat config ([[Similarity.nprobeForRecall]] at 0.7 —
+    * pricing the knob on THIS corpus). Run it on an isotropic and a
+    * `clusters=K` GenData corpus at the same n to measure what cluster
+    * structure does to the same-list/agreement story vs the end
+    * metric. nlist 0 → the √-law count. */
+  private def recallMode(spark: SparkSession, embRaw: DataFrame, nlistArg: Int): Unit = {
+    val emb = embRaw.select(col("vec_id"), col("embedding"))
+    emb.persist(); val n = emb.count()
+    val nlist = if (nlistArg > 0) nlistArg else Similarity.ivfListsBalanced(n)
+    val cprobe = 4
+    val ncoarse = Similarity.coarseListsFor(nlist, cprobe)
+    println(s"[tableprobe] recall corpus n=$n nlist=$nlist ncoarse=$ncoarse nprobe=4 cprobe=$cprobe k=10 sample=50")
+    val fine = Similarity.kmeansCentroidsByExpr(emb, nlist = nlist, iters = 2)
+    val coarse = Similarity.kmeansLocalCentroids(fine, ncoarse)
+    val q = emb.where(col("vec_id") < 50)
+    val truth = Similarity.bruteForceTopK(emb, q, k = 10)
+      .select(col("query_id"), col("nbr_id")).localCheckpoint(true)
+    val denom = truth.count().toDouble
+    def recallOf(tk: DataFrame): Double =
+      truth.join(tk.select(col("query_id"), col("nbr_id")),
+        Seq("query_id", "nbr_id")).count() / denom
+    val rFlat = recallOf(Similarity.ivfTopKByExpr(fine, emb, q, k = 10))
+    val rHier = recallOf(Similarity.hierTopKByExpr(coarse, fine, emb, q, k = 10, cprobe = cprobe))
+    println(f"[tableprobe] recall@10 flat(nprobe=4)=$rFlat%.3f hier(cprobe=4)=$rHier%.3f")
+    val cfg = Similarity.nprobeForRecall(emb, q, fine, k = 10, targetRecall = 0.7)
+    println(f"[tableprobe] recall-held(0.7): derived nprobe=${cfg.nprobe} measured=${cfg.recall}%.3f " +
+      f"(probed fraction ${cfg.nprobe.toDouble / nlist}%.3f)")
+    emb.unpersist()
+  }
+
+  /** Per-list occupancy stats for an assigned frame — median/p99/max
+    * of the nonempty list sizes, the skew a corpus-sized candidate
+    * equi-join on `__cid` pays for. */
+  private def occStats(assigned: DataFrame, label: String, nlist: Int): Unit = {
+    val counts = assigned.groupBy("__cid").count()
+      .collect().map(_.getLong(1)).sorted
+    val ne = counts.length
+    val med = counts(ne / 2)
+    val p99 = counts(math.min(ne - 1, (ne * 0.99).toInt))
+    println(f"[tableprobe] occupancy $label: nonempty=$ne/$nlist med=$med " +
+      f"p99=$p99 max=${counts.last} (max/med=${counts.last.toDouble / med}%.1f)")
+  }
+
   /** One leave-one-out label-agreement pass over a 1-NN frame; returns
-    * (n, correct) so the probe's numbers are a real eval. */
-  private def runLabelEval(spark: SparkSession, emb: DataFrame, nn: DataFrame): (Long, Long) = {
+    * (n, correct) so the probe's numbers are a real eval. When
+    * `skewLabel` is set, also reports whether AQE's skew-split rewrote
+    * any shuffle join in the EXECUTED plan (`skew=true` — the a74
+    * observable, checked here on the eval's candidate join). */
+  private def runLabelEval(spark: SparkSession, emb: DataFrame, nn: DataFrame,
+                           skewLabel: String = null): (Long, Long) = {
     val lab = emb.select(col("vec_id"), col("label"))
-    val r = nn.where(col("rank") === 1)
+    val frame = nn.where(col("rank") === 1)
       .join(lab.toDF("query_id", "ql"), "query_id")
       .join(lab.toDF("nbr_id", "nl"), "nbr_id")
       .agg(count(lit(1)).as("n"),
         sum(when(col("ql") === col("nl"), 1L).otherwise(0L)).as("ok"))
-      .collect()(0)
+    val r = frame.collect()(0)
+    if (skewLabel != null) {
+      val p = frame.queryExecution.executedPlan.toString
+      println(s"[tableprobe] evalhier $skewLabel candidate-join skew=true in plan: " +
+        s"${p.contains("skew=true")}")
+    }
     SessionHygiene.sweep(spark)
     (r.getLong(0), r.getLong(1))
   }

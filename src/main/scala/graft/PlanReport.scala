@@ -163,6 +163,12 @@ object PlanReport {
       "production training capstone: d48's seven stages with the component stage's candidates from the MinHash (band, bucket) equi-join instead of the sf10-infeasible exact Sigma-df2 stage; the visible plan is the post-checkpoint decontamination/rebalance/chunk chain — its one BroadcastNestedLoopJoin is the broadcast ONE-ROW temperature threshold (a50's mechanism), never a pair scan (candidate-join shape pinned separately in PlanChecksSpec)",
     "s85_ann_ivf_hier" ->
       "the HIERARCHICAL two-level tier (fourth tier, r13): BOTH matrices (coarse + fine) ride the plan as Literals and assignment/probe selection are fused two-level while-loops inside the scan projection (HierArgmax / HierProbes -> explode of a <=nprobe array) — per row ncoarse + cprobe*(nlist/ncoarse) cosines instead of nlist, the sqrt-law cut of the quantizer-scan term that dominates past ~10^10 vectors; no per-centroid structs (array_sort absent), no row expansion, no join-back, and the only exchange is the same list-id candidate equi-join as s83; the fine->coarse ownership map is DERIVED (argmax, ties->low kid) so the oracle re-derives it from the spliced VALUES and walks the whole two-level path — empty coarse cells never probed (spec-pinned), answers identical to the flat tier at cprobe=ncoarse (spec-pinned)",
+    "s90_ann_ivf_prod" ->
+      "PRODUCTION-NLIST persisted serving (r14): a 128-list expression-tier index read back from its hive-partitioned layout — probe selection is the fused CentroidProbes loop in the query scan's projection (the whole matrix one plan Literal, no per-centroid structs), and the broadcast probe join on the partition column injects dynamicpruningexpression on the index scan (the s60 mechanism, 8x past the literal cap): the session reads ~nprobe/nlist of the index directories and retrains nothing; the coarse matrix persists beside the fine one, so the same artifact also serves s91 (hier query walk) and s92 (pruned streaming topology, per-batch static-InSet pins in PlanChecksSpec)",
+    "s91_ann_ivf_prod_hier" ->
+      "the persisted production index behind the HIERARCHICAL query walk: assignment stays the build-time exact argmax (the index partitions ARE the assignment), queries run the fused two-level loop (HierProbes — ncoarse + cprobe*(nlist/ncoarse) cosines instead of nlist); the oracle re-derives the HYBRID path (flat assign + two-level probes) from the two spliced matrices — the best-quality production config: the build pays the flat scan once, every query pays the sqrt-law loop",
+    "s93_ann_recall_held" ->
+      "nprobe-for-recall (the d73 discipline for the IVF knob): nprobeForRecall derives the smallest nprobe holding recall@10 >= 0.7 by the measured audit (exact ground truth ONCE over the 5-query sample — localCheckpointed id pairs, metadata; doubling probes re-score only the probe side), then the declared result serves the persisted index at the derived knob; the oracle re-derives BOTH rankings at the STASHED nprobe, so the derivation itself is hash-gated (gate corpus: nprobe=16 of 128, recall 0.78)",
     "t54_sequence_packing" ->
       "sequence packing (the batch-assembly stage): slot-hash shard assignment is scan-local codegen, the running token total is a per-SHARD window cumsum (nshards-way parallel — packing order is inherently sequential, so the shard IS the unit of parallelism; a global order would be one single-partition window), and the per-sequence manifest folds through one partial+final aggregation; docs are never split, a sequence overflows by at most one doc (spec-pinned bounds)",
     "d83_minhash_nonascii" ->

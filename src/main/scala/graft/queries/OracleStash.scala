@@ -80,6 +80,7 @@ private[queries] object OracleStash {
   /** recall-held audit: (fine matrix, derived nprobe) */
   case object S93Config extends Slot[(Cents, Int)]("s93.config")
   case object S94Cents extends Slot[Cents]("s94.cents")
+  case object S95Cents extends Slot[Cents]("s95.cents")
   case object D36Bits extends Slot[Int]("d36.bits")
   case object D56Bits extends Slot[Int]("d56.bits")
   case object D73Config extends Slot[graft.operators.Similarity.LshConfig]("d73.config")

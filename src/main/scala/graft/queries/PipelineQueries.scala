@@ -210,7 +210,10 @@ object PipelineQueries {
     * salt, exactly as the curated export. */
   def ensureIvfProdIndexExport(s: SparkSession, sfDir: String): String = {
     val root = ivfProdIndexRoot(sfDir)
-    val want = RelationalQueries.srcDigest(sfDir, "embeddings") + s":prod-$prodNlist-v1"
+    // v2: the INT8-quantized sibling layout ships beside the
+    // full-precision one (same lists, same assignment, ~4× smaller
+    // stored vectors — the serving-footprint lever s95 declares)
+    val want = RelationalQueries.srcDigest(sfDir, "embeddings") + s":prod-$prodNlist-v3"
     if (RelationalQueries.staleDigest(root, want)) {
       import s.implicits._
       val emb = t(s, sfDir, "embeddings")
@@ -219,6 +222,8 @@ object PipelineQueries {
         Similarity.coarseListsFor(prodNlist))
       Similarity.ivfAssignedByExpr(fine, emb)
         .write.mode("overwrite").partitionBy("__cid").parquet(s"$root/index")
+      Similarity.quantizedAssignedByExpr(fine, emb)
+        .write.mode("overwrite").partitionBy("__cid").parquet(s"$root/qindex")
       fine.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cid", "centroid").coalesce(1)
         .write.mode("overwrite").parquet(s"$root/centroids")
@@ -1067,6 +1072,31 @@ object PipelineQueries {
         .groupBy($"query_id")
         .agg(sum(coalesce($"__hit", lit(0))).cast("long").as("hits_at_10"))
         .orderBy("query_id")
+    }),
+    // QUANTIZED persisted serving with exact refine — the index-SIZE
+    // lever on the production layout (s39's int8 arithmetic + s62's
+    // refine stack + s90's persisted index, composed): the qindex
+    // stores int8-quantized vectors (4× smaller at rest and in flight;
+    // assignment stayed full-precision at build), candidates score by
+    // quantized cosine over the DPP-pruned scan, and the refine-deep
+    // shortlist (queries × 20 id pairs — metadata) broadcasts into ONE
+    // full-precision corpus scan for the true-cosine re-rank. The
+    // oracle re-derives the whole composition: flat assignment and
+    // probes from the spliced matrix at full precision, per-vector
+    // int8 quantization in SQL (exact small integers), the quantized
+    // shortlist, and the exact re-rank — a drift anywhere in the
+    // two-stage pipeline hash-fails.
+    "s95_ann_ivf_prod_quantized" -> ((s, dir) => {
+      import s.implicits._
+      val root = ensureIvfProdIndexExport(s, dir)
+      val fine = readCentroids(s, s"$root/centroids")
+      OracleStash.put(OracleStash.S95Cents, fine)
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfQuantizedRefineTopKOnIndexByExpr(fine,
+          s.read.parquet(s"$root/qindex"), emb,
+          emb.where($"vec_id" < 5), k = 10, refine = 20)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
     }),
     // PCA embedding projection — the compression/rotation step a
     // pipeline runs before storing or indexing vectors: project every
@@ -2481,7 +2511,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle ++ annRecallHierOracle ++ prodServeOracle ++ prodHierOracle ++ recallHeldIvfOracle ++ prodStreamServeOracle ++ streamIngestIndexOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle ++ annRecallHierOracle ++ prodServeOracle ++ prodHierOracle ++ recallHeldIvfOracle ++ prodStreamServeOracle ++ streamIngestIndexOracle ++ prodQuantizedOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -3068,6 +3098,46 @@ object PipelineQueries {
   private def prodStreamServeOracle: Map[String, String] =
     OracleStash.get(OracleStash.S92Cents).map(c => "s92_stream_ann_serving_prod" ->
       ivfProbeOracleSql(c, qPred = "vec_id < 15")).toMap
+
+  /** s95's oracle: the full two-stage quantized-serve recompute —
+    * flat assignment and query probes from the spliced matrix at FULL
+    * precision (the build/probe rule), per-vector int8 quantization in
+    * SQL (s39's exact-small-integer arithmetic), quantized-cosine
+    * shortlist at refine=20, exact-cosine re-rank to k=10. Every
+    * tie-break matches the kernel's (sim DESC, nbr_id). */
+  private def prodQuantizedOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S95Cents).map { c =>
+      val mx = "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))"
+      val qv = s"list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * " +
+        s"(CASE WHEN $mx = 0 THEN 0 ELSE 127.0 / $mx END) + 0.5))"
+      "s95_ann_ivf_prod_quantized" ->
+        s"""WITH ${centroidAssignCtes(c, "embedding")},
+           |qprobe AS (SELECT vec_id AS query_id, cid FROM (
+           |  SELECT vec_id, cid,
+           |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+           |  FROM scored WHERE vec_id < 5) WHERE rn <= 4),
+           |z AS (SELECT vec_id, $qv AS qvv FROM embeddings),
+           |nz AS (SELECT vec_id, qvv, sqrt(${duckDot("qvv", "qvv")}) AS nrm FROM z),
+           |cand AS (SELECT q.query_id, a.vec_id AS nbr_id,
+           |   (CASE WHEN zq.nrm * zn.nrm = 0 THEN 0.0
+           |         ELSE ${duckDot("zq.qvv", "zn.qvv")} / (zq.nrm * zn.nrm) END) AS sim
+           | FROM qprobe q
+           | JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id
+           | JOIN nz zq ON zq.vec_id = q.query_id
+           | JOIN nz zn ON zn.vec_id = a.vec_id),
+           |short AS (SELECT query_id, nbr_id FROM (
+           |  SELECT query_id, nbr_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rn
+           |  FROM cand) WHERE rn <= 20),
+           |ex AS (SELECT s.query_id, s.nbr_id,
+           |   ${duckCosine("eq.embedding", "en.embedding")} AS sim
+           | FROM short s JOIN embeddings eq ON eq.vec_id = s.query_id
+           |              JOIN embeddings en ON en.vec_id = s.nbr_id)
+           |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
+           | SELECT query_id, nbr_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM ex)
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    }.toMap
 
   /** s94's oracle: the s61-shaped base ∪ delta probe/rank recompute
     * from the spliced production matrix — per-vector assignment is a

@@ -119,6 +119,39 @@ class ProdIndexServingSpec extends AnyFunSuite {
         s"ceiling recall ${ceiling.recall} != flat recall $flatRecall")
   }
 
+  test("quantized index: byte carrier round-trips the int8 values bit-for-bit") {
+    val stored = spark.read.parquet(s"$root/qindex")
+      .select($"nbr_id", $"cvec".cast("array<double>").as("stored"))
+    val expected = emb.select($"vec_id".as("nbr_id"),
+      graft.operators.Similarity.quantizeInt8($"embedding").as("expected"))
+    // tinyint schema is the footprint claim; equality is the losslessness claim
+    assert(spark.read.parquet(s"$root/qindex").schema("cvec").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    val mismatches = stored.join(expected, "nbr_id")
+      .where(!($"stored" <=> $"expected")).count()
+    assert(mismatches === 0L)
+  }
+
+  test("quantized serving: exact refine recovers at least the quantized-only recall") {
+    // the s62 discipline on the int8 layout: the refine-deep shortlist
+    // re-ranked by true cosine must hit the exact top-10 at least as
+    // often as serving the quantized scores directly (refine = k keeps
+    // the candidate SET equal to the quantized top-10 — re-ranking a
+    // set cannot change membership)
+    val fine = PipelineQueries.readCentroids(spark, s"$root/centroids")
+    val qidx = spark.read.parquet(s"$root/qindex")
+    val q = emb.where($"vec_id" < 5)
+    val truth = graft.operators.Similarity.bruteForceTopK(emb, q, k = 10)
+      .select($"query_id", $"nbr_id")
+    def hits(refine: Int): Long =
+      truth.join(graft.operators.Similarity
+          .ivfQuantizedRefineTopKOnIndexByExpr(fine, qidx, emb, q, k = 10, refine = refine)
+          .select($"query_id", $"nbr_id"),
+        Seq("query_id", "nbr_id")).count()
+    assert(hits(20) >= hits(10),
+      "a 20-deep exact re-rank must not lose to quantized-only top-10")
+  }
+
   test("nprobeForRecall: boundary targets degenerate cleanly") {
     val fine = PipelineQueries.readCentroids(spark, s"$root/centroids")
     val q = emb.where($"vec_id" < 3)

@@ -171,6 +171,8 @@ object PlanReport {
       "nprobe-for-recall (the d73 discipline for the IVF knob): nprobeForRecall derives the smallest nprobe holding recall@10 >= 0.7 by the measured audit (exact ground truth ONCE over the 5-query sample — localCheckpointed id pairs, metadata; doubling probes re-score only the probe side), then the declared result serves the persisted index at the derived knob; the oracle re-derives BOTH rankings at the STASHED nprobe, so the derivation itself is hash-gated (gate corpus: nprobe=16 of 128, recall 0.78)",
     "s95_ann_ivf_prod_quantized" ->
       "QUANTIZED persisted serving with exact refine (the index-SIZE lever): the int8 sibling index stores vectors as array<tinyint> (lossless — exact integers in [-127,127]; measured 2.05x smaller than the float32 index at 20k vectors, 4x asymptotic on the data column) and widens back to double INSIDE the scan projection; candidates score by quantized cosine over the DPP-pruned list scan, then the refine-deep shortlist (queries x 20 id pairs — metadata) broadcasts into ONE full-precision corpus scan for the true-cosine re-rank (s62's hit-set fetch); assignment stayed full-precision at build, so the oracle re-derives flat assignment + probes from the spliced matrix, the int8 quantization in SQL, the quantized shortlist, and the exact re-rank",
+    "s96_ann_index_refresh" ->
+      "INDEX REFRESH (the lifecycle stage between append-forever and cold retrain): one warm-started Lloyd round over base UNION delta seeded from the persisted centroids — the round's plan is the SAME scan-local expression-tier assignment + (nlist x dim)-row update aggregate as the cold trainer (cost of one cold round; the saving is in ROUNDS, because the seed is already near the optimum), and serving from the refreshed matrix is the standard probe/rank shape; warm-from-firstN == cold is pinned bit-for-bit in spec, so refresh semantics cannot drift from the trainer family's",
     "t54_sequence_packing" ->
       "sequence packing (the batch-assembly stage): slot-hash shard assignment is scan-local codegen, the running token total is a per-SHARD window cumsum (nshards-way parallel — packing order is inherently sequential, so the shard IS the unit of parallelism; a global order would be one single-partition window), and the per-sequence manifest folds through one partial+final aggregation; docs are never split, a sequence overflows by at most one doc (spec-pinned bounds)",
     "d83_minhash_nonascii" ->

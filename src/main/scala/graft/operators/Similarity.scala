@@ -420,9 +420,22 @@ object Similarity {
   private def lloydRounds(corpus: DataFrame, nlist: Int, iters: Int,
                           idCol: String, vecCol: String,
                           assign: (DataFrame, Array[Array[Double]]) => DataFrame): Array[Array[Double]] = {
-    var centroids: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(nlist)
+    val init: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    lloydRoundsFrom(corpus, init, iters, vecCol, assign)
+  }
+
+  /** The Lloyd loop from an EXPLICIT initial matrix — the warm-start
+    * entry ([[kmeansCentroidsByExprWarm]]); [[lloydRounds]] is this
+    * seeded with the first nlist rows in id order, so the cold trainers
+    * are warm-from-firstN by construction (spec-pinned bit-equal).
+    * Update rule unchanged: member mean per dimension, an empty cell
+    * keeps its previous centroid. */
+  private def lloydRoundsFrom(corpus: DataFrame, init: Array[Array[Double]],
+                              iters: Int, vecCol: String,
+                              assign: (DataFrame, Array[Array[Double]]) => DataFrame): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = init.map(_.clone())
     var it = 0
     while (it < iters) {
       val assigned = assign(corpus, centroids)
@@ -854,6 +867,28 @@ object Similarity {
     lloydRounds(corpus, nlist, iters, idCol, vecCol,
       (df, cents) => df.withColumn("__cid",
         graft.functions.CentroidFunctions.centroid_argmax(col(vecCol), cents)))
+
+  /** [[kmeansCentroidsByExpr]] WARM-STARTED from an existing matrix —
+    * the index REFRESH trainer: after enough appends the frozen
+    * quantizer drifts off the grown corpus, and the production move is
+    * a few Lloyd rounds seeded from the CURRENT centroids over the
+    * CURRENT corpus, not a cold retrain (cold pays iters× the full
+    * n·nlist scan to rediscover what the old matrix already knows;
+    * warm converges in 1-2 rounds because the seed is already near the
+    * optimum). Cost per round is identical to the cold trainer's; the
+    * saving is in ROUNDS. Same update fold, same empty-cell rule, and
+    * the cold trainer is exactly this function seeded with the first
+    * nlist rows (spec-pinned bit-equal), so warm-vs-cold cannot drift
+    * semantically. iters=0 returns the seed unchanged (the no-op
+    * refresh, spec-pinned). */
+  def kmeansCentroidsByExprWarm(corpus: DataFrame, init: Array[Array[Double]],
+                                iters: Int = 1,
+                                vecCol: String = "embedding"): Array[Array[Double]] = {
+    require(init.nonEmpty, "warm start needs a non-empty seed matrix")
+    lloydRoundsFrom(corpus, init, iters, vecCol,
+      (df, cents) => df.withColumn("__cid",
+        graft.functions.CentroidFunctions.centroid_argmax(col(vecCol), cents)))
+  }
 
   /** A derived IVF probe-count configuration: the smallest probed
     * count that HELD `targetRecall` on the audited query sample, plus

@@ -81,6 +81,8 @@ private[queries] object OracleStash {
   case object S93Config extends Slot[(Cents, Int)]("s93.config")
   case object S94Cents extends Slot[Cents]("s94.cents")
   case object S95Cents extends Slot[Cents]("s95.cents")
+  /** warm-refresh: the RETRAINED matrix the refreshed index serves */
+  case object S96Cents extends Slot[Cents]("s96.cents")
   case object D36Bits extends Slot[Int]("d36.bits")
   case object D56Bits extends Slot[Int]("d56.bits")
   case object D73Config extends Slot[graft.operators.Similarity.LshConfig]("d73.config")

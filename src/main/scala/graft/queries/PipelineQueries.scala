@@ -1098,6 +1098,34 @@ object PipelineQueries {
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
     }),
+    // INDEX REFRESH — the lifecycle stage between append-forever and
+    // cold retrain (build s60/s90 → append s61/s94 → delete s63 →
+    // compact s64 → REFRESH): after enough appends the frozen
+    // quantizer drifts off the grown corpus, so the refresh runs ONE
+    // warm-started Lloyd round over base ∪ delta seeded from the
+    // CURRENT persisted centroids (kmeansCentroidsByExprWarm — cost of
+    // one cold round, convergence of many because the seed is already
+    // near the optimum; the cold trainer is the same function seeded
+    // with the first-n rows, spec-pinned bit-equal) and re-serves from
+    // the refreshed quantizer. The oracle splices the REFRESHED matrix
+    // and re-derives assignment/probes/ranking over base ∪ delta — a
+    // drift anywhere in the refreshed serving path hash-fails; the
+    // warm trainer's semantics are spec-pinned (warm-from-firstN ≡
+    // cold bit-for-bit, iters=0 ≡ seed).
+    "s96_ann_index_refresh" -> ((s, dir) => {
+      import s.implicits._
+      val root = ensureIvfProdIndexExport(s, dir)
+      val fine = readCentroids(s, s"$root/centroids")
+      val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val grown = emb.unionByName(emb.where($"vec_id" < 200)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          reverse($"embedding").as("embedding")))
+      val refreshed = Similarity.kmeansCentroidsByExprWarm(grown, fine, iters = 1)
+      OracleStash.put(OracleStash.S96Cents, refreshed)
+      Similarity.ivfTopKByExpr(refreshed, grown, grown.where($"vec_id" < 5), k = 10)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
     // PCA embedding projection — the compression/rotation step a
     // pipeline runs before storing or indexing vectors: project every
     // embedding onto the corpus's top-8 principal axes. Training is
@@ -2511,7 +2539,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle ++ annRecallHierOracle ++ prodServeOracle ++ prodHierOracle ++ recallHeldIvfOracle ++ prodStreamServeOracle ++ streamIngestIndexOracle ++ prodQuantizedOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle ++ annRecallHierOracle ++ prodServeOracle ++ prodHierOracle ++ recallHeldIvfOracle ++ prodStreamServeOracle ++ streamIngestIndexOracle ++ prodQuantizedOracle ++ indexRefreshOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -3138,6 +3166,17 @@ object PipelineQueries {
            |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM ex)
            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     }.toMap
+
+  /** s96's oracle: the base ∪ delta probe/rank recompute from the
+    * REFRESHED (warm-retrained) matrix — the refresh must serve
+    * exactly what the spliced refreshed values define. */
+  private def indexRefreshOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S96Cents).map(c => "s96_ann_index_refresh" ->
+      ivfProbeOracleSql(c,
+        """SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 1000000 AS vec_id, list_reverse(embedding) AS embedding
+          |  FROM embeddings WHERE vec_id < 200""".stripMargin)).toMap
 
   /** s94's oracle: the s61-shaped base ∪ delta probe/rank recompute
     * from the spliced production matrix — per-vector assignment is a

@@ -152,6 +152,27 @@ class ProdIndexServingSpec extends AnyFunSuite {
       "a 20-deep exact re-rank must not lose to quantized-only top-10")
   }
 
+  test("warm-start trainer: cold IS warm-from-firstN; iters=0 returns the seed") {
+    import org.apache.spark.sql.functions.col
+    val nlist = 16
+    val cold = Similarity.kmeansCentroidsByExpr(emb, nlist = nlist, iters = 2)
+    val firstN = emb.orderBy(col("vec_id")).limit(nlist)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val warm = Similarity.kmeansCentroidsByExprWarm(emb, firstN, iters = 2)
+    assert(cold.length === warm.length)
+    cold.zip(warm).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.sameElements(b), s"cold/warm diverged at centroid $i")
+    }
+    // the no-op refresh: zero rounds must return the seed values
+    val noop = Similarity.kmeansCentroidsByExprWarm(emb, cold, iters = 0)
+    cold.zip(noop).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // and the returned matrix must not alias the caller's seed array
+    val before = cold(0)(0)
+    noop(0)(0) += 1.0
+    assert(cold(0)(0) === before, "warm trainer must clone its seed")
+  }
+
   test("nprobeForRecall: boundary targets degenerate cleanly") {
     val fine = PipelineQueries.readCentroids(spark, s"$root/centroids")
     val q = emb.where($"vec_id" < 3)

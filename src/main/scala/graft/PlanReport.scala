@@ -168,7 +168,7 @@ object PlanReport {
     "s91_ann_ivf_prod_hier" ->
       "the persisted production index behind the HIERARCHICAL query walk: assignment stays the build-time exact argmax (the index partitions ARE the assignment), queries run the fused two-level loop (HierProbes — ncoarse + cprobe*(nlist/ncoarse) cosines instead of nlist); the oracle re-derives the HYBRID path (flat assign + two-level probes) from the two spliced matrices — the best-quality production config: the build pays the flat scan once, every query pays the sqrt-law loop",
     "s93_ann_recall_held" ->
-      "nprobe-for-recall (the d73 discipline for the IVF knob): nprobeForRecall derives the smallest nprobe holding recall@10 >= 0.7 by the measured audit (exact ground truth ONCE over the 5-query sample — localCheckpointed id pairs, metadata; doubling probes re-score only the probe side), then the declared result serves the persisted index at the derived knob; the oracle re-derives BOTH rankings at the STASHED nprobe, so the derivation itself is hash-gated (gate corpus: nprobe=16 of 128, recall 0.78)",
+      "nprobe-for-recall (the d73 discipline for the IVF knob): nprobeForRecall derives the smallest nprobe holding recall@10 >= 0.7 by the measured audit — exact ground truth ONCE over the 5-query sample (localCheckpointed id pairs, metadata), each doubling pass reading the PERSISTED index with its own probed lists pruned (the index= parameter; an in-memory re-assignment is the fallback for un-persisted quantizers) — then the declared result serves the same index at the derived knob; the oracle re-derives BOTH rankings at the STASHED nprobe, so the derivation itself is hash-gated (gate corpus: nprobe=16 of 128, recall 0.78)",
     "s95_ann_ivf_prod_quantized" ->
       "QUANTIZED persisted serving with exact refine (the index-SIZE lever): the int8 sibling index stores vectors as array<tinyint> (lossless — exact integers in [-127,127]; measured 2.05x smaller than the float32 index at 20k vectors, 4x asymptotic on the data column) and widens back to double INSIDE the scan projection; candidates score by quantized cosine over the DPP-pruned list scan, then the refine-deep shortlist (queries x 20 id pairs — metadata) broadcasts into ONE full-precision corpus scan for the true-cosine re-rank (s62's hit-set fetch); assignment stayed full-precision at build, so the oracle re-derives flat assignment + probes from the spliced matrix, the int8 quantization in SQL, the quantized shortlist, and the exact re-rank",
     "s96_ann_index_refresh" ->

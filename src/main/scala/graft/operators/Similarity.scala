@@ -924,7 +924,8 @@ object Similarity {
                       cents: Array[Array[Double]], k: Int = 10,
                       targetRecall: Double = 0.7,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): IvfProbeConfig = {
+                      vecCol: String = "embedding",
+                      index: Option[DataFrame] = None): IvfProbeConfig = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1], got $targetRecall")
     require(cents.nonEmpty, "need a trained quantizer")
@@ -932,9 +933,13 @@ object Similarity {
       .select(col("query_id"), col("nbr_id")).localCheckpoint(true)
     val denom = truth.count().toDouble // = |sample|·k when corpus > k
     require(denom > 0, "empty query sample")
-    // the assigned corpus is reused across audit passes — assignment
-    // does not depend on nprobe, so compute it once
-    val assigned = ivfAssignedByExpr(cents, corpus, idCol, vecCol)
+    // the audit scores candidates from `index` when the caller holds a
+    // persisted assigned layout (each pass then reads only its probed
+    // lists via partition pruning — the production shape); otherwise
+    // assignment is the scan-local fused argmax, re-evaluated per pass
+    // (one plan, no shuffle — never materialized: the frame is
+    // corpus-sized and an audit must not checkpoint the corpus)
+    val assigned = index.getOrElse(ivfAssignedByExpr(cents, corpus, idCol, vecCol))
     var nprobe = 1
     var recall = 0.0
     while ({

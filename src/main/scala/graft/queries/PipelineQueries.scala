@@ -1061,7 +1061,10 @@ object PipelineQueries {
       val fine = readCentroids(s, s"$root/centroids")
       val emb = t(s, dir, "embeddings")
       val q = emb.where($"vec_id" < 5)
-      val cfg = Similarity.nprobeForRecall(emb, q, fine, k = 10, targetRecall = 0.7)
+      // the audit reads the PERSISTED index (each doubling pass prunes
+      // to its own probed lists), not an in-memory re-assignment
+      val cfg = Similarity.nprobeForRecall(emb, q, fine, k = 10, targetRecall = 0.7,
+        index = Some(s.read.parquet(s"$root/index")))
       OracleStash.put(OracleStash.S93Config, (fine, cfg.nprobe))
       val ivf = Similarity.ivfTopKOnIndexByExpr(fine,
           s.read.parquet(s"$root/index"), q, k = 10, nprobe = cfg.nprobe)

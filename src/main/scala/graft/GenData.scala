@@ -42,7 +42,7 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, TimestampN
  * split counts grow with the data the way a real ingest layout would.
  *
  * Usage: runMain graft.GenData <srcSfDir> <outDir> <sf> [table,table,...]
- *                              [clusters=K[:sigma]]
+ *                              [clusters=K[:sigma][:zipf[ALPHA]]]
  * (the optional 4th arg restricts generation to the named tables —
  * e.g. a lineitem-only sf10 corpus for the AQE skew-split check)
  *
@@ -59,6 +59,21 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, TimestampN
  * mod 10) so the 1-NN label eval has genuine cluster-aligned signal.
  * As deterministic as every other table: a pure function of
  * (id, K, sigma) via the same xxhash64 streams.
+ *
+ * `clusters=K:sigma:zipf[ALPHA]` (round 15 — the r14 verdict's item
+ * 3: equal-mass K=64 was the one clustered shape measured, and the
+ * flat-assignment occupancy skew visible there grows with mass skew)
+ * draws the CLUSTER ID from a Zipf(ALPHA) mass function instead of
+ * uniform: cluster c carries mass ∝ 1/(c+1)^ALPHA (ALPHA defaults to
+ * 1.0 — at K=64 the head cluster then holds ~21% of the corpus and
+ * the tail cluster ~0.3%, a 64:1 mass ratio). The draw inverts the
+ * cumulative mass scan-locally: the K-element cumulative array rides
+ * as a literal (metadata — K ≤ thousands) and the id is the count of
+ * thresholds below the row's uniform draw. Centers, noise, and labels
+ * are byte-identical to the equal-mass mode given the same cluster
+ * id, so a Zipf corpus differs from its equal-mass sibling ONLY in
+ * how many points each cluster owns — exactly the variable the
+ * occupancy/recall probes isolate.
  */
 object GenData {
 
@@ -101,10 +116,18 @@ object GenData {
     val Array(srcDir, outDir, sfStr) = args.take(3)
     val sf = sfStr.toDouble
     val extra = args.drop(3)
-    val embClusters: Option[(Int, Double)] = extra.find(_.startsWith("clusters="))
+    // (K, sigma, zipf mass exponent — 0.0 = equal mass)
+    val embClusters: Option[(Int, Double, Double)] = extra.find(_.startsWith("clusters="))
       .map { a =>
         val p = a.stripPrefix("clusters=").split(":")
-        (p(0).toInt, p.lift(1).map(_.toDouble).getOrElse(0.125))
+        val alpha = p.lift(2) match {
+          case None => 0.0
+          case Some(z) =>
+            require(z.startsWith("zipf"), s"expected zipf[ALPHA], got $z")
+            val t = z.stripPrefix("zipf")
+            if (t.isEmpty) 1.0 else t.toDouble
+        }
+        (p(0).toInt, p.lift(1).map(_.toDouble).getOrElse(0.125), alpha)
       }
     val only: Set[String] = extra.filterNot(_.startsWith("clusters="))
       .headOption.map(_.split(",").toSet).getOrElse(Set.empty)
@@ -240,14 +263,29 @@ object GenData {
             col("id").as("vec_id"),
             transform(col("raw"), x => x / col("norm")).cast(ArrayType(FloatType, containsNull = true)).as("embedding"),
             pmod(xxhash64(lit("v/l"), col("id")), lit(10)).cast(IntegerType).as("label"))
-      case Some((k, sigma)) =>
+      case Some((k, sigma, alpha)) =>
         // mixture of gaussians: unit cluster center (deterministic in
         // the cluster id) + iid N(0, sigma^2) noise, L2-normalized.
         // Everything stays scan-local column arithmetic — the center is
         // recomputed per row from its hash stream (64 gauss draws),
-        // never joined from a table
+        // never joined from a table. Cluster MASS: uniform (alpha=0,
+        // the pmod draw) or Zipf(alpha) via scan-local inversion of
+        // the cumulative mass array (a K-double literal — metadata)
+        val clDraw: Column =
+          if (alpha == 0.0) pmod(xxhash64(lit("v/cl"), col("id")), lit(k))
+          else {
+            val w = Array.tabulate(k)(c => 1.0 / math.pow(c + 1.0, alpha))
+            val total = w.sum
+            // only the first K-1 thresholds ride along: the count of
+            // thresholds at or below the draw is then the inverted
+            // index, structurally bounded to [0, K-1] (no dependence
+            // on the last cumulative sum rounding to exactly 1.0)
+            val cum = w.scanLeft(0.0)(_ + _).drop(1).map(_ / total).init
+            val uu = u("v/clz", col("id"))
+            size(filter(array(cum.map(lit): _*), c => c <= uu)).cast("long")
+          }
         spark.range(nVecs)
-          .withColumn("cl", pmod(xxhash64(lit("v/cl"), col("id")), lit(k)))
+          .withColumn("cl", clDraw)
           .withColumn("mu", transform(sequence(lit(0), lit(63)), i => gauss("v/mu", col("cl"), i)))
           .withColumn("mun", sqrt(aggregate(col("mu"), lit(0.0), (acc, x) => acc + x * x)))
           .withColumn("raw", zip_with(col("mu"),

@@ -293,6 +293,10 @@ object IvfTableProbe {
     val counts = assigned.groupBy("__cid").count()
       .collect().map(_.getLong(1)).sorted
     val ne = counts.length
+    if (ne == 0) {
+      println(s"[tableprobe] occupancy $label: empty assigned frame (0/$nlist lists)")
+      return
+    }
     val med = counts(ne / 2)
     val p99 = counts(math.min(ne - 1, (ne * 0.99).toInt))
     println(f"[tableprobe] occupancy $label: nonempty=$ne/$nlist med=$med " +

@@ -173,6 +173,10 @@ object PlanReport {
       "QUANTIZED persisted serving with exact refine (the index-SIZE lever): the int8 sibling index stores vectors as array<tinyint> (lossless — exact integers in [-127,127]; measured 2.05x smaller than the float32 index at 20k vectors, 4x asymptotic on the data column) and widens back to double INSIDE the scan projection; candidates score by quantized cosine over the DPP-pruned list scan, then the refine-deep shortlist (queries x 20 id pairs — metadata) broadcasts into ONE full-precision corpus scan for the true-cosine re-rank (s62's hit-set fetch); assignment stayed full-precision at build, so the oracle re-derives flat assignment + probes from the spliced matrix, the int8 quantization in SQL, the quantized shortlist, and the exact re-rank",
     "s96_ann_index_refresh" ->
       "INDEX REFRESH (the lifecycle stage between append-forever and cold retrain): one warm-started Lloyd round over base UNION delta seeded from the persisted centroids — the round's plan is the SAME scan-local expression-tier assignment + (nlist x dim)-row update aggregate as the cold trainer (cost of one cold round; the saving is in ROUNDS, because the seed is already near the optimum), and serving from the refreshed matrix is the standard probe/rank shape; warm-from-firstN == cold is pinned bit-for-bit in spec, so refresh semantics cannot drift from the trainer family's",
+    "s97_ann_ivf_gen2" ->
+      "GEN2 REFRESH SERVING (r15 — the rewrite half s96 left open): the grown corpus re-assigned scan-locally under the warm-retrained matrix into a digest-chained gen2 layout (hive partition per list, refreshed fine+coarse matrices beside it), served through the SAME ivfTopKOnIndexByExpr shape — the broadcast probe join injects dynamicpruningexpression on the gen2 index scan (DPP fires THROUGH the union with the chained delta; pinned in PlanChecksSpec), the delta branch is a plain batch-sized scan, and guardedDeltaUnion REFUSES a delta stamped by any other generation before a single task launches (the staleness is loud, never a silently-wrong probe walk)",
+    "s98_ann_serving_derived" ->
+      "serving at the DERIVED knob (r15 — nprobeForRecall as the configuration path): the doubling audit reads the persisted index with each pass pruning to its own probed lists, then the declared serving query rides the s90 topology at exactly the derived nprobe — same DPP'd index scan, same fused probe loop, only the pruned set's size differs; the oracle re-derives the walk at the STASHED knob and the provenance spec pins served == derived",
     "t54_sequence_packing" ->
       "sequence packing (the batch-assembly stage): slot-hash shard assignment is scan-local codegen, the running token total is a per-SHARD window cumsum (nshards-way parallel — packing order is inherently sequential, so the shard IS the unit of parallelism; a global order would be one single-partition window), and the per-sequence manifest folds through one partial+final aggregation; docs are never split, a sequence overflows by at most one doc (spec-pinned bounds)",
     "d83_minhash_nonascii" ->

@@ -897,6 +897,13 @@ object Similarity {
     * at exactly the audited knob (the d73 discipline). */
   case class IvfProbeConfig(nprobe: Int, recall: Double)
 
+  /** [[IvfProbeConfig]]'s coarse-knob sibling — [[cprobeForRecall]]'s
+    * return type, with the field NAMED for what it holds: a count of
+    * COARSE cells probed per query, never interchangeable with a fine
+    * nprobe (the r14 verdict's hygiene item: a coarse-probe count must
+    * not be read from a field named `nprobe`). */
+  case class CprobeConfig(cprobe: Int, recall: Double)
+
   /**
    * Derive the nprobe that HOLDS a recall target — [[tablesForRecall]]
    * for the IVF family. LSH admits a closed form (collision odds are
@@ -972,7 +979,7 @@ object Similarity {
                       k: Int = 10, nprobe: Int = 4,
                       targetRecall: Double = 0.7,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): IvfProbeConfig = {
+                      vecCol: String = "embedding"): CprobeConfig = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1], got $targetRecall")
     require(coarse.nonEmpty && fine.nonEmpty, "need a trained two-level quantizer")
@@ -988,7 +995,7 @@ object Similarity {
       recall = truth.join(got, Seq("query_id", "nbr_id")).count() / denom
       recall < targetRecall && cprobe < coarse.length
     }) cprobe = math.min(cprobe * 2, coarse.length)
-    IvfProbeConfig(cprobe, recall)
+    CprobeConfig(cprobe, recall)
   }
 
   // --------------------- hierarchical (two-level) quantizer tier

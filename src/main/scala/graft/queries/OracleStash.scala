@@ -83,6 +83,10 @@ private[queries] object OracleStash {
   case object S95Cents extends Slot[Cents]("s95.cents")
   /** warm-refresh: the RETRAINED matrix the refreshed index serves */
   case object S96Cents extends Slot[Cents]("s96.cents")
+  /** persisted gen2: the refreshed matrix read BACK from the gen2 layout */
+  case object S97Cents extends Slot[Cents]("s97.cents")
+  /** derived-knob serving: (fine matrix, the nprobe nprobeForRecall derived) */
+  case object S98Config extends Slot[(Cents, Int)]("s98.config")
   case object D36Bits extends Slot[Int]("d36.bits")
   case object D56Bits extends Slot[Int]("d56.bits")
   case object D73Config extends Slot[graft.operators.Similarity.LshConfig]("d73.config")

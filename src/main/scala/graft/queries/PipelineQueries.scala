@@ -210,9 +210,12 @@ object PipelineQueries {
     * salt, exactly as the curated export. */
   def ensureIvfProdIndexExport(s: SparkSession, sfDir: String): String = {
     val root = ivfProdIndexRoot(sfDir)
-    // v2: the INT8-quantized sibling layout ships beside the
-    // full-precision one (same lists, same assignment, ~4× smaller
-    // stored vectors — the serving-footprint lever s95 declares)
+    // layout versions (the salt below is authoritative): v1 = index +
+    // fine centroids; v2 = + the coarse matrix beside the fine one
+    // (hierarchical serving without retraining); v3 = + the
+    // INT8-quantized sibling layout (same lists, same assignment,
+    // ~4× smaller stored vectors — the serving-footprint lever s95
+    // declares)
     val want = RelationalQueries.srcDigest(sfDir, "embeddings") + s":prod-$prodNlist-v3"
     if (RelationalQueries.staleDigest(root, want)) {
       import s.implicits._
@@ -241,6 +244,147 @@ object PipelineQueries {
                                      idCol: String = "cid"): Array[Array[Double]] =
     s.read.parquet(path).orderBy(idCol).collect()
       .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+
+  /** The production index's GROWN corpus — base embeddings plus the
+    * deterministic synthetic append (reversed vectors under shifted
+    * ids, the s61/s94 delta shape). ONE definition shared by the
+    * in-memory refresh (s96), the persisted refresh export (gen2),
+    * and their oracles' UNION ALL source, so the "what did the index
+    * grow by" question has a single answer. */
+  private[queries] def prodGrownCorpus(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, sfDir, "embeddings").select($"vec_id", $"embedding")
+    emb.unionByName(emb.where($"vec_id" < 200)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        reverse($"embedding").as("embedding")))
+  }
+
+  /** DuckDB source for [[prodGrownCorpus]] — the oracle-side twin. */
+  private val prodGrownSrcSql: String =
+    """SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, list_reverse(embedding) AS embedding
+      |  FROM embeddings WHERE vec_id < 200""".stripMargin
+
+  /** A persisted index GENERATION's identity stamp — the _SUCCESS
+    * marker content under the generation root. A delta landed beside a
+    * generation records this stamp; serving refuses a delta whose
+    * stamp names a different generation ([[guardedDeltaUnion]] — the
+    * s61 digest-chain discipline made an explicit refusal instead of a
+    * silent wrong-quantizer union). */
+  private[queries] def genStampOf(genRoot: String): String = {
+    val marker = java.nio.file.Paths.get(genRoot, "_SUCCESS")
+    require(java.nio.file.Files.exists(marker),
+      s"no generation stamp at $genRoot — build the generation first")
+    new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+  }
+
+  /** Land a frozen-centroid-assigned delta BESIDE a generation,
+    * stamped with the generation that assigned it — the write half of
+    * the chained-ingest contract: the stamp is read from the
+    * generation marker BEFORE the landing write, so a generation
+    * rewrite racing the landing leaves a stamp mismatch (a refused
+    * serve), never a silently mixed union. */
+  private[queries] def landDelta(assigned: DataFrame, genRoot: String,
+                                 deltaDir: String): Unit = {
+    val stamp = genStampOf(genRoot)
+    assigned.write.mode("overwrite").parquet(deltaDir)
+    RelationalQueries.markFresh(deltaDir, stamp)
+  }
+
+  /** Serve a generation's index UNION a landed delta — refusing a
+    * delta stamped by a different generation: an appended batch is
+    * assigned under exactly one quantizer, and serving it against a
+    * REFRESHED quantizer's lists would probe the wrong cells silently
+    * (the answers would be quietly wrong, not loudly missing). The
+    * refusal makes the staleness loud; the fix is re-assigning the
+    * delta under the current generation ([[ensureIvfProdGen2DeltaExport]]
+    * does exactly that when its stamp check fails). */
+  private[queries] def guardedDeltaUnion(s: SparkSession, genRoot: String,
+                                         deltaDir: String): DataFrame = {
+    val gen = genStampOf(genRoot)
+    val marker = java.nio.file.Paths.get(deltaDir, "_SUCCESS")
+    require(java.nio.file.Files.exists(marker),
+      s"delta at $deltaDir carries no generation stamp — refuse to serve")
+    val got = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+    require(got == gen,
+      s"stale-generation delta refuses to serve: delta at $deltaDir is stamped " +
+        s"'${got.take(48)}…' but the generation at $genRoot is '${gen.take(48)}…' " +
+        "— re-assign the delta under the current quantizer generation")
+    s.read.parquet(s"$genRoot/index").unionByName(s.read.parquet(deltaDir))
+  }
+
+  /** REFRESH the production index into a persisted GEN2 layout — the
+    * lifecycle stage the r14 verdict named as the remaining gap: s96
+    * proved the warm trainer but served via in-memory re-assignment
+    * while the disk still held the OLD matrix. This export completes
+    * the rewrite half (the s64 compaction pattern under a refreshed
+    * quantizer): one warm Lloyd round over base ∪ delta seeded from
+    * the CURRENT persisted centroids, then the grown corpus
+    * re-assigned scan-locally under the REFRESHED matrix into a
+    * digest-chained gen2 layout (hive partition per list) with the
+    * refreshed fine + coarse matrices stored beside it — subsequent
+    * serving and streaming prune the new generation's partitions under
+    * the new quantizer without touching gen1. The gen2 stamp derives
+    * from the base generation's (base regenerates → gen2 invalidates →
+    * every delta chained to gen2 invalidates: the whole lineage turns
+    * over together). */
+  def ensureIvfProdRefreshExport(s: SparkSession, sfDir: String): String = {
+    val root = ensureIvfProdIndexExport(s, sfDir)
+    val base = java.nio.file.Paths.get(root, "_SUCCESS")
+    val baseStamp =
+      if (java.nio.file.Files.exists(base))
+        new String(java.nio.file.Files.readAllBytes(base), "UTF-8")
+      else { // vanished between the ensure above and this read: the
+        // missing marker makes the export stale, so re-running the
+        // ensure rebuilds the generation and restores the stamp
+        ensureIvfProdIndexExport(s, sfDir)
+        genStampOf(root)
+      }
+    val want = s"$baseStamp:gen2-refresh-v1"
+    val gen2 = s"$root/gen2"
+    if (RelationalQueries.staleDigest(gen2, want)) {
+      import s.implicits._
+      val fine = readCentroids(s, s"$root/centroids")
+      val grown = prodGrownCorpus(s, sfDir)
+      val refreshed = Similarity.kmeansCentroidsByExprWarm(grown, fine, iters = 1)
+      Similarity.ivfAssignedByExpr(refreshed, grown)
+        .write.mode("overwrite").partitionBy("__cid").parquet(s"$gen2/index")
+      refreshed.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cid", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(s"$gen2/centroids")
+      Similarity.kmeansLocalCentroids(refreshed, Similarity.coarseListsFor(prodNlist))
+        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("kid", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(s"$gen2/coarse")
+      RelationalQueries.markFresh(gen2, want)
+    }
+    root
+  }
+
+  /** Streaming-shaped ingest CHAINED to gen2: a second deterministic
+    * append (the next 200 synthetic vectors) assigned with the FROZEN
+    * refreshed centroids and landed stamped with gen2's generation
+    * stamp via [[landDelta]] — a gen1-assigned landing can never serve
+    * against gen2 ([[guardedDeltaUnion]] refuses on the stamp). The
+    * freshness check IS the stamp check, so a refreshed gen2 (new
+    * stamp) automatically forces a re-assignment of this delta under
+    * the new quantizer. */
+  def ensureIvfProdGen2DeltaExport(s: SparkSession, sfDir: String): String = {
+    val root = ensureIvfProdRefreshExport(s, sfDir)
+    val gen2 = s"$root/gen2"
+    val deltaDir = s"$gen2/delta"
+    if (RelationalQueries.staleDigest(deltaDir, genStampOf(gen2))) {
+      import s.implicits._
+      val refreshed = readCentroids(s, s"$gen2/centroids")
+      val delta = t(s, sfDir, "embeddings")
+        .where($"vec_id" >= 200 && $"vec_id" < 400)
+        .select(($"vec_id" + 2000000L).as("vec_id"),
+          reverse($"embedding").as("embedding"))
+      landDelta(Similarity.ivfAssignedByExpr(refreshed, delta), gen2, deltaDir)
+    }
+    root
+  }
 
   /** Ingest-once index DELTA: a batch of new vectors (deterministic
     * synthetics — reversed embeddings under shifted ids) assigned with
@@ -1119,13 +1263,65 @@ object PipelineQueries {
       import s.implicits._
       val root = ensureIvfProdIndexExport(s, dir)
       val fine = readCentroids(s, s"$root/centroids")
-      val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
-      val grown = emb.unionByName(emb.where($"vec_id" < 200)
-        .select(($"vec_id" + 1000000L).as("vec_id"),
-          reverse($"embedding").as("embedding")))
+      val grown = prodGrownCorpus(s, dir)
       val refreshed = Similarity.kmeansCentroidsByExprWarm(grown, fine, iters = 1)
       OracleStash.put(OracleStash.S96Cents, refreshed)
       Similarity.ivfTopKByExpr(refreshed, grown, grown.where($"vec_id" < 5), k = 10)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
+    // PERSISTED GEN2 SERVING — the r14 verdict's top item: s96 proved
+    // the warm trainer but served via in-memory re-assignment while
+    // the disk still held the OLD matrix. ensureIvfProdRefreshExport
+    // completes the rewrite half (the s64 compaction pattern under a
+    // REFRESHED quantizer): base ∪ delta re-assigned scan-locally
+    // under the warm-retrained matrix into a digest-chained gen2
+    // layout, refreshed fine + coarse matrices stored beside it. This
+    // query serves the NEW generation end-to-end: the refreshed matrix
+    // read back from disk drives ivfTopKOnIndexByExpr over gen2's
+    // hive-partitioned lists (DPP plan-pinned, as s90) UNION the
+    // gen2-STAMPED streamed delta — guardedDeltaUnion refuses a delta
+    // assigned under any other generation (the s61 digest-chain
+    // discipline as a loud refusal; the lifecycle spec pins both
+    // directions). Oracle: the full probe/rank recompute from the
+    // spliced REFRESHED matrix over base ∪ delta ∪ delta2 — a drift
+    // anywhere in refresh-train, rewrite, chained ingest, or serving
+    // hash-fails.
+    "s97_ann_ivf_gen2" -> ((s, dir) => {
+      import s.implicits._
+      val root = ensureIvfProdGen2DeltaExport(s, dir)
+      val gen2 = s"$root/gen2"
+      val refreshed = readCentroids(s, s"$gen2/centroids")
+      OracleStash.put(OracleStash.S97Cents, refreshed)
+      Similarity.ivfTopKOnIndexByExpr(refreshed,
+          guardedDeltaUnion(s, gen2, s"$gen2/delta"),
+          t(s, dir, "embeddings").where($"vec_id" < 5), k = 10)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
+    // SERVING AT THE DERIVED KNOB — the r14 verdict's item 5: s93
+    // proved nprobeForRecall as a gated AUDIT; this query makes the
+    // API the CONFIGURATION PATH (the production sizing flow: audit
+    // once per trained quantizer, serve at the derived knob). The
+    // derivation reads the PERSISTED index with each doubling pass
+    // pruning to its own probed lists; the serving query then rides
+    // ivfTopKOnIndexByExpr at exactly cfg.nprobe — nothing hand-picked
+    // between the measured audit and the answer. The oracle re-derives
+    // the probe/rank walk at the STASHED derived nprobe (the d73
+    // discipline), so a derivation drift OR a serving drift at the
+    // derived knob fails the gate; the provenance spec separately pins
+    // that the served knob IS the API's output, not a constant.
+    "s98_ann_serving_derived" -> ((s, dir) => {
+      import s.implicits._
+      val root = ensureIvfProdIndexExport(s, dir)
+      val fine = readCentroids(s, s"$root/centroids")
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where($"vec_id" < 5)
+      val idx = s.read.parquet(s"$root/index")
+      val cfg = Similarity.nprobeForRecall(emb, q, fine, k = 10,
+        targetRecall = 0.7, index = Some(idx))
+      OracleStash.put(OracleStash.S98Config, (fine, cfg.nprobe))
+      Similarity.ivfTopKOnIndexByExpr(fine, idx, q, k = 10, nprobe = cfg.nprobe)
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
     }),
@@ -2542,7 +2738,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle ++ annRecallHierOracle ++ prodServeOracle ++ prodHierOracle ++ recallHeldIvfOracle ++ prodStreamServeOracle ++ streamIngestIndexOracle ++ prodQuantizedOracle ++ indexRefreshOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle ++ annRecallHierOracle ++ prodServeOracle ++ prodHierOracle ++ recallHeldIvfOracle ++ prodStreamServeOracle ++ streamIngestIndexOracle ++ prodQuantizedOracle ++ indexRefreshOracle ++ gen2ServeOracle ++ derivedServeOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -2853,8 +3049,9 @@ object PipelineQueries {
     * must not depend on where the assigned corpus lives. */
   private def ivfProbeOracleSql(cents: Array[Array[Double]],
       src: String = "SELECT vec_id, embedding FROM embeddings",
-      candPred: String = "", qPred: String = "vec_id < 5"): String =
-    s"""WITH ${ivfProbeCtes(cents, src, candPred, qPred)}
+      candPred: String = "", qPred: String = "vec_id < 5",
+      nprobe: Int = 4): String =
+    s"""WITH ${ivfProbeCtes(cents, src, candPred, qPred, nprobe)}
        |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
        | SELECT query_id, nbr_id,
        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM cand)
@@ -3175,11 +3372,29 @@ object PipelineQueries {
     * exactly what the spliced refreshed values define. */
   private def indexRefreshOracle: Map[String, String] =
     OracleStash.get(OracleStash.S96Cents).map(c => "s96_ann_index_refresh" ->
+      ivfProbeOracleSql(c, prodGrownSrcSql)).toMap
+
+  /** s97's oracle: the probe/rank recompute from the spliced REFRESHED
+    * matrix (read back from the gen2 layout by the query run) over the
+    * full served corpus — base ∪ the refresh-time delta (both
+    * re-assigned into gen2) ∪ the gen2-chained streamed delta. The
+    * persisted rewrite, the chained landing, and the guarded union
+    * must together land on exactly what the spliced values define. */
+  private def gen2ServeOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S97Cents).map(c => "s97_ann_ivf_gen2" ->
       ivfProbeOracleSql(c,
-        """SELECT vec_id, embedding FROM embeddings
-          |  UNION ALL
-          |  SELECT vec_id + 1000000 AS vec_id, list_reverse(embedding) AS embedding
-          |  FROM embeddings WHERE vec_id < 200""".stripMargin)).toMap
+        s"""$prodGrownSrcSql
+           |  UNION ALL
+           |  SELECT vec_id + 2000000 AS vec_id, list_reverse(embedding) AS embedding
+           |  FROM embeddings WHERE vec_id >= 200 AND vec_id < 400""".stripMargin)).toMap
+
+  /** s98's oracle: the s90 probe/rank recompute at the STASHED derived
+    * nprobe — the d73 discipline once more: the knob the API derived
+    * is the knob the gate re-derives the answer at, in full. */
+  private def derivedServeOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S98Config).map { case (c, np) =>
+      "s98_ann_serving_derived" -> ivfProbeOracleSql(c, nprobe = np)
+    }.toMap
 
   /** s94's oracle: the s61-shaped base ∪ delta probe/rank recompute
     * from the spliced production matrix — per-vector assignment is a
@@ -3187,11 +3402,7 @@ object PipelineQueries {
     * the ingest must be answer-invisible. */
   private def streamIngestIndexOracle: Map[String, String] =
     OracleStash.get(OracleStash.S94Cents).map(c => "s94_stream_index_ingest" ->
-      ivfProbeOracleSql(c,
-        """SELECT vec_id, embedding FROM embeddings
-          |  UNION ALL
-          |  SELECT vec_id + 1000000 AS vec_id, list_reverse(embedding) AS embedding
-          |  FROM embeddings WHERE vec_id < 200""".stripMargin)).toMap
+      ivfProbeOracleSql(c, prodGrownSrcSql)).toMap
 
   /** s65's oracle: the same probe/rank SQL with the metadata predicate
     * applied to the CANDIDATE side only (queries stay unfiltered) —

@@ -357,6 +357,33 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(scan.isDefined && scan.get.contains("__cid"), s"index scan: $scan\n${p.take(2000)}")
   }
 
+  test("s97: gen2 serving dynamically prunes the REFRESHED index partitions") {
+    // the refresh-rewrite claim at the plan level: the gen2 layout is
+    // served exactly as gen1 was — the broadcast probe join injects a
+    // runtime pruning subquery on the gen2 index scan specifically
+    // (the guarded delta union's other branch is a plain batch-sized
+    // scan; the corpus-sized side must stay partition-pruned)
+    val p = plan("s97_ann_ivf_gen2")
+    // (toString truncates the scan Location, so match the path prefix
+    // up to gen2 rather than the full .../gen2/index)
+    val scan = p.linesIterator.find(l =>
+      l.contains("graft-ivf-prod") && l.contains("gen2") && l.contains("PartitionFilters"))
+    assert(scan.isDefined, s"no gen2 index scan in plan:\n${p.take(2000)}")
+    assert(scan.get.contains("dynamicpruningexpression") && scan.get.contains("__cid"),
+      s"gen2 scan not dynamically pruned: ${scan.get}")
+  }
+
+  test("s98: derived-knob serving rides the same dynamically-pruned index scan") {
+    // the configuration path must not cost the plan shape: serving at
+    // nprobeForRecall's output is still the s90 topology — DPP on the
+    // persisted index scan, probe count only changing the pruned set's
+    // size
+    val p = plan("s98_ann_serving_derived")
+    assert(p.contains("dynamicpruningexpression"), p.take(3000))
+    val scan = p.linesIterator.find(l => l.contains("graft-ivf-prod") && l.contains("PartitionFilters"))
+    assert(scan.isDefined && scan.get.contains("__cid"), s"index scan: $scan\n${p.take(2000)}")
+  }
+
   test("s92: every production-nlist serving micro-batch prunes the index FAR below nlist") {
     // the s78 pin where it matters: at nlist=128 the structural probe
     // union (≤ 3 queries × nprobe 4 = 12) is a 0.09 read fraction —

@@ -87,6 +87,8 @@ private[queries] object OracleStash {
   case object S97Cents extends Slot[Cents]("s97.cents")
   /** derived-knob serving: (fine matrix, the nprobe nprobeForRecall derived) */
   case object S98Config extends Slot[(Cents, Int)]("s98.config")
+  /** gen2 hierarchical serving: the refreshed (coarse, fine) matrices */
+  case object S99Model extends Slot[(Cents, Cents)]("s99.model")
   case object D36Bits extends Slot[Int]("d36.bits")
   case object D56Bits extends Slot[Int]("d56.bits")
   case object D73Config extends Slot[graft.operators.Similarity.LshConfig]("d73.config")

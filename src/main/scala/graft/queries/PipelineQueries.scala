@@ -1325,6 +1325,29 @@ object PipelineQueries {
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
     }),
+    // HIERARCHICAL serving over GEN2 — gen1/gen2 parity for the s91
+    // shape: the refresh export persists the refreshed COARSE matrix
+    // beside the fine one for exactly this, so the NEW generation
+    // serves all the tiers the old one did without retraining
+    // anything. Same hybrid semantics as s91 (flat assignment at
+    // rewrite time — the gen2 partitions ARE the assignment — and the
+    // two-level walk only on the query side), over the guarded
+    // base-∪-delta union s97 serves. Oracle: hierQueryOnFlatCtes from
+    // the two spliced REFRESHED matrices with the corpus source
+    // widened to base ∪ delta ∪ delta2.
+    "s99_ann_ivf_gen2_hier" -> ((s, dir) => {
+      import s.implicits._
+      val root = ensureIvfProdGen2DeltaExport(s, dir)
+      val gen2 = s"$root/gen2"
+      val fine = readCentroids(s, s"$gen2/centroids")
+      val coarse = readCentroids(s, s"$gen2/coarse", idCol = "kid")
+      OracleStash.put(OracleStash.S99Model, (coarse, fine))
+      Similarity.hierTopKOnIndexByExpr(coarse, fine,
+          guardedDeltaUnion(s, gen2, s"$gen2/delta"),
+          t(s, dir, "embeddings").where($"vec_id" < 5), k = 10)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
     // PCA embedding projection — the compression/rotation step a
     // pipeline runs before storing or indexing vectors: project every
     // embedding onto the corpus's top-8 principal axes. Training is
@@ -2738,7 +2761,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle ++ annRecallHierOracle ++ prodServeOracle ++ prodHierOracle ++ recallHeldIvfOracle ++ prodStreamServeOracle ++ streamIngestIndexOracle ++ prodQuantizedOracle ++ indexRefreshOracle ++ gen2ServeOracle ++ derivedServeOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle ++ annRecallHierOracle ++ prodServeOracle ++ prodHierOracle ++ recallHeldIvfOracle ++ prodStreamServeOracle ++ streamIngestIndexOracle ++ prodQuantizedOracle ++ indexRefreshOracle ++ gen2ServeOracle ++ derivedServeOracle ++ gen2HierOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -3264,11 +3287,12 @@ object PipelineQueries {
     * walks the two-level path here). Ends at
     * `cand(query_id, nbr_id, sim)`. */
   private def hierQueryOnFlatCtes(coarse: Cents, fine: Cents,
-                                  cprobe: Int, nprobe: Int, qPred: String): String = {
+                                  cprobe: Int, nprobe: Int, qPred: String,
+                                  src: String = "SELECT vec_id, embedding FROM embeddings"): String = {
     val coarseValues = coarse.zipWithIndex.map { case (c, i) =>
       s"($i, ${c.map(_.toString).mkString("[", ",", "]")})"
     }.mkString(", ")
-    s"""${centroidAssignCtes(fine, "embedding")},
+    s"""${centroidAssignCtes(fine, "embedding", src)},
        |cc AS (SELECT * FROM (VALUES $coarseValues) v(kid, kv)),
        |f2c AS (SELECT cid, kid FROM (
        |  SELECT f.cid, c.kid,
@@ -3382,11 +3406,7 @@ object PipelineQueries {
     * must together land on exactly what the spliced values define. */
   private def gen2ServeOracle: Map[String, String] =
     OracleStash.get(OracleStash.S97Cents).map(c => "s97_ann_ivf_gen2" ->
-      ivfProbeOracleSql(c,
-        s"""$prodGrownSrcSql
-           |  UNION ALL
-           |  SELECT vec_id + 2000000 AS vec_id, list_reverse(embedding) AS embedding
-           |  FROM embeddings WHERE vec_id >= 200 AND vec_id < 400""".stripMargin)).toMap
+      ivfProbeOracleSql(c, gen2SrcSql)).toMap
 
   /** s98's oracle: the s90 probe/rank recompute at the STASHED derived
     * nprobe — the d73 discipline once more: the knob the API derived
@@ -3394,6 +3414,28 @@ object PipelineQueries {
   private def derivedServeOracle: Map[String, String] =
     OracleStash.get(OracleStash.S98Config).map { case (c, np) =>
       "s98_ann_serving_derived" -> ivfProbeOracleSql(c, nprobe = np)
+    }.toMap
+
+  /** The base ∪ delta ∪ delta2 corpus the gen2 generation serves —
+    * shared by the s97 (flat) and s99 (hier) gen2 oracles. */
+  private def gen2SrcSql: String =
+    s"""$prodGrownSrcSql
+       |  UNION ALL
+       |  SELECT vec_id + 2000000 AS vec_id, list_reverse(embedding) AS embedding
+       |  FROM embeddings WHERE vec_id >= 200 AND vec_id < 400""".stripMargin
+
+  /** s99's oracle: the s91 HYBRID recompute (flat assignment +
+    * two-level query probes) from the two spliced REFRESHED matrices,
+    * over the full gen2-served corpus. */
+  private def gen2HierOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S99Model).map { case (co, fi) =>
+      "s99_ann_ivf_gen2_hier" ->
+        s"""WITH ${hierQueryOnFlatCtes(co, fi, cprobe = 4, nprobe = 4,
+             qPred = "vec_id < 5", src = gen2SrcSql)}
+           |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
+           | SELECT query_id, nbr_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM cand)
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     }.toMap
 
   /** s94's oracle: the s61-shaped base ∪ delta probe/rank recompute

@@ -284,6 +284,25 @@ class ProdIndexServingSpec extends AnyFunSuite {
     PipelineQueries.guardedDeltaUnion(spark, gen2, s"$gen2/delta").count()
   }
 
+  test("gen2 hier serving degenerates to gen2 flat at cprobe = ncoarse") {
+    // the s91 tier-equivalence claim carried to the NEW generation:
+    // over the same gen2-served frame (index ∪ chained delta), the
+    // two-level query walk with every owned coarse cell probed must
+    // answer row-identically to the flat walk
+    PipelineQueries.ensureIvfProdGen2DeltaExport(spark, dir)
+    val gen2 = s"$root/gen2"
+    val fine = PipelineQueries.readCentroids(spark, s"$gen2/centroids")
+    val coarse = PipelineQueries.readCentroids(spark, s"$gen2/coarse", idCol = "kid")
+    val served = PipelineQueries.guardedDeltaUnion(spark, gen2, s"$gen2/delta")
+    val q = emb.where($"vec_id" < 5)
+    val flat = Similarity.ivfTopKOnIndexByExpr(fine, served, q, k = 10)
+      .select($"query_id", $"nbr_id", $"rank").orderBy("query_id", "rank").collect()
+    val hier = Similarity.hierTopKOnIndexByExpr(coarse, fine, served, q, k = 10,
+        cprobe = coarse.length)
+      .select($"query_id", $"nbr_id", $"rank").orderBy("query_id", "rank").collect()
+    assert(flat.nonEmpty && flat.toSeq === hier.toSeq)
+  }
+
   test("s98 provenance: the served knob IS nprobeForRecall's output") {
     // the configuration-path claim: run the declared query, then
     // re-derive the config independently — the stashed (served) nprobe

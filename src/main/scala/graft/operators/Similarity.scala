@@ -970,8 +970,12 @@ object Similarity {
    * degenerates to the flat walk (spec-pinned), so the loop's last
    * step measures exactly the flat tier's recall at the same nprobe
    * (the ceiling this knob can buy back; pass that configuration to
-   * [[nprobeForRecall]] to push further). Assignment here is the
-   * hierarchical one — the all-hier configuration, conservative for a
+   * [[nprobeForRecall]] to push further). Assignment: with `index`
+   * the audit walks the HYBRID path over the caller's persisted
+   * flat-assigned layout ([[hierTopKOnIndexByExpr]] — exactly the
+   * path production serving runs, each pass reading only its probed
+   * lists); without it, the all-hier configuration over an in-memory
+   * re-assignment ([[hierTopKByExpr]]), conservative for a
    * flat-assigned index like the r14 production export.
    */
   def cprobeForRecall(corpus: DataFrame, queries: DataFrame,
@@ -979,7 +983,8 @@ object Similarity {
                       k: Int = 10, nprobe: Int = 4,
                       targetRecall: Double = 0.7,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): CprobeConfig = {
+                      vecCol: String = "embedding",
+                      index: Option[DataFrame] = None): CprobeConfig = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1], got $targetRecall")
     require(coarse.nonEmpty && fine.nonEmpty, "need a trained two-level quantizer")
@@ -990,8 +995,12 @@ object Similarity {
     var cprobe = 1
     var recall = 0.0
     while ({
-      val got = hierTopKByExpr(coarse, fine, corpus, queries, k, cprobe, nprobe,
-        idCol, vecCol).select(col("query_id"), col("nbr_id"))
+      val got = (index match {
+        case Some(idx) => hierTopKOnIndexByExpr(coarse, fine, idx, queries, k,
+          cprobe, nprobe, idCol, vecCol)
+        case None => hierTopKByExpr(coarse, fine, corpus, queries, k, cprobe, nprobe,
+          idCol, vecCol)
+      }).select(col("query_id"), col("nbr_id"))
       recall = truth.join(got, Seq("query_id", "nbr_id")).count() / denom
       recall < targetRecall && cprobe < coarse.length
     }) cprobe = math.min(cprobe * 2, coarse.length)

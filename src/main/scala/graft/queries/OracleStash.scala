@@ -89,6 +89,8 @@ private[queries] object OracleStash {
   case object S98Config extends Slot[(Cents, Int)]("s98.config")
   /** gen2 hierarchical serving: the refreshed (coarse, fine) matrices */
   case object S99Model extends Slot[(Cents, Cents)]("s99.model")
+  /** fully-derived hier serving: (coarse, fine, derived nprobe, derived cprobe) */
+  case object S100Config extends Slot[(Cents, Cents, Int, Int)]("s100.config")
   case object D36Bits extends Slot[Int]("d36.bits")
   case object D56Bits extends Slot[Int]("d56.bits")
   case object D73Config extends Slot[graft.operators.Similarity.LshConfig]("d73.config")

@@ -1325,6 +1325,34 @@ object PipelineQueries {
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
     }),
+    // The FULL derived sizing flow for the hierarchical tier — s98's
+    // discipline with BOTH knobs measured: nprobeForRecall prices the
+    // fine knob on the persisted index, then cprobeForRecall prices
+    // the coarse knob AT that nprobe over the SAME persisted layout
+    // (the hybrid walk — exactly the path serving runs), and the
+    // query serves hierTopKOnIndexByExpr at the derived (cprobe,
+    // nprobe) pair. Nothing hand-picked between the two audits and
+    // the answer; the oracle re-derives the whole hybrid walk at the
+    // STASHED pair, and the provenance spec pins both served knobs ≡
+    // the APIs' outputs.
+    "s100_ann_hier_derived" -> ((s, dir) => {
+      import s.implicits._
+      val root = ensureIvfProdIndexExport(s, dir)
+      val fine = readCentroids(s, s"$root/centroids")
+      val coarse = readCentroids(s, s"$root/coarse", idCol = "kid")
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where($"vec_id" < 5)
+      val idx = s.read.parquet(s"$root/index")
+      val np = Similarity.nprobeForRecall(emb, q, fine, k = 10,
+        targetRecall = 0.7, index = Some(idx)).nprobe
+      val cp = Similarity.cprobeForRecall(emb, q, coarse, fine, k = 10,
+        nprobe = np, targetRecall = 0.7, index = Some(idx)).cprobe
+      OracleStash.put(OracleStash.S100Config, (coarse, fine, np, cp))
+      Similarity.hierTopKOnIndexByExpr(coarse, fine, idx, q, k = 10,
+          cprobe = cp, nprobe = np)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
     // HIERARCHICAL serving over GEN2 — gen1/gen2 parity for the s91
     // shape: the refresh export persists the refreshed COARSE matrix
     // beside the fine one for exactly this, so the NEW generation
@@ -2761,7 +2789,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle ++ annRecallHierOracle ++ prodServeOracle ++ prodHierOracle ++ recallHeldIvfOracle ++ prodStreamServeOracle ++ streamIngestIndexOracle ++ prodQuantizedOracle ++ indexRefreshOracle ++ gen2ServeOracle ++ derivedServeOracle ++ gen2HierOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle ++ annRecallHierOracle ++ prodServeOracle ++ prodHierOracle ++ recallHeldIvfOracle ++ prodStreamServeOracle ++ streamIngestIndexOracle ++ prodQuantizedOracle ++ indexRefreshOracle ++ gen2ServeOracle ++ derivedServeOracle ++ gen2HierOracle ++ hierDerivedOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -3432,6 +3460,21 @@ object PipelineQueries {
       "s99_ann_ivf_gen2_hier" ->
         s"""WITH ${hierQueryOnFlatCtes(co, fi, cprobe = 4, nprobe = 4,
              qPred = "vec_id < 5", src = gen2SrcSql)}
+           |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
+           | SELECT query_id, nbr_id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM cand)
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    }.toMap
+
+  /** s100's oracle: the full HYBRID walk re-derived at the STASHED
+    * derived (nprobe, cprobe) pair — both measured knobs are what the
+    * gate re-derives the answer at, so a drift in either audit or in
+    * serving at the derived pair hash-fails. */
+  private def hierDerivedOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S100Config).map { case (co, fi, np, cp) =>
+      "s100_ann_hier_derived" ->
+        s"""WITH ${hierQueryOnFlatCtes(co, fi, cprobe = cp, nprobe = np,
+             qPred = "vec_id < 5")}
            |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
            | SELECT query_id, nbr_id,
            |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM cand)

@@ -321,6 +321,29 @@ class ProdIndexServingSpec extends AnyFunSuite {
     assert(served.length === fine.length)
   }
 
+  test("s100 provenance: both served knobs ARE the recall APIs' outputs") {
+    // the two-knob sizing flow: run the declared query, then re-derive
+    // both configs independently over the same persisted index — the
+    // stashed (nprobe, cprobe) pair must equal the APIs' outputs (both
+    // derivations are deterministic), and the hybrid-path audit over
+    // the index must have priced exactly the walk the query serves
+    graft.SparkEntry.queries("s100_ann_hier_derived")(spark, dir).collect()
+    val (coarse, fine, np, cp) = OracleStash.get(OracleStash.S100Config).get
+    val q = emb.where($"vec_id" < 5)
+    val idx = spark.read.parquet(s"$root/index")
+    val npCfg = Similarity.nprobeForRecall(emb, q, fine, k = 10,
+      targetRecall = 0.7, index = Some(idx))
+    assert(np === npCfg.nprobe, s"served nprobe $np != derived ${npCfg.nprobe}")
+    val cpCfg = Similarity.cprobeForRecall(emb, q, coarse, fine, k = 10,
+      nprobe = np, targetRecall = 0.7, index = Some(idx))
+    assert(cp === cpCfg.cprobe, s"served cprobe $cp != derived ${cpCfg.cprobe}")
+    // the coarse audit may stop short of the target only at its
+    // structural ceiling (cprobe = ncoarse ≡ the flat walk at np —
+    // whose recall the flat audit already proved ≥ 0.7)
+    assert(cpCfg.recall >= 0.7 || cpCfg.cprobe === coarse.length,
+      s"cprobe audit stopped at ${cpCfg.cprobe} recall=${cpCfg.recall}")
+  }
+
   test("nprobeForRecall: boundary targets degenerate cleanly") {
     val fine = PipelineQueries.readCentroids(spark, s"$root/centroids")
     val q = emb.where($"vec_id" < 3)

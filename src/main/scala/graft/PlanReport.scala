@@ -177,6 +177,10 @@ object PlanReport {
       "GEN2 REFRESH SERVING (r15 — the rewrite half s96 left open): the grown corpus re-assigned scan-locally under the warm-retrained matrix into a digest-chained gen2 layout (hive partition per list, refreshed fine+coarse matrices beside it), served through the SAME ivfTopKOnIndexByExpr shape — the broadcast probe join injects dynamicpruningexpression on the gen2 index scan (DPP fires THROUGH the union with the chained delta; pinned in PlanChecksSpec), the delta branch is a plain batch-sized scan, and guardedDeltaUnion REFUSES a delta stamped by any other generation before a single task launches (the staleness is loud, never a silently-wrong probe walk)",
     "s98_ann_serving_derived" ->
       "serving at the DERIVED knob (r15 — nprobeForRecall as the configuration path): the doubling audit reads the persisted index with each pass pruning to its own probed lists, then the declared serving query rides the s90 topology at exactly the derived nprobe — same DPP'd index scan, same fused probe loop, only the pruned set's size differs; the oracle re-derives the walk at the STASHED knob and the provenance spec pins served == derived",
+    "s99_ann_ivf_gen2_hier" ->
+      "hierarchical serving over GEN2 (gen1/gen2 tier parity): the refreshed coarse matrix persisted beside the fine one drives the fused two-level HierProbes loop in the query scan, over the same guarded base-union-delta frame the flat gen2 query serves — one refreshed artifact, both tiers, no retraining; the oracle walks the s91 hybrid path from the two spliced REFRESHED matrices over base + delta + delta2",
+    "s100_ann_hier_derived" ->
+      "fully-DERIVED hierarchical serving (the two-knob sizing flow): nprobeForRecall prices the fine knob on the persisted index, cprobeForRecall prices the coarse knob AT that nprobe via the hybrid walk over the SAME persisted layout (its index parameter — the audit prices exactly the path serving runs), and the query serves at the derived pair; the oracle re-derives the whole hybrid walk at the stashed (nprobe, cprobe) and the provenance spec pins both served knobs equal to the APIs' outputs",
     "t54_sequence_packing" ->
       "sequence packing (the batch-assembly stage): slot-hash shard assignment is scan-local codegen, the running token total is a per-SHARD window cumsum (nshards-way parallel — packing order is inherently sequential, so the shard IS the unit of parallelism; a global order would be one single-partition window), and the per-sequence manifest folds through one partial+final aggregation; docs are never split, a sequence overflows by at most one doc (spec-pinned bounds)",
     "d83_minhash_nonascii" ->

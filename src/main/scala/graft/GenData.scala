@@ -116,18 +116,21 @@ object GenData {
     val Array(srcDir, outDir, sfStr) = args.take(3)
     val sf = sfStr.toDouble
     val extra = args.drop(3)
-    // (K, sigma, zipf mass exponent — 0.0 = equal mass)
+    // (K, sigma, zipf mass exponent — 0.0 = equal mass). sigma and
+    // zipf[ALPHA] are each independently optional, as the usage
+    // grammar promises: clusters=64, clusters=64:0.2, clusters=64:zipf,
+    // and clusters=64:0.2:zipf1.5 all parse
     val embClusters: Option[(Int, Double, Double)] = extra.find(_.startsWith("clusters="))
       .map { a =>
         val p = a.stripPrefix("clusters=").split(":")
-        val alpha = p.lift(2) match {
-          case None => 0.0
-          case Some(z) =>
-            require(z.startsWith("zipf"), s"expected zipf[ALPHA], got $z")
-            val t = z.stripPrefix("zipf")
-            if (t.isEmpty) 1.0 else t.toDouble
-        }
-        (p(0).toInt, p.lift(1).map(_.toDouble).getOrElse(0.125), alpha)
+        val (zipfParts, sigmaParts) = p.drop(1).partition(_.startsWith("zipf"))
+        require(zipfParts.size <= 1 && sigmaParts.size <= 1,
+          s"expected clusters=K[:sigma][:zipf[ALPHA]], got $a")
+        val alpha = zipfParts.headOption.map { z =>
+          val t = z.stripPrefix("zipf")
+          if (t.isEmpty) 1.0 else t.toDouble
+        }.getOrElse(0.0)
+        (p(0).toInt, sigmaParts.headOption.map(_.toDouble).getOrElse(0.125), alpha)
       }
     val only: Set[String] = extra.filterNot(_.startsWith("clusters="))
       .headOption.map(_.split(",").toSet).getOrElse(Set.empty)

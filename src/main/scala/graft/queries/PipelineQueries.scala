@@ -250,10 +250,23 @@ object PipelineQueries {
     * ids, the s61/s94 delta shape). ONE definition shared by the
     * in-memory refresh (s96), the persisted refresh export (gen2),
     * and their oracles' UNION ALL source, so the "what did the index
-    * grow by" question has a single answer. */
+    * grow by" question has a single answer.
+    *
+    * The synthetic shifts (+1 000 000 here; +2 000 000 for the gen2
+    * chained delta) assume base vec_ids stay BELOW the first shift —
+    * true for every gate corpus (GenData makes 20 000·sf vectors, so
+    * ids reach 1 000 000 only past sf50, far beyond the sf0.001–0.1
+    * gate dirs). Guarded loudly rather than assumed: a colliding id
+    * space would double-count recall joins and distort rankings
+    * SILENTLY, the worst failure class. One max() aggregate per call
+    * — noise next to the serving query it feeds. */
   private[queries] def prodGrownCorpus(s: SparkSession, sfDir: String): DataFrame = {
     import s.implicits._
     val emb = t(s, sfDir, "embeddings").select($"vec_id", $"embedding")
+    val maxId = emb.agg(max($"vec_id")).collect()(0).getLong(0)
+    require(maxId < 1000000L,
+      s"synthetic delta id shift collides: base vec_id reaches $maxId >= 1000000 " +
+        "— raise the shift constants (Spark side AND oracle SQL) together")
     emb.unionByName(emb.where($"vec_id" < 200)
       .select(($"vec_id" + 1000000L).as("vec_id"),
         reverse($"embedding").as("embedding")))
@@ -281,15 +294,17 @@ object PipelineQueries {
 
   /** Land a frozen-centroid-assigned delta BESIDE a generation,
     * stamped with the generation that assigned it — the write half of
-    * the chained-ingest contract: the stamp is read from the
-    * generation marker BEFORE the landing write, so a generation
-    * rewrite racing the landing leaves a stamp mismatch (a refused
-    * serve), never a silently mixed union. */
-  private[queries] def landDelta(assigned: DataFrame, genRoot: String,
+    * the chained-ingest contract. The caller passes the stamp it
+    * captured BEFORE reading the assigning centroids (the markFresh
+    * capture-before-read discipline): if the generation rewrites
+    * between that capture and this landing, the delta carries the OLD
+    * stamp against the NEW generation — a refused serve — never a
+    * stale assignment under a fresh stamp (the silently-mixed union
+    * the chain exists to prevent). */
+  private[queries] def landDelta(assigned: DataFrame, genStamp: String,
                                  deltaDir: String): Unit = {
-    val stamp = genStampOf(genRoot)
     assigned.write.mode("overwrite").parquet(deltaDir)
-    RelationalQueries.markFresh(deltaDir, stamp)
+    RelationalQueries.markFresh(deltaDir, genStamp)
   }
 
   /** Serve a generation's index UNION a landed delta — refusing a
@@ -374,14 +389,19 @@ object PipelineQueries {
     val root = ensureIvfProdRefreshExport(s, sfDir)
     val gen2 = s"$root/gen2"
     val deltaDir = s"$gen2/delta"
-    if (RelationalQueries.staleDigest(deltaDir, genStampOf(gen2))) {
+    // stamp captured BEFORE the centroids are read: a gen2 rewrite in
+    // the window leaves this landing stamped with the OLD generation —
+    // a refused serve and a re-land on the next ensure, never a stale
+    // assignment under a fresh stamp
+    val stamp = genStampOf(gen2)
+    if (RelationalQueries.staleDigest(deltaDir, stamp)) {
       import s.implicits._
       val refreshed = readCentroids(s, s"$gen2/centroids")
       val delta = t(s, sfDir, "embeddings")
         .where($"vec_id" >= 200 && $"vec_id" < 400)
         .select(($"vec_id" + 2000000L).as("vec_id"),
           reverse($"embedding").as("embedding"))
-      landDelta(Similarity.ivfAssignedByExpr(refreshed, delta), gen2, deltaDir)
+      landDelta(Similarity.ivfAssignedByExpr(refreshed, delta), stamp, deltaDir)
     }
     root
   }
@@ -3349,14 +3369,22 @@ object PipelineQueries {
       .stripMargin
   }
 
+  /** The HYBRID-walk top-10 oracle SQL for a persisted flat-assigned
+    * index served hierarchically — [[ivfProbeOracleSql]]'s sibling for
+    * the [[hierQueryOnFlatCtes]] family (s91/s99/s100): ONE rank tail,
+    * so a tie-break or cast fix cannot drift across the three. */
+  private def hierProbeOracleSql(coarse: Cents, fine: Cents,
+      cprobe: Int = 4, nprobe: Int = 4, qPred: String = "vec_id < 5",
+      src: String = "SELECT vec_id, embedding FROM embeddings"): String =
+    s"""WITH ${hierQueryOnFlatCtes(coarse, fine, cprobe, nprobe, qPred, src)}
+       |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
+       | SELECT query_id, nbr_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM cand)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   private def prodHierOracle: Map[String, String] =
     OracleStash.get(OracleStash.S91Model).map { case (co, fi) =>
-      "s91_ann_ivf_prod_hier" ->
-        s"""WITH ${hierQueryOnFlatCtes(co, fi, cprobe = 4, nprobe = 4, qPred = "vec_id < 5")}
-           |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
-           | SELECT query_id, nbr_id,
-           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM cand)
-           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      "s91_ann_ivf_prod_hier" -> hierProbeOracleSql(co, fi)
     }.toMap
 
   /** s93's oracle: the s88 recall audit with BOTH rankings re-derived
@@ -3457,13 +3485,7 @@ object PipelineQueries {
     * over the full gen2-served corpus. */
   private def gen2HierOracle: Map[String, String] =
     OracleStash.get(OracleStash.S99Model).map { case (co, fi) =>
-      "s99_ann_ivf_gen2_hier" ->
-        s"""WITH ${hierQueryOnFlatCtes(co, fi, cprobe = 4, nprobe = 4,
-             qPred = "vec_id < 5", src = gen2SrcSql)}
-           |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
-           | SELECT query_id, nbr_id,
-           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM cand)
-           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      "s99_ann_ivf_gen2_hier" -> hierProbeOracleSql(co, fi, src = gen2SrcSql)
     }.toMap
 
   /** s100's oracle: the full HYBRID walk re-derived at the STASHED
@@ -3472,13 +3494,7 @@ object PipelineQueries {
     * serving at the derived pair hash-fails. */
   private def hierDerivedOracle: Map[String, String] =
     OracleStash.get(OracleStash.S100Config).map { case (co, fi, np, cp) =>
-      "s100_ann_hier_derived" ->
-        s"""WITH ${hierQueryOnFlatCtes(co, fi, cprobe = cp, nprobe = np,
-             qPred = "vec_id < 5")}
-           |SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank FROM (
-           | SELECT query_id, nbr_id,
-           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank FROM cand)
-           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      "s100_ann_hier_derived" -> hierProbeOracleSql(co, fi, cprobe = cp, nprobe = np)
     }.toMap
 
   /** s94's oracle: the s61-shaped base ∪ delta probe/rank recompute

@@ -247,7 +247,7 @@ class ProdIndexServingSpec extends AnyFunSuite {
     PipelineQueries.landDelta(
       Similarity.ivfAssignedByExpr(fine, emb.where($"vec_id" < 10)
         .select(($"vec_id" + 3000000L).as("vec_id"), $"embedding")),
-      root, staleDir) // stamped with GEN1's stamp
+      PipelineQueries.genStampOf(root), staleDir) // stamped with GEN1's stamp
     val ex = intercept[IllegalArgumentException] {
       PipelineQueries.guardedDeltaUnion(spark, gen2, staleDir)
     }
@@ -281,6 +281,23 @@ class ProdIndexServingSpec extends AnyFunSuite {
     // works again, with assignment and generation consistent
     assert(PipelineQueries.genStampOf(s"$gen2/delta") ===
       PipelineQueries.genStampOf(gen2))
+    PipelineQueries.guardedDeltaUnion(spark, gen2, s"$gen2/delta").count()
+    // and the delta's OWN staleness branch, actually taken: corrupt
+    // the DELTA stamp (a gen1-era landing surviving a refresh) — the
+    // union refuses, and the ensure must RE-LAND the delta under the
+    // current quantizer (the gen2 generation itself is fresh here, so
+    // only the re-landing branch can restore service)
+    val before2 = spark.read.parquet(s"$gen2/delta").count()
+    Files.write(Paths.get(gen2, "delta", "_SUCCESS"),
+      "gen1-era-landing".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      PipelineQueries.guardedDeltaUnion(spark, gen2, s"$gen2/delta")
+    }
+    PipelineQueries.ensureIvfProdGen2DeltaExport(spark, dir)
+    assert(PipelineQueries.genStampOf(s"$gen2/delta") ===
+      PipelineQueries.genStampOf(gen2))
+    assert(spark.read.parquet(s"$gen2/delta").count() === before2,
+      "re-landing must reproduce the same delta rows")
     PipelineQueries.guardedDeltaUnion(spark, gen2, s"$gen2/delta").count()
   }
 

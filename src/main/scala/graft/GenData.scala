@@ -43,6 +43,7 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, TimestampN
  *
  * Usage: runMain graft.GenData <srcSfDir> <outDir> <sf> [table,table,...]
  *                              [clusters=K[:sigma][:zipf[ALPHA]]]
+ *                              [labels=zipf[ALPHA]]
  * (the optional 4th arg restricts generation to the named tables —
  * e.g. a lineitem-only sf10 corpus for the AQE skew-split check)
  *
@@ -88,6 +89,24 @@ object GenData {
     sqrt(lit(-2.0) * log(lit(1.0) - u1)) * cos(lit(2.0 * math.Pi) * u2)
   }
 
+  /** Zipf(alpha) draw over [0, n): mass ∝ 1/(c+1)^alpha, inverted
+    * scan-locally — the (n-1)-element cumulative threshold array rides
+    * as a literal (metadata) and the drawn index is the count of
+    * thresholds at or below the row's uniform draw, structurally
+    * bounded to [0, n-1]. n=1 short-circuits (one class whatever the
+    * mass function says — and the threshold array would be an untyped
+    * empty literal). Shared by the cluster-mass mode (r15) and the
+    * label mode (r16). */
+  private def zipfDraw(tag: String, id: Column, n: Int, alpha: Double): Column =
+    if (n == 1) lit(0L)
+    else {
+      val w = Array.tabulate(n)(c => 1.0 / math.pow(c + 1.0, alpha))
+      val total = w.sum
+      val cum = w.scanLeft(0.0)(_ + _).drop(1).map(_ / total).init
+      val uu = u(tag, id)
+      size(filter(array(cum.map(lit): _*), c => c <= uu)).cast("long")
+    }
+
   private def pick(tag: String, id: Column, values: Seq[String]): Column =
     element_at(array(values.map(lit): _*), (pmod(xxhash64(lit(tag), id), lit(values.size)) + 1).cast(IntegerType))
 
@@ -122,17 +141,49 @@ object GenData {
     // and clusters=64:0.2:zipf1.5 all parse
     val embClusters: Option[(Int, Double, Double)] = extra.find(_.startsWith("clusters="))
       .map { a =>
+        // grammar-level messages for every numeric field (ADVICE r15:
+        // a malformed alpha suffix died as a raw NumberFormatException
+        // while the arity check beside it spoke the grammar)
+        def num(what: String, v: String): Double =
+          try v.toDouble catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"expected clusters=K[:sigma][:zipf[ALPHA]]: bad $what '$v' in $a")
+          }
         val p = a.stripPrefix("clusters=").split(":")
         val (zipfParts, sigmaParts) = p.drop(1).partition(_.startsWith("zipf"))
         require(zipfParts.size <= 1 && sigmaParts.size <= 1,
           s"expected clusters=K[:sigma][:zipf[ALPHA]], got $a")
         val alpha = zipfParts.headOption.map { z =>
           val t = z.stripPrefix("zipf")
-          if (t.isEmpty) 1.0 else t.toDouble
+          if (t.isEmpty) 1.0 else num("zipf ALPHA", t)
         }.getOrElse(0.0)
-        (p(0).toInt, sigmaParts.headOption.map(_.toDouble).getOrElse(0.125), alpha)
+        val k = num("K", p(0)).toInt
+        require(k >= 1, s"expected clusters=K[:sigma][:zipf[ALPHA]]: K must be >= 1, got $k")
+        (k, sigmaParts.headOption.map(num("sigma", _)).getOrElse(0.125), alpha)
       }
-    val only: Set[String] = extra.filterNot(_.startsWith("clusters="))
+    // `labels=zipf[ALPHA]` (round 16 — the r15 verdict's item 4: label
+    // mass INHERITED cluster mass via `cluster id mod 10`, so the 1-NN
+    // label eval had never seen class imbalance that wasn't also
+    // occupancy imbalance). Draws the label from Zipf(ALPHA) over the
+    // 10 classes via the same scan-local inversion, keyed on its OWN
+    // hash stream — independent of the cluster id, so a label-skewed
+    // corpus differs from its sibling ONLY in which labels rows carry
+    // (embeddings byte-identical: rare classes, same geometry — the
+    // shape real curation labels have). At ALPHA=1 the head class
+    // holds ~34% of rows and the tail ~3.4%; at 1.5, ~50% vs ~1.6%.
+    val labelAlpha: Option[Double] = extra.find(_.startsWith("labels="))
+      .map { a =>
+        val t = a.stripPrefix("labels=")
+        require(t.startsWith("zipf"), s"expected labels=zipf[ALPHA], got $a")
+        val suffix = t.stripPrefix("zipf")
+        if (suffix.isEmpty) 1.0
+        else try suffix.toDouble catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"expected labels=zipf[ALPHA]: bad ALPHA '$suffix' in $a")
+        }
+      }
+    val only: Set[String] = extra
+      .filterNot(a => a.startsWith("clusters=") || a.startsWith("labels="))
       .headOption.map(_.split(",").toSet).getOrElse(Set.empty)
     def wanted(name: String): Boolean = only.isEmpty || only(name)
     val spark = SparkSession.builder()
@@ -257,6 +308,11 @@ object GenData {
         length(col("text")).cast("long").as("n_chars"))
     write(docs, "documents", parts = sfParts)
 
+    // label column: uniform hash (isotropic default), cluster-aligned
+    // (clustered default — label = cluster mod 10, below), or the
+    // independent Zipf stream when labels=zipf[ALPHA] asked for skew
+    def zipfLabel(id: Column): Option[Column] =
+      labelAlpha.map(a => zipfDraw("v/lz", id, 10, a).cast(IntegerType).as("label"))
     val vecs = embClusters match {
       case None =>
         spark.range(nVecs)
@@ -265,7 +321,8 @@ object GenData {
           .select(
             col("id").as("vec_id"),
             transform(col("raw"), x => x / col("norm")).cast(ArrayType(FloatType, containsNull = true)).as("embedding"),
-            pmod(xxhash64(lit("v/l"), col("id")), lit(10)).cast(IntegerType).as("label"))
+            zipfLabel(col("id")).getOrElse(
+              pmod(xxhash64(lit("v/l"), col("id")), lit(10)).cast(IntegerType).as("label")))
       case Some((k, sigma, alpha)) =>
         // mixture of gaussians: unit cluster center (deterministic in
         // the cluster id) + iid N(0, sigma^2) noise, L2-normalized.
@@ -275,18 +332,8 @@ object GenData {
         // the pmod draw) or Zipf(alpha) via scan-local inversion of
         // the cumulative mass array (a K-double literal — metadata)
         val clDraw: Column =
-          if (alpha == 0.0) pmod(xxhash64(lit("v/cl"), col("id")), lit(k))
-          else {
-            val w = Array.tabulate(k)(c => 1.0 / math.pow(c + 1.0, alpha))
-            val total = w.sum
-            // only the first K-1 thresholds ride along: the count of
-            // thresholds at or below the draw is then the inverted
-            // index, structurally bounded to [0, K-1] (no dependence
-            // on the last cumulative sum rounding to exactly 1.0)
-            val cum = w.scanLeft(0.0)(_ + _).drop(1).map(_ / total).init
-            val uu = u("v/clz", col("id"))
-            size(filter(array(cum.map(lit): _*), c => c <= uu)).cast("long")
-          }
+          if (alpha == 0.0 && k > 1) pmod(xxhash64(lit("v/cl"), col("id")), lit(k))
+          else zipfDraw("v/clz", col("id"), k, alpha)
         spark.range(nVecs)
           .withColumn("cl", clDraw)
           .withColumn("mu", transform(sequence(lit(0), lit(63)), i => gauss("v/mu", col("cl"), i)))
@@ -298,7 +345,8 @@ object GenData {
           .select(
             col("id").as("vec_id"),
             transform(col("raw"), x => x / col("norm")).cast(ArrayType(FloatType, containsNull = true)).as("embedding"),
-            (col("cl") % 10).cast(IntegerType).as("label"))
+            zipfLabel(col("id")).getOrElse(
+              (col("cl") % 10).cast(IntegerType).as("label")))
     }
     write(vecs, "embeddings", parts = sfParts)
 

@@ -84,7 +84,7 @@ object IvfNlistProbe {
       val frac = cands.toDouble / (nq.toDouble * n)
       println(f"[nlistprobe] nlist=$nl%4d train=$trainSec%.1f s build=$buildSec%.1f s " +
         f"serve(min)=$serveMin%.1f s candidates=$cands%d " +
-        f"fraction=$frac%.4f (theoretical ${4.0 / nl}%.4f)")
+        f"fraction=$frac%.4f (theoretical ${4.0 / nl}%.4f)" + " [" + HostLoad.line + "]")
     }
     spark.stop()
   }

@@ -122,7 +122,7 @@ object IvfTableProbe {
       best = math.min(best, (System.nanoTime() - t1) / 1e9)
     }
     println(f"[tableprobe] eval nlist=$nlist train=$trainSec%.1f s eval(min)=$best%.1f s " +
-      f"agree=${agree._2}/${agree._1} (${agree._2.toDouble / agree._1}%.3f)")
+      f"agree=${agree._2}/${agree._1} (${agree._2.toDouble / agree._1}%.3f)" + " [" + HostLoad.line + "]")
     emb.unpersist()
   }
 
@@ -142,7 +142,7 @@ object IvfTableProbe {
     val trainExpr = (System.nanoTime() - t1) / 1e9
     require(cents.zip(centsT).forall { case (a, b) => a.sameElements(b) },
       "trainers diverged — the A/B premise (one quantizer) is broken")
-    println(f"[tableprobe] evalexpr train table=$trainTable%.1f s expr=$trainExpr%.1f s (bit-equal)")
+    println(f"[tableprobe] evalexpr train table=$trainTable%.1f s expr=$trainExpr%.1f s (bit-equal)" + " [" + HostLoad.line + "]")
     val cdf = Similarity.centroidsDf(spark, cents)
     var bestT = Double.MaxValue; var bestE = Double.MaxValue
     var agreeT = (-1L, -1L); var agreeE = (-1L, -1L)
@@ -160,7 +160,7 @@ object IvfTableProbe {
     }
     require(agreeT == agreeE, s"tiers disagreed: table=$agreeT expr=$agreeE")
     println(f"[tableprobe] evalexpr nlist=$nlist eval(min) table=$bestT%.1f s expr=$bestE%.1f s " +
-      f"agree=${agreeT._2}/${agreeT._1} (${agreeT._2.toDouble / agreeT._1}%.3f)")
+      f"agree=${agreeT._2}/${agreeT._1} (${agreeT._2.toDouble / agreeT._1}%.3f)" + " [" + HostLoad.line + "]")
     emb.unpersist()
   }
 
@@ -185,7 +185,7 @@ object IvfTableProbe {
     val t1 = System.nanoTime()
     val coarse = Similarity.kmeansLocalCentroids(fine, ncoarse)
     val trainCoarse = (System.nanoTime() - t1) / 1e9
-    println(f"[tableprobe] evalhier train fine=$trainFine%.1f s coarse(driver)=$trainCoarse%.3f s")
+    println(f"[tableprobe] evalhier train fine=$trainFine%.1f s coarse(driver)=$trainCoarse%.3f s" + " [" + HostLoad.line + "]")
     // assignment A/B: time each tier's full corpus pass, then the
     // agreement join (how often the two-level argmax picks the flat
     // tier's list — the approximation this probe prices)
@@ -207,7 +207,7 @@ object IvfTableProbe {
       .collect()(0)
     println(f"[tableprobe] evalhier assign(min) flat=$bestAssF%.1f s hier=$bestAssH%.1f s " +
       f"same-list=${agreeRow.getLong(1)}/${agreeRow.getLong(0)} " +
-      f"(${agreeRow.getLong(1).toDouble / agreeRow.getLong(0)}%.4f)")
+      f"(${agreeRow.getLong(1).toDouble / agreeRow.getLong(0)}%.4f)" + " [" + HostLoad.line + "]")
     // LIST-OCCUPANCY distribution under each assignment (r13 verdict
     // item 3: the sf100 hier eval loss was ATTRIBUTED to skew in prose
     // — print the distribution so the attribution is a measurement).
@@ -234,7 +234,7 @@ object IvfTableProbe {
     }
     println(f"[tableprobe] evalhier eval(min) flat=$bestF%.1f s hier=$bestH%.1f s " +
       f"acc flat=${aF._2}/${aF._1} (${aF._2.toDouble / aF._1}%.4f) " +
-      f"hier=${aH._2}/${aH._1} (${aH._2.toDouble / aH._1}%.4f)")
+      f"hier=${aH._2}/${aH._1} (${aH._2.toDouble / aH._1}%.4f)" + " [" + HostLoad.line + "]")
     // the trainer itself through the two-level loop: each Lloyd round's
     // assignment scan drops nlist -> ncoarse + cprobe*(nlist/ncoarse)
     // cosines per row; the resulting quantizer is slightly different
@@ -248,7 +248,7 @@ object IvfTableProbe {
         cprobe = cprobe, broadcastQueries = false, rankAgg = true))
     println(f"[tableprobe] evalhier hier-TRAINED quantizer: train=$trainH%.1f s " +
       f"(flat trainer $trainFine%.1f s) eval acc=${aT._2}/${aT._1} " +
-      f"(${aT._2.toDouble / aT._1}%.4f)")
+      f"(${aT._2.toDouble / aT._1}%.4f)" + " [" + HostLoad.line + "]")
     emb.unpersist()
   }
 
@@ -347,7 +347,7 @@ object IvfTableProbe {
       .repartition(col("__cid"))
       .write.mode("overwrite").partitionBy("__cid").parquet(idx)
     val buildSec = (System.nanoTime() - t1) / 1e9
-    println(f"[tableprobe] serve train=$trainSec%.1f s build=$buildSec%.1f s")
+    println(f"[tableprobe] serve train=$trainSec%.1f s build=$buildSec%.1f s" + " [" + HostLoad.line + "]")
     // the s78 export pattern: batch b carries vec_ids [3b, 3b+3)
     val reqs = emb.where(col("vec_id") < 15)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
@@ -395,7 +395,7 @@ object IvfTableProbe {
         SessionHygiene.sweep(spark)
       }
       spark.conf.set(dppKey, "true")
-      println(f"[tableprobe] serve $label 5 batches(min)=$best%.1f s avg static-filter fraction=$readFrac%.3f")
+      println(f"[tableprobe] serve $label 5 batches(min)=$best%.1f s avg static-filter fraction=$readFrac%.3f" + " [" + HostLoad.line + "]")
     }
     emb.unpersist()
   }

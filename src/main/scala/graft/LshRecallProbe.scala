@@ -91,7 +91,7 @@ object LshRecallProbe {
     val t0 = System.nanoTime()
     val exact = Similarity.nearDupPairs(sample, theta)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    println(f"[lshprobe] sample=$sn exact_pairs=${exact.size} exact_time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    println(f"[lshprobe] sample=$sn exact_pairs=${exact.size} exact_time=${(System.nanoTime() - t0) / 1e9}%.1f s" + " [" + HostLoad.line + "]")
     val sids = sample.select(col("vec_id")).as[Long].collect().toSet
     val sidsB = spark.sparkContext.broadcast(sids)
 
@@ -109,7 +109,7 @@ object LshRecallProbe {
           .write.mode("overwrite").parquet(out)
         val sec = (System.nanoTime() - t) / 1e9
         SessionHygiene.sweep(spark)
-        println(f"[lshprobe] $label (L=$tables, b=$b) run$i: $sec%.1f s")
+        println(f"[lshprobe] $label (L=$tables, b=$b) run$i: $sec%.1f s" + " [" + HostLoad.line + "]")
       }
       val found = spark.read.parquet(out)
         .filter(r => sidsB.value.contains(r.getLong(0)) && sidsB.value.contains(r.getLong(1)))

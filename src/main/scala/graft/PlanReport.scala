@@ -181,6 +181,10 @@ object PlanReport {
       "hierarchical serving over GEN2 (gen1/gen2 tier parity): the refreshed coarse matrix persisted beside the fine one drives the fused two-level HierProbes loop in the query scan, over the same guarded base-union-delta frame the flat gen2 query serves — one refreshed artifact, both tiers, no retraining; the oracle walks the s91 hybrid path from the two spliced REFRESHED matrices over base + delta + delta2",
     "s100_ann_hier_derived" ->
       "fully-DERIVED hierarchical serving (the two-knob sizing flow): nprobeForRecall prices the fine knob on the persisted index, cprobeForRecall prices the coarse knob AT that nprobe via the hybrid walk over the SAME persisted layout (its index parameter — the audit prices exactly the path serving runs), and the query serves at the derived pair; the oracle re-derives the whole hybrid walk at the stashed (nprobe, cprobe) and the provenance spec pins both served knobs equal to the APIs' outputs",
+    "s101_ann_ivf_gen3" ->
+      "GEN3 ROLLOVER SERVING (r16 — the generation chain made inductive): gen3 is built FROM gen2's guarded served frame by the same rollGeneration construction that built gen2 from gen1 (warm Lloyd round seeded from gen2's matrix, scan-local re-assignment into hive-partitioned lists, stamp derived from gen2's stamp — so one base regeneration turns over base, gen2, gen3, and every chained delta in one sweep), the folded delta2 compacting away into gen3's clean lists; serving gen3 UNION its own gen3-stamped chained delta rides the identical topology — dynamicpruningexpression on the gen3 index scan through the guarded union (pinned in PlanChecksSpec), a gen2-stamped landing REFUSING before any task launches",
+    "s103_ann_ivf_gen2_delete" ->
+      "DELETE over the REFRESHED generation (r16 — s63's tombstone verb carried to gen2): retired ids land metadata-sized beside the generation STAMPED with gen2's stamp (a foreign-stamped set refuses to serve exactly as a foreign delta would), and serving anti-joins them broadcast over the guarded index-union-delta frame — the gen2 index scan KEEPS its dynamicpruningexpression under the delete (pinned in PlanChecksSpec), no index file is rewritten, and the oracle recomputes the walk over the SURVIVING corpus: deleting must equal never having indexed the rows",
     "t54_sequence_packing" ->
       "sequence packing (the batch-assembly stage): slot-hash shard assignment is scan-local codegen, the running token total is a per-SHARD window cumsum (nshards-way parallel — packing order is inherently sequential, so the shard IS the unit of parallelism; a global order would be one single-partition window), and the per-sequence manifest folds through one partial+final aggregation; docs are never split, a sequence overflows by at most one doc (spec-pinned bounds)",
     "d83_minhash_nonascii" ->

@@ -110,7 +110,7 @@ object StreamStateProbe {
             .filter { case (k, _) => k.endsWith("Count") || k.startsWith("num") }
           SessionHygiene.sweep(spark)
           times(label) = times(label) :+ sec
-          println(f"[stateprobe] ${tag}_$label round$i: $sec%.1f s")
+          println(f"[stateprobe] ${tag}_$label round$i: $sec%.1f s" + " [" + HostLoad.line + "]")
         }
       }
       Seq("disc", "naive").foreach { l =>
@@ -142,7 +142,7 @@ object StreamStateProbe {
         val sec = (System.nanoTime() - t) / 1e9
         best = math.min(best, sec)
         SessionHygiene.sweep(spark)
-        println(f"[stateprobe] $label run$i: $sec%.1f s")
+        println(f"[stateprobe] $label run$i: $sec%.1f s" + " [" + HostLoad.line + "]")
       }
       val mets = StreamingQueries.capturedStateMetrics(sink)
       val totalUpdated = mets.map(_._3).sum

@@ -91,6 +91,12 @@ private[queries] object OracleStash {
   case object S99Model extends Slot[(Cents, Cents)]("s99.model")
   /** fully-derived hier serving: (coarse, fine, derived nprobe, derived cprobe) */
   case object S100Config extends Slot[(Cents, Cents, Int, Int)]("s100.config")
+  /** persisted gen3: the twice-refreshed matrix read back from the gen3 layout */
+  case object S101Cents extends Slot[Cents]("s101.cents")
+  /** streaming serving at the derived knob: (fine matrix, derived nprobe) */
+  case object S102Config extends Slot[(Cents, Int)]("s102.config")
+  /** gen2 delete serving: the gen2 matrix the tombstoned union serves under */
+  case object S103Cents extends Slot[Cents]("s103.cents")
   case object D36Bits extends Slot[Int]("d36.bits")
   case object D56Bits extends Slot[Int]("d56.bits")
   case object D73Config extends Slot[graft.operators.Similarity.LshConfig]("d73.config")

@@ -1,6 +1,7 @@
 package graft.queries
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -38,30 +39,78 @@ object RelationalQueries {
     StructField("c_nationkey", LongType),
     StructField("c_mktsegment", StringType)))
 
+  /** Hadoop FileSystem for a path — the r15 verdict's item 5: the
+    * stamp/digest machinery ran on `java.nio`, which works only where
+    * the driver and the storage share a local filesystem. Every
+    * marker/digest read and write now goes through the FS contract
+    * the path's scheme resolves to: behavior on `file://` is what the
+    * old implementation had, and the same code addresses HDFS/S3 on a
+    * real cluster. The configuration comes from the active session
+    * (core-site + spark.hadoop.* overrides) when one exists — probe
+    * mains and tests always run inside one — with a plain
+    * classpath-resolved Configuration as the no-session fallback. */
+  private[queries] def hadoopFs(path: String): FileSystem =
+    new Path(path).getFileSystem(
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new Configuration()))
+
+  /** The marker content at `dir/_SUCCESS`, or None when absent — the
+    * one read primitive every staleness/stamp check shares. A marker
+    * whose FS-level checksum fails (the local FS is checksummed; a
+    * write that bypassed the FS API leaves a stale .crc sibling) also
+    * reads as absent: every consumer's absent branch is the SAFE one
+    * (an ensure rebuilds, a serving guard refuses) — never "fresh". */
+  private[queries] def readMarker(dir: String): Option[String] = {
+    val fs = hadoopFs(dir)
+    val p = new Path(dir, "_SUCCESS")
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        Iterator.continually(in.read(chunk)).takeWhile(_ >= 0)
+          .foreach(n => buf.write(chunk, 0, n))
+        Some(new String(buf.toByteArray, "UTF-8"))
+      } finally in.close()
+    } catch { case _: org.apache.hadoop.fs.ChecksumException => None }
+  }
+
   /** Digest of the source table's part-file listing (each file's name,
     * mtime, length; one level into a Spark-written directory) — the
     * identity an export must match to be fresh. A plain mtime compare
     * is blind to the round-5 incident class: an in-place part-file
     * rewrite that keeps the same entry names leaves the top-level
-    * mtime untouched. Shared with PipelineQueries.corpusKey. */
+    * mtime untouched. Shared with PipelineQueries.corpusKey.
+    *
+    * Mtime precision is the FS contract's MILLISECONDS (the java.nio
+    * predecessor hashed nanoseconds where the local filesystem had
+    * them — HDFS/S3 never do, so ms is what the machinery can promise
+    * anywhere). The blind spot is a rewrite that lands within the
+    * same millisecond with byte-identical part lengths and names;
+    * every observed regeneration (the driver rewrites testdata
+    * between ROUNDS; probe corpora regenerate between sbt
+    * invocations) is seconds apart, and the length term still catches
+    * same-ms rewrites that change any file size. */
   private[queries] def srcDigest(sfDir: String, table: String): String = {
-    val f = new java.io.File(s"${sfDir.replaceAll("/+$", "")}/$table.parquet")
-    // listFiles is null on a vanished/unreadable dir — treat as the
-    // file case (mtime/length read as 0), i.e. a deterministic
-    // "missing" digest, rather than NPE out of every staleness check
-    val entries: Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Seq(f))
-      else Seq(f)
-    // full-precision mtime (nanoseconds where the filesystem has them)
-    // — File.lastModified's millisecond tick would miss a same-length
-    // rewrite landing within the same millisecond
-    def mtimeNanos(e: java.io.File): Long =
-      try Files.getLastModifiedTime(e.toPath)
-        .to(java.util.concurrent.TimeUnit.NANOSECONDS)
-      catch { case _: java.io.IOException => 0L }
+    val target = s"${sfDir.replaceAll("/+$", "")}/$table.parquet"
+    val fs = hadoopFs(target)
+    val p = new Path(target)
+    // a vanished/unreadable source reads as a deterministic "missing"
+    // listing rather than throwing out of every staleness check
+    val entries: Seq[(String, Long, Long)] =
+      try {
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory)
+          fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
+            .map(e => (e.getPath.getName, e.getModificationTime, e.getLen))
+        else Seq((st.getPath.getName, st.getModificationTime, st.getLen))
+      } catch {
+        case _: java.io.FileNotFoundException => Seq((p.getName, 0L, 0L))
+      }
     val listing = entries
-      .map(e => s"${e.getName}:${mtimeNanos(e)}:${e.length}")
+      .map { case (name, mtime, len) => s"$name:$mtime:$len" }
       .mkString("|")
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(listing.getBytes("UTF-8")).take(8)
@@ -81,11 +130,8 @@ object RelationalQueries {
     * the version invalidates exports written by older code even when
     * the source is unchanged — e.g. the curated index gaining its
     * payload column and occupancy-held nlist in round 11). */
-  private[queries] def staleDigest(dir: String, want: String): Boolean = {
-    val marker = Paths.get(dir, "_SUCCESS")
-    !Files.exists(marker) ||
-      new String(Files.readAllBytes(marker), "UTF-8") != want
-  }
+  private[queries] def staleDigest(dir: String, want: String): Boolean =
+    !readMarker(dir).contains(want)
 
   /** Recursively delete an export directory (no-op when absent). A
     * STALE export must be wiped before its rewrite, not just
@@ -94,15 +140,8 @@ object RelationalQueries {
     * layout's extra subdirs on disk, and a subdir-glob consumer (the
     * split-event streams' `part` globs) would replay both
     * generations. */
-  private[queries] def wipeDir(dir: String): Unit = {
-    val loc = Paths.get(dir)
-    if (Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(loc)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally walk.close()
-    }
-  }
+  private[queries] def wipeDir(dir: String): Unit =
+    hadoopFs(dir).delete(new Path(dir), true)
 
   /** Stamp an export fresh with a digest CAPTURED BEFORE the export
     * job read its source (overwriting the empty _SUCCESS Spark writes,
@@ -111,8 +150,10 @@ object RelationalQueries {
     * while the export job ran: the new listing's digest would be
     * recorded against files built from the old generation. */
   private[queries] def markFresh(dir: String, digest: String): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    Files.write(Paths.get(dir, "_SUCCESS"), digest.getBytes("UTF-8"))
+    val fs = hadoopFs(dir)
+    fs.mkdirs(new Path(dir))
+    val out = fs.create(new Path(dir, "_SUCCESS"), true)
+    try out.write(digest.getBytes("UTF-8")) finally out.close()
   }
 
   /** Ingest-once CSV sink — Bench warm-up calls this so the timed query

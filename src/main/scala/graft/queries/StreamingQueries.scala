@@ -205,6 +205,14 @@ object StreamingQueries {
     * pays. Keyed by batchId for retry idempotency, as s78. */
   @volatile private[graft] var s92BatchPins: Map[Long, (Int, Int, Int, Int)] = Map.empty
 
+  /** s102's per-micro-batch pruning evidence — the s92 pins with the
+    * nprobe DERIVED once per generation by nprobeForRecall instead of
+    * hand-picked: (queries, probe-cid count, static In/InSet size,
+    * nlist). The spec pins that every batch's InSet stays ≤ 3·derived
+    * nprobe AND that the served knob is the API's output (provenance,
+    * as s98). Keyed by batchId for retry idempotency. */
+  @volatile private[graft] var s102BatchPins: Map[Long, (Int, Int, Int, Int)] = Map.empty
+
   /**
    * Ingest-once HASH-SPLIT export of events: `splits` files keyed by
    * `event_id % splits`, so every file spans the FULL time range and
@@ -798,6 +806,8 @@ object StreamingQueries {
     // the whole production story. Oracle: the batch probe/rank
     // recompute over all 15 requests from the spliced 128-list matrix
     // — streaming, batching, and pruning answer-invisible, as s78.
+    // The nprobe here is the declared hand-picked baseline; s102 below
+    // is the production successor serving at the DERIVED knob.
     "s92_stream_ann_serving_prod" -> ((s, dir) => {
       import s.implicits._
       val root = PipelineQueries.ensureIvfProdIndexExport(s, dir)
@@ -840,6 +850,68 @@ object StreamingQueries {
       q.awaitTermination()
       // the serving answer is batch-invariant; project the partition-
       // discovery batch column off
+      s.read.parquet(out).select("query_id", "nbr_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+    // STREAMING SERVING AT THE DERIVED KNOB — the r15 verdict's item
+    // 2: s92 probes at a hand-picked nprobe = 4 while the batch path
+    // serves at nprobeForRecall's output (s98). This successor closes
+    // the gap with the real production flow: derive the knob ONCE per
+    // generation (the audit reads only its probed lists from the
+    // persisted index), stash it, then serve EVERY micro-batch at the
+    // derived value with the per-batch static InSet pin sized by it
+    // (≤ 3·nprobe of nlist=128 — the read fraction a serving bill
+    // pays, now measured instead of guessed). Nothing hand-picked
+    // between the audit and any streamed answer. Oracle: the batch
+    // probe/rank recompute over all 15 requests AT THE STASHED
+    // DERIVED NPROBE — derivation drift, serving drift, or batching
+    // artifacts all hash-fail; the provenance spec separately pins
+    // served ≡ API output per batch.
+    "s102_stream_ann_serving_derived" -> ((s, dir) => {
+      import s.implicits._
+      val root = PipelineQueries.ensureIvfProdIndexExport(s, dir)
+      val cents = PipelineQueries.readCentroids(s, s"$root/centroids")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val idx = s.read.parquet(s"$root/index")
+      // once per generation, BEFORE the stream starts — the audit
+      // sample is the s98 query sample, so batch and streaming derive
+      // the same knob from the same persisted artifact
+      val np = graft.operators.Similarity.nprobeForRecall(
+        emb, emb.where(col("vec_id") < 5), cents, k = 10,
+        targetRecall = 0.7, index = Some(idx)).nprobe
+      OracleStash.put(OracleStash.S102Config, (cents, np))
+      val reqRoot = ensureServeRequestExport(s, dir)
+      val out = RelationalQueries.dataRoot("s102-serve", dir, "emb")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val reqSchema = s.read.parquet(s"$reqRoot/r0").schema
+      val qstream = s.readStream.schema(reqSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$reqRoot/r*")
+      s102BatchPins = Map.empty
+      val q = qstream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val reqs = batch.select(col("vec_id"), col("embedding")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1)))
+          if (reqs.nonEmpty) {
+            val cids = graft.operators.Similarity.literalProbeCids(
+              cents, reqs.map(_._2.map(_.toDouble).toArray).toSeq, nprobe = np)
+            val pruned = s.read.parquet(s"$root/index")
+              .where(col("__cid").isin(cids.map(Integer.valueOf): _*))
+            val qdf = reqs.toSeq.toDF("vec_id", "embedding")
+            val res = graft.operators.Similarity
+              .ivfTopKOnIndexByExpr(cents, pruned, qdf, k = 10, nprobe = np)
+              .select(col("query_id"), col("nbr_id"), col("rank"))
+            s102BatchPins += batchId ->
+              ((reqs.length, cids.size,
+                ivfScanStaticInSize(res, "graft-ivf-prod/"), cents.length))
+            res.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+          }
+        }
+        .option("checkpointLocation", freshCheckpointDir(s, "s102_fb"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
       s.read.parquet(out).select("query_id", "nbr_id", "rank")
         .orderBy("query_id", "rank")
     }),

@@ -373,6 +373,33 @@ class PlanChecksSpec extends AnyFunSuite {
       s"gen2 scan not dynamically pruned: ${scan.get}")
   }
 
+  test("s101: gen3 serving dynamically prunes the TWICE-refreshed index partitions") {
+    // the rollover claim at the plan level: the generation the
+    // construction built from its own output serves exactly as its
+    // input generation did — DPP on the gen3 index scan through the
+    // guarded union (the chained delta branch is batch-sized)
+    val p = plan("s101_ann_ivf_gen3")
+    val scan = p.linesIterator.find(l =>
+      l.contains("graft-ivf-prod") && l.contains("gen3") && l.contains("PartitionFilters"))
+    assert(scan.isDefined, s"no gen3 index scan in plan:\n${p.take(2000)}")
+    assert(scan.get.contains("dynamicpruningexpression") && scan.get.contains("__cid"),
+      s"gen3 scan not dynamically pruned: ${scan.get}")
+  }
+
+  test("s103: deleted gen2 serving keeps DPP and broadcasts the tombstone anti-join") {
+    // deletes must not cost the plan shape: the tombstone set is
+    // metadata-sized (broadcast anti-join), and the corpus-sized gen2
+    // index scan stays partition-pruned under it
+    val p = plan("s103_ann_ivf_gen2_delete")
+    val scan = p.linesIterator.find(l =>
+      l.contains("graft-ivf-prod") && l.contains("gen2") && l.contains("PartitionFilters"))
+    assert(scan.isDefined, s"no gen2 index scan in plan:\n${p.take(2000)}")
+    assert(scan.get.contains("dynamicpruningexpression") && scan.get.contains("__cid"),
+      s"gen2 scan not dynamically pruned under the delete: ${scan.get}")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"tombstone anti-join must be broadcast:\n${p.take(3000)}")
+  }
+
   test("s98: derived-knob serving rides the same dynamically-pruned index scan") {
     // the configuration path must not cost the plan shape: serving at
     // nprobeForRecall's output is still the s90 topology — DPP on the

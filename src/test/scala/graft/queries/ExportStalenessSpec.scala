@@ -28,8 +28,10 @@ class ExportStalenessSpec extends AnyFunSuite {
     val exp = Files.createTempDirectory("graft-exp").toString
     RelationalQueries.markFresh(exp, RelationalQueries.srcDigest(sfDir, "documents"))
     // same byte length, same entry name — only the mtime moves (forced
-    // forward; digests carry nanosecond mtimes, so a same-NANOSECOND
-    // rewrite is the only blind spot left)
+    // forward; digests carry the FS contract's millisecond mtimes —
+    // r16 ported them from java.nio nanoseconds to the Hadoop API —
+    // so a same-length rewrite inside one millisecond is the blind
+    // spot left, documented on srcDigest)
     Files.write(src, "v2".getBytes("UTF-8"))
     Files.setLastModifiedTime(src,
       FileTime.fromMillis(System.currentTimeMillis() + 5000))
@@ -45,6 +47,36 @@ class ExportStalenessSpec extends AnyFunSuite {
     assert(RelationalQueries.stale(exp, sfDir, "documents"))
     RelationalQueries.markFresh(exp, RelationalQueries.srcDigest(sfDir, "documents"))
     assert(!RelationalQueries.stale(exp, sfDir, "documents"))
+  }
+
+  test("markers round-trip through the Hadoop FileSystem API") {
+    // the r15 verdict's item 5: the stamp machinery must speak the FS
+    // contract (file:// here; HDFS/S3 on a real cluster), not java.nio
+    val exp = Files.createTempDirectory("graft-exp").toString
+    assert(RelationalQueries.readMarker(exp).isEmpty)
+    RelationalQueries.markFresh(exp, "gen-stamp:v1")
+    assert(RelationalQueries.readMarker(exp) === Some("gen-stamp:v1"))
+    // overwrite is a full replace, not an append
+    RelationalQueries.markFresh(exp, "x")
+    assert(RelationalQueries.readMarker(exp) === Some("x"))
+    assert(RelationalQueries.hadoopFs(exp).getScheme === "file")
+  }
+
+  test("a checksum-corrupted marker reads absent (stale/refused), never 'fresh'") {
+    // the local FS is checksummed: a write that bypasses the FS API
+    // (or real bit rot on a cluster) leaves the marker unreadable —
+    // that must surface as the SAFE branch (rebuild/refuse), not as an
+    // uncaught exception and never as a trusted stamp
+    val exp = Files.createTempDirectory("graft-exp").toString
+    RelationalQueries.markFresh(exp, "aaaa")
+    Files.write(Paths.get(exp, "_SUCCESS"), "bbbb".getBytes("UTF-8"))
+    assert(RelationalQueries.readMarker(exp).isEmpty,
+      "a marker failing its FS checksum must read as absent")
+    assert(RelationalQueries.staleDigest(exp, "aaaa"))
+    assert(RelationalQueries.staleDigest(exp, "bbbb"))
+    // re-marking through the API heals it
+    RelationalQueries.markFresh(exp, "cccc")
+    assert(RelationalQueries.readMarker(exp) === Some("cccc"))
   }
 
   test("directory-shaped sources digest their part-file listing") {

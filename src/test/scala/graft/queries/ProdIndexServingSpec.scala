@@ -224,8 +224,7 @@ class ProdIndexServingSpec extends AnyFunSuite {
       s"gen2 stamp must chain to the base stamp: '$gen2Stamp' vs '$baseStamp'")
     // corrupting the gen2 marker (a stale or foreign generation) must
     // force the ensure to rebuild and restore the chained stamp
-    Files.write(Paths.get(root, "gen2", "_SUCCESS"),
-      "stale-generation".getBytes("UTF-8"))
+    RelationalQueries.markFresh(s"$root/gen2", "stale-generation")
     PipelineQueries.ensureIvfProdRefreshExport(spark, dir)
     assert(PipelineQueries.genStampOf(s"$root/gen2") === gen2Stamp)
   }
@@ -270,7 +269,7 @@ class ProdIndexServingSpec extends AnyFunSuite {
     // stale-generation and the ensure must re-land it under the
     // current stamp rather than serve the old assignment
     val refreshedStamp = before + ":simulated-refresh"
-    Files.write(Paths.get(gen2, "_SUCCESS"), refreshedStamp.getBytes("UTF-8"))
+    RelationalQueries.markFresh(gen2, refreshedStamp)
     intercept[IllegalArgumentException] {
       PipelineQueries.guardedDeltaUnion(spark, gen2, s"$gen2/delta")
     }
@@ -288,8 +287,7 @@ class ProdIndexServingSpec extends AnyFunSuite {
     // current quantizer (the gen2 generation itself is fresh here, so
     // only the re-landing branch can restore service)
     val before2 = spark.read.parquet(s"$gen2/delta").count()
-    Files.write(Paths.get(gen2, "delta", "_SUCCESS"),
-      "gen1-era-landing".getBytes("UTF-8"))
+    RelationalQueries.markFresh(s"$gen2/delta", "gen1-era-landing")
     intercept[IllegalArgumentException] {
       PipelineQueries.guardedDeltaUnion(spark, gen2, s"$gen2/delta")
     }
@@ -318,6 +316,99 @@ class ProdIndexServingSpec extends AnyFunSuite {
         cprobe = coarse.length)
       .select($"query_id", $"nbr_id", $"rank").orderBy("query_id", "rank").collect()
     assert(flat.nonEmpty && flat.toSeq === hier.toSeq)
+  }
+
+  test("gen3 rollover: the stamp chain is inductive and base-rooted") {
+    PipelineQueries.ensureIvfProdGen3DeltaExport(spark, dir)
+    val baseStamp = PipelineQueries.genStampOf(root)
+    val gen2Stamp = PipelineQueries.genStampOf(s"$root/gen2")
+    val gen3Stamp = PipelineQueries.genStampOf(s"$root/gen3")
+    // each link derives from the previous by the SAME rule — the
+    // construction applied to its own output (r15 verdict item 1)
+    assert(gen2Stamp === s"$baseStamp:gen2-refresh-v1")
+    assert(gen3Stamp === s"$gen2Stamp:gen3-refresh-v1")
+    // ...so the whole lineage is rooted at the base stamp: one base
+    // regeneration invalidates gen2, gen3, and every chained delta
+    // transitively, in one sweep
+    assert(gen3Stamp.startsWith(baseStamp))
+    // and each generation's delta is stamped by the generation that
+    // assigned it
+    assert(PipelineQueries.genStampOf(s"$root/gen3/delta") === gen3Stamp)
+    assert(PipelineQueries.genStampOf(s"$root/gen2/delta") === gen2Stamp)
+  }
+
+  test("gen3 rollover: a gen2-stamped landing REFUSES to serve against gen3") {
+    PipelineQueries.ensureIvfProdGen3DeltaExport(spark, dir)
+    val gen3 = s"$root/gen3"
+    // happy path first: gen3 ∪ its own delta serves
+    val served = PipelineQueries.guardedDeltaUnion(spark, gen3, s"$gen3/delta")
+    assert(served.count() === spark.read.parquet(s"$gen3/index").count() +
+      spark.read.parquet(s"$gen3/delta").count())
+    // a delta assigned under GEN2 must refuse against gen3 — the same
+    // refusal the gen1→gen2 link proved, now at the rolled link: what
+    // makes rolling generations safe to repeat forever
+    val gen2Cents = PipelineQueries.readCentroids(spark, s"$root/gen2/centroids")
+    val staleDir = s"$gen3/delta-stale-test"
+    PipelineQueries.landDelta(
+      Similarity.ivfAssignedByExpr(gen2Cents, emb.where($"vec_id" < 10)
+        .select(($"vec_id" + 4000000L).as("vec_id"), $"embedding")),
+      PipelineQueries.genStampOf(s"$root/gen2"), staleDir)
+    val ex = intercept[IllegalArgumentException] {
+      PipelineQueries.guardedDeltaUnion(spark, gen3, staleDir)
+    }
+    assert(ex.getMessage.contains("stale-generation delta refuses to serve"))
+    RelationalQueries.wipeDir(staleDir)
+  }
+
+  test("gen3 rollover: gen3's lists hold exactly the frame gen2 served (compaction)") {
+    PipelineQueries.ensureIvfProdGen3Export(spark, dir)
+    val served = PipelineQueries.guardedDeltaUnion(spark, s"$root/gen2",
+      s"$root/gen2/delta").select("nbr_id")
+    val gen3 = spark.read.parquet(s"$root/gen3/index")
+    // row-for-row: the rollover folded base ∪ delta1 ∪ delta2 into the
+    // new generation's clean lists — the delta compacts away, nothing
+    // is lost, nothing else sneaks in
+    assert(gen3.count() === served.count())
+    assert(gen3.select("nbr_id").except(served).count() === 0)
+    assert(served.except(gen3.select("nbr_id")).count() === 0)
+    // and the layout is the same hive-partition-per-list shape
+    val listDirs = Option(Paths.get(root, "gen3", "index").toFile.listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("__cid="))
+    assert(listDirs > 1 && listDirs <= PipelineQueries.prodNlist)
+    // a corrupted gen3 marker (foreign generation) rebuilds and
+    // restores the CHAINED stamp, exactly as the gen2 link does
+    val want = PipelineQueries.genStampOf(s"$root/gen3")
+    RelationalQueries.markFresh(s"$root/gen3", "foreign-generation")
+    PipelineQueries.ensureIvfProdGen3Export(spark, dir)
+    assert(PipelineQueries.genStampOf(s"$root/gen3") === want)
+  }
+
+  test("gen2 delete: tombstoned ids vanish; a foreign-stamped set refuses to serve") {
+    PipelineQueries.ensureIvfProdGen2TombstoneExport(spark, dir)
+    val gen2 = s"$root/gen2"
+    // the landing chains to the generation
+    assert(PipelineQueries.genStampOf(s"$gen2/tombstones") ===
+      PipelineQueries.genStampOf(gen2))
+    // serving drops exactly the retired rows — no index file rewritten
+    val union = PipelineQueries.guardedDeltaUnion(spark, gen2, s"$gen2/delta")
+    val frame = PipelineQueries.gen2DeletedServingFrame(spark, root)
+    val retired = spark.read.parquet(s"$gen2/tombstones").count()
+    assert(retired > 0, "the deterministic rule must retire some rows")
+    assert(frame.count() === union.count() - retired)
+    assert(frame.where($"nbr_id" % 10 === 7).count() === 0,
+      "every id ≡ 7 mod 10 must be gone from serving")
+    // a tombstone set stamped by another generation refuses — deletes
+    // name rows in a lineage, and a foreign lineage's ids are not ours
+    val want = PipelineQueries.genStampOf(s"$gen2/tombstones")
+    RelationalQueries.markFresh(s"$gen2/tombstones", "foreign-generation")
+    val ex = intercept[IllegalArgumentException] {
+      PipelineQueries.gen2DeletedServingFrame(spark, root)
+    }
+    assert(ex.getMessage.contains("stale-generation tombstones refuse to serve"))
+    // the ensure re-lands them under the current generation
+    PipelineQueries.ensureIvfProdGen2TombstoneExport(spark, dir)
+    assert(PipelineQueries.genStampOf(s"$gen2/tombstones") === want)
+    PipelineQueries.gen2DeletedServingFrame(spark, root).count()
   }
 
   test("s98 provenance: the served knob IS nprobeForRecall's output") {
@@ -359,6 +450,32 @@ class ProdIndexServingSpec extends AnyFunSuite {
     // whose recall the flat audit already proved ≥ 0.7)
     assert(cpCfg.recall >= 0.7 || cpCfg.cprobe === coarse.length,
       s"cprobe audit stopped at ${cpCfg.cprobe} recall=${cpCfg.recall}")
+  }
+
+  test("s102 provenance: every micro-batch serves at the derived knob, InSet sized by it") {
+    // the streaming half of the s98 claim (r15 verdict item 2): the
+    // knob is derived once per generation and EVERY micro-batch both
+    // serves at it and pins its index scan to ≤ 3·derived-nprobe lists
+    graft.SparkEntry.queries("s102_stream_ann_serving_derived")(spark, dir).collect()
+    val (served, servedNp) = OracleStash.get(OracleStash.S102Config).get
+    val fine = PipelineQueries.readCentroids(spark, s"$root/centroids")
+    val cfg = Similarity.nprobeForRecall(emb, emb.where($"vec_id" < 5), fine,
+      k = 10, targetRecall = 0.7,
+      index = Some(spark.read.parquet(s"$root/index")))
+    assert(servedNp === cfg.nprobe,
+      s"streamed nprobe $servedNp is not the derived ${cfg.nprobe}")
+    assert(cfg.recall >= 0.7)
+    assert(served.length === fine.length)
+    val pins = StreamingQueries.s102BatchPins
+    assert(pins.size === 5, s"expected 5 micro-batches, got ${pins.size}")
+    pins.values.foreach { case (nq, ncids, inSize, nlist) =>
+      assert(nlist === PipelineQueries.prodNlist)
+      assert(nq === 3, s"request batch should hold 3 queries, got $nq")
+      assert(ncids > 0 && ncids <= nq * servedNp,
+        s"probe union $ncids exceeds the structural 3·nprobe=${nq * servedNp} bound")
+      assert(inSize === ncids,
+        s"batch scan's static In/InSet has $inSize elements, probe union $ncids")
+    }
   }
 
   test("nprobeForRecall: boundary targets degenerate cleanly") {

@@ -43,7 +43,7 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, TimestampN
  *
  * Usage: runMain graft.GenData <srcSfDir> <outDir> <sf> [table,table,...]
  *                              [clusters=K[:sigma][:zipf[ALPHA]]]
- *                              [labels=zipf[ALPHA]]
+ *                              [labels=zipf[ALPHA] | labels=clzipf[ALPHA]]
  * (the optional 4th arg restricts generation to the named tables —
  * e.g. a lineitem-only sf10 corpus for the AQE skew-split check)
  *
@@ -161,27 +161,41 @@ object GenData {
         require(k >= 1, s"expected clusters=K[:sigma][:zipf[ALPHA]]: K must be >= 1, got $k")
         (k, sigmaParts.headOption.map(num("sigma", _)).getOrElse(0.125), alpha)
       }
-    // `labels=zipf[ALPHA]` (round 16 — the r15 verdict's item 4: label
-    // mass INHERITED cluster mass via `cluster id mod 10`, so the 1-NN
-    // label eval had never seen class imbalance that wasn't also
-    // occupancy imbalance). Draws the label from Zipf(ALPHA) over the
-    // 10 classes via the same scan-local inversion, keyed on its OWN
-    // hash stream — independent of the cluster id, so a label-skewed
-    // corpus differs from its sibling ONLY in which labels rows carry
-    // (embeddings byte-identical: rare classes, same geometry — the
-    // shape real curation labels have). At ALPHA=1 the head class
-    // holds ~34% of rows and the tail ~3.4%; at 1.5, ~50% vs ~1.6%.
-    val labelAlpha: Option[Double] = extra.find(_.startsWith("labels="))
+    // `labels=zipf[ALPHA]` / `labels=clzipf[ALPHA]` (round 16 — the
+    // r15 verdict's item 4: label mass INHERITED cluster mass via
+    // `cluster id mod 10`, so the 1-NN label eval had never seen
+    // class imbalance that wasn't also occupancy imbalance). Both
+    // draw the label from Zipf(ALPHA) over the 10 classes via the
+    // same scan-local inversion; they differ in the KEY:
+    //  - zipf   keys on the ROW id — labels independent of geometry,
+    //    the negative control: per-class 1-NN accuracy must collapse
+    //    to the class prior (any metric reporting more is broken);
+    //  - clzipf keys on the CLUSTER id (clustered mode only) — every
+    //    cluster carries one label but label MASS over clusters is
+    //    Zipf: rare classes own few clusters while neighbors still
+    //    carry the signal, the shape real curation labels have (class
+    //    imbalance WITH geometry — the cell that shows whether rare
+    //    classes survive the eval).
+    // Embeddings stay byte-identical to the sibling corpus either
+    // way. At ALPHA=1 the head class holds ~34% of rows and the tail
+    // ~3.4%; at 1.5, ~50% vs ~1.6%.
+    val labelSpec: Option[(Boolean, Double)] = extra.find(_.startsWith("labels="))
       .map { a =>
         val t = a.stripPrefix("labels=")
-        require(t.startsWith("zipf"), s"expected labels=zipf[ALPHA], got $a")
-        val suffix = t.stripPrefix("zipf")
-        if (suffix.isEmpty) 1.0
-        else try suffix.toDouble catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"expected labels=zipf[ALPHA]: bad ALPHA '$suffix' in $a")
-        }
+        val perCluster = t.startsWith("clzipf")
+        require(perCluster || t.startsWith("zipf"),
+          s"expected labels=zipf[ALPHA] or labels=clzipf[ALPHA], got $a")
+        val suffix = t.stripPrefix(if (perCluster) "clzipf" else "zipf")
+        val alpha =
+          if (suffix.isEmpty) 1.0
+          else try suffix.toDouble catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"expected labels=[cl]zipf[ALPHA]: bad ALPHA '$suffix' in $a")
+          }
+        (perCluster, alpha)
       }
+    require(labelSpec.forall(!_._1) || embClusters.isDefined,
+      "labels=clzipf keys the label on the cluster id — it needs clusters=K")
     val only: Set[String] = extra
       .filterNot(a => a.startsWith("clusters=") || a.startsWith("labels="))
       .headOption.map(_.split(",").toSet).getOrElse(Set.empty)
@@ -309,10 +323,12 @@ object GenData {
     write(docs, "documents", parts = sfParts)
 
     // label column: uniform hash (isotropic default), cluster-aligned
-    // (clustered default — label = cluster mod 10, below), or the
-    // independent Zipf stream when labels=zipf[ALPHA] asked for skew
-    def zipfLabel(id: Column): Option[Column] =
-      labelAlpha.map(a => zipfDraw("v/lz", id, 10, a).cast(IntegerType).as("label"))
+    // (clustered default — label = cluster mod 10, below), the
+    // row-keyed Zipf stream (labels=zipf), or the cluster-keyed Zipf
+    // mass (labels=clzipf — key supplied by the clustered branch)
+    def zipfLabel(key: Column): Option[Column] =
+      labelSpec.map { case (_, a) =>
+        zipfDraw("v/lz", key, 10, a).cast(IntegerType).as("label") }
     val vecs = embClusters match {
       case None =>
         spark.range(nVecs)
@@ -345,7 +361,7 @@ object GenData {
           .select(
             col("id").as("vec_id"),
             transform(col("raw"), x => x / col("norm")).cast(ArrayType(FloatType, containsNull = true)).as("embedding"),
-            zipfLabel(col("id")).getOrElse(
+            zipfLabel(if (labelSpec.exists(_._1)) col("cl") else col("id")).getOrElse(
               (col("cl") % 10).cast(IntegerType).as("label")))
     }
     write(vecs, "embeddings", parts = sfParts)

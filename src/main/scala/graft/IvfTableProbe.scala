@@ -89,11 +89,12 @@ object IvfTableProbe {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     mode match {
       case "eval"     => evalMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(10), runs)
+      case "labeleval" => labelEvalMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(10), runs)
       case "evalexpr" => evalExprMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(10), runs)
       case "evalhier" => evalHierMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(0), runs)
       case "serve"    => serveMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(128), runs)
       case "recall"   => recallMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(0))
-      case other      => sys.error(s"unknown mode '$other' (eval|evalexpr|evalhier|serve|recall)")
+      case other      => sys.error(s"unknown mode '$other' (eval|labeleval|evalexpr|evalhier|serve|recall)")
     }
     spark.stop()
   }
@@ -123,6 +124,42 @@ object IvfTableProbe {
     }
     println(f"[tableprobe] eval nlist=$nlist train=$trainSec%.1f s eval(min)=$best%.1f s " +
       f"agree=${agree._2}/${agree._1} (${agree._2.toDouble / agree._1}%.3f)" + " [" + HostLoad.line + "]")
+    emb.unpersist()
+  }
+
+  /** The leave-one-out 1-NN label eval with the PER-CLASS breakdown
+    * printed (r15 verdict item 4): on a label-skewed corpus (GenData
+    * `labels=zipf[A]`) the aggregate accuracy is dominated by the head
+    * class, so only per-class rows can show whether the metric holds
+    * for RARE classes — the shape real curation labels have.
+    * Expression tier at occupancy-held nlist, k=1, rankAgg buffers
+    * (the eval-family ranking discipline), query side never
+    * broadcast. */
+  private def labelEvalMode(spark: SparkSession, embRaw: DataFrame, maxBits: Int, runs: Int): Unit = {
+    val emb = embRaw.select(col("vec_id"), col("embedding"), col("label"))
+    emb.persist(); val n = emb.count()
+    val nlist = Similarity.ivfListsFor(n, targetOccupancy = 16, minBits = 4, maxBits = maxBits)
+    println(s"[tableprobe] labeleval corpus n=$n occupancy-held nlist=$nlist (maxBits=$maxBits) nprobe=4")
+    val t0 = System.nanoTime()
+    val cents = Similarity.kmeansCentroidsByExpr(emb, nlist = nlist, iters = 2)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    var best = Double.MaxValue
+    var rows: Array[org.apache.spark.sql.Row] = Array.empty
+    (1 to runs).foreach { _ =>
+      val t1 = System.nanoTime()
+      rows = graft.queries.PipelineQueries.knnLabelAgreement(emb,
+        Similarity.ivfTopKByExpr(cents, emb, emb, k = 1,
+          broadcastQueries = false, rankAgg = true)).collect()
+      best = math.min(best, (System.nanoTime() - t1) / 1e9)
+    }
+    val tot = rows.map(_.getLong(1)).sum
+    val cor = rows.map(_.getLong(2)).sum
+    println(f"[tableprobe] labeleval nlist=$nlist train=$trainSec%.1f s eval(min)=$best%.1f s " +
+      f"overall=$cor/$tot (${cor.toDouble / tot}%.4f)" + " [" + HostLoad.line + "]")
+    rows.foreach { r =>
+      println(f"[tableprobe] labeleval class=${r.getInt(0)}%d n=${r.getLong(1)}%d " +
+        f"acc=${r.getLong(2).toDouble / r.getLong(1)}%.4f")
+    }
     emb.unpersist()
   }
 

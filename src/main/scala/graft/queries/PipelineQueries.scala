@@ -2672,7 +2672,7 @@ object PipelineQueries {
     * exact and IVF twins cannot drift on the report shape. The nn
     * frame is queries-sized (≤ one row per vector); both joins attach
     * the narrow (vec_id, label) projection; output is labels-sized. */
-  private[queries] def knnLabelAgreement(emb: DataFrame, nn: DataFrame): DataFrame = {
+  private[graft] def knnLabelAgreement(emb: DataFrame, nn: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
     val lab = emb.select($"vec_id", $"label")
     nn.select($"query_id", $"nbr_id")

@@ -94,7 +94,8 @@ object IvfTableProbe {
       case "evalhier" => evalHierMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(0), runs)
       case "serve"    => serveMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(128), runs)
       case "recall"   => recallMode(spark, emb, args.lift(2).map(_.toInt).getOrElse(0))
-      case other      => sys.error(s"unknown mode '$other' (eval|labeleval|evalexpr|evalhier|serve|recall)")
+      case "rollover" => rolloverMode(spark, sfDir)
+      case other      => sys.error(s"unknown mode '$other' (eval|labeleval|evalexpr|evalhier|serve|recall|rollover)")
     }
     spark.stop()
   }
@@ -161,6 +162,38 @@ object IvfTableProbe {
         f"acc=${r.getLong(2).toDouble / r.getLong(1)}%.4f")
     }
     emb.unpersist()
+  }
+
+  /** Wall-clock the WHOLE generation lifecycle at corpus scale (the
+    * r16 did-not-measure item, closed same-session): wipe the
+    * production index root, then time each ensure stage cold — gen1
+    * build (train + assign + partitioned write + int8 sibling), the
+    * gen2 refresh rewrite (warm round + re-assign + rewrite), the
+    * gen2-chained delta landing, the gen3 rollover (the construction
+    * on its own output), and gen3's delta. Stages are the REAL ensure
+    * functions, so what is timed is what the gates run; load-stamped
+    * like every probe sample. */
+  private def rolloverMode(spark: SparkSession, sfDir: String): Unit = {
+    import graft.queries.{PipelineQueries, RelationalQueries}
+    val root = PipelineQueries.ivfProdIndexRoot(sfDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    println(s"[tableprobe] rollover corpus n=$n nlist=${PipelineQueries.prodNlist} (cold root)")
+    def stage(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"[tableprobe] rollover $label=${(System.nanoTime() - t0) / 1e9}%.1f s"
+        + " [" + HostLoad.line + "]")
+    }
+    stage("gen1-build")(PipelineQueries.ensureIvfProdIndexExport(spark, sfDir))
+    stage("gen2-rewrite")(PipelineQueries.ensureIvfProdRefreshExport(spark, sfDir))
+    stage("gen2-delta")(PipelineQueries.ensureIvfProdGen2DeltaExport(spark, sfDir))
+    stage("gen3-rollover")(PipelineQueries.ensureIvfProdGen3Export(spark, sfDir))
+    stage("gen3-delta")(PipelineQueries.ensureIvfProdGen3DeltaExport(spark, sfDir))
+    // the served row counts, so the stage seconds have denominators
+    for (g <- Seq("index", "gen2/index", "gen3/index"))
+      println(s"[tableprobe] rollover rows $g=${spark.read.parquet(s"$root/$g").count()}")
   }
 
   /** Same-session table-vs-expr A/B at the same occupancy-held nlist:

@@ -183,6 +183,10 @@ object PlanReport {
       "fully-DERIVED hierarchical serving (the two-knob sizing flow): nprobeForRecall prices the fine knob on the persisted index, cprobeForRecall prices the coarse knob AT that nprobe via the hybrid walk over the SAME persisted layout (its index parameter — the audit prices exactly the path serving runs), and the query serves at the derived pair; the oracle re-derives the whole hybrid walk at the stashed (nprobe, cprobe) and the provenance spec pins both served knobs equal to the APIs' outputs",
     "s101_ann_ivf_gen3" ->
       "GEN3 ROLLOVER SERVING (r16 — the generation chain made inductive): gen3 is built FROM gen2's guarded served frame by the same rollGeneration construction that built gen2 from gen1 (warm Lloyd round seeded from gen2's matrix, scan-local re-assignment into hive-partitioned lists, stamp derived from gen2's stamp — so one base regeneration turns over base, gen2, gen3, and every chained delta in one sweep), the folded delta2 compacting away into gen3's clean lists; serving gen3 UNION its own gen3-stamped chained delta rides the identical topology — dynamicpruningexpression on the gen3 index scan through the guarded union (pinned in PlanChecksSpec), a gen2-stamped landing REFUSING before any task launches",
+    "s104_ann_ivf_gen3_hier" ->
+      "hierarchical serving over GEN3 (tier parity at the ROLLED link): rollGeneration persists the refreshed coarse matrix beside the fine one at EVERY link, so gen3 drives the fused two-level HierProbes loop over the same guarded gen3-union-delta frame the flat s101 serves — one artifact, both tiers, no retraining, at a generation built from the construction's own output; the oracle walks the s91/s99 hybrid path from the two spliced TWICE-refreshed matrices over all four corpus arms",
+    "s105_ann_gen3_derived" ->
+      "the ROLLED generation prices its own knob (lifecycle x configuration composed): a rollover replaces the quantizer, so gen1's audited nprobe is a measurement of a matrix gen3 no longer serves — nprobeForRecall re-runs against gen3's own guarded frame (ground truth over the gen3-served corpus; each doubling pass reads only its probed lists through the union) and the query serves gen3 at exactly that price, DPP on the gen3 scan as s101; the oracle re-derives the walk at the stashed per-generation knob and the provenance spec pins served == derived-on-gen3",
     "s103_ann_ivf_gen2_delete" ->
       "DELETE over the REFRESHED generation (r16 — s63's tombstone verb carried to gen2): retired ids land metadata-sized beside the generation STAMPED with gen2's stamp (a foreign-stamped set refuses to serve exactly as a foreign delta would), and serving anti-joins them broadcast over the guarded index-union-delta frame — the gen2 index scan KEEPS its dynamicpruningexpression under the delete (pinned in PlanChecksSpec), no index file is rewritten, and the oracle recomputes the walk over the SURVIVING corpus: deleting must equal never having indexed the rows",
     "t54_sequence_packing" ->

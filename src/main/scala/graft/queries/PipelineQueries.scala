@@ -1540,6 +1540,55 @@ object PipelineQueries {
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
     }),
+    // HIERARCHICAL serving over GEN3 — tier parity carried through
+    // the ROLLED generation: rollGeneration persists the refreshed
+    // coarse matrix beside the fine one at EVERY link (it is the one
+    // generation-producing construction), so gen3 serves the
+    // two-level walk exactly as gen1 (s91) and gen2 (s99) do — no
+    // retraining, same guarded union, same hybrid semantics (flat
+    // assignment at rewrite time, two-level probes on the query
+    // side). Oracle: hierQueryOnFlatCtes from the two spliced
+    // TWICE-refreshed matrices over the full gen3-served corpus.
+    "s104_ann_ivf_gen3_hier" -> ((s, dir) => {
+      import s.implicits._
+      val root = ensureIvfProdGen3DeltaExport(s, dir)
+      val gen3 = s"$root/gen3"
+      val fine = readCentroids(s, s"$gen3/centroids")
+      val coarse = readCentroids(s, s"$gen3/coarse", idCol = "kid")
+      OracleStash.put(OracleStash.S104Model, (coarse, fine))
+      Similarity.hierTopKOnIndexByExpr(coarse, fine,
+          guardedDeltaUnion(s, gen3, s"$gen3/delta"),
+          t(s, dir, "embeddings").where($"vec_id" < 5), k = 10)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
+    // THE ROLLED GENERATION PRICES ITS OWN KNOB — the composition
+    // that closes the lifecycle × configuration story: a rollover
+    // REPLACES the quantizer, so gen1's audited nprobe (s98) is a
+    // measurement of a matrix gen3 no longer serves — the audit must
+    // re-run per generation, against the generation's OWN persisted
+    // frame (ground truth over the gen3-served corpus, each doubling
+    // pass reading only its probed lists from the guarded union).
+    // The query then serves gen3 at the knob gen3 itself priced.
+    // Oracle: the probe/rank recompute from the spliced
+    // twice-refreshed matrix over the gen3 corpus AT the stashed
+    // derived nprobe; the provenance spec pins served ≡ the API's
+    // output re-derived on the same generation.
+    "s105_ann_gen3_derived" -> ((s, dir) => {
+      import s.implicits._
+      val root = ensureIvfProdGen3DeltaExport(s, dir)
+      val gen3 = s"$root/gen3"
+      val fine = readCentroids(s, s"$gen3/centroids")
+      val served = guardedDeltaUnion(s, gen3, s"$gen3/delta")
+      val corpus = served.select($"nbr_id".as("vec_id"), $"cvec".as("embedding"))
+      val q = t(s, dir, "embeddings").where($"vec_id" < 5)
+      val np = Similarity.nprobeForRecall(corpus, q, fine, k = 10,
+        targetRecall = 0.7, index = Some(served)).nprobe
+      OracleStash.put(OracleStash.S105Config, (fine, np))
+      Similarity.ivfTopKOnIndexByExpr(fine, served, q, k = 10, nprobe = np)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
     // DELETE over the REFRESHED generation — the r15 verdict's item
     // 3: the s63 tombstone verb carried to gen2, so a generation
     // built by refresh can shed rows without rewriting an index file.
@@ -2974,7 +3023,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle ++ annRecallHierOracle ++ prodServeOracle ++ prodHierOracle ++ recallHeldIvfOracle ++ prodStreamServeOracle ++ streamIngestIndexOracle ++ prodQuantizedOracle ++ indexRefreshOracle ++ gen2ServeOracle ++ derivedServeOracle ++ gen2HierOracle ++ hierDerivedOracle ++ gen3ServeOracle ++ gen2DeleteOracle ++ derivedStreamServeOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle ++ annRecallHierOracle ++ prodServeOracle ++ prodHierOracle ++ recallHeldIvfOracle ++ prodStreamServeOracle ++ streamIngestIndexOracle ++ prodQuantizedOracle ++ indexRefreshOracle ++ gen2ServeOracle ++ derivedServeOracle ++ gen2HierOracle ++ hierDerivedOracle ++ gen3ServeOracle ++ gen3HierOracle ++ gen3DerivedOracle ++ gen2DeleteOracle ++ derivedStreamServeOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -3678,6 +3727,24 @@ object PipelineQueries {
   private def gen3ServeOracle: Map[String, String] =
     OracleStash.get(OracleStash.S101Cents).map(c => "s101_ann_ivf_gen3" ->
       ivfProbeOracleSql(c, gen3SrcSql)).toMap
+
+  /** s104's oracle: the s91/s99 HYBRID recompute from the two spliced
+    * TWICE-refreshed matrices over the gen3-served corpus — tier
+    * parity must hold at every link of the generation chain. */
+  private def gen3HierOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S104Model).map { case (co, fi) =>
+      "s104_ann_ivf_gen3_hier" -> hierProbeOracleSql(co, fi, src = gen3SrcSql)
+    }.toMap
+
+  /** s105's oracle: the gen3 probe/rank recompute AT the stashed
+    * nprobe the generation derived for itself — the d73/s98
+    * discipline composed with rollover: a new quantizer generation
+    * re-prices its knob, and the gate re-derives the answer at
+    * exactly that price. */
+  private def gen3DerivedOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S105Config).map { case (c, np) =>
+      "s105_ann_gen3_derived" -> ivfProbeOracleSql(c, gen3SrcSql, nprobe = np)
+    }.toMap
 
   /** The gen2-served corpus minus the retired ids — every arm drops
     * id ≡ 7 mod 10 (the +1M/+2M shifts preserve the residue, so the

@@ -383,6 +383,72 @@ class ProdIndexServingSpec extends AnyFunSuite {
     assert(PipelineQueries.genStampOf(s"$root/gen3") === want)
   }
 
+  test("gen4 in a scratch dir: the construction applies a THIRD time") {
+    // the strongest form of the induction claim: rollGeneration is
+    // run once more, on gen3's guarded served frame, into a scratch
+    // generation root — no new code path, the SAME function a third
+    // time. If this needed anything gen-specific, the chain would not
+    // be inductive.
+    PipelineQueries.ensureIvfProdGen3DeltaExport(spark, dir)
+    val gen3 = s"$root/gen3"
+    val gen4 = Files.createTempDirectory("graft-gen4").toString
+    val want = s"${PipelineQueries.genStampOf(gen3)}:gen4-refresh-v1"
+    PipelineQueries.rollGeneration(spark,
+      PipelineQueries.guardedDeltaUnion(spark, gen3, s"$gen3/delta")
+        .select($"nbr_id".as("vec_id"), $"cvec".as("embedding")),
+      PipelineQueries.readCentroids(spark, s"$gen3/centroids"), gen4, want)
+    // the rolled generation holds exactly the frame its input served
+    val g4 = spark.read.parquet(s"$gen4/index")
+    val srv = PipelineQueries.guardedDeltaUnion(spark, gen3, s"$gen3/delta")
+    assert(g4.count() === srv.count())
+    assert(g4.select("nbr_id").except(srv.select("nbr_id")).count() === 0)
+    // its stamp chains to gen3's, hence transitively to the base —
+    // four links now derive from one root stamp
+    assert(PipelineQueries.genStampOf(gen4) === want)
+    assert(want.startsWith(PipelineQueries.genStampOf(root)))
+    // both matrices persist at link 3, so every tier serves: hier at
+    // cprobe = ncoarse answers row-identically to flat over gen4
+    val fine = PipelineQueries.readCentroids(spark, s"$gen4/centroids")
+    val coarse = PipelineQueries.readCentroids(spark, s"$gen4/coarse", idCol = "kid")
+    assert(fine.length === PipelineQueries.prodNlist)
+    val q = emb.where($"vec_id" < 3)
+    val flat = Similarity.ivfTopKOnIndexByExpr(fine, g4, q, k = 10)
+      .select($"query_id", $"nbr_id", $"rank").orderBy("query_id", "rank").collect()
+    val hier = Similarity.hierTopKOnIndexByExpr(coarse, fine, g4, q, k = 10,
+        cprobe = coarse.length)
+      .select($"query_id", $"nbr_id", $"rank").orderBy("query_id", "rank").collect()
+    assert(flat.nonEmpty && flat.toSeq === hier.toSeq)
+    // and a gen3-stamped landing refuses against gen4, as at every link
+    val staleDir = s"$gen4/delta-stale-test"
+    PipelineQueries.landDelta(
+      Similarity.ivfAssignedByExpr(fine, emb.where($"vec_id" < 5)
+        .select(($"vec_id" + 5000000L).as("vec_id"), $"embedding")),
+      PipelineQueries.genStampOf(gen3), staleDir)
+    val ex = intercept[IllegalArgumentException] {
+      PipelineQueries.guardedDeltaUnion(spark, gen4, staleDir)
+    }
+    assert(ex.getMessage.contains("stale-generation delta refuses to serve"))
+    RelationalQueries.wipeDir(gen4)
+  }
+
+  test("gen3 hier serving degenerates to gen3 flat at cprobe = ncoarse") {
+    // the s91/s99 tier-equivalence claim at the ROLLED link: over the
+    // gen3-served frame, the two-level walk probing every owned
+    // coarse cell must answer row-identically to the flat walk
+    PipelineQueries.ensureIvfProdGen3DeltaExport(spark, dir)
+    val gen3 = s"$root/gen3"
+    val fine = PipelineQueries.readCentroids(spark, s"$gen3/centroids")
+    val coarse = PipelineQueries.readCentroids(spark, s"$gen3/coarse", idCol = "kid")
+    val served = PipelineQueries.guardedDeltaUnion(spark, gen3, s"$gen3/delta")
+    val q = emb.where($"vec_id" < 5)
+    val flat = Similarity.ivfTopKOnIndexByExpr(fine, served, q, k = 10)
+      .select($"query_id", $"nbr_id", $"rank").orderBy("query_id", "rank").collect()
+    val hier = Similarity.hierTopKOnIndexByExpr(coarse, fine, served, q, k = 10,
+        cprobe = coarse.length)
+      .select($"query_id", $"nbr_id", $"rank").orderBy("query_id", "rank").collect()
+    assert(flat.nonEmpty && flat.toSeq === hier.toSeq)
+  }
+
   test("gen2 delete: tombstoned ids vanish; a foreign-stamped set refuses to serve") {
     PipelineQueries.ensureIvfProdGen2TombstoneExport(spark, dir)
     val gen2 = s"$root/gen2"
@@ -476,6 +542,25 @@ class ProdIndexServingSpec extends AnyFunSuite {
       assert(inSize === ncids,
         s"batch scan's static In/InSet has $inSize elements, probe union $ncids")
     }
+  }
+
+  test("s105 provenance: the rolled generation serves at the knob IT derived") {
+    // a rollover REPLACES the quantizer, so the audit must re-run per
+    // generation: run the declared query, then re-derive the config
+    // over the same gen3 guarded frame — the stashed (served) nprobe
+    // must equal the API's output measured on gen3 itself
+    graft.SparkEntry.queries("s105_ann_gen3_derived")(spark, dir).collect()
+    val (served, servedNp) = OracleStash.get(OracleStash.S105Config).get
+    val gen3 = s"$root/gen3"
+    val fine = PipelineQueries.readCentroids(spark, s"$gen3/centroids")
+    assert(served.length === fine.length)
+    val frame = PipelineQueries.guardedDeltaUnion(spark, gen3, s"$gen3/delta")
+    val corpus = frame.select($"nbr_id".as("vec_id"), $"cvec".as("embedding"))
+    val cfg = Similarity.nprobeForRecall(corpus, emb.where($"vec_id" < 5), fine,
+      k = 10, targetRecall = 0.7, index = Some(frame))
+    assert(servedNp === cfg.nprobe,
+      s"served nprobe $servedNp is not the one gen3 derived (${cfg.nprobe})")
+    assert(cfg.recall >= 0.7 || cfg.nprobe === fine.length)
   }
 
   test("nprobeForRecall: boundary targets degenerate cleanly") {

@@ -167,7 +167,7 @@ object PipelineQueries {
     * into the base `_SUCCESS` marker (captured BEFORE the export reads
     * its source — see [[RelationalQueries.markFresh]]). */
   private def buildIvfIndex(s: SparkSession, sfDir: String, root: String): String = {
-    val want = RelationalQueries.srcDigest(sfDir, "embeddings")
+    val want = RelationalQueries.srcDigest(sfDir, "embeddings") + ":ivf-v2"
     import s.implicits._
     val cents = centroids16(s, sfDir)
     Similarity.ivfAssigned(cents, t(s, sfDir, "embeddings"))
@@ -252,11 +252,14 @@ object PipelineQueries {
     * and their oracles' UNION ALL source, so the "what did the index
     * grow by" question has a single answer.
     *
-    * The synthetic shifts (+1 000 000 here; +2 000 000 for the gen2
-    * chained delta) assume base vec_ids stay BELOW the first shift —
-    * true for every gate corpus (GenData makes 20 000·sf vectors, so
-    * ids reach 1 000 000 only past sf50, far beyond the sf0.001–0.1
-    * gate dirs). Guarded loudly rather than assumed: a colliding id
+    * The synthetic shifts (+100 000 000 here; +200 000 000 for the
+    * gen2 chained delta, +300 000 000 for gen3's — r16 raised them
+    * 100× after the sf100 rollover probe hit the old +1M guard at 2M
+    * vectors) assume base vec_ids stay BELOW the first shift — true
+    * for every corpus up to 100M vectors (GenData makes 20 000·sf, so
+    * collision needs sf5000). All shifts are multiples of 10, so
+    * id mod 10 survives every arm (the tombstone rule relies on it).
+    * Guarded loudly rather than assumed: a colliding id
     * space would double-count recall joins and distort rankings
     * SILENTLY, the worst failure class. One max() aggregate per call
     * — noise next to the serving query it feeds. */
@@ -264,11 +267,11 @@ object PipelineQueries {
     import s.implicits._
     val emb = t(s, sfDir, "embeddings").select($"vec_id", $"embedding")
     val maxId = emb.agg(max($"vec_id")).collect()(0).getLong(0)
-    require(maxId < 1000000L,
-      s"synthetic delta id shift collides: base vec_id reaches $maxId >= 1000000 " +
+    require(maxId < 100000000L,
+      s"synthetic delta id shift collides: base vec_id reaches $maxId >= 100000000 " +
         "— raise the shift constants (Spark side AND oracle SQL) together")
     emb.unionByName(emb.where($"vec_id" < 200)
-      .select(($"vec_id" + 1000000L).as("vec_id"),
+      .select(($"vec_id" + 100000000L).as("vec_id"),
         reverse($"embedding").as("embedding")))
   }
 
@@ -276,7 +279,7 @@ object PipelineQueries {
   private val prodGrownSrcSql: String =
     """SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 1000000 AS vec_id, list_reverse(embedding) AS embedding
+      |  SELECT vec_id + 100000000 AS vec_id, list_reverse(embedding) AS embedding
       |  FROM embeddings WHERE vec_id < 200""".stripMargin
 
   /** A persisted index GENERATION's identity stamp — the _SUCCESS
@@ -367,7 +370,7 @@ object PipelineQueries {
       ensureIvfProdIndexExport(s, sfDir)
       genStampOf(root)
     }
-    val want = s"$baseStamp:gen2-refresh-v1"
+    val want = s"$baseStamp:gen2-refresh-v2"
     val gen2 = s"$root/gen2"
     if (RelationalQueries.staleDigest(gen2, want))
       rollGeneration(s, prodGrownCorpus(s, sfDir),
@@ -416,14 +419,14 @@ object PipelineQueries {
     * the new quantizer. */
   def ensureIvfProdGen2DeltaExport(s: SparkSession, sfDir: String): String = {
     val root = ensureIvfProdRefreshExport(s, sfDir)
-    ensureChainedDelta(s, sfDir, s"$root/gen2", lo = 200, hi = 400, shift = 2000000L)
+    ensureChainedDelta(s, sfDir, s"$root/gen2", lo = 200, hi = 400, shift = 200000000L)
     root
   }
 
   /** Land a generation's chained ingest delta when it is missing or
     * stamped by another generation — ONE landing discipline for every
     * generation in the chain (gen2's delta is rows [200, 400) shifted
-    * +2M; gen3's is [400, 600) shifted +3M — each range is non-empty
+    * +200M; gen3's is [400, 600) shifted +300M — each range is non-empty
     * from the 500-vector gate corpus up). The stamp is captured
     * BEFORE the centroids are read: a generation rewrite in the
     * window leaves this landing stamped with the OLD generation — a
@@ -461,7 +464,7 @@ object PipelineQueries {
     val root = ensureIvfProdGen2DeltaExport(s, sfDir)
     val gen2 = s"$root/gen2"
     val gen3 = s"$root/gen3"
-    val want = s"${genStampOf(gen2)}:gen3-refresh-v1"
+    val want = s"${genStampOf(gen2)}:gen3-refresh-v2"
     if (RelationalQueries.staleDigest(gen3, want))
       rollGeneration(s,
         // the guarded frame carries the assigned-layout column names;
@@ -483,7 +486,7 @@ object PipelineQueries {
     * forever. */
   def ensureIvfProdGen3DeltaExport(s: SparkSession, sfDir: String): String = {
     val root = ensureIvfProdGen3Export(s, sfDir)
-    ensureChainedDelta(s, sfDir, s"$root/gen3", lo = 400, hi = 600, shift = 3000000L)
+    ensureChainedDelta(s, sfDir, s"$root/gen3", lo = 400, hi = 600, shift = 300000000L)
     root
   }
 
@@ -492,8 +495,8 @@ object PipelineQueries {
     * refreshed generation couldn't shed rows. Same deterministic
     * retired-id rule as s63 (every id ≡ 7 mod 10), over the id space
     * gen2 actually serves (base ∪ delta1 re-assigned into gen2, plus
-    * the chained delta2 — the synthetic +1M/+2M shifts preserve id mod
-    * 10, so one rule covers all three arms). Metadata-sized, stamped
+    * the chained delta2 — the synthetic +100M/+200M shifts preserve id
+    * mod 10, so one rule covers all three arms). Metadata-sized, stamped
     * with gen2's generation stamp: a generation rewrite invalidates
     * the tombstone landing with everything else in the chain, and
     * serving refuses a foreign-stamped set ([[gen2DeletedServingFrame]])
@@ -509,9 +512,9 @@ object PipelineQueries {
       val emb = t(s, sfDir, "embeddings")
       val retired = emb.select($"vec_id").where($"vec_id" % 10 === 7)
         .unionByName(emb.where($"vec_id" < 200 && $"vec_id" % 10 === 7)
-          .select(($"vec_id" + 1000000L).as("vec_id")))
+          .select(($"vec_id" + 100000000L).as("vec_id")))
         .unionByName(emb.where($"vec_id" >= 200 && $"vec_id" < 400 && $"vec_id" % 10 === 7)
-          .select(($"vec_id" + 2000000L).as("vec_id")))
+          .select(($"vec_id" + 200000000L).as("vec_id")))
       retired.coalesce(1).write.mode("overwrite").parquet(tombDir)
       RelationalQueries.markFresh(tombDir, stamp)
     }
@@ -565,7 +568,7 @@ object PipelineQueries {
       val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
       val delta = t(s, sfDir, "embeddings").where($"vec_id" < 200)
-        .select(($"vec_id" + 1000000L).as("vec_id"),
+        .select(($"vec_id" + 100000000L).as("vec_id"),
           reverse($"embedding").as("embedding"))
       Similarity.ivfAssigned(cents, delta)
         .write.mode("overwrite").partitionBy("__cid").parquet(s"$root/delta")
@@ -591,7 +594,7 @@ object PipelineQueries {
       val emb = t(s, sfDir, "embeddings")
       emb.select($"vec_id").where($"vec_id" % 10 === 7)
         .unionByName(emb.where($"vec_id" < 200 && $"vec_id" % 10 === 7)
-          .select(($"vec_id" + 1000000L).as("vec_id")))
+          .select(($"vec_id" + 100000000L).as("vec_id")))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$root/tombstones")
       RelationalQueries.markFresh(s"$root/tombstones", baseStamp)
@@ -3691,7 +3694,7 @@ object PipelineQueries {
   private def gen2SrcSql: String =
     s"""$prodGrownSrcSql
        |  UNION ALL
-       |  SELECT vec_id + 2000000 AS vec_id, list_reverse(embedding) AS embedding
+       |  SELECT vec_id + 200000000 AS vec_id, list_reverse(embedding) AS embedding
        |  FROM embeddings WHERE vec_id >= 200 AND vec_id < 400""".stripMargin
 
   /** s99's oracle: the s91 HYBRID recompute (flat assignment +
@@ -3716,7 +3719,7 @@ object PipelineQueries {
   private def gen3SrcSql: String =
     s"""$gen2SrcSql
        |  UNION ALL
-       |  SELECT vec_id + 3000000 AS vec_id, list_reverse(embedding) AS embedding
+       |  SELECT vec_id + 300000000 AS vec_id, list_reverse(embedding) AS embedding
        |  FROM embeddings WHERE vec_id >= 400 AND vec_id < 600""".stripMargin
 
   /** s101's oracle: the probe/rank recompute from the spliced
@@ -3753,10 +3756,10 @@ object PipelineQueries {
   private def gen2SurvivingSrcSql: String =
     """SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7
       |  UNION ALL
-      |  SELECT vec_id + 1000000 AS vec_id, list_reverse(embedding) AS embedding
+      |  SELECT vec_id + 100000000 AS vec_id, list_reverse(embedding) AS embedding
       |  FROM embeddings WHERE vec_id < 200 AND vec_id % 10 <> 7
       |  UNION ALL
-      |  SELECT vec_id + 2000000 AS vec_id, list_reverse(embedding) AS embedding
+      |  SELECT vec_id + 200000000 AS vec_id, list_reverse(embedding) AS embedding
       |  FROM embeddings WHERE vec_id >= 200 AND vec_id < 400 AND vec_id % 10 <> 7""".stripMargin
 
   /** s103's oracle: the s63 discipline on the refreshed generation —
@@ -3956,7 +3959,7 @@ object PipelineQueries {
     OracleStash.get(OracleStash.S61Cents).map(c => "s61_ann_index_append" -> ivfProbeOracleSql(c,
       """SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 1000000 AS vec_id, list_reverse(embedding) AS embedding
+        |  SELECT vec_id + 100000000 AS vec_id, list_reverse(embedding) AS embedding
         |  FROM embeddings WHERE vec_id < 200""".stripMargin)).toMap
 
   /** The SURVIVING corpus (base ∪ delta minus every id ≡ 7 mod 10 —
@@ -3967,7 +3970,7 @@ object PipelineQueries {
   private val survivingCorpusSql: String =
     """SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7
       |  UNION ALL
-      |  SELECT vec_id + 1000000 AS vec_id, list_reverse(embedding) AS embedding
+      |  SELECT vec_id + 100000000 AS vec_id, list_reverse(embedding) AS embedding
       |  FROM embeddings WHERE vec_id < 200 AND vec_id % 10 <> 7""".stripMargin
 
   private def tombstoneIvfOracle: Map[String, String] =

@@ -151,12 +151,12 @@ object StreamingQueries {
     * stream exports. */
   def ensureIndexIngestExport(s: SparkSession, dir: String): String = {
     val out = RelationalQueries.dataRoot("index-ingest", dir, "emb")
-    val want = RelationalQueries.srcDigest(dir, "embeddings") + ":index-ingest-mod5-v1"
+    val want = RelationalQueries.srcDigest(dir, "embeddings") + ":index-ingest-mod5-v2"
     if (RelationalQueries.staleDigest(out, want)) {
       RelationalQueries.wipeDir(out)
       val delta = s.read.parquet(s"$dir/embeddings.parquet")
         .where(col("vec_id") < 200)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
+        .select((col("vec_id") + 100000000L).as("vec_id"),
           reverse(col("embedding")).as("embedding"))
       (0 until 5).foreach { i =>
         delta.where(pmod(col("vec_id"), lit(5)) === i)

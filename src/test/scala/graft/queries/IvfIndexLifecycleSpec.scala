@@ -92,7 +92,7 @@ class IvfIndexLifecycleSpec extends AnyFunSuite {
     val surviving = emb.where($"vec_id" % 10 =!= 7)
       .select($"vec_id", $"embedding")
       .unionByName(emb.where($"vec_id" < 200 && $"vec_id" % 10 =!= 7)
-        .select(($"vec_id" + 1000000L).as("vec_id"),
+        .select(($"vec_id" + 100000000L).as("vec_id"),
           org.apache.spark.sql.functions.reverse($"embedding").as("embedding")))
     val rebuilt = rows(graft.operators.Similarity.ivfTopKOnIndex(cents,
       graft.operators.Similarity.ivfAssigned(cents, surviving), queries, k = 10))

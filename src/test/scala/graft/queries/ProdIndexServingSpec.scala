@@ -325,8 +325,8 @@ class ProdIndexServingSpec extends AnyFunSuite {
     val gen3Stamp = PipelineQueries.genStampOf(s"$root/gen3")
     // each link derives from the previous by the SAME rule — the
     // construction applied to its own output (r15 verdict item 1)
-    assert(gen2Stamp === s"$baseStamp:gen2-refresh-v1")
-    assert(gen3Stamp === s"$gen2Stamp:gen3-refresh-v1")
+    assert(gen2Stamp === s"$baseStamp:gen2-refresh-v2")
+    assert(gen3Stamp === s"$gen2Stamp:gen3-refresh-v2")
     // ...so the whole lineage is rooted at the base stamp: one base
     // regeneration invalidates gen2, gen3, and every chained delta
     // transitively, in one sweep

@@ -157,7 +157,13 @@ object GenData {
           val t = z.stripPrefix("zipf")
           if (t.isEmpty) 1.0 else num("zipf ALPHA", t)
         }.getOrElse(0.0)
-        val k = num("K", p(0)).toInt
+        // K parses as an INTEGER in its own right — routing it through
+        // the double parser would silently truncate `64.5` to 64 and
+        // clamp overflow, defeating the validation (review r16)
+        val k = try p(0).toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"expected clusters=K[:sigma][:zipf[ALPHA]]: bad K '${p(0)}' in $a")
+        }
         require(k >= 1, s"expected clusters=K[:sigma][:zipf[ALPHA]]: K must be >= 1, got $k")
         (k, sigmaParts.headOption.map(num("sigma", _)).getOrElse(0.125), alpha)
       }

@@ -458,20 +458,27 @@ object PipelineQueries {
     * stamp derives from gen2's exactly as gen2's derives from the
     * base's: inductive, so a base regeneration invalidates gen2, gen3,
     * and every chained delta in one sweep. This is also compaction
-    * under rollover: the folded delta disappears into the new
-    * generation's clean hive-partitioned lists. */
+    * under rollover — and compaction honors DELETES: the rollover
+    * input is gen2's frame AFTER its tombstones ([[deletedServingFrame]]
+    * — the gen1 compactor folds tombstonedServingFrame for exactly
+    * the same reason), so a row retired from gen2 is never
+    * resurrected into gen3's lists, and the tombstone set itself
+    * compacts away with the folded delta. The tombstone ensure is
+    * part of this chain, so the rollover input is deterministic —
+    * never dependent on whether the delete verb happened to run
+    * first in the session. */
   def ensureIvfProdGen3Export(s: SparkSession, sfDir: String): String = {
-    val root = ensureIvfProdGen2DeltaExport(s, sfDir)
+    val root = ensureIvfProdGen2TombstoneExport(s, sfDir)
     val gen2 = s"$root/gen2"
     val gen3 = s"$root/gen3"
-    val want = s"${genStampOf(gen2)}:gen3-refresh-v2"
+    val want = s"${genStampOf(gen2)}:gen3-refresh-v3"
     if (RelationalQueries.staleDigest(gen3, want))
       rollGeneration(s,
         // the guarded frame carries the assigned-layout column names;
         // rename back to corpus shape — the OLD assignment (__cid) is
         // deliberately dropped: gen3 re-assigns every row under its
         // own refreshed matrix
-        guardedDeltaUnion(s, gen2, s"$gen2/delta")
+        deletedServingFrame(s, gen2)
           .select(col("nbr_id").as("vec_id"), col("cvec").as("embedding")),
         readCentroids(s, s"$gen2/centroids"), gen3, want)
     root
@@ -499,7 +506,7 @@ object PipelineQueries {
     * mod 10, so one rule covers all three arms). Metadata-sized, stamped
     * with gen2's generation stamp: a generation rewrite invalidates
     * the tombstone landing with everything else in the chain, and
-    * serving refuses a foreign-stamped set ([[gen2DeletedServingFrame]])
+    * serving refuses a foreign-stamped set ([[deletedServingFrame]])
     * exactly as it refuses a foreign delta. */
   def ensureIvfProdGen2TombstoneExport(s: SparkSession, sfDir: String): String = {
     val root = ensureIvfProdGen2DeltaExport(s, sfDir)
@@ -521,25 +528,28 @@ object PipelineQueries {
     root
   }
 
-  /** gen2's serving frame after deletes: the guarded index ∪ delta
-    * union with the tombstoned ids anti-joined out (broadcast — the
-    * tombstone set is metadata-sized; no gen2 index file is touched
-    * to delete a vector, the s63 O(deletes) property carried to the
-    * refreshed generation). The tombstone landing's stamp is verified
-    * against the generation exactly as the delta's is: a tombstone
-    * set landed beside another generation names other rows' lineage
-    * and refuses to serve. */
-  private[queries] def gen2DeletedServingFrame(s: SparkSession, root: String): DataFrame = {
-    val gen2 = s"$root/gen2"
-    val got = RelationalQueries.readMarker(s"$gen2/tombstones")
+  /** A generation's serving frame after deletes — GENERIC over the
+    * generation root (review r16: the verb must not be gen2-shaped
+    * when the chain rolls generations routinely): the guarded
+    * index ∪ delta union with the tombstoned ids anti-joined out
+    * (broadcast — the tombstone set is metadata-sized; no index file
+    * is touched to delete a vector, the s63 O(deletes) property
+    * carried to any refreshed generation). The tombstone landing's
+    * stamp is verified against the generation exactly as the delta's
+    * is: a tombstone set landed beside another generation names other
+    * rows' lineage and refuses to serve. Deleting at gen3 is this
+    * frame over gen3's root plus a tombstone landing with gen3's
+    * arms — the same two primitives. */
+  private[queries] def deletedServingFrame(s: SparkSession, genRoot: String): DataFrame = {
+    val got = RelationalQueries.readMarker(s"$genRoot/tombstones")
     require(got.isDefined,
-      s"tombstones at $gen2/tombstones carry no generation stamp — refuse to serve")
-    val gen = genStampOf(gen2)
+      s"tombstones at $genRoot/tombstones carry no generation stamp — refuse to serve")
+    val gen = genStampOf(genRoot)
     require(got.get == gen,
       s"stale-generation tombstones refuse to serve: stamped '${got.get.take(48)}…' " +
         s"but the generation is '${gen.take(48)}…' — re-land them under the current generation")
-    guardedDeltaUnion(s, gen2, s"$gen2/delta")
-      .join(broadcast(s.read.parquet(s"$gen2/tombstones")
+    guardedDeltaUnion(s, genRoot, s"$genRoot/delta")
+      .join(broadcast(s.read.parquet(s"$genRoot/tombstones")
         .withColumnRenamed("vec_id", "nbr_id")), Seq("nbr_id"), "left_anti")
   }
 
@@ -1524,13 +1534,16 @@ object PipelineQueries {
     // from gen2's matrix, scan-local re-assignment into
     // hive-partitioned lists, stamp derived from gen2's stamp), the
     // folded delta2 compacting away into the new generation's clean
-    // lists. This query serves gen3 ∪ its OWN gen3-stamped chained
+    // lists — with gen2's DELETES honored: the rollover folds the
+    // tombstone-filtered frame, so a retired row never resurrects.
+    // This query serves gen3 ∪ its OWN gen3-stamped chained
     // delta through the same guarded union — a gen2-stamped landing
     // refuses against gen3 (rollover spec), and a base regeneration
     // turns over base → gen2 → gen3 → delta3 in one sweep. Oracle:
     // the probe/rank recompute from the spliced TWICE-refreshed
-    // matrix over base ∪ delta1 ∪ delta2 ∪ delta3 — a drift in either
-    // rollover, either chained landing, or serving hash-fails.
+    // matrix over (base ∪ delta1 ∪ delta2 minus retired) ∪ delta3 —
+    // a drift in either rollover, either chained landing, the
+    // tombstone fold, or serving hash-fails.
     "s101_ann_ivf_gen3" -> ((s, dir) => {
       import s.implicits._
       val root = ensureIvfProdGen3DeltaExport(s, dir)
@@ -1608,7 +1621,7 @@ object PipelineQueries {
       val root = ensureIvfProdGen2TombstoneExport(s, dir)
       val refreshed = readCentroids(s, s"$root/gen2/centroids")
       OracleStash.put(OracleStash.S103Cents, refreshed)
-      Similarity.ivfTopKOnIndexByExpr(refreshed, gen2DeletedServingFrame(s, root),
+      Similarity.ivfTopKOnIndexByExpr(refreshed, deletedServingFrame(s, s"$root/gen2"),
           t(s, dir, "embeddings").where($"vec_id" < 5), k = 10)
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
@@ -3714,10 +3727,13 @@ object PipelineQueries {
       "s100_ann_hier_derived" -> hierProbeOracleSql(co, fi, cprobe = cp, nprobe = np)
     }.toMap
 
-  /** The corpus gen3 serves — everything gen2 served (all of which
-    * rolled INTO gen3's lists) plus the gen3-chained streamed delta. */
+  /** The corpus gen3 serves — everything gen2 served AFTER ITS
+    * DELETES (the rollover folds [[deletedServingFrame]], so a row
+    * retired from gen2 never resurrects into gen3 — review r16) plus
+    * the gen3-chained streamed delta (whose ids post-date the
+    * tombstone set and are not retired). */
   private def gen3SrcSql: String =
-    s"""$gen2SrcSql
+    s"""$gen2SurvivingSrcSql
        |  UNION ALL
        |  SELECT vec_id + 300000000 AS vec_id, list_reverse(embedding) AS embedding
        |  FROM embeddings WHERE vec_id >= 400 AND vec_id < 600""".stripMargin
@@ -3750,7 +3766,7 @@ object PipelineQueries {
     }.toMap
 
   /** The gen2-served corpus minus the retired ids — every arm drops
-    * id ≡ 7 mod 10 (the +1M/+2M shifts preserve the residue, so the
+    * id ≡ 7 mod 10 (the +100M/+200M shifts preserve the residue, so the
     * one rule covers base and both deltas, exactly as the Spark-side
     * tombstone synthesis does). */
   private def gen2SurvivingSrcSql: String =

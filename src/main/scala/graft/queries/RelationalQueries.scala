@@ -107,7 +107,12 @@ object RelationalQueries {
             .map(e => (e.getPath.getName, e.getModificationTime, e.getLen))
         else Seq((st.getPath.getName, st.getModificationTime, st.getLen))
       } catch {
-        case _: java.io.FileNotFoundException => Seq((p.getName, 0L, 0L))
+        // IOException, not just FileNotFound: a permission-denied or
+        // transiently unreadable source must degrade to the
+        // deterministic missing digest (→ stale → rebuild attempt),
+        // as the java.nio predecessor did — not throw out of every
+        // staleness check in the chain
+        case _: java.io.IOException => Seq((p.getName, 0L, 0L))
       }
     val listing = entries
       .map { case (name, mtime, len) => s"$name:$mtime:$len" }

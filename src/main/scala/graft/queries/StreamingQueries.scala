@@ -101,6 +101,61 @@ object StreamingQueries {
     out
   }
 
+
+  /** The pruned request-bus serving topology shared by s78 / s92 /
+    * s102 — ONE implementation (review r16: three near-verbatim
+    * copies had to stay in lockstep by hand). Per micro-batch: the
+    * FLOAT request vectors are collected driver-side (probe selection
+    * widens to double exactly as the kernels do, so the restricted
+    * scan is a superset of everything each query's own nprobe lists
+    * touch), the index scan is restricted to the batch's probe union
+    * as a STATIC `__cid IN` (planning-time pruning — DPP cannot fire
+    * from a LocalRelation probe side), `rank` produces the per-batch
+    * answers, the per-batch pruning pin is recorded, and the landing
+    * is batchId-KEYED with overwrite so foreachBatch's at-least-once
+    * retries are idempotent (r12 advice). Returns the batch-invariant
+    * (query_id, nbr_id, rank) frame read back from the landings. */
+  private def prunedServeStream(
+      s: SparkSession, dir: String, name: String, indexPath: String,
+      cents: Array[Array[Double]], nprobe: Int,
+      rank: (DataFrame, DataFrame) => DataFrame, pinNeedle: String,
+      recordPin: (Long, (Int, Int, Int, Int)) => Unit): DataFrame = {
+    import s.implicits._
+    val reqRoot = ensureServeRequestExport(s, dir)
+    val out = RelationalQueries.dataRoot(s"$name-serve", dir, "emb")
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val reqSchema = s.read.parquet(s"$reqRoot/r0").schema
+    val qstream = s.readStream.schema(reqSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$reqRoot/r*")
+    val q = qstream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val reqs = batch.select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        if (reqs.nonEmpty) {
+          val cids = graft.operators.Similarity.literalProbeCids(
+            cents, reqs.map(_._2.map(_.toDouble).toArray).toSeq, nprobe = nprobe)
+          val pruned = s.read.parquet(indexPath)
+            .where(col("__cid").isin(cids.map(Integer.valueOf): _*))
+          val qdf = reqs.toSeq.toDF("vec_id", "embedding")
+          val res = rank(pruned, qdf)
+            .select(col("query_id"), col("nbr_id"), col("rank"))
+          recordPin(batchId,
+            (reqs.length, cids.size, ivfScanStaticInSize(res, pinNeedle), cents.length))
+          res.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        }
+      }
+      .option("checkpointLocation", freshCheckpointDir(s, s"${name}_fb"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // partition discovery adds the batch column — the serving answer
+    // is batch-invariant by the oracle contract, so project it off
+    s.read.parquet(out).select("query_id", "nbr_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-micro-batch pruning evidence of the last s78 run, keyed by
     * batchId: (queries in the batch, driver-selected probe-cid count,
     * static In/InSet size on the batch plan's index scan, nlist).
@@ -696,49 +751,12 @@ object StreamingQueries {
       val cents = s.read.parquet(s"$root/centroids").orderBy("cid").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
       OracleStash.put(OracleStash.S78Cents, cents)
-      val reqRoot = ensureServeRequestExport(s, dir)
-      val out = RelationalQueries.dataRoot("s78-serve", dir, "emb")
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(out), true)
-      val reqSchema = s.read.parquet(s"$reqRoot/r0").schema
-      val qstream = s.readStream.schema(reqSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$reqRoot/r*")
       s78BatchPins = Map.empty
-      val q = qstream.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // embeddings carry array<float>; the query frame stays FLOAT
-          // so the expression arithmetic is bit-identical to the batch
-          // path's (float→double promotion inside cosine, as s37/s77);
-          // the driver-side probe selection widens exactly the same way
-          val reqs = batch.select(col("vec_id"), col("embedding")).collect()
-            .map(r => (r.getLong(0), r.getSeq[Float](1)))
-          if (reqs.nonEmpty) {
-            val cids = graft.operators.Similarity.literalProbeCids(
-              cents, reqs.map(_._2.map(_.toDouble).toArray).toSeq, nprobe = 4)
-            val pruned = s.read.parquet(s"$root/index")
-              .where(col("__cid").isin(cids.map(Integer.valueOf): _*))
-            val qdf = reqs.toSeq.toDF("vec_id", "embedding")
-            val res = graft.operators.Similarity
-              .ivfTopKOnIndex(cents, pruned, qdf, k = 10, nprobe = 4)
-              .select(col("query_id"), col("nbr_id"), col("rank"))
-            s78BatchPins += batchId ->
-              ((reqs.length, cids.size, ivfScanStaticInSize(res), cents.length))
-            // foreachBatch is AT-LEAST-ONCE: a retried micro-batch must
-            // not append its rows twice (r12 advice). Keying the
-            // landing by batchId with overwrite makes the retry
-            // idempotent — the same batch replaces its own directory.
-            res.write.mode("overwrite").parquet(s"$out/batch=$batchId")
-          }
-        }
-        .option("checkpointLocation", freshCheckpointDir(s, "s78_fb"))
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // partition discovery adds the batch column — the serving answer
-      // is batch-invariant by the oracle's contract, so project it off
-      s.read.parquet(out).select("query_id", "nbr_id", "rank")
-        .orderBy("query_id", "rank")
+      prunedServeStream(s, dir, "s78", s"$root/index", cents, nprobe = 4,
+        rank = (idx, q) => graft.operators.Similarity
+          .ivfTopKOnIndex(cents, idx, q, k = 10, nprobe = 4),
+        pinNeedle = "graft-ivf/",
+        recordPin = (id, pin) => s78BatchPins += id -> pin)
     }),
     // STREAMING INGEST DEDUP — d44's incremental dedup as a continuous
     // ingest filter, the shape a 100 TB pipeline actually runs it in:
@@ -813,45 +831,12 @@ object StreamingQueries {
       val root = PipelineQueries.ensureIvfProdIndexExport(s, dir)
       val cents = PipelineQueries.readCentroids(s, s"$root/centroids")
       OracleStash.put(OracleStash.S92Cents, cents)
-      val reqRoot = ensureServeRequestExport(s, dir)
-      val out = RelationalQueries.dataRoot("s92-serve", dir, "emb")
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(out), true)
-      val reqSchema = s.read.parquet(s"$reqRoot/r0").schema
-      val qstream = s.readStream.schema(reqSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$reqRoot/r*")
       s92BatchPins = Map.empty
-      val q = qstream.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // FLOAT request vectors, double promotion inside the kernel —
-          // bit-identical to the batch path, as s78
-          val reqs = batch.select(col("vec_id"), col("embedding")).collect()
-            .map(r => (r.getLong(0), r.getSeq[Float](1)))
-          if (reqs.nonEmpty) {
-            val cids = graft.operators.Similarity.literalProbeCids(
-              cents, reqs.map(_._2.map(_.toDouble).toArray).toSeq, nprobe = 4)
-            val pruned = s.read.parquet(s"$root/index")
-              .where(col("__cid").isin(cids.map(Integer.valueOf): _*))
-            val qdf = reqs.toSeq.toDF("vec_id", "embedding")
-            val res = graft.operators.Similarity
-              .ivfTopKOnIndexByExpr(cents, pruned, qdf, k = 10, nprobe = 4)
-              .select(col("query_id"), col("nbr_id"), col("rank"))
-            s92BatchPins += batchId ->
-              ((reqs.length, cids.size,
-                ivfScanStaticInSize(res, "graft-ivf-prod/"), cents.length))
-            // batchId-keyed overwrite: at-least-once retries idempotent
-            res.write.mode("overwrite").parquet(s"$out/batch=$batchId")
-          }
-        }
-        .option("checkpointLocation", freshCheckpointDir(s, "s92_fb"))
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // the serving answer is batch-invariant; project the partition-
-      // discovery batch column off
-      s.read.parquet(out).select("query_id", "nbr_id", "rank")
-        .orderBy("query_id", "rank")
+      prunedServeStream(s, dir, "s92", s"$root/index", cents, nprobe = 4,
+        rank = (idx, q) => graft.operators.Similarity
+          .ivfTopKOnIndexByExpr(cents, idx, q, k = 10, nprobe = 4),
+        pinNeedle = "graft-ivf-prod/",
+        recordPin = (id, pin) => s92BatchPins += id -> pin)
     }),
     // STREAMING SERVING AT THE DERIVED KNOB — the r15 verdict's item
     // 2: s92 probes at a hand-picked nprobe = 4 while the batch path
@@ -880,40 +865,12 @@ object StreamingQueries {
         emb, emb.where(col("vec_id") < 5), cents, k = 10,
         targetRecall = 0.7, index = Some(idx)).nprobe
       OracleStash.put(OracleStash.S102Config, (cents, np))
-      val reqRoot = ensureServeRequestExport(s, dir)
-      val out = RelationalQueries.dataRoot("s102-serve", dir, "emb")
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(out), true)
-      val reqSchema = s.read.parquet(s"$reqRoot/r0").schema
-      val qstream = s.readStream.schema(reqSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$reqRoot/r*")
       s102BatchPins = Map.empty
-      val q = qstream.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val reqs = batch.select(col("vec_id"), col("embedding")).collect()
-            .map(r => (r.getLong(0), r.getSeq[Float](1)))
-          if (reqs.nonEmpty) {
-            val cids = graft.operators.Similarity.literalProbeCids(
-              cents, reqs.map(_._2.map(_.toDouble).toArray).toSeq, nprobe = np)
-            val pruned = s.read.parquet(s"$root/index")
-              .where(col("__cid").isin(cids.map(Integer.valueOf): _*))
-            val qdf = reqs.toSeq.toDF("vec_id", "embedding")
-            val res = graft.operators.Similarity
-              .ivfTopKOnIndexByExpr(cents, pruned, qdf, k = 10, nprobe = np)
-              .select(col("query_id"), col("nbr_id"), col("rank"))
-            s102BatchPins += batchId ->
-              ((reqs.length, cids.size,
-                ivfScanStaticInSize(res, "graft-ivf-prod/"), cents.length))
-            res.write.mode("overwrite").parquet(s"$out/batch=$batchId")
-          }
-        }
-        .option("checkpointLocation", freshCheckpointDir(s, "s102_fb"))
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(out).select("query_id", "nbr_id", "rank")
-        .orderBy("query_id", "rank")
+      prunedServeStream(s, dir, "s102", s"$root/index", cents, nprobe = np,
+        rank = (ix, q) => graft.operators.Similarity
+          .ivfTopKOnIndexByExpr(cents, ix, q, k = 10, nprobe = np),
+        pinNeedle = "graft-ivf-prod/",
+        recordPin = (id, pin) => s102BatchPins += id -> pin)
     }),
     // STREAMING INDEX INGEST — the WRITE half of the streaming index
     // story (s77/s78/s92 stream QUERIES against a static index; s61

@@ -326,7 +326,7 @@ class ProdIndexServingSpec extends AnyFunSuite {
     // each link derives from the previous by the SAME rule — the
     // construction applied to its own output (r15 verdict item 1)
     assert(gen2Stamp === s"$baseStamp:gen2-refresh-v2")
-    assert(gen3Stamp === s"$gen2Stamp:gen3-refresh-v2")
+    assert(gen3Stamp === s"$gen2Stamp:gen3-refresh-v3")
     // ...so the whole lineage is rooted at the base stamp: one base
     // regeneration invalidates gen2, gen3, and every chained delta
     // transitively, in one sweep
@@ -360,17 +360,22 @@ class ProdIndexServingSpec extends AnyFunSuite {
     RelationalQueries.wipeDir(staleDir)
   }
 
-  test("gen3 rollover: gen3's lists hold exactly the frame gen2 served (compaction)") {
+  test("gen3 rollover: gen3's lists hold exactly the frame gen2 serves AFTER deletes") {
     PipelineQueries.ensureIvfProdGen3Export(spark, dir)
-    val served = PipelineQueries.guardedDeltaUnion(spark, s"$root/gen2",
-      s"$root/gen2/delta").select("nbr_id")
+    val served = PipelineQueries.deletedServingFrame(spark, s"$root/gen2")
+      .select("nbr_id")
     val gen3 = spark.read.parquet(s"$root/gen3/index")
-    // row-for-row: the rollover folded base ∪ delta1 ∪ delta2 into the
-    // new generation's clean lists — the delta compacts away, nothing
-    // is lost, nothing else sneaks in
+    // row-for-row: the rollover folded (base ∪ delta1 ∪ delta2) MINUS
+    // the tombstoned ids into the new generation's clean lists — the
+    // delta AND the tombstone set compact away, nothing is lost,
+    // nothing else sneaks in, and a deleted row never resurrects
+    // (review r16: the gen1 compactor folds tombstonedServingFrame
+    // for the same reason)
     assert(gen3.count() === served.count())
     assert(gen3.select("nbr_id").except(served).count() === 0)
     assert(served.except(gen3.select("nbr_id")).count() === 0)
+    assert(gen3.where($"nbr_id" % 10 === 7 && $"nbr_id" < 300000000L).count() === 0,
+      "a gen2-retired id resurrected into gen3's lists")
     // and the layout is the same hive-partition-per-list shape
     val listDirs = Option(Paths.get(root, "gen3", "index").toFile.listFiles())
       .getOrElse(Array.empty).count(_.getName.startsWith("__cid="))
@@ -457,7 +462,7 @@ class ProdIndexServingSpec extends AnyFunSuite {
       PipelineQueries.genStampOf(gen2))
     // serving drops exactly the retired rows — no index file rewritten
     val union = PipelineQueries.guardedDeltaUnion(spark, gen2, s"$gen2/delta")
-    val frame = PipelineQueries.gen2DeletedServingFrame(spark, root)
+    val frame = PipelineQueries.deletedServingFrame(spark, s"$root/gen2")
     val retired = spark.read.parquet(s"$gen2/tombstones").count()
     assert(retired > 0, "the deterministic rule must retire some rows")
     assert(frame.count() === union.count() - retired)
@@ -468,13 +473,13 @@ class ProdIndexServingSpec extends AnyFunSuite {
     val want = PipelineQueries.genStampOf(s"$gen2/tombstones")
     RelationalQueries.markFresh(s"$gen2/tombstones", "foreign-generation")
     val ex = intercept[IllegalArgumentException] {
-      PipelineQueries.gen2DeletedServingFrame(spark, root)
+      PipelineQueries.deletedServingFrame(spark, s"$root/gen2")
     }
     assert(ex.getMessage.contains("stale-generation tombstones refuse to serve"))
     // the ensure re-lands them under the current generation
     PipelineQueries.ensureIvfProdGen2TombstoneExport(spark, dir)
     assert(PipelineQueries.genStampOf(s"$gen2/tombstones") === want)
-    PipelineQueries.gen2DeletedServingFrame(spark, root).count()
+    PipelineQueries.deletedServingFrame(spark, s"$root/gen2").count()
   }
 
   test("s98 provenance: the served knob IS nprobeForRecall's output") {

@@ -187,6 +187,8 @@ object PlanReport {
       "hierarchical serving over GEN3 (tier parity at the ROLLED link): rollGeneration persists the refreshed coarse matrix beside the fine one at EVERY link, so gen3 drives the fused two-level HierProbes loop over the same guarded gen3-union-delta frame the flat s101 serves — one artifact, both tiers, no retraining, at a generation built from the construction's own output; the oracle walks the s91/s99 hybrid path from the two spliced TWICE-refreshed matrices over all four corpus arms",
     "s105_ann_gen3_derived" ->
       "the ROLLED generation prices its own knob (lifecycle x configuration composed): a rollover replaces the quantizer, so gen1's audited nprobe is a measurement of a matrix gen3 no longer serves — nprobeForRecall re-runs against gen3's own guarded frame (ground truth over the gen3-served corpus; each doubling pass reads only its probed lists through the union) and the query serves gen3 at exactly that price, DPP on the gen3 scan as s101; the oracle re-derives the walk at the stashed per-generation knob and the provenance spec pins served == derived-on-gen3",
+    "s106_ann_ivf_gen3_delete" ->
+      "DELETE at the ROLLED link (the s103 verb at the generation the construction built from its own output, via the SAME generation-generic deletedServingFrame — nothing gen3-shaped in the verb): a SECOND independent retire rule (id = 3 mod 10) lands stamped with gen3's stamp and is anti-joined broadcast over the guarded gen3-union-delta frame, DPP kept on the gen3 scan; deletes STACK across links — the gen2 rule compacted away at the roll, this one is live at serve time, the next roll folds it out; tombstones name IDS, not an eternal predicate (delta3's post-rule ids rightly survive — spec-pinned)",
     "s103_ann_ivf_gen2_delete" ->
       "DELETE over the REFRESHED generation (r16 — s63's tombstone verb carried to gen2): retired ids land metadata-sized beside the generation STAMPED with gen2's stamp (a foreign-stamped set refuses to serve exactly as a foreign delta would), and serving anti-joins them broadcast over the guarded index-union-delta frame — the gen2 index scan KEEPS its dynamicpruningexpression under the delete (pinned in PlanChecksSpec), no index file is rewritten, and the oracle recomputes the walk over the SURVIVING corpus: deleting must equal never having indexed the rows",
     "t54_sequence_packing" ->

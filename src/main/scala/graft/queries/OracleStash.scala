@@ -101,6 +101,8 @@ private[queries] object OracleStash {
   case object S104Model extends Slot[(Cents, Cents)]("s104.model")
   /** gen3 derived-knob serving: (gen3 fine matrix, the nprobe derived ON gen3) */
   case object S105Config extends Slot[(Cents, Int)]("s105.config")
+  /** gen3 delete serving: the gen3 matrix the tombstoned union serves under */
+  case object S106Cents extends Slot[Cents]("s106.cents")
   case object D36Bits extends Slot[Int]("d36.bits")
   case object D56Bits extends Slot[Int]("d56.bits")
   case object D73Config extends Slot[graft.operators.Similarity.LshConfig]("d73.config")

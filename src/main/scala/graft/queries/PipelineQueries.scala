@@ -528,6 +528,37 @@ object PipelineQueries {
     root
   }
 
+  /** Tombstones for the GEN3 generation — the delete verb at the
+    * ROLLED link, through exactly the primitives the generic frame
+    * promises ([[deletedServingFrame]]'s doc): a tombstone landing
+    * stamped with gen3's stamp, arms matching the corpus gen3 serves.
+    * The retire rule is a SECOND, independent one (id ≡ 3 mod 10 —
+    * ids ≡ 7 never reached gen3: the rollover folded them out), so
+    * this stacks deletes across links: the gen2 rule compacted away
+    * at the roll, the gen3 rule is live at serve time, and a future
+    * gen4 roll folds this one out in turn. */
+  def ensureIvfProdGen3TombstoneExport(s: SparkSession, sfDir: String): String = {
+    val root = ensureIvfProdGen3DeltaExport(s, sfDir)
+    val gen3 = s"$root/gen3"
+    val tombDir = s"$gen3/tombstones"
+    val stamp = genStampOf(gen3)
+    if (RelationalQueries.staleDigest(tombDir, stamp)) {
+      import s.implicits._
+      val emb = t(s, sfDir, "embeddings")
+      val retired = emb.select($"vec_id")
+        .where($"vec_id" % 10 === 3)
+        .unionByName(emb.where($"vec_id" < 200 && $"vec_id" % 10 === 3)
+          .select(($"vec_id" + 100000000L).as("vec_id")))
+        .unionByName(emb.where($"vec_id" >= 200 && $"vec_id" < 400 && $"vec_id" % 10 === 3)
+          .select(($"vec_id" + 200000000L).as("vec_id")))
+        .unionByName(emb.where($"vec_id" >= 400 && $"vec_id" < 600 && $"vec_id" % 10 === 3)
+          .select(($"vec_id" + 300000000L).as("vec_id")))
+      retired.coalesce(1).write.mode("overwrite").parquet(tombDir)
+      RelationalQueries.markFresh(tombDir, stamp)
+    }
+    root
+  }
+
   /** A generation's serving frame after deletes — GENERIC over the
     * generation root (review r16: the verb must not be gen2-shaped
     * when the chain rolls generations routinely): the guarded
@@ -1602,6 +1633,31 @@ object PipelineQueries {
         targetRecall = 0.7, index = Some(served)).nprobe
       OracleStash.put(OracleStash.S105Config, (fine, np))
       Similarity.ivfTopKOnIndexByExpr(fine, served, q, k = 10, nprobe = np)
+        .select($"query_id", $"nbr_id", $"rank")
+        .orderBy("query_id", "rank")
+    }),
+    // DELETE at the ROLLED link — the verb s103 proved at gen2, now
+    // at the generation the construction built from its own output,
+    // with a SECOND independent retire rule (id ≡ 3 mod 10; the gen2
+    // rule's ids never reached gen3 — the rollover folded them out).
+    // Deletes therefore STACK across links: compact-at-roll removes
+    // the old generation's retirees, the live generation's tombstones
+    // remove its own, and the next roll folds those out in turn. The
+    // serving frame is the same generation-generic deletedServingFrame
+    // s103 uses — nothing gen3-specific anywhere in the verb. Oracle:
+    // the recompute over gen3's corpus minus the new rule's ids.
+    "s106_ann_ivf_gen3_delete" -> ((s, dir) => {
+      import s.implicits._
+      val root = ensureIvfProdGen3TombstoneExport(s, dir)
+      val refreshed = readCentroids(s, s"$root/gen3/centroids")
+      OracleStash.put(OracleStash.S106Cents, refreshed)
+      // the query sample is drawn from the SURVIVING corpus — id 3 is
+      // retired by this query's own rule, and this oracle family's
+      // query side rides the same corpus source as its candidates (a
+      // deleted vector is no longer a row the index owns; external
+      // query vectors are the s73/s92 request shape, not this one)
+      Similarity.ivfTopKOnIndexByExpr(refreshed, deletedServingFrame(s, s"$root/gen3"),
+          t(s, dir, "embeddings").where($"vec_id" < 5 && $"vec_id" % 10 =!= 3), k = 10)
         .select($"query_id", $"nbr_id", $"rank")
         .orderBy("query_id", "rank")
     }),
@@ -3039,7 +3095,7 @@ object PipelineQueries {
   private def duckCosine(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle ++ annRecallHierOracle ++ prodServeOracle ++ prodHierOracle ++ recallHeldIvfOracle ++ prodStreamServeOracle ++ streamIngestIndexOracle ++ prodQuantizedOracle ++ indexRefreshOracle ++ gen2ServeOracle ++ derivedServeOracle ++ gen2HierOracle ++ hierDerivedOracle ++ gen3ServeOracle ++ gen3HierOracle ++ gen3DerivedOracle ++ gen2DeleteOracle ++ derivedStreamServeOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ ivfTableOracle ++ ivfExprOracle ++ filteredIvfOracle ++ bandedLshOracle ++ pcaOracle ++ pcaAnnOracle ++ pqOracle ++ ivfPqOracle ++ ivfPqResOracle ++ ivfPqRefineOracle ++ clusterOracle ++ hardNegOracle ++ persistedIvfOracle ++ appendedIvfOracle ++ tombstoneIvfOracle ++ compactedIvfOracle ++ curatedServeOracle ++ curatedSearchOracle ++ curatedRefineOracle ++ streamServeOracle ++ prunedServeOracle ++ knnIvfOracle ++ knnTableOracle ++ knnExprOracle ++ hierServeOracle ++ hierKnnOracle ++ annRecallOracle ++ annRecallHierOracle ++ prodServeOracle ++ prodHierOracle ++ recallHeldIvfOracle ++ prodStreamServeOracle ++ streamIngestIndexOracle ++ prodQuantizedOracle ++ indexRefreshOracle ++ gen2ServeOracle ++ derivedServeOracle ++ gen2HierOracle ++ hierDerivedOracle ++ gen3ServeOracle ++ gen3HierOracle ++ gen3DerivedOracle ++ gen2DeleteOracle ++ gen3DeleteOracle ++ derivedStreamServeOracle
 
   /** s66's oracle from the stashed PCA model: every projection
     * recomputed from (mean, components) literals with the same
@@ -3764,6 +3820,30 @@ object PipelineQueries {
     OracleStash.get(OracleStash.S105Config).map { case (c, np) =>
       "s105_ann_gen3_derived" -> ivfProbeOracleSql(c, gen3SrcSql, nprobe = np)
     }.toMap
+
+  /** The gen3-served corpus minus the SECOND retire rule's ids —
+    * every arm additionally drops id ≡ 3 mod 10 (the first rule's
+    * ids, ≡ 7, are already gone from the first three arms via the
+    * rollover fold; the delta3 arm never had that filter). */
+  private def gen3SurvivingSrcSql: String =
+    """SELECT vec_id, embedding FROM embeddings
+      |   WHERE vec_id % 10 <> 7 AND vec_id % 10 <> 3
+      |  UNION ALL
+      |  SELECT vec_id + 100000000 AS vec_id, list_reverse(embedding) AS embedding
+      |  FROM embeddings WHERE vec_id < 200 AND vec_id % 10 <> 7 AND vec_id % 10 <> 3
+      |  UNION ALL
+      |  SELECT vec_id + 200000000 AS vec_id, list_reverse(embedding) AS embedding
+      |  FROM embeddings WHERE vec_id >= 200 AND vec_id < 400 AND vec_id % 10 <> 7 AND vec_id % 10 <> 3
+      |  UNION ALL
+      |  SELECT vec_id + 300000000 AS vec_id, list_reverse(embedding) AS embedding
+      |  FROM embeddings WHERE vec_id >= 400 AND vec_id < 600 AND vec_id % 10 <> 3""".stripMargin
+
+  /** s106's oracle: the s103 discipline at the rolled link — the
+    * probe/rank recompute from the spliced gen3 matrix over gen3's
+    * corpus minus the second rule's retirees. */
+  private def gen3DeleteOracle: Map[String, String] =
+    OracleStash.get(OracleStash.S106Cents).map(c => "s106_ann_ivf_gen3_delete" ->
+      ivfProbeOracleSql(c, gen3SurvivingSrcSql)).toMap
 
   /** The gen2-served corpus minus the retired ids — every arm drops
     * id ≡ 7 mod 10 (the +100M/+200M shifts preserve the residue, so the

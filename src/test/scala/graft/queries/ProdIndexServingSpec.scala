@@ -394,19 +394,30 @@ class ProdIndexServingSpec extends AnyFunSuite {
     // generation root — no new code path, the SAME function a third
     // time. If this needed anything gen-specific, the chain would not
     // be inductive.
-    PipelineQueries.ensureIvfProdGen3DeltaExport(spark, dir)
+    // roll from gen3's frame AFTER ITS DELETES — exactly as the real
+    // gen3 ensure folds gen2's deleted frame (a row retired at any
+    // link must never resurrect at the next)
+    PipelineQueries.ensureIvfProdGen3TombstoneExport(spark, dir)
     val gen3 = s"$root/gen3"
     val gen4 = Files.createTempDirectory("graft-gen4").toString
     val want = s"${PipelineQueries.genStampOf(gen3)}:gen4-refresh-v1"
     PipelineQueries.rollGeneration(spark,
-      PipelineQueries.guardedDeltaUnion(spark, gen3, s"$gen3/delta")
+      PipelineQueries.deletedServingFrame(spark, gen3)
         .select($"nbr_id".as("vec_id"), $"cvec".as("embedding")),
       PipelineQueries.readCentroids(spark, s"$gen3/centroids"), gen4, want)
     // the rolled generation holds exactly the frame its input served
     val g4 = spark.read.parquet(s"$gen4/index")
-    val srv = PipelineQueries.guardedDeltaUnion(spark, gen3, s"$gen3/delta")
+    val srv = PipelineQueries.deletedServingFrame(spark, gen3)
     assert(g4.count() === srv.count())
     assert(g4.select("nbr_id").except(srv.select("nbr_id")).count() === 0)
+    // both retire rules are folded out FOR THE ROWS THEY NAMED:
+    // tombstones retire ids, not an eternal predicate — ≡3 covered
+    // all four arms (gone everywhere), while the ≡7 rule predates
+    // delta3, whose ≡7 ids were never retired and rightly survive
+    assert(g4.where($"nbr_id" % 10 === 3).count() === 0)
+    assert(g4.where($"nbr_id" % 10 === 7 && $"nbr_id" < 300000000L).count() === 0)
+    assert(g4.where($"nbr_id" % 10 === 7 && $"nbr_id" >= 300000000L).count() > 0,
+      "delta3's post-rule ≡7 ids must survive — a tombstone names rows, not a law")
     // its stamp chains to gen3's, hence transitively to the base —
     // four links now derive from one root stamp
     assert(PipelineQueries.genStampOf(gen4) === want)
@@ -480,6 +491,32 @@ class ProdIndexServingSpec extends AnyFunSuite {
     PipelineQueries.ensureIvfProdGen2TombstoneExport(spark, dir)
     assert(PipelineQueries.genStampOf(s"$gen2/tombstones") === want)
     PipelineQueries.deletedServingFrame(spark, s"$root/gen2").count()
+  }
+
+  test("gen3 delete: the second retire rule stacks on the rolled-out first") {
+    PipelineQueries.ensureIvfProdGen3TombstoneExport(spark, dir)
+    val gen3 = s"$root/gen3"
+    // the landing chains to the generation that owns the rows
+    assert(PipelineQueries.genStampOf(s"$gen3/tombstones") ===
+      PipelineQueries.genStampOf(gen3))
+    val union = PipelineQueries.guardedDeltaUnion(spark, gen3, s"$gen3/delta")
+    val frame = PipelineQueries.deletedServingFrame(spark, gen3)
+    val retired = spark.read.parquet(s"$gen3/tombstones").count()
+    assert(retired > 0)
+    assert(frame.count() === union.count() - retired)
+    // rule 2 live at serve time; rule 1 already folded out at the roll
+    assert(frame.where($"nbr_id" % 10 === 3).count() === 0)
+    assert(frame.where($"nbr_id" % 10 === 7 && $"nbr_id" < 300000000L).count() === 0)
+    // a foreign-stamped set refuses through the SAME generic frame
+    val want = PipelineQueries.genStampOf(s"$gen3/tombstones")
+    RelationalQueries.markFresh(s"$gen3/tombstones", "foreign-generation")
+    val ex = intercept[IllegalArgumentException] {
+      PipelineQueries.deletedServingFrame(spark, gen3)
+    }
+    assert(ex.getMessage.contains("stale-generation tombstones refuse to serve"))
+    PipelineQueries.ensureIvfProdGen3TombstoneExport(spark, dir)
+    assert(PipelineQueries.genStampOf(s"$gen3/tombstones") === want)
+    PipelineQueries.deletedServingFrame(spark, gen3).count()
   }
 
   test("s98 provenance: the served knob IS nprobeForRecall's output") {

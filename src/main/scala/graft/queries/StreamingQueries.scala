@@ -129,6 +129,16 @@ object StreamingQueries {
     val qstream = s.readStream.schema(reqSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$reqRoot/r*")
+    // resolve the index relation ONCE: every micro-batch filters this
+    // frame, reusing its file index — re-reading the path per batch
+    // re-lists all nlist hive-partition directories per trigger (the
+    // per-request serving bill must scale with the REQUEST, and
+    // partition discovery over nlist dirs is index-sized driver work).
+    // The per-batch static `__cid IN (...)` pruning is unchanged: the
+    // filter (and its planning-time partition pruning) is applied per
+    // batch below, and the per-batch InSet pin still reads it from each
+    // batch's own plan.
+    val index = s.read.parquet(indexPath)
     val q = qstream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val reqs = batch.select(col("vec_id"), col("embedding")).collect()
@@ -136,7 +146,7 @@ object StreamingQueries {
         if (reqs.nonEmpty) {
           val cids = graft.operators.Similarity.literalProbeCids(
             cents, reqs.map(_._2.map(_.toDouble).toArray).toSeq, nprobe = nprobe)
-          val pruned = s.read.parquet(indexPath)
+          val pruned = index
             .where(col("__cid").isin(cids.map(Integer.valueOf): _*))
           val qdf = reqs.toSeq.toDF("vec_id", "embedding")
           val res = rank(pruned, qdf)
@@ -789,10 +799,19 @@ object StreamingQueries {
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$reqRoot/b*")
       s87BatchPins = Map.empty
+      // the corpus SNAPSHOT is pre-materialized ONCE per ingest run (the
+      // production discipline the comment above names): digests, shingle
+      // sets, and df-capped postings are built in one corpus pass instead
+      // of once per micro-batch — 5 triggers would otherwise pay the
+      // corpus-side stages 5× for an answer that depends only on
+      // (doc, snapshot). Answer-identical by construction (same frames,
+      // same joins — spec-pinned against the unprepared path).
+      val snap = graft.operators.Dedup
+        .prepareIncrementalCorpus(corpus, "doc_id", "text")
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val surv = graft.operators.Dedup
-            .incrementalDedup(batch, corpus, "doc_id", "text", threshold = 0.5)
+            .incrementalDedupPrepared(batch, snap, "doc_id", "text", threshold = 0.5)
             .select(col("doc_id"), col("n_chars"))
           // one pass decides and lands the batch; counting the landed
           // files (metadata) pins the batch evidence without a second

@@ -198,6 +198,39 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(12L, 13L))
   }
 
+  test("prepared-snapshot incremental dedup is answer-identical to the unprepared path") {
+    // the r16 s87 optimization: corpus-side frames built once per
+    // snapshot instead of once per batch — admission decisions must not
+    // move. Includes an exact copy, a near-dup, a keeper, and a
+    // within-batch dup (kept — not this operator's job), across two
+    // disjoint "micro-batches" to mirror the streaming use.
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "sphinx of black quartz judge my vow today ok"),
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy cat"),
+      (12L, "completely unrelated sentence about gardening tools"),
+      (13L, "completely unrelated sentence about gardening tools"),
+      (14L, "pack my box with five dozen liquor jugs"),
+      (15L, "sphinx of black quartz judge my vow today maybe"),
+    ).toDF("doc_id", "text")
+    val snap = Dedup.prepareIncrementalCorpus(old, "doc_id", "text")
+    try {
+      for (parity <- 0 to 1) {
+        val batch = fresh.where(pmod($"doc_id", lit(2)) === parity)
+        val viaSnap = Dedup.incrementalDedupPrepared(batch, snap, "doc_id", "text", threshold = 0.5)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val direct = Dedup.incrementalDedup(batch, old, "doc_id", "text", threshold = 0.5)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(viaSnap == direct, s"parity $parity: $viaSnap != $direct")
+      }
+    } finally Seq(snap.digests, snap.oldSh, snap.lightOld)
+      .foreach(df => org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(df))
+  }
+
   test("cross-corpus jaccard pairs: only cross-side pairs, values exact") {
     val a = Seq((1L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
     val b = Seq((2L, "w1 w2 w3 w4 w5 w6"), (3L, "x y z q r s")).toDF("doc_id", "text")

@@ -45,7 +45,8 @@ object Similarity {
    * corpus id.
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     rankAgg: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"),
       norm(col(vecCol)).as("cn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
@@ -54,10 +55,13 @@ object Similarity {
       .where(col("nbr_id") =!= col("query_id"))
       .select(col("query_id"), col("nbr_id"),
         cosinePrenormed(col("qvec"), col("cvec"), col("qn") * col("cn")).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), col("rank").cast("int").as("rank"), col("sim"))
+    // rankAgg routes the n·|queries| candidate stream through the
+    // bounded TopKAgg buffers (≤ k rows per query per partition,
+    // map-side combined) instead of a full window sort — the s80
+    // discipline, row-identical by the same (sim DESC, nbr_id) total
+    // order. The window stays the default: the audit-family callers
+    // rank metadata-sized streams where either form is free.
+    rankCandidates(scored, k, rankAgg)
   }
 
   /** Deterministic pseudo-random hyperplanes: `nPlanes` × `dim`, values

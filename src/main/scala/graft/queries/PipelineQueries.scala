@@ -1097,7 +1097,14 @@ object PipelineQueries {
     "s79_knn_label_eval" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
-      knnLabelAgreement(emb, Similarity.bruteForceTopK(emb, emb, k = 1))
+      // rankAgg: EVERY vector is a query, so the exact-scored candidate
+      // stream is n² rows — the r16 optimization routes its top-1
+      // through the bounded TopKAgg buffers (map-side combined, ≤1 row
+      // per query per partition) instead of sorting the whole stream
+      // through one window exchange. Row-identical ((sim DESC, nbr_id)
+      // total order — the s80 discipline); the all-pairs SCORING that
+      // makes this the ground-truth form is unchanged.
+      knnLabelAgreement(emb, Similarity.bruteForceTopK(emb, emb, k = 1, rankAgg = true))
     }),
     // s79's PRODUCTION TWIN: the same leave-one-out eval with the
     // top-1 taken from the IVF probe (every vector probes its nprobe

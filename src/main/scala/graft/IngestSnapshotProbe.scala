@@ -55,24 +55,35 @@ object IngestSnapshotProbe {
       println(f"[snap-probe] $tag: $sec%.3f s (${HostLoad.line})")
       sec
     }
+    def runUnprepared(): Unit =
+      (0 until batches).foreach { b =>
+        noop(graft.operators.Dedup.incrementalDedup(
+          fresh.where(pmod(col("doc_id"), lit(batches)) === b),
+          old, "doc_id", "text", threshold = 0.5))
+      }
+    def runSnapshot(): Unit = {
+      val snap = graft.operators.Dedup.prepareIncrementalCorpus(old, "doc_id", "text")
+      (0 until batches).foreach { b =>
+        noop(graft.operators.Dedup.incrementalDedupPrepared(
+          fresh.where(pmod(col("doc_id"), lit(batches)) === b),
+          snap, "doc_id", "text", threshold = 0.5))
+      }
+    }
+    // arm order ALTERNATES per rep (r17, ADVICE.md): a fixed
+    // unprepared-first order let JIT/codegen/page-cache warm-up
+    // systematically favor the snapshot arm
     (1 to reps).foreach { rep =>
-      timed(s"rep$rep unprepared (per-batch corpus rebuild x$batches)") {
-        (0 until batches).foreach { b =>
-          noop(graft.operators.Dedup.incrementalDedup(
-            fresh.where(pmod(col("doc_id"), lit(batches)) === b),
-            old, "doc_id", "text", threshold = 0.5))
-        }
+      val arms: Seq[(String, () => Unit)] =
+        if (rep % 2 == 1) Seq(
+          (s"rep$rep unprepared (per-batch corpus rebuild x$batches)", () => runUnprepared()),
+          (s"rep$rep snapshot (prepare once, admit x$batches)", () => runSnapshot()))
+        else Seq(
+          (s"rep$rep snapshot (prepare once, admit x$batches)", () => runSnapshot()),
+          (s"rep$rep unprepared (per-batch corpus rebuild x$batches)", () => runUnprepared()))
+      arms.foreach { case (tag, body) =>
+        timed(tag)(body())
+        SessionHygiene.sweep(spark)
       }
-      SessionHygiene.sweep(spark)
-      timed(s"rep$rep snapshot (prepare once, admit x$batches)") {
-        val snap = graft.operators.Dedup.prepareIncrementalCorpus(old, "doc_id", "text")
-        (0 until batches).foreach { b =>
-          noop(graft.operators.Dedup.incrementalDedupPrepared(
-            fresh.where(pmod(col("doc_id"), lit(batches)) === b),
-            snap, "doc_id", "text", threshold = 0.5))
-        }
-      }
-      SessionHygiene.sweep(spark)
     }
     spark.stop()
   }

@@ -39,17 +39,20 @@ object PlanSweep {
       if (!(skipStreaming && streamingNames.contains(name))) {
         try {
           val df = fn(spark, sfDir)
-          val plan = df.queryExecution.sparkPlan
-          def cnt(needle: String): Int = {
-            var n = 0
-            plan.foreach(p => if (p.nodeName.contains(needle)) n += 1)
-            n
-          }
-          val wsc = {
-            var n = 0
-            plan.foreach(p => if (p.nodeName.startsWith("WholeStageCodegen")) n += 1)
-            n
-          }
+          // executedPlan, NOT sparkPlan (r17, ADVICE.md): sparkPlan
+          // predates prepareForExecution, so EnsureRequirements-inserted
+          // Exchange nodes are absent and WholeStageCodegen doesn't
+          // exist yet — the audit would systematically undercount
+          // exchanges and always report wsc=0. The executedPlan's tree
+          // string includes AdaptiveSparkPlanExec's inner (initial)
+          // plan, so counting needle lines sees the full prepared tree
+          // without reaching into private[sql] accessors.
+          val planStr = df.queryExecution.executedPlan.toString
+          def cnt(needle: String): Int =
+            planStr.linesIterator.count(_.contains(needle))
+          // codegen spans print as "*(n) Operator" — count DISTINCT ids
+          val wsc = "\\*\\((\\d+)\\)".r
+            .findAllMatchIn(planStr).map(_.group(1)).toSet.size
           sb.append(s"$name ${cnt("Exchange")} ${cnt("SortMergeJoin")} " +
             s"${cnt("BroadcastHashJoin")} ${cnt("ShuffledHashJoin")} " +
             s"${cnt("BroadcastNestedLoopJoin")} ${cnt("CartesianProduct")} " +

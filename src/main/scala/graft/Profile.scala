@@ -62,7 +62,7 @@ object Profile {
     // state store (the heap-vs-RocksDB knob for streaming queries that
     // do not force a provider themselves, e.g. s48's GroupState kernel
     // — the SCALING.md sf10 state-growth comparison)
-    val spark = (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").map(_.toLowerCase) match {
+    val builder2 = sys.env.get("SPARK_GRAFT_STATE_PROVIDER").map(_.toLowerCase) match {
       case Some("rocksdb") => builder.config(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -71,7 +71,20 @@ object Profile {
       // "RocksDB" would poison a SCALING.md comparison
       case Some(other) => sys.error(
         s"SPARK_GRAFT_STATE_PROVIDER='$other' not recognized (rocksdb|heap|default)")
-    }).getOrCreate()
+    }
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" — arbitrary session confs for
+    // config A/Bs (r17: the AQE partition-coalescing experiments) so a
+    // one-off measurement never needs a code edit. Malformed pairs fail
+    // loudly for the same reason as the state-provider knob.
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+      .map(_.split(";").filter(_.nonEmpty).foldLeft(builder2) { (b, kv) =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty => b.config(k.trim, v.trim)
+          case _ => sys.error(s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not k=v")
+        }
+      })
+      .getOrElse(builder2)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       val fn = SparkEntry.queries(n)

@@ -824,6 +824,9 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // the per-snapshot Bloom broadcast is dead once the last batch
+      // admitted; free it now instead of waiting on ContextCleaner
+      snap.shingleBloom.destroy()
       // partition discovery adds the batch column; admission is
       // batch-invariant by the oracle's contract, so project it off
       s.read.parquet(out).select("doc_id", "n_chars").orderBy("doc_id")

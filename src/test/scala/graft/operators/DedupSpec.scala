@@ -231,6 +231,38 @@ class DedupSpec extends AnyFunSuite {
       .foreach(df => org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(df))
   }
 
+  test("prepared path plans the Bloom prefilter and the size band ahead of the verify") {
+    // r17: the snapshot's Bloom over the capped postings' shingle keys
+    // must filter the NEW side's exploded shingles BEFORE the candidate
+    // exchange (guide §3.2), and the size band (J ≤ min/max set sizes)
+    // must sit in/below the candidate join — ahead of the distinct and
+    // the pair-expanded exact verify. foreachBatch plans are invisible
+    // to explain, so this is the programmatic pin for the s87 claim.
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy cat"),
+    ).toDF("doc_id", "text")
+    val snap = Dedup.prepareIncrementalCorpus(old, "doc_id", "text")
+    try {
+      val plan = Dedup.incrementalDedupPrepared(fresh, snap, "doc_id", "text", threshold = 0.5)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("UDF(s#"),
+        s"no Bloom-prefilter UDF on the exploded new-side shingles in:\n$plan")
+      assert(plan.contains("least(n_i") && plan.contains("greatest(n_i"),
+        s"no size-band condition on the candidate pairs in:\n$plan")
+      // the unprepared path carries the band but must NOT pay a Bloom
+      val unprep = Dedup.incrementalDedup(fresh, old, "doc_id", "text", threshold = 0.5)
+        .queryExecution.executedPlan.toString
+      assert(!unprep.contains("UDF(s#"),
+        "unprepared path unexpectedly plans a Bloom prefilter (extra corpus pass)")
+      assert(unprep.contains("least(n_i"), "unprepared path lost the size band")
+    } finally Seq(snap.digests, snap.oldSh, snap.lightOld)
+      .foreach(df => org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(df))
+  }
+
   test("cross-corpus jaccard pairs: only cross-side pairs, values exact") {
     val a = Seq((1L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
     val b = Seq((2L, "w1 w2 w3 w4 w5 w6"), (3L, "x y z q r s")).toDF("doc_id", "text")
